@@ -1,0 +1,61 @@
+"""Catalog bootstrap: register the driver's parquet tables as views.
+
+Mirrors Tajo's catalog-managed external tables
+(tajo-catalog/.../CatalogService.java, TableDesc.java): a table is a
+(name, format, path, schema) tuple resolved at scan time. Here the
+format is parquet and Spark resolves schemas from footers — the same
+self-describing path Tajo special-cases in
+tajo-plan/.../rewrite/SelfDescSchemaBuildPhase.java:52.
+
+Scale note: views over parquet paths keep Catalyst in charge of
+predicate pushdown, column pruning and partition pruning; nothing is
+materialized at registration time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong (session.py)
+    # it arrives as a long of epoch-nanos — rebuild the µs timestamp
+    # (floor division matches DuckDB's ns→µs truncation).
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer DIV — double division loses precision on epoch-nanos
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register each parquet table as a temp view; return the frames."""
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,179 @@
+"""Deduplication operators: exact, fingerprint, MinHash+LSH, SimHash.
+
+Beyond-reference capability (BASELINE.json north star). Scale design:
+
+* Exact / fingerprint dedup — one hash-groupBy shuffle on the
+  fingerprint; map-side partial aggregation keeps shuffle volume at
+  ~|distinct| not |rows|.
+* MinHash+LSH near-dup — per-row signature computation is pure
+  projection (no shuffle); banding turns the quadratic all-pairs
+  problem into an equi-join on (band_id, band_hash), so candidate
+  generation is a hash-shuffle whose fan-in per bucket is bounded by
+  collision rate, not corpus size. This is the standard web-scale
+  (GPL/MinHashLSH) dedup shape: at 100 TB the only heavy op is the
+  band-key shuffle.
+* SimHash — 64-bit signed fingerprint from per-token md5 bits;
+  Hamming-adjacent buckets via band slicing, same join trick.
+
+Everything uses md5 (hex) as the hash family so the DuckDB oracle can
+reproduce results bit-for-bit; a production deployment would swap in
+xxhash64 for speed (also built into Spark as F.xxhash64) — the plan
+shape is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tajo_spark.operators.text import normalize_for_fingerprint, fingerprint
+
+SHINGLE_K = 3          # words per shingle
+NUM_HASHES = 8         # minhash signature length
+NUM_BANDS = 4          # LSH bands (2 hashes per band)
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-duplicate groups keyed by md5(text): (fp, canonical doc_id,
+    dup_count). Survivor = min doc_id, the usual deterministic policy."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col).cast("binary")).alias("fp"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def fingerprint_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Near-identical dedup on normalized-text fingerprint."""
+    return (
+        docs.select("doc_id", fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def shingles(text: Column, k: int = SHINGLE_K) -> Column:
+    """Array of k-word shingles over normalized text (0-based slices)."""
+    toks = F.split(normalize_for_fingerprint(text), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.get(toks, i + j) for j in range(k)]
+        ),
+    )).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_signature(text: Column, num_hashes: int = NUM_HASHES) -> list[Column]:
+    """MinHash signature: h_s = min over shingles of md5(s || ':' || shingle).
+    String-min over hex md5 is a valid uniform hash order; seeds are the
+    literal prefixes so any SQL engine reproduces it."""
+    sh = shingles(text)
+
+    def seed_min(seed: int) -> Column:
+        # NB: the transform lambda must take exactly one parameter —
+        # PySpark binds a second parameter to the element index.
+        prefix = f"{seed}:"
+        return F.array_min(
+            F.transform(
+                sh, lambda x: F.md5(F.concat(F.lit(prefix), x).cast("binary"))
+            )
+        ).alias(f"h{seed}")
+
+    return [seed_min(s) for s in range(num_hashes)]
+
+
+def minhash_band_keys(num_hashes: int = NUM_HASHES, num_bands: int = NUM_BANDS):
+    """Band hash columns over an already-computed signature h0..h{n-1}."""
+    rows_per_band = num_hashes // num_bands
+    keys = []
+    for b in range(num_bands):
+        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        keys.append(F.md5(F.concat_ws("|", *parts).cast("binary")).alias(f"band{b}"))
+    return keys
+
+
+def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """LSH candidate near-duplicate pairs (doc_a < doc_b), deduped.
+
+    Plan shape: projection (signatures) → explode bands (×NUM_BANDS rows)
+    → self-equi-join on (band_id, band_hash) → distinct pairs. The join
+    key includes the band id so buckets from different bands never cross.
+    """
+    sig = docs.select(F.col("doc_id"), *minhash_signature(F.col(text_col)))
+    banded = sig.select("doc_id", *minhash_band_keys())
+    bands_long = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bh"))
+                for b in range(NUM_BANDS)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.bh")
+    a = bands_long.alias("a")
+    b = bands_long.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+SIMHASH_BITS = 16
+_HEX = "0123456789abcdef"
+
+
+def simhash_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — 16-bit SimHash from per-token md5 nibbles.
+
+    Explode tokens → 4 nibble-value columns from the md5's first 4 hex
+    chars → per-bit ±1 votes aggregated per doc → recombine sign bits.
+    Entirely built-in expressions; the shuffle is the doc_id groupBy with
+    map-side partial aggregation (token fan-out never crosses the wire
+    unreduced). Hex-char → int via strpos so any SQL oracle reproduces it.
+    """
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(normalize_for_fingerprint(F.col(text_col)), " ")).alias(
+                "tok"
+            ),
+        )
+        .withColumn("h", F.md5(F.col("tok").cast("binary")))
+        .select(
+            "doc_id",
+            *[
+                (F.instr(F.lit(_HEX), F.substring("h", i + 1, 1)) - 1).alias(f"c{i}")
+                for i in range(SIMHASH_BITS // 4)
+            ],
+        )
+    )
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col(f"c{bit // 4}").bitwiseAND(F.lit(1 << (bit % 4))) > 0, 1
+                ).otherwise(-1)
+            ).alias(f"v{bit}")
+            for bit in range(SIMHASH_BITS)
+        ]
+    )
+    fp = None
+    for bit in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{bit}") > 0, F.lit(2 ** bit)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return votes.select("doc_id", fp.cast("long").alias("simhash"))

@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference capability (BASELINE.json north star):
+
+* ``cosine_topk`` — brute-force exact top-k: broadcast the query
+  vector, per-row dot product with built-in higher-order functions
+  (zip_with + aggregate — JVM-side, no Python), TakeOrderedAndProject
+  for the k. At 100 TB this is a single scan with no shuffle: the
+  broadcast side is one row and the top-k is partial per partition then
+  merged on the driver (Spark's TakeOrdered).
+* ``lsh_bucket_topk`` — the scale path: sign-LSH bucketing on a fixed
+  set of coordinates partitions the corpus into 2^b buckets; candidate
+  generation only scans the query's bucket (b=4 → 16× less data per
+  probe; real deployments use learned IVF centroids, same plan shape).
+  Bucket ids are deterministic expressions so the oracle reproduces them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+LSH_DIMS = (0, 1, 2, 3)  # coordinates whose signs form the bucket id
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _as_double(a), _as_double(b)
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def sign_bucket(vec: Column, dims: tuple[int, ...] = LSH_DIMS) -> Column:
+    """Sign-LSH bucket id: bit i set iff vec[dims[i]] >= 0."""
+    out = None
+    for i, d in enumerate(dims):
+        bit = F.when(F.element_at(vec, d + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        out = bit if out is None else out + bit
+    return out.cast("int")
+
+
+def cosine_topk(
+    emb: DataFrame, query_vec_id: int, k: int = 10, round_to: int = 4
+) -> DataFrame:
+    """Exact top-k neighbors of ``query_vec_id`` by cosine similarity."""
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), round_to).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cos_sim"), "vec_id").limit(k)
+
+
+def lsh_bucket_topk(
+    emb: DataFrame, query_vec_id: int, k: int = 10, round_to: int = 4
+) -> DataFrame:
+    """Approximate top-k: only candidates sharing the query's sign-LSH
+    bucket are scored. Returns (vec_id, bucket, cos_sim)."""
+    with_bucket = emb.select(
+        "vec_id", "embedding", sign_bucket(F.col("embedding")).alias("bucket")
+    )
+    q = with_bucket.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    scored = (
+        with_bucket.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .select(
+            "vec_id",
+            "bucket",
+            F.round(cosine(F.col("embedding"), F.col("qv")), round_to).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cos_sim"), "vec_id").limit(k)
+
+
+def pairwise_similar(
+    emb: DataFrame, threshold: float = 0.95, round_to: int = 4
+) -> DataFrame:
+    """All near-duplicate embedding pairs above ``threshold``, restricted to
+    same sign-LSH bucket (the embedding-cosine near-dup operator).
+    Plan: bucket equi-join (hash shuffle on small bucket keys) instead of
+    a full cross join — the quadratic term only applies within buckets."""
+    with_bucket = emb.select(
+        "vec_id", "embedding", sign_bucket(F.col("embedding")).alias("bucket")
+    )
+    a = with_bucket.alias("a")
+    b = with_bucket.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                cosine(F.col("a.embedding"), F.col("b.embedding")), round_to
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,92 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-reference capability (BASELINE.json north star): language-ID,
+quality scoring, token counting, document fingerprinting. All pure
+`pyspark.sql.functions` compositions — JVM-side, whole-stage-codegen'd,
+no Python in the hot path, embarrassingly parallel at 100 TB (no
+shuffle at all: every function is a per-row projection).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic English stopword list shared with the DuckDB oracle.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+_PUNCT_CLASS = r"[.,!?;:]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed, lowercased text."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("long")
+
+
+def punct_count(text: Column) -> Column:
+    return (F.length(text) - F.length(F.regexp_replace(text, _PUNCT_CLASS, ""))).cast(
+        "long"
+    )
+
+
+def stopword_count(text: Column) -> Column:
+    toks = tokens(text)
+    return F.size(
+        F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))
+    ).cast("long")
+
+
+def stopword_ratio(text: Column) -> Column:
+    return stopword_count(text) / F.greatest(token_count(text), F.lit(1))
+
+
+def avg_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: rewards stopword presence and
+    moderate token length, penalizes punctuation density. Mirrors the
+    length/punct/stopword-ratio family of filters used by public web-scale
+    corpus pipelines (C4-style heuristics)."""
+    sw = stopword_ratio(text)
+    punct_ratio = punct_count(text) / F.greatest(char_count(text), F.lit(1))
+    len_ok = (
+        (token_count(text) >= 20) & (token_count(text) <= 100000)
+    ).cast("double")
+    return F.round(
+        F.least(F.lit(1.0), sw * 4) * 0.5 + len_ok * 0.3
+        + (1 - F.least(F.lit(1.0), punct_ratio * 10)) * 0.2,
+        4,
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """N-gram/stopword heuristic language ID: English iff the stopword
+    ratio clears a threshold. (Real models are out-of-container; the
+    heuristic is the deterministic, oracle-checkable stand-in.)"""
+    return F.when(stopword_ratio(text) > 0.05, F.lit("en")).otherwise(F.lit("other"))
+
+
+def normalize_for_fingerprint(text: Column) -> Column:
+    """Lowercase, strip punctuation, collapse whitespace — canonical text
+    for near-identical dedup."""
+    cleaned = F.regexp_replace(F.lower(text), r"[^a-z0-9 ]", " ")
+    return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text."""
+    return F.md5(normalize_for_fingerprint(text).cast("binary"))

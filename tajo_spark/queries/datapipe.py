@@ -1,0 +1,394 @@
+"""Beyond-reference data-pipeline queries: dedup, similarity search,
+text analysis, sessionization, multimodal metadata (BASELINE.json
+north star). Spark side = tajo_spark.operators.*; oracle side =
+equivalent DuckDB SQL generated here (shared hash family: md5 hex, so
+both engines reproduce signatures bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tajo_spark.catalog import load_table
+from tajo_spark.operators import dedup, similarity, text
+from tajo_spark.operators.sessionize import sessionize, tumbling_window_agg
+from tajo_spark.queries.registry import query
+
+# DuckDB fragment: normalized text (must mirror text.normalize_for_fingerprint)
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+# DuckDB fragment: whitespace tokens of raw text (mirror text.tokens)
+_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+_STOPS = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    "datapipe",
+    doc="Exact dedup groups via md5 hash-groupBy; survivor = min doc_id.",
+    oracle="""
+        SELECT md5(text) AS fp, min(doc_id) AS keep_doc_id,
+               count(*) AS dup_count
+        FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(docs).select("fp", "keep_doc_id", "dup_count")
+
+
+@query(
+    "dedup_fingerprint",
+    "datapipe",
+    doc="Near-identical dedup on normalized-text md5 fingerprint "
+    "(document fingerprinting operator).",
+    oracle=f"""
+        SELECT md5({_NORM}) AS fp, min(doc_id) AS keep_doc_id,
+               count(*) AS dup_count
+        FROM documents GROUP BY md5({_NORM})
+    """,
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.fingerprint_dedup_groups(docs).select(
+        "fp", "keep_doc_id", "dup_count"
+    )
+
+
+def _minhash_oracle() -> str:
+    nh, nb = dedup.NUM_HASHES, dedup.NUM_BANDS
+    rpb = nh // nb
+    sig_cols = ",\n               ".join(
+        f"list_min(list_transform(s, x -> md5('{s}:' || x))) AS h{s}"
+        for s in range(nh)
+    )
+    band_cols = ",\n               ".join(
+        "md5("
+        + " || '|' || ".join(f"h{b * rpb + r}" for r in range(rpb))
+        + f") AS band{b}"
+        for b in range(nb)
+    )
+    unions = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, band{b} AS bh FROM banded"
+        for b in range(nb)
+    )
+    return f"""
+        WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+        tk AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(w) >= {dedup.SHINGLE_K}
+                           THEN list_transform(range(1, len(w) - {dedup.SHINGLE_K - 2}),
+                                i -> {" || ' ' || ".join(f"w[i+{j}]" for j in range(dedup.SHINGLE_K))})
+                           ELSE [array_to_string(w, ' ')] END AS s
+               FROM tk),
+        sig AS (SELECT doc_id,
+               {sig_cols}
+               FROM sh),
+        banded AS (SELECT doc_id,
+               {band_cols}
+               FROM sig),
+        long AS (
+            {unions})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM long a JOIN long b
+          ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """
+
+
+@query(
+    "dedup_minhash_pairs",
+    "datapipe",
+    doc="MinHash+LSH near-duplicate candidate pairs: 3-word shingles → "
+    "8 md5 minhashes → 4 bands → band-key self-join. The banding join "
+    "replaces the quadratic all-pairs scan (the web-scale dedup shape).",
+    oracle=_minhash_oracle(),
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_candidate_pairs(docs)
+
+
+def _simhash_oracle() -> str:
+    bits = dedup.SIMHASH_BITS
+    nibs = ",\n               ".join(
+        f"strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 AS c{i}"
+        for i in range(bits // 4)
+    )
+    votes = ",\n               ".join(
+        f"sum(CASE WHEN (c{bit // 4} & {1 << (bit % 4)}) > 0 THEN 1 ELSE -1 END)"
+        f" AS v{bit}"
+        for bit in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{bit} > 0 THEN {1 << bit} ELSE 0 END)" for bit in range(bits)
+    )
+    return f"""
+        WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+        tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
+        hashed AS (SELECT doc_id, md5(tok) AS h FROM tok),
+        nib AS (SELECT doc_id,
+               {nibs}
+               FROM hashed),
+        votes AS (SELECT doc_id,
+               {votes}
+               FROM nib GROUP BY doc_id)
+        SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@query(
+    "dedup_simhash",
+    "datapipe",
+    doc="SimHash fingerprints (16-bit, md5-nibble votes) for Hamming-"
+    "distance near-dup; explode→partial-agg keeps shuffle at |docs|.",
+    oracle=_simhash_oracle(),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_table(docs)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+_COS = (
+    "round(list_dot_product(e, qv)"
+    " / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qv, qv))), 4)"
+)
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN e[{d + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i, d in enumerate(similarity.LSH_DIMS)
+)
+
+
+@query(
+    "sim_cosine_topk",
+    "datapipe",
+    doc="Exact brute-force cosine top-10 for a query vector (vec_id=0): "
+    "broadcast 1-row query side + zip_with/aggregate dot product "
+    "(JVM-side) + TakeOrderedAndProject — single scan, zero shuffle.",
+    oracle=f"""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id = 0),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id <> 0)
+        SELECT vec_id, {_COS} AS cos_sim
+        FROM c, q
+        ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, query_vec_id=0, k=10)
+
+
+@query(
+    "sim_lsh_bucket_topk",
+    "datapipe",
+    doc="Approximate top-10 via sign-LSH bucketing (16 buckets from sign "
+    "bits of dims 0-3): probe scans only the query's bucket — the "
+    "IVF/LSH scale path for ANN at 100 TB.",
+    oracle=f"""
+        WITH all_b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                              CAST({_BUCKET_SQL} AS INT) AS bucket
+                       FROM embeddings),
+        q AS (SELECT e AS qv, bucket AS qbucket FROM all_b WHERE vec_id = 0)
+        SELECT vec_id, bucket, {_COS} AS cos_sim
+        FROM (SELECT * FROM all_b WHERE vec_id <> 0) c, q
+        WHERE bucket = qbucket
+        ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def sim_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucket_topk(emb, query_vec_id=0, k=10)
+
+
+@query(
+    "sim_near_dup_pairs",
+    "datapipe",
+    doc="Embedding-cosine near-dup pairs ≥0.3 within sign-LSH buckets — "
+    "bucketed equi-join bounds the quadratic term per bucket.",
+    oracle=f"""
+        WITH all_b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                              CAST({_BUCKET_SQL} AS INT) AS bucket
+                       FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))), 4) AS cos_sim
+        FROM all_b a JOIN all_b b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.3
+    """,
+)
+def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pairwise_similar(emb, threshold=0.3)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_metrics",
+    "datapipe",
+    doc="Token count / char count / punctuation count / stopword ratio / "
+    "avg token length per document — C4-style quality signals, pure "
+    "projection (no shuffle).",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS token_count,
+               CAST(length(text) AS BIGINT) AS char_count,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                 AS BIGINT) AS punct_count,
+               round(len(list_filter(toks, x -> x IN ({_STOPS})))
+                     / greatest(len(toks), 1), 4) AS stop_ratio,
+               round(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                     / greatest(len(toks), 1), 4) AS avg_tok_len
+        FROM t
+    """,
+)
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.token_count(c).alias("token_count"),
+        text.char_count(c).alias("char_count"),
+        text.punct_count(c).alias("punct_count"),
+        F.round(text.stopword_ratio(c), 4).alias("stop_ratio"),
+        F.round(text.avg_token_len(c), 4).alias("avg_tok_len"),
+    )
+
+
+@query(
+    "text_quality_langid",
+    "datapipe",
+    doc="Composite quality score + stopword-heuristic language ID, "
+    "aggregated by source (the corpus-filtering rollup).",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, source, text, {_TOKS} AS toks FROM documents),
+        m AS (SELECT doc_id, source,
+               len(list_filter(toks, x -> x IN ({_STOPS})))
+                 / greatest(len(toks), 1) AS sw,
+               (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                 / greatest(length(text), 1) AS pr,
+               CAST(len(toks) BETWEEN 20 AND 100000 AS DOUBLE) AS len_ok
+              FROM t)
+        SELECT source,
+               count(*) AS n_docs,
+               round(avg(round(least(1.0, sw * 4) * 0.5 + len_ok * 0.3
+                     + (1 - least(1.0, pr * 10)) * 0.2, 4)), 4) AS avg_quality,
+               CAST(sum(CASE WHEN sw > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_english
+        FROM m GROUP BY source
+    """,
+)
+def text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    scored = docs.select(
+        "source",
+        text.quality_score(c).alias("q"),
+        text.lang_id(c).alias("lang_guess"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("q"), 4).alias("avg_quality"),
+        F.sum(F.when(F.col("lang_guess") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("n_english"),
+    )
+
+
+@query(
+    "multimodal_binary_meta",
+    "datapipe",
+    doc="Opaque-binary column plumbing: byte length + content key over "
+    "text-as-blob (decode stubs for image/audio live in "
+    "operators/multimodal.py; the Spark-side schema/partition shape "
+    "is what's exercised here).",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+               substr(md5(text), 1, 8) AS content_key
+        FROM documents
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    blob = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        F.octet_length(blob).cast("long").alias("n_bytes"),
+        F.substring(F.md5(blob), 1, 8).alias("content_key"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-time operators (batch form; streaming twins in streaming/)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_sessionize",
+    "datapipe",
+    doc="Sessionization (30-min gap) via lag + running-sum windows; one "
+    "shuffle on user_id. Reference has zero stateful operators "
+    "(SURVEY.md §2.10) — beyond-reference.",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                        THEN 1
+                        WHEN lag(epoch_ms(ts)) OVER w IS NULL THEN 1
+                        ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+            SELECT user_id, event_id, ts, value,
+                   CAST(sum(is_new) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS BIGINT) AS session_id
+            FROM flagged)
+        SELECT user_id, session_id, count(*) AS n_events,
+               round(sum(value), 2) AS session_value,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM sess GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return sessionize(events)
+
+
+@query(
+    "events_tumbling_window",
+    "datapipe",
+    doc="Tumbling 1-hour window aggregation by event_type (batch twin of "
+    "the streaming windowed agg in streaming/pipeline.py).",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n, round(sum(value), 2) AS total_value,
+               round(avg(value), 4) AS avg_value
+        FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return tumbling_window_agg(events, "hour")

@@ -1,0 +1,571 @@
+"""TPC-H benchmark queries, adapted to the driver's trimmed schemas.
+
+Reference: /root/reference/tajo-core/benchmark/tpch/q1.sql..q22.sql
+(Tajo ships TPC-H as its benchmark corpus; BenchmarkSet.java:115-129).
+The driver's tables omit some TPC-H columns (no partsupp, no
+l_shipmode/l_commitdate, no o_shippriority, no c_phone) — queries
+needing them are adapted; the adapted predicate is noted per query.
+
+All float aggregates rounded identically on both sides (see
+registry.py module doc). Dim tables (region/nation/supplier) are
+broadcast-hinted: at 100 TB the fact side never shuffles for these
+joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tajo_spark.catalog import load_table
+from tajo_spark.queries.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _disc_price():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@query(
+    "tpch_q1",
+    "tpch",
+    doc="Pricing summary report: scan+filter+hash agg (8 aggs) — "
+    "ref tajo-core/benchmark/tpch/q1.sql; HashAggregateExec "
+    "P/HashAggregateExec.java:36. Spark plans partial+final hash agg.",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)        AS sum_qty,
+               round(sum(l_extendedprice), 2)   AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4)        AS avg_qty,
+               round(avg(l_extendedprice), 4)   AS avg_price,
+               round(avg(l_discount), 4)        AS avg_disc,
+               count(*)                          AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(_disc_price()), 2).alias("sum_disc_price"),
+            F.round(F.sum(_disc_price() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q3",
+    "tpch",
+    doc="Shipping priority: 3-way join + agg + deterministic top-10 — "
+    "ref tpch/q3.sql (adapted: no o_shippriority column). "
+    "Spark plans TakeOrderedAndProject for the limit.",
+    oracle="""
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               o_orderdate
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate < '1997-03-15'
+          AND l_shipdate > '1997-03-15'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-03-15")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(_disc_price()), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q4",
+    "tpch",
+    doc="Order priority checking via EXISTS→left-semi join — ref tpch/q4.sql "
+    "(adapted: l_quantity>45 replaces commitdate<receiptdate; those columns "
+    "don't exist in the driver tables). Tajo rewrites IN-subquery to semi "
+    "join (InSubqueryRewriteRule.java:117); Spark does the same natively.",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q5",
+    "tpch",
+    doc="Local supplier volume: 6-way join with broadcast dims — ref "
+    "tpch/q5.sql. region/nation/supplier are broadcast (Tajo: "
+    "BroadcastJoinRule.java:44; Spark: broadcast() hint + AQE).",
+    oracle="""
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+        GROUP BY n_name
+    """,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_disc_price()), 2).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q6",
+    "tpch",
+    doc="Forecasting revenue change: pure scan+filter+global agg — ref "
+    "tpch/q6.sql. All predicates push to the parquet scan.",
+    oracle="""
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue")
+    )
+
+
+@query(
+    "tpch_q7",
+    "tpch",
+    doc="Volume shipping between two nations by year — ref tpch/q7.sql "
+    "(adapted: driver nations are NATION_1/NATION_2). year() cast to "
+    "BIGINT on the Spark side to match DuckDB's year() type.",
+    oracle="""
+        SELECT supp_nation, cust_nation, l_year,
+               round(sum(volume), 2) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM supplier, lineitem, orders, customer, nation n1, nation n2
+            WHERE s_suppkey = l_suppkey
+              AND o_orderkey = l_orderkey
+              AND c_custkey = o_custkey
+              AND s_nationkey = n1.n_nationkey
+              AND c_nationkey = n2.n_nationkey
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            _disc_price().alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q10",
+    "tpch",
+    doc="Returned-item reporting: 4-way join + agg + deterministic top-20 — "
+    "ref tpch/q10.sql (adapted: no c_address/c_phone/c_comment columns).",
+    oracle="""
+        SELECT c_custkey, c_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               c_acctbal, n_name
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'
+          AND l_returnflag = 'R'
+          AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(_disc_price()), 2).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q13",
+    "tpch",
+    doc="Customer distribution: left outer join with ON-clause extra "
+    "predicate + double aggregation — ref tpch/q13.sql.",
+    oracle="""
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        ) c_orders
+        GROUP BY c_count
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "tpch_q14",
+    "tpch",
+    doc="Promotion effect: join + conditional agg ratio — ref tpch/q14.sql "
+    "(p_type LIKE 'PROMO%' matches the driver's single-word types).",
+    oracle="""
+        SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                       THEN l_extendedprice * (1 - l_discount)
+                                       ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= '1996-09-01' AND l_shipdate < '1996-10-01'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.sum(
+        F.when(F.col("p_type").like("PROMO%"), _disc_price()).otherwise(F.lit(0.0))
+    )
+    return joined.agg(
+        F.round(100.0 * promo / F.sum(_disc_price()), 4).alias("promo_revenue")
+    )
+
+
+@query(
+    "tpch_q15",
+    "tpch",
+    doc="Top supplier: derived revenue view + scalar-subquery max — ref "
+    "tpch/q15.sql. Tajo cannot execute scalar subqueries "
+    "(SURVEY.md §2.2); Spark can — implemented via join on the max.",
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier, revenue
+        WHERE s_suppkey = supplier_no
+          AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(_disc_price()), 2).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        supp.join(revenue, supp.s_suppkey == revenue.supplier_no)
+        .join(
+            F.broadcast(max_rev),
+            F.col("total_revenue") == F.col("max_revenue"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "tpch_q18",
+    "tpch",
+    doc="Large volume customer: IN-subquery with HAVING → semi join + "
+    "3-way join + agg — ref tpch/q18.sql (threshold 300 fits the "
+    "driver's quantity distribution).",
+    oracle="""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM customer, orders, lineitem
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+          AND c_custkey = o_custkey
+          AND o_orderkey = l_orderkey
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tot"))
+        .filter(F.col("tot") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big.withColumnRenamed("l_orderkey", "big_key"),
+                    orders.o_orderkey == F.col("big_key"), "left_semi")
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@query(
+    "tpch_q19",
+    "tpch",
+    doc="Discounted revenue: join with disjunctive multi-range predicate — "
+    "ref tpch/q19.sql (adapted: no l_shipinstruct/l_shipmode columns).",
+    oracle="""
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey
+          AND ((p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+                AND p_size BETWEEN 1 AND 5)
+            OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+                AND p_size BETWEEN 1 AND 10)
+            OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
+                AND p_size BETWEEN 1 AND 15))
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12")
+         & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23")
+           & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#34")
+           & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15))
+    )
+    return joined.filter(cond).agg(F.round(F.sum(_disc_price()), 2).alias("revenue"))
+
+
+@query(
+    "tpch_q22",
+    "tpch",
+    doc="Global sales opportunity: scalar subquery + NOT EXISTS anti join — "
+    "ref tpch/q22.sql (adapted: cntrycode from c_nationkey, no c_phone; "
+    "anti join on customers without completed-'P' orders).",
+    oracle="""
+        SELECT cntrycode, count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM (
+            SELECT c_nationkey % 5 AS cntrycode, c_acctbal, c_custkey
+            FROM customer
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0.00)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderstatus = 'P')
+        ) custsale
+        GROUP BY cntrycode
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    eligible = (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    )
+    return (
+        eligible.select(
+            (F.col("c_nationkey") % 5).alias("cntrycode"), F.col("c_acctbal")
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+# --- Tajo micro-benchmark queries (tajo-core/benchmark/simple/*.sql) ---
+
+
+@query(
+    "micro_groupby1",
+    "micro",
+    doc="ref benchmark/simple/groupby1.sql: group by one key, 3 aggs.",
+    oracle="""
+        SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty,
+               max(l_quantity) AS max_qty, min(l_quantity) AS min_qty
+        FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def micro_groupby1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_quantity").alias("min_qty"),
+    )
+
+
+@query(
+    "micro_groupby2",
+    "micro",
+    doc="ref benchmark/simple/groupby2.sql: group by two keys.",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, round(sum(l_quantity), 2) AS sum_qty,
+               max(l_quantity) AS max_qty, min(l_quantity) AS min_qty
+        FROM lineitem GROUP BY l_orderkey, l_linenumber
+    """,
+)
+def micro_groupby2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_quantity").alias("min_qty"),
+    )
+
+
+@query(
+    "micro_selection",
+    "micro",
+    doc="ref benchmark/simple/selection3.sql: projection + filter; both "
+    "push into the parquet scan (SeqScanExec parity, P/SeqScanExec.java:48).",
+    oracle="""
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        WHERE l_shipdate <= '1998-12-01'
+    """,
+)
+def micro_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_shipdate") <= "1998-12-01").select(
+        "l_orderkey", "l_linenumber"
+    )

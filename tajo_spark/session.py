@@ -1,0 +1,71 @@
+"""SparkSession factory tuned for the engine.
+
+Reference parity notes (apache/tajo):
+  - Tajo pins a session timezone for timestamp semantics
+    (tajo-docs/src/main/sphinx/time_zone.rst); we pin UTC.
+  - Tajo's broadcast-join threshold and hash-join size limits
+    (tajo-common/.../SessionVars.java:97-133) map to
+    ``spark.sql.autoBroadcastJoinThreshold`` + AQE, which re-plans at
+    runtime from *actual* sizes — strictly better than Tajo's
+    estimate-based algorithm pick (PhysicalPlannerImpl.java:254-295).
+
+Scale design: these configs are the local[‑] test profile. At cluster
+scale the same code runs unchanged; only ``shuffle.partitions`` /
+executor sizing move to spark-submit conf. AQE coalescing makes the
+shuffle-partition count self-tuning at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def build_spark(
+    app_name: str = "tajo_spark",
+    master: str | None = None,
+    shuffle_partitions: str | int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) the tuned SparkSession.
+
+    Every knob here exists to keep plans scale-ready:
+      * AQE on → runtime shuffle-coalescing, skew-join splitting,
+        dynamic broadcast decisions (replaces Tajo's static
+        BroadcastJoinRule, tajo-core/.../rules/BroadcastJoinRule.java:44).
+      * Arrow on → vectorized Python<->JVM transfer for the few
+        Pandas-UDF operators (multimodal/minhash paths).
+      * CBO + join reordering → matches Tajo's greedy join-order
+        optimizer (tajo-plan/.../GreedyHeuristicJoinOrderAlgorithm.java:41).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", shuffle_partitions)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # The driver's events.parquet stores TIMESTAMP(NANOS); Spark has no
+        # nanos timestamp type, so read as long and rebuild in catalog.py.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
