@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Mirrors the reference's harness shape (BenchmarkSet.perform,
+tajo-core/.../benchmark/BenchmarkSet.java:115-129: wall-clock around
+executeQuery) but executes through the noop sink so timing covers the
+full distributed plan without driver-side result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from tajo_spark.queries.registry import all_queries
+from tajo_spark.session import build_spark
+
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q18",
+    "micro_groupby1",
+    "window_topk_per_group",
+    "window_running_agg",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "text_metrics",
+    "events_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = build_spark(app_name="tajo_spark_bench")
+    registry = all_queries()
+
+    # Warm the JVM/codegen path once with a trivial action.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = registry[name]
+        t0 = time.perf_counter()
+        df = spec.spark(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,24 @@ NUM_HASHES = 8         # minhash signature length
 NUM_BANDS = 4          # LSH bands (2 hashes per band)
 
 
+def spread_by(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition on ``keys`` iff the input has fewer partitions
+    than the cluster has cores.
+
+    CPU-heavy per-row operators (shingling, hashing) otherwise serialize
+    on however few splits the scan produced — the classic small-file /
+    single-row-group trap. At real scale (100 TB → thousands of splits)
+    this is a no-op; and because downstream aggregation groups on the
+    same keys, the exchange *replaces* the aggregate's shuffle instead of
+    adding one (Spark reuses the hash partitioning).
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, *[F.col(k) for k in keys])
+    return df
+
+
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact-duplicate groups keyed by md5(text): (fp, canonical doc_id,
     dup_count). Survivor = min doc_id, the usual deterministic policy."""
@@ -57,9 +75,14 @@ def fingerprint_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFra
     )
 
 
-def shingles(text: Column, k: int = SHINGLE_K) -> Column:
-    """Array of k-word shingles over normalized text (0-based slices)."""
-    toks = F.split(normalize_for_fingerprint(text), " ")
+def shingles_from_tokens(toks: Column, k: int = SHINGLE_K) -> Column:
+    """Array of k-word shingles from an already-tokenized column.
+
+    Expects ``toks`` to be a *materialized column reference* (not an
+    inline split expression): every ``F.get`` in the lambda embeds the
+    token expression, so passing the raw split would re-run the regex
+    normalization per shingle element.
+    """
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.when(n >= k, F.transform(
@@ -70,23 +93,51 @@ def shingles(text: Column, k: int = SHINGLE_K) -> Column:
     )).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
-def minhash_signature(text: Column, num_hashes: int = NUM_HASHES) -> list[Column]:
-    """MinHash signature: h_s = min over shingles of md5(s || ':' || shingle).
-    String-min over hex md5 is a valid uniform hash order; seeds are the
-    literal prefixes so any SQL engine reproduces it."""
-    sh = shingles(text)
+def shingles(text: Column, k: int = SHINGLE_K) -> Column:
+    """Array of k-word shingles over normalized text (0-based slices)."""
+    return shingles_from_tokens(F.split(normalize_for_fingerprint(text), " "), k)
 
-    def seed_min(seed: int) -> Column:
-        # NB: the transform lambda must take exactly one parameter —
-        # PySpark binds a second parameter to the element index.
-        prefix = f"{seed}:"
-        return F.array_min(
-            F.transform(
-                sh, lambda x: F.md5(F.concat(F.lit(prefix), x).cast("binary"))
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """(doc_id, h0..h{n-1}) MinHash signatures.
+
+    h_s = min over shingles of md5(s || ':' || shingle). String-min over
+    hex md5 is a valid uniform hash order; seeds are literal prefixes so
+    any SQL engine reproduces it.
+
+    Plan shape (scale-critical): the shingle array is materialized ONCE
+    per document in its own projection, exploded to one row per shingle,
+    hashed ``num_hashes`` times (cheap md5 over a short string), then
+    min-aggregated per doc_id. Map-side partial aggregation collapses the
+    shingle fan-out *before* the shuffle, so shuffle volume is
+    |docs| × num_hashes hashes regardless of document length. The naive
+    alternative — num_hashes array_min(transform(shingles, ...)) columns
+    in one projection — re-inlines the whole shingle expression per seed
+    (Catalyst CollapseProject) and serializes on one core.
+    """
+    tok = spread_by(docs, "doc_id").select(
+        "doc_id",
+        F.split(normalize_for_fingerprint(F.col(text_col)), " ").alias("w"),
+    )
+    sh = tok.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("w"))).alias("sh")
+    )
+    hashed = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")).cast("binary")).alias(
+                f"m{s}"
             )
-        ).alias(f"h{seed}")
-
-    return [seed_min(s) for s in range(num_hashes)]
+            for s in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"m{s}").alias(f"h{s}") for s in range(num_hashes)]
+    )
 
 
 def minhash_band_keys(num_hashes: int = NUM_HASHES, num_bands: int = NUM_BANDS):
@@ -106,7 +157,7 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFram
     → self-equi-join on (band_id, band_hash) → distinct pairs. The join
     key includes the band id so buckets from different bands never cross.
     """
-    sig = docs.select(F.col("doc_id"), *minhash_signature(F.col(text_col)))
+    sig = minhash_signatures(docs, text_col)
     banded = sig.select("doc_id", *minhash_band_keys())
     bands_long = banded.select(
         "doc_id",
@@ -147,7 +198,7 @@ def simhash_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     unreduced). Hex-char → int via strpos so any SQL oracle reproduces it.
     """
     toks = (
-        docs.select(
+        spread_by(docs, "doc_id").select(
             "doc_id",
             F.explode(F.split(normalize_for_fingerprint(F.col(text_col)), " ")).alias(
                 "tok"
