@@ -569,3 +569,480 @@ def micro_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.filter(F.col("l_shipdate") <= "1998-12-01").select(
         "l_orderkey", "l_linenumber"
     )
+
+
+# --------------------------------------------------------------------------
+# Derived partsupp (FIXTURES.md §1 note: the driver generated no partsupp
+# table; it is synthesized deterministically — 4 suppliers per part with
+# arithmetic-hash availqty/supplycost — identically on the Spark side and
+# in every DuckDB oracle, so TPC-H q2/q9/q11/q16/q20 stay runnable).
+# --------------------------------------------------------------------------
+
+_PARTSUPP_CTE = """
+        partsupp AS (
+            SELECT p_partkey AS ps_partkey,
+                   CAST((p_partkey + k * (ns.n // 4)) % ns.n AS BIGINT)
+                     AS ps_suppkey,
+                   CAST((p_partkey * 7 + k * 13) % 9999 + 1 AS INT)
+                     AS ps_availqty,
+                   CAST(((p_partkey * 31 + k * 17) % 90000) / 100.0 + 1.0
+                     AS DOUBLE) AS ps_supplycost
+            FROM part,
+                 (SELECT count(*) AS n FROM supplier) ns,
+                 (SELECT unnest([0, 1, 2, 3]) AS k) ks
+        )"""
+
+
+def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized partsupp: |part| x 4 rows, keys/attrs pure arithmetic.
+
+    Declarative end-to-end: the supplier count enters the plan as a
+    broadcast 1-row aggregate (no driver-side collect), so at 100 TB this
+    is a map-only projection over ``part`` — no shuffle.
+    """
+    part = _t(spark, sf_dir, "part")
+    n = _t(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("n_supp"))
+    k = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("k")
+    pk = F.col("p_partkey")
+    return (
+        part.select(pk, k)
+        .join(F.broadcast(n))
+        .select(
+            pk.alias("ps_partkey"),
+            ((pk + F.col("k") * F.floor(F.col("n_supp") / 4)) % F.col("n_supp"))
+            .cast("long")
+            .alias("ps_suppkey"),
+            ((pk * 7 + F.col("k") * 13) % 9999 + 1).cast("int").alias("ps_availqty"),
+            (((pk * 31 + F.col("k") * 17) % 90000) / 100.0 + 1.0)
+            .cast("double")
+            .alias("ps_supplycost"),
+        )
+    )
+
+
+@query(
+    "tpch_q2",
+    "tpch",
+    doc="Minimum-cost supplier per part — ref tpch/q2.sql (adapted: "
+    "p_mfgr/s_address absent; p_type=ECONOMY, r_name=EUROPE; partsupp "
+    "derived per FIXTURES.md). The correlated min-supplycost subquery is "
+    "expressed as a broadcast-able per-part min join — at 100 TB the "
+    "min-agg side is tiny relative to partsupp.",
+    oracle=f"""
+        WITH {_PARTSUPP_CTE},
+        eu AS (
+            SELECT ps_partkey, ps_supplycost, s_name, s_acctbal, n_name
+            FROM partsupp, supplier, nation, region
+            WHERE s_suppkey = ps_suppkey AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+        mn AS (SELECT ps_partkey, min(ps_supplycost) AS min_cost
+               FROM eu GROUP BY ps_partkey)
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+        FROM part, eu, mn
+        WHERE part.p_partkey = eu.ps_partkey AND eu.ps_partkey = mn.ps_partkey
+          AND eu.ps_supplycost = mn.min_cost
+          AND p_size = 15 AND p_type = 'ECONOMY'
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = derived_partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    eu = (
+        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("ps_partkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
+    )
+    mn = eu.groupBy("ps_partkey").agg(F.min("ps_supplycost").alias("min_cost"))
+    flt = part.filter((F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY"))
+    return (
+        eu.join(mn.withColumnRenamed("ps_partkey", "mn_partkey"),
+                (F.col("ps_partkey") == F.col("mn_partkey"))
+                & (F.col("ps_supplycost") == F.col("min_cost")))
+        .join(flt, F.col("ps_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q8",
+    "tpch",
+    doc="National market share — ref tpch/q8.sql (adapted: nation "
+    "NATION_1, region EUROPE, p_type=ECONOMY). Two nation dims joined "
+    "broadcast; conditional-sum ratio per year.",
+    oracle="""
+        SELECT o_year,
+               round(sum(CASE WHEN nation = 'NATION_1' THEN volume
+                              ELSE 0 END) / sum(volume), 4) AS mkt_share
+        FROM (
+            SELECT year(o_orderdate) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS volume,
+                   n2.n_name AS nation
+            FROM part, supplier, lineitem, orders, customer,
+                 nation n1, nation n2, region
+            WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+              AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND c_nationkey = n1.n_nationkey
+              AND n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+              AND s_nationkey = n2.n_nationkey
+              AND o_orderdate BETWEEN '1995-01-01' AND '1996-12-31'
+              AND p_type = 'ECONOMY') all_nations
+        GROUP BY o_year
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    vol = joined.select(
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        _disc_price().alias("volume"),
+        "nation",
+    )
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("nation") == "NATION_1", F.col("volume")).otherwise(0.0))
+            / F.sum("volume"),
+            4,
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "tpch_q9",
+    "tpch",
+    doc="Product-type profit by nation/year — ref tpch/q9.sql (partsupp "
+    "derived; p_name LIKE '%widget%'). Fact-to-fact join lineitem⋈orders "
+    "shuffles on orderkey; all dims broadcast.",
+    oracle=f"""
+        WITH {_PARTSUPP_CTE}
+        SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+        FROM (
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   l_extendedprice * (1 - l_discount)
+                     - ps_supplycost * l_quantity AS amount
+            FROM part, supplier, lineitem, partsupp, orders, nation
+            WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+              AND ps_partkey = l_partkey AND p_partkey = l_partkey
+              AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+              AND p_name LIKE '%widget%') profit
+        GROUP BY nation, o_year
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = _t(spark, sf_dir, "supplier")
+    ps = derived_partsupp(spark, sf_dir)
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(ps),
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (_disc_price() - F.col("ps_supplycost") * F.col("l_quantity")).alias(
+                "amount"
+            ),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+    )
+
+
+@query(
+    "tpch_q11",
+    "tpch",
+    doc="Important stock identification — ref tpch/q11.sql (partsupp "
+    "derived; threshold = 1.5x the average per-part value, scale-"
+    "invariant vs the reference's 0.0001/SF constant). The global total "
+    "enters as a broadcast 1-row aggregate (no collect).",
+    oracle=f"""
+        WITH {_PARTSUPP_CTE},
+        nat AS (
+            SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+            FROM partsupp, supplier, nation
+            WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+              AND n_name = 'NATION_1'),
+        per_part AS (SELECT ps_partkey, sum(v) AS value FROM nat
+                     GROUP BY ps_partkey),
+        thresh AS (SELECT 1.5 * sum(v) / count(DISTINCT ps_partkey) AS t
+                   FROM nat)
+        SELECT ps_partkey, round(value, 2) AS value
+        FROM per_part, thresh WHERE value > t
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = derived_partsupp(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    nat = (
+        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"),
+        )
+    )
+    per_part = nat.groupBy("ps_partkey").agg(F.sum("v").alias("value"))
+    thresh = nat.agg(
+        (F.lit(1.5) * F.sum("v") / F.count_distinct(F.col("ps_partkey"))).alias("t")
+    )
+    return (
+        per_part.join(F.broadcast(thresh))
+        .filter(F.col("value") > F.col("t"))
+        .select("ps_partkey", F.round("value", 2).alias("value"))
+    )
+
+
+@query(
+    "tpch_q12",
+    "tpch",
+    doc="Shipping-priority classes — ref tpch/q12.sql (adapted: no "
+    "l_shipmode/l_receiptdate in driver schema → group by l_returnflag, "
+    "late = l_shipdate > o_orderdate). Conditional counts per class.",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders, lineitem
+        WHERE o_orderkey = l_orderkey AND l_shipdate > o_orderdate
+          AND l_shipdate BETWEEN '1996-01-01' AND '1997-12-31'
+        GROUP BY l_returnflag
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q16",
+    "tpch",
+    doc="Supplier count by part attributes — ref tpch/q16.sql (partsupp "
+    "derived; s_comment filter dropped, column absent). count(DISTINCT) "
+    "over a broadcast part-dim join.",
+    oracle=f"""
+        WITH {_PARTSUPP_CTE}
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT ps_suppkey) AS supplier_cnt
+        FROM partsupp, part
+        WHERE p_partkey = ps_partkey AND p_brand <> 'Brand#1'
+          AND p_size IN (1, 9, 15, 20, 24, 30, 42, 49)
+        GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = derived_partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 9, 15, 20, 24, 30, 42, 49)
+    )
+    return (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("ps_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q17",
+    "tpch",
+    doc="Small-quantity-order revenue — ref tpch/q17.sql (p_container "
+    "absent → brand filter only). The correlated avg-quantity subquery "
+    "becomes a per-part partial agg joined back to lineitem — the agg "
+    "side is |parts| rows, broadcast-able at any scale.",
+    oracle="""
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey AND p_brand = 'Brand#13'
+          AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = part.p_partkey)
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(per_part_avg), F.col("l_partkey") == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q20",
+    "tpch",
+    doc="Potential part promotion — ref tpch/q20.sql (partsupp derived; "
+    "s_address absent → s_acctbal projected). Nested IN-subqueries "
+    "become semi-joins; the correlated availqty>0.5*sum(l_quantity) "
+    "subquery is a per-(part,supp) agg joined to partsupp.",
+    oracle=f"""
+        WITH {_PARTSUPP_CTE}
+        SELECT s_name, s_acctbal
+        FROM supplier, nation
+        WHERE s_nationkey = n_nationkey AND n_name = 'NATION_1'
+          AND s_suppkey IN (
+            SELECT ps_suppkey FROM partsupp
+            WHERE ps_partkey IN (SELECT p_partkey FROM part
+                                 WHERE p_name LIKE 'large%')
+              AND ps_availqty > (
+                SELECT 0.5 * sum(l_quantity) FROM lineitem
+                WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                  AND l_shipdate >= '1996-01-01'
+                  AND l_shipdate < '1997-01-01'))
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = derived_partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("large%"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    shipped = li.groupBy(
+        F.col("l_partkey").alias("sh_partkey"), F.col("l_suppkey").alias("sh_suppkey")
+    ).agg((F.lit(0.5) * F.sum("l_quantity")).alias("half_qty"))
+    qualified = (
+        ps.join(
+            F.broadcast(part.select("p_partkey")),
+            ps.ps_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("sh_partkey"))
+            & (F.col("ps_suppkey") == F.col("sh_suppkey")),
+            "inner",
+        )
+        .filter(F.col("ps_availqty") > F.col("half_qty"))
+        .select("ps_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    return (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qualified, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+@query(
+    "tpch_q21",
+    "tpch",
+    doc="Suppliers who kept orders waiting — ref tpch/q21.sql (adapted: "
+    "no l_receiptdate/l_commitdate → late means l_shipdate > "
+    "o_orderdate). EXISTS → left-semi, NOT EXISTS → left-anti joins on "
+    "orderkey with residual suppkey/date conditions.",
+    oracle="""
+        SELECT s_name, count(*) AS numwait
+        FROM supplier, lineitem l1, orders, nation
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F' AND l1.l_shipdate > o_orderdate
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate)
+          AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
+        GROUP BY s_name
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+    base = (
+        l1.join(orders, l1.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("x_orderkey"),
+        F.col("l_suppkey").alias("x_suppkey"),
+        F.col("l_shipdate").alias("x_shipdate"),
+    )
+    with_other = base.join(
+        l2,
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey")),
+        "left_semi",
+    )
+    sole_late = with_other.join(
+        l2,
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey"))
+        & (F.col("x_shipdate") > F.col("o_orderdate")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(
+            F.broadcast(
+                supp.join(
+                    F.broadcast(nation),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                )
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
