@@ -55,7 +55,7 @@ def register_tables(
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -1,0 +1,163 @@
+"""Engine: the public client API, mirroring the reference's entry points.
+
+Reference surface (SURVEY.md §3.1):
+  * ``TajoClientImpl.executeQuery(sql)`` / ``executeQueryAndGetResult``
+    (tajo-client/.../client/TajoClientImpl.java:45, QueryClient.java:86,98)
+    → :meth:`Engine.execute_sql` (returns a DataFrame; ``.collect()`` is
+    the blocking variant).
+  * tsql session variables ``\\set`` / ``SET SESSION k TO v``
+    (tajo-common/.../SessionVars.java) → :meth:`Engine.set_session`,
+    mapped onto Spark SQL confs where an equivalent exists.
+  * DDL executor (tajo-core/.../master/exec/DDLExecutor.java) →
+    ``spark.sql`` after the dialect shim (plans/dialect.py).
+  * EXPLAIN [GLOBAL] (QueryExecutor.java:126) → :meth:`Engine.explain`.
+
+The lifecycle keeps only the compile façade as real code — parse/plan/
+optimize/schedule are Catalyst + the DAG scheduler (SURVEY.md §3.3
+"Spark mapping of the whole lifecycle").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tajo_spark.functions.registry import register_all
+from tajo_spark.plans import dialect
+from tajo_spark.session import build_spark
+
+
+@dataclass(frozen=True)
+class SessionVarSpec:
+    """How a Tajo session variable (SessionVars.java) maps onto Spark."""
+
+    spark_conf: str | None  # None → accepted but a no-op under Spark
+    note: str
+
+
+# SessionVars.java names → Spark SQL conf. Vars whose job Spark's runtime
+# already does (AQE, Tungsten) are accepted and recorded but map to no conf.
+SESSION_VARS: dict[str, SessionVarSpec] = {
+    "BROADCAST_NON_CROSS_JOIN_THRESHOLD": SessionVarSpec(
+        "spark.sql.autoBroadcastJoinThreshold",
+        "SessionVars.java:97 — static threshold; AQE re-decides at runtime",
+    ),
+    "BROADCAST_CROSS_JOIN_THRESHOLD": SessionVarSpec(
+        "spark.sql.autoBroadcastJoinThreshold",
+        "SessionVars.java:99",
+    ),
+    "JOIN_TASK_INPUT_SIZE": SessionVarSpec(
+        "spark.sql.files.maxPartitionBytes",
+        "per-task input sizing (Stage.java:938 analogue)",
+    ),
+    "SORT_TASK_INPUT_SIZE": SessionVarSpec(
+        "spark.sql.files.maxPartitionBytes", "as above"
+    ),
+    "HASH_JOIN_SIZE_LIMIT": SessionVarSpec(
+        None, "SessionVars.java:128 — Spark spills hash joins; AQE picks algo"
+    ),
+    "INNER_HASH_JOIN_SIZE_LIMIT": SessionVarSpec(None, "SessionVars.java:130"),
+    "OUTER_HASH_JOIN_SIZE_LIMIT": SessionVarSpec(None, "SessionVars.java:132"),
+    "EXTSORT_BUFFER_SIZE": SessionVarSpec(
+        None, "SessionVars.java:124 — Tungsten manages sort memory"
+    ),
+    "GROUPBY_MULTI_LEVEL_ENABLED": SessionVarSpec(
+        None, "GlobalPlanner.java:603 — Catalyst plans distinct-agg natively"
+    ),
+    "TIMEZONE": SessionVarSpec("spark.sql.session.timeZone",
+                               "time_zone.rst parity"),
+    "SESSION_EXPIRY_TIME": SessionVarSpec(None, "driver-managed"),
+    "CODEGEN": SessionVarSpec(
+        "spark.sql.codegen.wholeStage",
+        "SessionVars.java:140 — whole-stage codegen is the superset",
+    ),
+}
+
+
+class Engine:
+    """A Tajo-capability SQL engine over a SparkSession."""
+
+    def __init__(self, spark: SparkSession | None = None) -> None:
+        self.spark = spark or build_spark(app_name="tajo_spark_engine")
+        self.session_vars: dict[str, str] = {}
+        register_all(self.spark)
+
+    # ---- query execution ---------------------------------------------------
+    def execute_sql(self, sql: str) -> DataFrame | None:
+        """Execute one statement (query, DDL, INSERT, or SET SESSION).
+
+        Returns a DataFrame for queries, None for session directives.
+        """
+        directive = dialect.parse_session_statement(sql)
+        if directive is not None:
+            return self._apply_directive(directive)
+        return self.spark.sql(dialect.translate(sql))
+
+    # tsql-compatible alias
+    sql = execute_sql
+
+    def explain(self, sql: str, mode: str = "formatted") -> str:
+        """EXPLAIN [GLOBAL] parity (QueryExecutor.java:126): the formatted
+        physical plan, which at cluster scale includes the exchange
+        (shuffle) structure — the MasterPlan DAG equivalent."""
+        df = self.spark.sql(dialect.translate(sql))
+        return df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                mode
+            )
+        )
+
+    # ---- session variables -------------------------------------------------
+    def _apply_directive(self, d: dialect.SessionDirective) -> None:
+        if d.kind == "timezone":
+            self.spark.conf.set("spark.sql.session.timeZone", d.value)
+            self.session_vars["TIMEZONE"] = d.value
+            return None
+        if d.kind == "unset":
+            self.session_vars.pop(d.key, None)
+            spec = SESSION_VARS.get(d.key)
+            if spec and spec.spark_conf:
+                self.spark.conf.unset(spec.spark_conf)
+            return None
+        self.set_session(d.key, d.value)
+        return None
+
+    def set_session(self, key: str, value: str) -> None:
+        key = key.upper()
+        self.session_vars[key] = value
+        spec = SESSION_VARS.get(key)
+        if spec and spec.spark_conf:
+            self.spark.conf.set(spec.spark_conf, value)
+
+    def show_session(self) -> dict[str, str]:
+        return dict(self.session_vars)
+
+    # ---- catalog façade (DDLExecutor.java parity) --------------------------
+    def create_external_table(
+        self,
+        name: str,
+        path: str,
+        fmt: str = "PARQUET",
+        options: dict[str, str] | None = None,
+        schema: str | None = None,
+    ) -> None:
+        """CREATE EXTERNAL TABLE ... USING fmt WITH (...) LOCATION path."""
+        spark_fmt = dialect.FORMAT_MAP.get(fmt.upper(), fmt.lower())
+        if spark_fmt is None:
+            raise NotImplementedError(f"format {fmt} unsupported on Spark")
+        reader = self.spark.read.format(spark_fmt)
+        for k, v in (options or {}).items():
+            reader = reader.option(dialect.OPTION_MAP.get(k.lower(), k), v)
+        if schema:
+            reader = reader.schema(dialect.translate_type_names(schema))
+        reader.load(path).createOrReplaceTempView(name)
+
+    def drop_table(self, name: str) -> None:
+        self.spark.catalog.dropTempView(name)
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    def tables(self) -> list[str]:
+        return [t.name for t in self.spark.catalog.listTables()]

@@ -1,0 +1,300 @@
+"""Tajo-SQL → Spark-SQL dialect shim.
+
+We deliberately do NOT reimplement the reference's 1,657-line ANTLR
+grammar (tajo-sql-parser/.../SQLParser.g4): Spark SQL already parses
+the shared ANSI surface, so the shim only rewrites the Tajo-isms that
+Spark spells differently, then hands the statement to ``spark.sql``
+(the same architectural split the survey recommends — SURVEY.md §7.0).
+
+Covered rewrites:
+  * type names (DataTypes.proto:25-97): INT4→INT, FLOAT8→DOUBLE,
+    TEXT→STRING, BLOB→BINARY, ...
+  * ``x SIMILAR TO 'pat'`` → ``x RLIKE '^(translated)$'`` with the same
+    SQL-regex→Java-regex conversion the reference performs
+    (tajo-plan/.../expr/SimilarToPredicateEval.java).
+  * CREATE [EXTERNAL] TABLE ... USING <fmt> [WITH (...)] [LOCATION p]
+    (SQLParser.g4:108-130) → Spark ``USING <fmt> OPTIONS (...)``;
+    Tajo storage option keys (text.delimiter, ...) → Spark reader
+    option names.
+  * ``INSERT OVERWRITE INTO`` → ``INSERT OVERWRITE TABLE``.
+  * session statements ``SET SESSION k TO v`` / ``SET TIME ZONE`` →
+    handled by the Engine (returns a directive, not SQL).
+
+Everything else (SELECT surface, joins, window frames, set ops,
+subqueries, CTEs) passes through untouched — Spark's dialect is a
+strict superset of what the reference executes (SURVEY.md §2.2-2.7).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+# --- type names --------------------------------------------------------------
+# DataTypes.proto:25-97 → Spark SQL DDL types (SURVEY.md §1.2 table).
+TYPE_MAP = {
+    "BOOL": "BOOLEAN",
+    "INT1": "TINYINT",
+    "INT2": "SMALLINT",
+    "INT4": "INT",
+    "INT8": "BIGINT",
+    "FLOAT4": "FLOAT",
+    "FLOAT8": "DOUBLE",
+    "TEXT": "STRING",
+    "VARCHAR": "STRING",
+    "NVARCHAR": "STRING",
+    "NCHAR": "CHAR",
+    "BLOB": "BINARY",
+    "VARBINARY": "BINARY",
+    "BYTEA": "BINARY",
+    "NUMERIC": "DECIMAL",
+    "TIMESTAMPTZ": "TIMESTAMP",
+    "TIMETZ": "STRING",
+    "TIME": "STRING",  # Spark has no TIME type (SURVEY.md §1.2)
+    "RECORD": "STRUCT",
+}
+
+_TYPE_RE = re.compile(
+    r"\b(" + "|".join(TYPE_MAP) + r")\b", re.IGNORECASE
+)
+
+# --- storage formats ---------------------------------------------------------
+# BuiltinStorages.java:22-36 → Spark datasource names.
+FORMAT_MAP = {
+    "TEXT": "csv",
+    "CSV": "csv",
+    "JSON": "json",
+    "PARQUET": "parquet",
+    "ORC": "orc",
+    "AVRO": "avro",
+    "RCFILE": None,        # unsupported: no Spark datasource (documented)
+    "SEQUENCEFILE": None,  # unsupported: Hadoop-RDD only (sources/hadoop.py)
+    "RAW": "binaryFile",
+    "REGEX": "text",       # read as lines; regex applied by sources/regex.py
+}
+
+# Tajo table-property keys (TEXT/JSON serde options) → Spark reader options.
+OPTION_MAP = {
+    "text.delimiter": "sep",
+    "text.null": "nullValue",
+    "text.skip.headerlines": "header",  # value "1" → header true
+    "timezone": "timeZone",
+    "compression.codec": "compression",
+}
+
+
+def translate_type_names(sql: str) -> str:
+    return _TYPE_RE.sub(lambda m: TYPE_MAP[m.group(1).upper()], sql)
+
+
+# --- SIMILAR TO --------------------------------------------------------------
+def sql_regex_to_java(pat: str) -> str:
+    """SQL-standard regex (SIMILAR TO) → Java regex, the same conversion
+    the reference applies (SimilarToPredicateEval.java): % → .*, _ → .,
+    while [...] classes and (|) groups already align."""
+    out = []
+    i = 0
+    in_class = False
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\" and i + 1 < len(pat):
+            out.append(pat[i : i + 2])
+            i += 2
+            continue
+        if c == "[":
+            in_class = True
+            out.append(c)
+        elif c == "]":
+            in_class = False
+            out.append(c)
+        elif not in_class and c == "%":
+            out.append(".*")
+        elif not in_class and c == "_":
+            out.append(".")
+        elif not in_class and c == ".":
+            out.append("\\.")
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+_SIMILAR_RE = re.compile(
+    r"(\bNOT\s+)?\bSIMILAR\s+TO\s+'((?:[^']|'')*)'", re.IGNORECASE
+)
+
+
+def translate_similar_to(sql: str) -> str:
+    def repl(m: re.Match) -> str:
+        neg = "NOT " if m.group(1) else ""
+        return f"{neg}RLIKE '^(?:{sql_regex_to_java(m.group(2))})$'"
+
+    return _SIMILAR_RE.sub(repl, sql)
+
+
+# --- DDL ---------------------------------------------------------------------
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+(EXTERNAL\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[\w.\"]+)\s*(?P<cols>\([^)]*\))?\s*"
+    r"(?:USING\s+(?P<fmt>\w+))?\s*"
+    r"(?:WITH\s*\((?P<opts>[^)]*)\))?\s*"
+    r"(?:PARTITION\s+BY\s+COLUMN\s*\((?P<parts>[^)]*)\))?\s*"
+    r"(?:LOCATION\s+'(?P<loc>[^']*)')?\s*(?P<asq>AS\s+.*)?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _translate_options(opts: str) -> str:
+    """``'text.delimiter'='|', ...`` → Spark OPTIONS body."""
+    pairs = re.findall(r"'([^']+)'\s*=\s*'([^']*)'", opts)
+    out = []
+    for k, v in pairs:
+        sk = OPTION_MAP.get(k.lower(), k)
+        if sk == "header":
+            v = "true" if v.strip() not in ("", "0") else "false"
+        out.append(f"'{sk}'='{v}'")
+    return ", ".join(out)
+
+
+def translate_create_table(sql: str) -> str:
+    m = _CREATE_RE.match(sql.strip().rstrip(";"))
+    if not m:
+        return sql
+    fmt = (m.group("fmt") or "PARQUET").upper()
+    spark_fmt = FORMAT_MAP.get(fmt, fmt.lower())
+    if spark_fmt is None:
+        raise NotImplementedError(
+            f"storage format {fmt} has no Spark datasource "
+            "(BuiltinStorages.java parity gap; see sources/)"
+        )
+    parts = [
+        "CREATE TABLE",
+        m.group(2) or "",
+        m.group("name"),
+        translate_type_names(m.group("cols")) if m.group("cols") else "",
+        f"USING {spark_fmt}",
+    ]
+    if m.group("opts"):
+        parts.append(f"OPTIONS ({_translate_options(m.group('opts'))})")
+    if m.group("parts"):
+        # Tajo: PARTITION BY COLUMN (c TYPE, ...) — Spark wants names only
+        cols = [
+            c.strip().split()[0]
+            for c in m.group("parts").split(",")
+            if c.strip()
+        ]
+        parts.append(f"PARTITIONED BY ({', '.join(cols)})")
+    if m.group("loc"):
+        parts.append(f"LOCATION '{m.group('loc')}'")
+    if m.group("asq"):
+        parts.append(translate_type_names(m.group("asq")))
+    return " ".join(p for p in parts if p)
+
+
+# --- session statements ------------------------------------------------------
+@dataclass(frozen=True)
+class SessionDirective:
+    """A statement the Engine applies to session state instead of Spark SQL."""
+
+    kind: str  # "set" | "unset" | "timezone"
+    key: str | None = None
+    value: str | None = None
+
+
+_SET_RE = re.compile(
+    r"^\s*SET\s+SESSION\s+(\w+)\s+(?:TO|=)\s+(.+?)\s*;?\s*$", re.IGNORECASE
+)
+_UNSET_RE = re.compile(r"^\s*SET\s+SESSION\s+(\w+)\s+TO\s+DEFAULT\s*;?\s*$",
+                       re.IGNORECASE)
+_TZ_RE = re.compile(r"^\s*SET\s+TIME\s*ZONE\s+(?:TO\s+)?'?([^';]+)'?\s*;?\s*$",
+                    re.IGNORECASE)
+
+
+def parse_session_statement(sql: str) -> SessionDirective | None:
+    if m := _UNSET_RE.match(sql):
+        return SessionDirective("unset", key=m.group(1).upper())
+    if m := _SET_RE.match(sql):
+        return SessionDirective(
+            "set", key=m.group(1).upper(), value=m.group(2).strip().strip("'")
+        )
+    if m := _TZ_RE.match(sql):
+        return SessionDirective("timezone", value=m.group(1))
+    return None
+
+
+_INSERT_OVERWRITE_RE = re.compile(
+    r"\bINSERT\s+OVERWRITE\s+INTO\b", re.IGNORECASE
+)
+
+# --- to_char PostgreSQL format codes ----------------------------------------
+_PG_CODES = ("YYYY", "HH24", "HH12", "MI", "DD", "DY", "MS")
+
+
+def _translate_to_char_formats(sql: str) -> str:
+    """Rewrite the *format literal* of ``to_char(expr, 'PG_FMT')`` calls
+    to Java datetime patterns (ToCharTimestamp.java uses PostgreSQL codes;
+    Spark's native to_char wants SimpleDateFormat). Balanced-paren scan so
+    expressions containing quotes/commas (``timestamp '...'``) survive."""
+    from tajo_spark.functions.registry import pg_format_to_java
+
+    out = []
+    i = 0
+    low = sql.lower()
+    while True:
+        j = low.find("to_char", i)
+        if j < 0:
+            out.append(sql[i:])
+            break
+        out.append(sql[i:j])
+        # find the matching close paren
+        k = sql.find("(", j)
+        if k < 0:
+            out.append(sql[j:])
+            break
+        depth, p, in_str = 0, k, False
+        while p < len(sql):
+            c = sql[p]
+            if in_str:
+                if c == "'":
+                    in_str = False
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            p += 1
+        call = sql[j : p + 1]
+        m = re.search(r"'([^']*)'\s*\)$", call)
+        if m and any(code in m.group(1) for code in _PG_CODES):
+            call = (
+                call[: m.start(1)]
+                + pg_format_to_java(m.group(1))
+                + call[m.end(1) :]
+            )
+        out.append(call)
+        i = p + 1
+    return "".join(out)
+
+
+def translate(sql: str) -> str:
+    """Full statement rewrite (session statements excluded — those are
+    routed by ``parse_session_statement`` first)."""
+    s = sql.strip().rstrip(";")
+    if re.match(r"^\s*CREATE\s+(EXTERNAL\s+)?TABLE\b", s, re.IGNORECASE):
+        return translate_create_table(s)
+    s = _INSERT_OVERWRITE_RE.sub("INSERT OVERWRITE TABLE", s)
+    s = translate_similar_to(s)
+    s = _translate_to_char_formats(s)
+    if re.match(r"^\s*(CREATE|ALTER)\b", s, re.IGNORECASE):
+        s = translate_type_names(s)
+    # CAST(x AS INT4) / literals typed with Tajo names inside queries
+    s = re.sub(
+        r"\bAS\s+(" + "|".join(TYPE_MAP) + r")\b",
+        lambda m: "AS " + TYPE_MAP[m.group(1).upper()],
+        s,
+        flags=re.IGNORECASE,
+    )
+    return s

@@ -272,3 +272,91 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").cast("string").cast("int").alias("roundtrip"),
         (F.col("n_nationkey") >= 10).cast("string").alias("bool_text"),
     )
+
+
+@query(
+    "fn_tajo_registry",
+    "functions",
+    doc="Tajo-name function registry through the SQL path (Engine): "
+    "strposb (byte offsets), quote_ident, digest, json_extract_path_text "
+    "over events.props, div — all SQL UDFs inlined by Catalyst "
+    "(FunctionLoader.java:50 parity, zero Python overhead).",
+    oracle="""
+        SELECT event_id,
+               CASE WHEN strpos(props, 'k') = 0 THEN 0
+                    ELSE octet_length(encode(substr(props, 1, strpos(props, 'k') - 1))) + 1
+               END AS k_bpos,
+               CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_val,
+               md5(event_type) AS et_digest,
+               CASE WHEN regexp_matches(event_type, '^[a-z_][a-z0-9_]*$')
+                    THEN event_type
+                    ELSE '"' || replace(event_type, '"', '""') || '"'
+               END AS et_ident,
+               CAST(event_id // 7 AS BIGINT) AS id_div7
+        FROM events
+    """,
+)
+def fn_tajo_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.catalog import register_tables
+    from tajo_spark.functions.registry import register_all
+
+    register_all(spark)
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        SELECT event_id,
+               strposb(props, 'k') AS k_bpos,
+               json_extract_path_text(props, 'k') AS k_val,
+               digest(event_type, 'md5') AS et_digest,
+               quote_ident(event_type) AS et_ident,
+               div(event_id, 7) AS id_div7
+        FROM events
+        """
+    )
+
+
+@query(
+    "fn_similar_to_dialect",
+    "functions",
+    doc="SIMILAR TO through the dialect shim (SimilarToPredicateEval.java "
+    "parity): SQL-regex translated to Java regex, full-anchored.",
+    oracle="""
+        SELECT p_partkey, p_name FROM part
+        WHERE regexp_full_match(p_name, '(large|small) .*')
+    """,
+)
+def fn_similar_to_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.catalog import register_tables
+    from tajo_spark.plans import dialect
+
+    register_tables(spark, sf_dir, ("part",))
+    return spark.sql(
+        dialect.translate(
+            "SELECT p_partkey, p_name FROM part "
+            "WHERE p_name SIMILAR TO '(large|small) %'"
+        )
+    )
+
+
+@query(
+    "fn_to_char_pg_formats",
+    "functions",
+    doc="to_char with PostgreSQL format codes through the dialect shim "
+    "(ToCharTimestamp.java parity) over order dates.",
+    oracle="""
+        SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od
+        FROM orders WHERE o_orderkey < 100
+    """,
+)
+def fn_to_char_pg_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.catalog import register_tables
+    from tajo_spark.plans import dialect
+
+    register_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        dialect.translate(
+            "SELECT o_orderkey, "
+            "to_char(o_orderdate, 'YYYY-MM-DD HH24:MI:SS') AS od "
+            "FROM orders WHERE o_orderkey < 100"
+        )
+    )
