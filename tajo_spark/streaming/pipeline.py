@@ -1,0 +1,225 @@
+"""Structured Streaming pipelines over the events table.
+
+Beyond-reference capability: the reference has NO streaming layer at
+all — its only Kafka code does *batch* scans of fixed offset ranges
+(tajo-storage-kafka/.../KafkaTablespace.java:59, KafkaScanner.java;
+SURVEY.md §2.10: "no watermark, no tumbling/sliding/session window,
+no stateful operator"). These pipelines are the Structured Streaming
+twins of the batch operators in operators/sessionize.py, sharing
+aggregation logic so batch and stream stay consistent (the kappa
+pattern).
+
+Scale design: every pipeline is watermark-bounded so state is evicted
+deterministically; at 100 TB/day the state store holds only
+|open windows| × |group keys|, independent of stream length. Sinks are
+exactly-once onto files/Delta via checkpointing; tests use the memory
+sink.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SESSION_GAP = "30 minutes"
+DEFAULT_WATERMARK = "1 hour"
+
+
+def events_schema_ddl() -> str:
+    """Schema of the driver's events table (FIXTURES.md §2), with ts as
+    the parquet physical type (nanos → long under nanosAsLong)."""
+    return (
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one-file micro-batch).
+
+    In production this is ``spark.readStream.format("kafka")`` — the
+    transformations below are source-agnostic.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isfile(path):
+        # The file source requires a directory; stage a symlink dir
+        # (no data copy) under the engine's working directory.
+        stage = os.path.join(
+            os.getcwd(), ".stream_staging",
+            os.path.basename(os.path.normpath(sf_dir)),
+        )
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(path, link)
+        path = stage
+    raw = spark.readStream.schema(events_schema_ddl()).parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, size: str = "1 hour",
+                    watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type. Late rows beyond
+    the watermark are dropped deterministically; state per (window, type)
+    is evicted once the watermark passes window end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, size: str = "1 hour",
+                   slide: str = "30 minutes",
+                   watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Sliding (hopping) windows: each row lands in size/slide windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = SESSION_GAP,
+                    watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Native session windows (gap-merged) per user — the streaming twin
+    of operators/sessionize.sessionize; Spark's session_window merges
+    state across micro-batches and closes a session once the watermark
+    passes last_event + gap."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_to_memory(sdf: DataFrame, name: str,
+                  output_mode: str = "complete") -> DataFrame:
+    """Drain a streaming frame through the memory sink (test harness):
+    process all available input, then return the result table."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    return sdf.sparkSession.table(name)
+
+
+# --------------------------------------------------------------------------
+# Custom stateful operator: gap-sessionizer via applyInPandasWithState
+# --------------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1000 * 1000
+
+_SESSION_OUT_DDL = (
+    "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, "
+    "n_events BIGINT, session_value DOUBLE"
+)
+_SESSION_STATE_DDL = "start_us BIGINT, last_us BIGINT, n BIGINT, v DOUBLE"
+
+
+def stateful_sessionize(events: DataFrame,
+                        watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Arbitrary-stateful sessionization: the hand-rolled twin of
+    ``session_windows`` built on ``applyInPandasWithState`` — the
+    pattern for session logic Spark's built-in gap-merge can't express
+    (e.g. value-dependent gaps, max-length sessions).
+
+    State per user is one open session (4 scalars, microsecond
+    timestamps); closed sessions are emitted as soon as a later in-batch
+    event exceeds the gap, and the final open session is flushed on
+    event-time timeout once the watermark passes last_event + gap. State
+    volume is O(|active users|) regardless of stream length — the
+    100 TB-safe shape.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = SESSION_GAP_US
+
+    def _emit(pd, sessions):
+        return pd.DataFrame(
+            {
+                "user_id": [s[0] for s in sessions],
+                "session_start": [pd.Timestamp(s[1], unit="us") for s in sessions],
+                "session_end": [pd.Timestamp(s[2], unit="us") for s in sessions],
+                "n_events": [s[3] for s in sessions],
+                "session_value": [round(s[4], 2) for s in sessions],
+            }
+        )
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n, v = state.get
+            state.remove()
+            yield _emit(pd, [(user_id, start_us, last_us, n, v)])
+            return
+        rows = pd.concat(list(pdf_iter)).sort_values("ts")
+        us = (rows["ts"].astype("int64") // 1_000).to_numpy()
+        vals = rows["value"].to_numpy()
+        if state.exists:
+            start_us, last_us, n, v = state.get
+        else:
+            start_us, last_us, n, v = int(us[0]), int(us[0]), 0, 0.0
+        out = []
+        for t, val in zip(us, vals):
+            t = int(t)
+            if n > 0 and t - last_us > gap_us:
+                out.append((user_id, start_us, last_us, n, v))
+                n, v = 0, 0.0
+            if n == 0:
+                start_us = t
+            n += 1
+            v += float(val)
+            last_us = t
+        state.update((int(start_us), int(last_us), int(n), float(v)))
+        state.setTimeoutTimestamp((int(last_us) + gap_us) // 1000)
+        if out:
+            yield _emit(pd, out)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_SESSION_OUT_DDL,
+            stateStructType=_SESSION_STATE_DDL,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,86 @@
+"""Structured Streaming tests: stream results must equal the batch twin
+(the kappa-architecture consistency check). Reference has no streaming
+(SURVEY.md §2.10) — this is declared-superset capability."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tajo_spark.catalog import load_table
+from tajo_spark.streaming import pipeline as P
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return load_table(spark, SF_DIR, "events")
+
+
+def test_tumbling_stream_equals_batch(spark, batch_events):
+    sdf = P.tumbling_counts(P.stream_events(spark, SF_DIR))
+    got = P.run_to_memory(sdf, "t_tumbling").orderBy("window_start", "event_type")
+    exp = (
+        batch_events.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+    assert [r.asDict() for r in got.collect()] == [
+        r.asDict() for r in exp.collect()
+    ]
+
+
+def test_sliding_stream_covers_each_row_twice(spark, batch_events):
+    sdf = P.sliding_counts(P.stream_events(spark, SF_DIR))
+    got = P.run_to_memory(sdf, "t_sliding")
+    total_batch = batch_events.count()
+    # 1h window hopping every 30min → every event lands in exactly 2 windows
+    assert got.agg(F.sum("n")).collect()[0][0] == 2 * total_batch
+
+
+def test_session_windows_match_batch_sessionize(spark, batch_events):
+    from tajo_spark.operators.sessionize import sessionize
+
+    sdf = P.session_windows(P.stream_events(spark, SF_DIR))
+    got = P.run_to_memory(sdf, "t_sessions")
+    exp = sessionize(batch_events)
+    # same session count and same total events per user
+    assert got.count() == exp.count()
+    g = {r.user_id: r.s for r in got.groupBy("user_id")
+         .agg(F.sum("n_events").alias("s")).collect()}
+    e = {r.user_id: r.s for r in exp.groupBy("user_id")
+         .agg(F.sum("n_events").alias("s")).collect()}
+    assert g == e
+
+
+def test_watermark_present_in_plan(spark):
+    sdf = P.tumbling_counts(P.stream_events(spark, SF_DIR))
+    assert sdf.isStreaming
+    assert "EventTimeWatermark" in sdf._jdf.queryExecution().logical().toString()
+
+
+def test_stateful_sessionize_matches_batch_closed_sessions(spark, batch_events):
+    from tajo_spark.operators.sessionize import sessionize
+
+    sdf = P.stateful_sessionize(P.stream_events(spark, SF_DIR))
+    got = P.run_to_memory(sdf, "t_stateful_sessions", output_mode="append")
+    exp = sessionize(batch_events)
+    # The stream emits sessions closed by a later in-batch event (plus
+    # timeout flushes); every emitted session must exist verbatim in the
+    # batch result — (user, start, end, n, value) is the full identity.
+    exp_keys = {
+        (r.user_id, r.session_start, r.session_end, r.n_events,
+         float(r.session_value))
+        for r in exp.collect()
+    }
+    rows = got.collect()
+    assert len(rows) > 0
+    for r in rows:
+        key = (r.user_id, r.session_start, r.session_end, r.n_events,
+               float(r.session_value))
+        assert key in exp_keys, f"streamed session not in batch result: {key}"
