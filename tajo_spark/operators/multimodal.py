@@ -1,0 +1,202 @@
+"""Multimodal (image/audio/video) column operators.
+
+Beyond-reference capability for training-data pipelines: media is
+carried as an opaque ``binary`` column plus a typed metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages so the heavy per-item work distributes with the
+partitioning and never touches the driver.
+
+The decode kernels themselves are STUBBED (this container ships no
+image/audio codecs): ``decode_image``/``decode_audio`` raise
+``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic fake decoder (seeded by content hash) stands in. The
+Spark-side plumbing — schemas, batch iteration, partition behavior,
+column pruning — is real and is what the tests exercise; a deployment
+drops in PIL/ffmpeg inside the same UDF bodies.
+
+Scale notes:
+  * ``mapInPandas`` streams Arrow record batches — peak memory is one
+    batch (spark.sql.execution.arrow.maxRecordsPerBatch), not one
+    partition.
+  * Binary payloads are pruned unless referenced: metadata-only
+    queries never deserialize media bytes (parquet column pruning).
+  * Feature extraction emits fixed-width vectors → downstream joins/
+    ANN run on compact columns, media bytes dropped at the earliest
+    projection.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_META_DDL = (
+    "doc_id BIGINT, n_bytes BIGINT, content_key STRING, "
+    "width INT, height INT, channels INT"
+)
+AUDIO_META_DDL = (
+    "doc_id BIGINT, n_bytes BIGINT, content_key STRING, "
+    "sample_rate INT, n_samples BIGINT, duration_s DOUBLE"
+)
+FRAME_DDL = "doc_id BIGINT, frame_idx INT, frame_key STRING"
+
+
+def attach_binary(docs: DataFrame, payload_col: str = "text") -> DataFrame:
+    """documents → (doc_id, content binary, meta struct): the canonical
+    multimodal layout. Uses the text payload as stand-in bytes; a real
+    corpus reads ``spark.read.format("binaryFile")``."""
+    blob = F.col(payload_col).cast("binary")
+    return docs.select(
+        "doc_id",
+        blob.alias("content"),
+        F.struct(
+            F.octet_length(blob).cast("long").alias("n_bytes"),
+            F.substring(F.md5(blob), 1, 8).alias("content_key"),
+            F.lit("application/octet-stream").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def _fake_image_dims(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake decode: dims derived from the content hash."""
+    h = hashlib.md5(payload).digest()
+    return 64 + h[0] % 192, 64 + h[1] % 192, 1 + h[2] % 3
+
+
+def decode_image(batch: pd.DataFrame, fake: bool) -> pd.DataFrame:
+    if not fake:
+        raise NotImplementedError(
+            "image codecs are not available in this environment; "
+            "deploy with PIL/opencv and replace this kernel"
+        )
+    rows = []
+    for doc_id, payload in zip(batch["doc_id"], batch["content"]):
+        payload = bytes(payload)
+        w, hgt, c = _fake_image_dims(payload)
+        rows.append(
+            (
+                doc_id,
+                len(payload),
+                hashlib.md5(payload).hexdigest()[:8],
+                w,
+                hgt,
+                c,
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["doc_id", "n_bytes", "content_key", "width", "height",
+                 "channels"],
+    )
+
+
+def image_metadata(binary_df: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode stage: (doc_id, content) → typed image metadata."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if len(batch):
+                yield decode_image(batch, fake)
+
+    return binary_df.select("doc_id", "content").mapInPandas(
+        run, schema=IMAGE_META_DDL
+    )
+
+
+def decode_audio(batch: pd.DataFrame, fake: bool) -> pd.DataFrame:
+    if not fake:
+        raise NotImplementedError(
+            "audio codecs are not available in this environment; "
+            "deploy with soundfile/ffmpeg and replace this kernel"
+        )
+    rows = []
+    for doc_id, payload in zip(batch["doc_id"], batch["content"]):
+        payload = bytes(payload)
+        h = hashlib.md5(payload).digest()
+        sr = (8000, 16000, 44100, 48000)[h[0] % 4]
+        n = 1000 + int.from_bytes(h[1:4], "big") % 100000
+        rows.append(
+            (
+                doc_id,
+                len(payload),
+                hashlib.md5(payload).hexdigest()[:8],
+                sr,
+                n,
+                round(n / sr, 4),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["doc_id", "n_bytes", "content_key", "sample_rate",
+                 "n_samples", "duration_s"],
+    )
+
+
+def audio_metadata(binary_df: DataFrame, fake: bool = True) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if len(batch):
+                yield decode_audio(batch, fake)
+
+    return binary_df.select("doc_id", "content").mapInPandas(
+        run, schema=AUDIO_META_DDL
+    )
+
+
+def sample_frames(binary_df: DataFrame, every_n: int = 10,
+                  max_frames: int = 8, fake: bool = True) -> DataFrame:
+    """Frame-sampling stage (video → frames): one output row per sampled
+    frame; frame count derived from payload size (stub) / container
+    metadata (real). Fan-out happens executor-side inside mapInPandas —
+    no explode of materialized frames through a shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            raise NotImplementedError("video codecs unavailable; see module doc")
+        for batch in batches:
+            rows: list[tuple[Any, ...]] = []
+            for doc_id, payload in zip(batch["doc_id"], batch["content"]):
+                payload = bytes(payload)
+                n_frames = min(max_frames, 1 + len(payload) // every_n)
+                key = hashlib.md5(payload).hexdigest()[:8]
+                rows.extend(
+                    (doc_id, i, f"{key}:{i * every_n}") for i in range(n_frames)
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "frame_idx", "frame_key"]
+                )
+
+    return binary_df.select("doc_id", "content").mapInPandas(
+        run, schema=FRAME_DDL
+    )
+
+
+def embed_content(binary_df: DataFrame, dim: int = 16,
+                  fake: bool = True) -> DataFrame:
+    """Feature-extraction stage: content → fixed-width float vector
+    (deterministic hash-projection stub; a deployment swaps in a model
+    forward pass — batch shape and schema identical)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            raise NotImplementedError("model runtime unavailable; see module doc")
+        for batch in batches:
+            out = []
+            for doc_id, payload in zip(batch["doc_id"], batch["content"]):
+                digest = hashlib.sha256(bytes(payload)).digest()
+                vec = [
+                    (digest[i % 32] - 127.5) / 127.5 for i in range(dim)
+                ]
+                out.append((doc_id, vec))
+            if out:
+                yield pd.DataFrame(out, columns=["doc_id", "embedding"])
+
+    return binary_df.select("doc_id", "content").mapInPandas(
+        run, schema="doc_id BIGINT, embedding ARRAY<DOUBLE>"
+    )

@@ -1,0 +1,187 @@
+"""Storage-format readers/writers (Tajo tablespace parity).
+
+Reference formats (BuiltinStorages.java:22-36; scanners under
+tajo-storage/tajo-storage-hdfs/.../storage/) → Spark datasources:
+
+| Tajo format | reference file | here |
+|---|---|---|
+| TEXT (delimited) | text/DelimitedTextFile.java:56 | csv reader (multi-char ``sep`` supported) |
+| JSON lines | json/JsonLineDeserializer.java:46 | json reader (+schema inference = SelfDescSchemaBuildPhase.java:52 parity) |
+| REGEX lines | regex/RegexLineDeserializer.java:47 | text reader + regexp_extract per group |
+| RAW | rawfile/DirectRawFileScanner.java:45 | binaryFile datasource |
+| PARQUET | parquet/ParquetScanner.java:38 | native |
+| ORC | orc/OrcScanner.java:51 | native |
+| AVRO | avro/AvroScanner.java:53 | ``spark-avro`` when on classpath (gated) |
+| SEQUENCEFILE | sequencefile/SequenceFileScanner.java:48 | Hadoop RDD API (gated) |
+| RCFILE | rcfile/RCFile.java:328 | unsupported (no Spark datasource; Hive serde only) |
+
+JDBC pushdown parity (tajo-storage-jdbc/.../JdbcScanner.java:61,108
+generates remote SQL with filter+projection+limit): ``spark.read.jdbc``
+performs the same pushdowns natively — exposed via read_jdbc for
+surface completeness.
+
+Every reader returns a lazy DataFrame; filters/projections compose and
+push into the scan (Catalyst), so at 100 TB a 2-column query reads 2
+columns.
+"""
+
+from __future__ import annotations
+
+import re as _re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# --- TEXT (delimited) --------------------------------------------------------
+def read_delimited(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    delimiter: str = "|",
+    null_value: str = "\\N",
+    header: bool = False,
+    **options: str,
+) -> DataFrame:
+    """DelimitedTextFile parity, incl. multi-byte delimiters
+    (reference test multibytes_delimiter_*, SURVEY.md §7.3.3)."""
+    reader = (
+        spark.read.option("sep", delimiter)
+        .option("nullValue", null_value)
+        .option("header", str(header).lower())
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_delimited(
+    df: DataFrame, path: str, delimiter: str = "|", null_value: str = "\\N",
+    mode: str = "overwrite",
+) -> None:
+    (
+        df.write.mode(mode)
+        .option("sep", delimiter)
+        .option("nullValue", null_value)
+        .csv(path)
+    )
+
+
+# --- JSON lines --------------------------------------------------------------
+def read_json_lines(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """Schema omitted → inference on read, the Spark-native equivalent of
+    the reference's self-describing-table planning phase
+    (SelfDescSchemaBuildPhase.java:52-55)."""
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+# --- REGEX lines -------------------------------------------------------------
+def read_regex(
+    spark: SparkSession,
+    path: str,
+    pattern: str,
+    columns: list[str],
+    types: list[str] | None = None,
+) -> DataFrame:
+    """RegexLineDeserializer parity: each line matched against ``pattern``;
+    capture group i → ``columns[i]``. Non-matching lines yield NULLs in
+    every column (the reference skips them — filter on a non-null key to
+    replicate). Runs as a single JVM-side projection (regexp_extract),
+    no Python."""
+    n_groups = _re.compile(pattern).groups
+    if n_groups != len(columns):
+        raise ValueError(
+            f"pattern has {n_groups} capture groups but {len(columns)} "
+            "column names given"
+        )
+    lines = spark.read.text(path)
+    cols = []
+    for i, name in enumerate(columns, start=1):
+        c = F.regexp_extract(F.col("value"), pattern, i)
+        # regexp_extract returns '' on no-match; normalize to NULL
+        c = F.when(c == "", None).otherwise(c)
+        if types:
+            c = c.cast(types[i - 1])
+        cols.append(c.alias(name))
+    return lines.select(*cols)
+
+
+# --- RAW binary --------------------------------------------------------------
+def read_raw(spark: SparkSession, path: str) -> DataFrame:
+    """DirectRawFileScanner parity: one row per file with content bytes
+    (plus path/length metadata) — the ingest point for multimodal
+    corpora (operators/multimodal.py)."""
+    return spark.read.format("binaryFile").load(path)
+
+
+# --- columnar formats --------------------------------------------------------
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """AVRO needs the spark-avro package on the classpath; gated so the
+    engine works without it (AvroScanner.java parity when present)."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as e:  # AnalysisException: failed to find data source
+        raise NotImplementedError(
+            "avro datasource not on classpath; add org.apache.spark:spark-avro"
+        ) from e
+
+
+# --- SEQUENCEFILE ------------------------------------------------------------
+def read_sequencefile(
+    spark: SparkSession, path: str, value_schema: str, delimiter: str = "|"
+) -> DataFrame:
+    """SequenceFileScanner parity via the Hadoop RDD API: values are
+    delimited text (the reference's layout — SequenceFileScanner.java:48
+    wraps the text deserializer). The RDD hop is per-partition streaming,
+    not a driver collect."""
+    try:
+        rdd = spark.sparkContext.sequenceFile(path).values()
+    except Exception as e:
+        raise NotImplementedError(
+            "sequencefile input requires Hadoop IO classes"
+        ) from e
+    lines = spark.createDataFrame(rdd.map(lambda v: (v,)), "value STRING")
+    names_types = [c.strip().rsplit(" ", 1) for c in value_schema.split(",")]
+    cols = [
+        F.split(F.col("value"), _re.escape(delimiter)).getItem(i)
+        .cast(t)
+        .alias(n)
+        for i, (n, t) in enumerate(names_types)
+    ]
+    return lines.select(*cols)
+
+
+# --- JDBC --------------------------------------------------------------------
+def read_jdbc(
+    spark: SparkSession, url: str, table: str, **options: str
+) -> DataFrame:
+    """JdbcTablespace parity: Spark's JDBC source pushes filter,
+    projection and limit to the remote engine exactly as the reference's
+    SQLBuilder does (JdbcScanner.java:61,108)."""
+    reader = spark.read.format("jdbc").option("url", url).option(
+        "dbtable", table
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
