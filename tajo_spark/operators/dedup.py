@@ -153,9 +153,20 @@ def minhash_band_keys(num_hashes: int = NUM_HASHES, num_bands: int = NUM_BANDS):
 def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """LSH candidate near-duplicate pairs (doc_a < doc_b), deduped.
 
-    Plan shape: projection (signatures) → explode bands (×NUM_BANDS rows)
-    → self-equi-join on (band_id, band_hash) → distinct pairs. The join
-    key includes the band id so buckets from different bands never cross.
+    Plan shape: signatures → explode bands (×NUM_BANDS rows) → ONE
+    hash-shuffle on (band_id, band_hash) → in-bucket pair generation →
+    distinct pairs.
+
+    Why not a band self-join: joining the banded table with itself
+    evaluates the whole signature pipeline twice (the broadcast side and
+    the probe side canonicalize differently, so Catalyst cannot reuse the
+    exchange — verified in tests/test_plans.py). Grouping each LSH bucket
+    and emitting its doc-id pairs computes signatures once and shuffles
+    once; per-bucket fan-out is quadratic only in the bucket's collision
+    count, which the band width bounds probabilistically (the same bound
+    the join variant had). At 100 TB, pathological mega-buckets (e.g.
+    boilerplate duplicates) should be capped upstream via exact-dedup
+    first — the standard web-scale pipeline order.
     """
     sig = minhash_signatures(docs, text_col)
     banded = sig.select("doc_id", *minhash_band_keys())
@@ -168,20 +179,30 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFram
             ])
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.bh")
-    a = bands_long.alias("a")
-    b = bands_long.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    buckets = (
+        bands_long.groupBy("band_id", "bh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a: F.transform(
+                            F.col("ids"),
+                            lambda b: F.struct(
+                                a.alias("doc_a"), b.alias("doc_b")
+                            ),
+                        ),
+                    )
+                ),
+                lambda p: p.doc_a < p.doc_b,
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 SIMHASH_BITS = 16

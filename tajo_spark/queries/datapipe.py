@@ -63,7 +63,9 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_pairs_cte() -> str:
+    """CTE chain ending in ``pairs(doc_a, doc_b)`` — the LSH candidate
+    pairs; shared by the minhash query and the Jaccard verify stage."""
     nh, nb = dedup.NUM_HASHES, dedup.NUM_BANDS
     rpb = nh // nb
     sig_cols = ",\n               ".join(
@@ -81,25 +83,36 @@ def _minhash_oracle() -> str:
         for b in range(nb)
     )
     return f"""
-        WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
-        tk AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
-        sh AS (SELECT doc_id,
+        mh_norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+        mh_tk AS (SELECT doc_id, string_split(t, ' ') AS w FROM mh_norm),
+        mh_sh AS (SELECT doc_id,
                       CASE WHEN len(w) >= {dedup.SHINGLE_K}
                            THEN list_transform(range(1, len(w) - {dedup.SHINGLE_K - 2}),
                                 i -> {" || ' ' || ".join(f"w[i+{j}]" for j in range(dedup.SHINGLE_K))})
                            ELSE [array_to_string(w, ' ')] END AS s
-               FROM tk),
+               FROM mh_tk),
         sig AS (SELECT doc_id,
                {sig_cols}
-               FROM sh),
+               FROM mh_sh),
         banded AS (SELECT doc_id,
                {band_cols}
                FROM sig),
         long AS (
-            {unions})
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM long a JOIN long b
-          ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+            {unions}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM long a JOIN long b
+              ON a.band_id = b.band_id AND a.bh = b.bh
+             AND a.doc_id < b.doc_id)"""
+
+
+_MINHASH_PAIRS_CTE = _minhash_pairs_cte()
+
+
+def _minhash_oracle() -> str:
+    return f"""
+        WITH {_minhash_pairs_cte()}
+        SELECT doc_a, doc_b FROM pairs
     """
 
 
@@ -392,3 +405,109 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return tumbling_window_agg(events, "hour")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    "datapipe",
+    doc="Exact n-gram Jaccard verification of the LSH candidate pairs — "
+    "the standard two-stage near-dup shape: cheap banding join proposes, "
+    "exact set-similarity disposes. The expensive token-set intersection "
+    "runs only on |candidates| pairs, never all-pairs.",
+    oracle=f"""
+        WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+        tk AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(w) >= 3
+                           THEN list_distinct(list_transform(
+                                range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                           ELSE [array_to_string(w, ' ')] END AS s
+               FROM tk),
+        {_MINHASH_PAIRS_CTE}
+        SELECT p.doc_a, p.doc_b,
+               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(a.s || b.s)), 4) AS jaccard
+        FROM pairs p, sh a, sh b
+        WHERE a.doc_id = p.doc_a AND b.doc_id = p.doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidate_pairs(docs)
+    tok = dedup.spread_by(docs, "doc_id").select(
+        "doc_id",
+        F.split(text.normalize_for_fingerprint(F.col("text")), " ").alias("w"),
+    )
+    sh = tok.select(
+        "doc_id",
+        F.array_distinct(
+            dedup.shingles_from_tokens(F.col("w"), 3)
+        ).alias("s"),
+    )
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("a_s"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("b_s"))
+    return (
+        pairs.join(a, pairs.doc_a == a.a_id)
+        .join(b, pairs.doc_b == b.b_id)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("a_s", "b_s")).cast("double")
+                / F.size(F.array_union("a_s", "b_s")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "text_bpe_token_count",
+    "datapipe",
+    doc="BPE-ish tokenization: regex token classes (letters / digits / "
+    "single punctuation) counted per doc — the pre-tokenizer shape of "
+    "GPT-style BPE, pure JVM-side regexp_extract_all projection.",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                 AS bpe_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+                 AS word_tokens,
+               CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+                 AS num_tokens
+        FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+        ).cast("long").alias("bpe_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z]+"), F.lit(0)))
+        .cast("long")
+        .alias("word_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(r"[0-9]+"), F.lit(0)))
+        .cast("long")
+        .alias("num_tokens"),
+    )
+
+
+@query(
+    "agg_approx_distinct",
+    "datapipe",
+    doc="approx_count_distinct (HLL++) per event_type — no reference "
+    "analogue (Tajo has no approximate aggregates, SURVEY.md §2.4); "
+    "sketch-mergeable so the shuffle carries sketches, not values. "
+    "Oracle omitted: HLL estimates are engine-specific (rows-only check).",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count_distinct(F.col("user_id")).alias("exact_users"),
+    )

@@ -633,3 +633,110 @@ def select_no_from(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("TAJO").alias("name"),
         F.lit(3.14).alias("pi_ish"),
     )
+
+
+# --------------------------------------------------------------------------
+# Nested RECORD types (SURVEY.md §1.2 RECORD; TestSelectNestedRecord,
+# dataset/TestSelectNestedRecord/*; DDL sample0_ddl.sql:1 — nested structs
+# as projection, group-by key, and join key)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "nested_project",
+    "relational",
+    doc="Nested struct construction + subfield projection (RECORD type, "
+    "TestSelectNestedRecord.testSelect* parity): struct-of-struct built "
+    "in-plan, dotted paths resolved by Catalyst.",
+    oracle="""
+        SELECT c_custkey,
+               struct_pack(seg := c_mktsegment,
+                           acct := struct_pack(bal := round(c_acctbal, 2),
+                                               pos := c_acctbal > 0)
+               ).seg AS seg,
+               struct_pack(seg := c_mktsegment,
+                           acct := struct_pack(bal := round(c_acctbal, 2),
+                                               pos := c_acctbal > 0)
+               ).acct.bal AS bal,
+               struct_pack(seg := c_mktsegment,
+                           acct := struct_pack(bal := round(c_acctbal, 2),
+                                               pos := c_acctbal > 0)
+               ).acct.pos AS pos
+        FROM customer
+    """,
+)
+def nested_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    rec = F.struct(
+        F.col("c_mktsegment").alias("seg"),
+        F.struct(
+            F.round("c_acctbal", 2).alias("bal"),
+            (F.col("c_acctbal") > 0).alias("pos"),
+        ).alias("acct"),
+    )
+    return cust.select(
+        "c_custkey",
+        rec.getField("seg").alias("seg"),
+        rec.getField("acct").getField("bal").alias("bal"),
+        rec.getField("acct").getField("pos").alias("pos"),
+    )
+
+
+@query(
+    "nested_group_by",
+    "relational",
+    doc="Nested field as group-by key "
+    "(testNestedFieldAsGroupbyKey1.sql parity).",
+    oracle="""
+        WITH r AS (SELECT struct_pack(seg := c_mktsegment,
+                                      nk := c_nationkey) AS rec,
+                          c_acctbal
+                   FROM customer)
+        SELECT rec.seg AS seg, count(*) AS n,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM r GROUP BY rec.seg
+    """,
+)
+def nested_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    r = cust.select(
+        F.struct(
+            F.col("c_mktsegment").alias("seg"), F.col("c_nationkey").alias("nk")
+        ).alias("rec"),
+        "c_acctbal",
+    )
+    return r.groupBy(F.col("rec.seg").alias("seg")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@query(
+    "nested_join_key",
+    "relational",
+    doc="Nested field as join key (testNestedFieldAsJoinKey1.sql parity); "
+    "the struct subfield drives a broadcast equi-join.",
+    oracle="""
+        WITH r AS (SELECT c_custkey,
+                          struct_pack(seg := c_mktsegment,
+                                      nk := c_nationkey) AS rec
+                   FROM customer)
+        SELECT n_name, count(*) AS n_cust
+        FROM r JOIN nation ON rec.nk = n_nationkey
+        GROUP BY n_name
+    """,
+)
+def nested_join_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    r = cust.select(
+        "c_custkey",
+        F.struct(
+            F.col("c_mktsegment").alias("seg"), F.col("c_nationkey").alias("nk")
+        ).alias("rec"),
+    )
+    return (
+        r.join(F.broadcast(nation), F.col("rec.nk") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )

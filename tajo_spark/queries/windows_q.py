@@ -182,3 +182,49 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@query(
+    "window_ntile_frames",
+    "window",
+    doc="ntile + explicit ROWS/RANGE frames (superset: reference parses "
+    "frames but executes only two end-bound shapes, "
+    "WindowAggExec.java:125-131; Spark runs the full ANSI frame spec).",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               ntile(4) OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice, o_orderkey) AS quartile,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0 AS roll3,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+                 AS run_total
+        FROM orders
+    """,
+)
+def window_ntile_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    by_price = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    by_date = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(by_price).alias("quartile"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(
+                by_date.rowsBetween(-2, 0)
+            )
+            / 100.0
+        ).alias("roll3"),
+        # exact integer-cents running total: float accumulation order and
+        # exact-half rounding both differ between engines; int64 cents /
+        # 100.0 renders bit-identically everywhere
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(
+                by_date.rangeBetween(W.unboundedPreceding, W.currentRow)
+            )
+            / 100.0
+        ).alias("run_total"),
+    )

@@ -1,0 +1,120 @@
+"""Physical-plan quality gates: the properties that make queries hold at
+100 TB. Mirrors the reference's planner tests (TestPhysicalPlanner,
+queries/TestLogicalPlanner) but asserts on Spark's formatted plan:
+
+  * filters and column projections must reach the parquet scan
+    (FilterPushDownRule.java / ProjectionPushDownRule.java parity —
+    built into Catalyst, but regressions here are silent perf cliffs);
+  * small dimension joins must be broadcast, not shuffled
+    (BroadcastJoinRule.java:44 parity);
+  * aggregations must have a map-side partial phase
+    (GlobalPlanner.buildTwoPhaseGroupby:717 parity);
+  * ORDER BY + LIMIT must plan TakeOrderedAndProject, not a global sort
+    (QueryExecutor simple-query fast path parity);
+  * partition-column filters must prune at the source
+    (PartitionedTableRewriter.java:57 parity).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tajo_spark.catalog import load_table
+from tests.conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_filter_and_projection_pushdown(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    df = li.filter(F.col("l_shipdate") <= "1998-09-01").select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # ReadSchema must contain only the referenced columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema and "l_comment" not in read_schema
+
+
+def test_dim_join_is_broadcast(spark):
+    from tajo_spark.queries.registry import all_queries
+
+    q5 = all_queries()["tpch_q5"]
+    plan = plan_of(q5.spark(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # region/nation/supplier must never drive a sort-merge exchange
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_aggregate_has_partial_phase(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    plan = plan_of(df)
+    # partial_sum in the map stage before the exchange (two-phase agg)
+    assert "partial_sum" in plan
+
+
+def test_topk_plans_take_ordered(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    df = orders.orderBy(F.desc("o_totalprice")).limit(5)
+    assert "TakeOrderedAndProject" in plan_of(df)
+
+
+def test_partitioned_write_and_pruning(spark, tmp_path):
+    li = load_table(spark, SF_DIR, "lineitem").limit(1000)
+    path = str(tmp_path / "li_part")
+    # ColPartitionStoreExec parity (P/ColPartitionStoreExec.java:49)
+    li.write.partitionBy("l_returnflag").mode("overwrite").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
+    plan = plan_of(back)
+    assert "PartitionFilters: [isnotnull(l_returnflag" in plan
+    # pruned scan must not read the partition column from data files
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_returnflag" not in read_schema
+
+
+def test_semi_join_for_in_subquery(spark):
+    from tajo_spark.catalog import register_tables
+
+    register_tables(spark, SF_DIR, ("orders", "customer"))
+    df = spark.sql(
+        """
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+        """
+    )
+    plan = plan_of(df)
+    # InSubqueryRewriteRule.java:117 parity: planned as a semi join
+    assert "LeftSemi" in plan or "left_semi" in plan.lower()
+
+
+def test_minhash_computes_signatures_once(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    from tajo_spark.operators.dedup import minhash_candidate_pairs
+
+    df = minhash_candidate_pairs(docs)
+    df.count()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    # bucket-group formulation: exactly one scan of documents, one
+    # signature pipeline — a self-join would show two parquet scans
+    assert final.count("Scan parquet") == 1
+
+
+def test_cosine_topk_has_no_shuffle_join(spark):
+    from tajo_spark.queries.registry import all_queries
+
+    q = all_queries()["sim_cosine_topk"]
+    plan = plan_of(q.spark(spark, SF_DIR))
+    # 1-row query side must broadcast (nested-loop or hash), never SMJ
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
