@@ -20,15 +20,35 @@ import time
 from tajo_spark.queries.registry import all_queries
 from tajo_spark.session import build_spark
 
+# The reference's own benchmark corpus is TPC-H q1-q22 + simple micro
+# queries (tajo-core/benchmark/; BenchmarkSet.java:115-129) — run every
+# implemented member, plus the beyond-reference pipeline headliners.
 HEADLINE = [
     "tpch_q1",
+    "tpch_q2",
     "tpch_q3",
+    "tpch_q4",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
     "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
     "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
     "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "micro_selection",
     "micro_groupby1",
+    "micro_groupby2",
     "window_topk_per_group",
     "window_running_agg",
     "dedup_minhash_pairs",
