@@ -1,0 +1,91 @@
+"""DDL lifecycle through the Engine (DDLExecutor.java /
+CreateTableExecutor.java parity — SURVEY.md §2.11): CREATE TABLE /
+CTAS / INSERT [OVERWRITE] / TRUNCATE / ALTER / DROP, database
+namespaces, and partitioned CTAS with pruning."""
+
+from __future__ import annotations
+
+import pytest
+
+from tajo_spark.engine import Engine
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    e = Engine(spark)
+    spark.sql("CREATE DATABASE IF NOT EXISTS ddl_t")
+    yield e
+    spark.sql("DROP DATABASE IF EXISTS ddl_t CASCADE")
+
+
+def test_create_insert_select_drop(engine):
+    engine.execute_sql(
+        "CREATE TABLE ddl_t.kv (k INT4, v TEXT) USING PARQUET"
+    )
+    engine.execute_sql("INSERT INTO ddl_t.kv VALUES (1, 'a'), (2, 'b')")
+    rows = engine.execute_sql(
+        "SELECT k, v FROM ddl_t.kv ORDER BY k"
+    ).collect()
+    assert [(r.k, r.v) for r in rows] == [(1, "a"), (2, "b")]
+    # INSERT OVERWRITE INTO (Tajo spelling) → full replace
+    engine.execute_sql("INSERT OVERWRITE INTO ddl_t.kv VALUES (9, 'z')")
+    rows = engine.execute_sql("SELECT k, v FROM ddl_t.kv").collect()
+    assert [(r.k, r.v) for r in rows] == [(9, "z")]
+    engine.execute_sql("DROP TABLE ddl_t.kv")
+    assert "kv" not in [
+        t.name for t in engine.spark.catalog.listTables("ddl_t")
+    ]
+
+
+def test_ctas(engine, spark):
+    from tajo_spark.catalog import register_tables
+
+    register_tables(spark, SF_DIR, ("nation",))
+    engine.execute_sql(
+        "CREATE TABLE ddl_t.nation_copy USING PARQUET "
+        "AS SELECT n_nationkey, n_name FROM nation"
+    )
+    n = engine.execute_sql(
+        "SELECT count(*) AS n FROM ddl_t.nation_copy"
+    ).collect()[0].n
+    assert n == spark.table("nation").count()
+    engine.execute_sql("DROP TABLE ddl_t.nation_copy")
+
+
+def test_truncate(engine):
+    engine.execute_sql("CREATE TABLE ddl_t.tr (x INT4) USING PARQUET")
+    engine.execute_sql("INSERT INTO ddl_t.tr VALUES (1), (2)")
+    engine.execute_sql("TRUNCATE TABLE ddl_t.tr")
+    assert engine.execute_sql("SELECT * FROM ddl_t.tr").count() == 0
+    engine.execute_sql("DROP TABLE ddl_t.tr")
+
+
+def test_alter_table(engine):
+    # AlterTableNode parity: add column, rename column, set property
+    engine.execute_sql("CREATE TABLE ddl_t.al (a INT4) USING PARQUET")
+    engine.execute_sql("ALTER TABLE ddl_t.al ADD COLUMNS (b TEXT)")
+    cols = [f.name for f in engine.spark.table("ddl_t.al").schema.fields]
+    assert cols == ["a", "b"]
+    engine.execute_sql(
+        "ALTER TABLE ddl_t.al SET TBLPROPERTIES ('note'='x')"
+    )
+    engine.execute_sql("DROP TABLE ddl_t.al")
+
+
+def test_partitioned_ctas_prunes(engine, spark):
+    from tajo_spark.catalog import register_tables
+    from tests.test_plans import plan_of
+
+    register_tables(spark, SF_DIR, ("orders",))
+    engine.execute_sql(
+        "CREATE TABLE ddl_t.opart USING PARQUET "
+        "PARTITIONED BY (o_orderstatus) "
+        "AS SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders"
+    )
+    df = engine.execute_sql(
+        "SELECT o_orderkey FROM ddl_t.opart WHERE o_orderstatus = 'F'"
+    )
+    plan = plan_of(df)
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+    engine.execute_sql("DROP TABLE ddl_t.opart")
