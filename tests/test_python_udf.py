@@ -1,0 +1,69 @@
+"""Python UDF directory-loading tests (TestPythonFunctions parity —
+tajo-core-tests/.../function/TestPythonFunctions.java; loading mirror of
+tajo.function.python.code-dir)."""
+
+from __future__ import annotations
+
+import textwrap
+
+import pytest
+
+from tajo_spark.functions.python_udf import load_python_udfs
+
+
+@pytest.fixture()
+def code_dir(tmp_path):
+    (tmp_path / "my_udfs.py").write_text(
+        textwrap.dedent(
+            '''
+            def plus_ten(x: int) -> int:
+                return x + 10
+
+            def shout(s: str) -> str:
+                return s.upper() + "!"
+
+            def hypot2(a: float, b: float) -> float:
+                return a * a + b * b
+
+            def as_text(x: int) -> "text":
+                return f"<{x}>"
+
+            AGGREGATES = {
+                "p90": ("double", lambda s: float(s.quantile(0.9))),
+            }
+            '''
+        )
+    )
+    return str(tmp_path)
+
+
+def test_scalar_udfs_registered_and_vectorized(spark, code_dir):
+    names = load_python_udfs(spark, code_dir)
+    assert {"plus_ten", "shout", "hypot2", "as_text", "p90"} <= set(names)
+    row = spark.sql(
+        "SELECT plus_ten(32) AS a, shout('ok') AS b, hypot2(3.0, 4.0) AS c, "
+        "as_text(7) AS d"
+    ).collect()[0]
+    assert (row.a, row.b, row.c, row.d) == (42, "OK!", 25.0, "<7>")
+
+
+def test_udfs_run_distributed_over_table(spark, code_dir):
+    load_python_udfs(spark, code_dir)
+    df = spark.range(0, 1000, 1, 8).selectExpr("plus_ten(id) AS v")
+    assert df.agg({"v": "sum"}).collect()[0][0] == sum(i + 10 for i in range(1000))
+
+
+def test_grouped_agg_udaf(spark, code_dir):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    load_python_udfs(spark, code_dir)
+    df = spark.createDataFrame(
+        [(i % 2, float(i)) for i in range(100)], "g INT, v DOUBLE"
+    )
+    rows = {
+        r.g: r.p
+        for r in df.groupBy("g").agg(F.expr("p90(v)").alias("p")).collect()
+    }
+    exp0 = float(np.quantile([float(i) for i in range(0, 100, 2)], 0.9))
+    assert abs(rows[0] - exp0) < 1e-6
