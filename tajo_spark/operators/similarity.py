@@ -117,3 +117,73 @@ def pairwise_similar(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the learned-centroid scale path
+# --------------------------------------------------------------------------
+
+
+def ivf_assign(emb: DataFrame, n_centroids: int = 16, seed: int = 42,
+               max_iter: int = 5):
+    """Train KMeans centroids (distributed fit, fixed seed) and assign
+    each vector to its nearest centroid: the IVF index build. Returns
+    (assigned_df with ``centroid_id``, fitted model). At 100 TB the fit
+    runs on a sample and assignment is a map-only scan — the index is
+    just a partitioning column, ideally persisted via
+    ``write.partitionBy("centroid_id")`` so probes prune at the source."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = emb.select(
+        "vec_id",
+        "embedding",
+        array_to_vector(_as_double(F.col("embedding"))).alias("features"),
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feat)
+    assigned = (
+        model.transform(feat)
+        .withColumnRenamed("prediction", "centroid_id")
+        .drop("features")
+    )
+    return assigned, model
+
+
+def ivf_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
+             n_centroids: int = 16, nprobe: int = 2,
+             round_to: int = 4) -> DataFrame:
+    """IVF probe: score only vectors in the ``nprobe`` centroids nearest
+    the query. Centroids are model metadata (n_centroids × dim floats) —
+    choosing probe targets driver-side is O(centroids), not a data
+    collect; candidates never leave the executors."""
+    import numpy as np
+
+    assigned, model = ivf_assign(emb, n_centroids=n_centroids)
+    qrow = (
+        assigned.filter(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .first()
+    )
+    qv = np.asarray(qrow.embedding, dtype="float64")
+    centers = model.clusterCenters()
+    order = np.argsort([float(np.linalg.norm(c - qv)) for c in centers])
+    probe = [int(i) for i in order[:nprobe]]
+    q = assigned.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv")
+    )
+    return (
+        assigned.filter(
+            F.col("centroid_id").isin(probe)
+            & (F.col("vec_id") != query_vec_id)
+        )
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), round_to).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(k)
+    )

@@ -1,0 +1,92 @@
+"""Skew-mitigation operators: salted aggregation and salted joins.
+
+AQE's skew-join splitting (enabled in session.py) handles most skew at
+runtime by splitting oversized partitions, but two shapes still need
+explicit salting at 100 TB:
+
+  * **hot-key aggregation** — one key holding 10%+ of all rows bottoms
+    out on a single reducer no matter how AQE splits maps. Salting
+    splits the hot key across ``salt`` reducers in a first phase and
+    merges the partials in a cheap second phase.
+  * **hot-key equi-join** where neither side broadcasts — the skewed
+    side gets a random-but-deterministic salt, the other side is
+    replicated ``salt`` times, restoring balance at the cost of
+    |small side| × salt shuffle volume.
+
+Both transforms are semantics-preserving (tests assert equality with
+the unsalted plan) and deterministic (salt = hash of a unique column,
+never rand()) so retried tasks produce identical output — a requirement
+for Spark's task-retry model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALT = 16
+
+# (partial-phase fn, merge-phase fn) per supported aggregate
+_DECOMPOSABLE = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def _salt_col(unique_col: str, salt: int) -> Column:
+    return F.pmod(F.abs(F.hash(F.col(unique_col))), F.lit(salt))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    unique_col: str,
+    salt: int = DEFAULT_SALT,
+) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    ``aggs``: output_name → (fn, column), fn in sum/count/min/max
+    (avg = sum+count composed by the caller). Phase 1 groups on
+    (keys + salt) — the hot key fans out over ``salt`` reducers; phase 2
+    merges partials per key. Shuffle volume: phase 1 ≈ |distinct
+    keys| × salt (tiny), phase 2 same.
+    """
+    for name, (fn, _) in aggs.items():
+        if fn not in _DECOMPOSABLE:
+            raise ValueError(f"{name}: '{fn}' is not decomposable")
+    salted = df.withColumn("_salt", _salt_col(unique_col, salt))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[
+            _DECOMPOSABLE[fn][0](col).alias(f"_p_{name}")
+            for name, (fn, col) in aggs.items()
+        ]
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            _DECOMPOSABLE[fn][1](f"_p_{name}").alias(name)
+            for name, (fn, _) in aggs.items()
+        ]
+    )
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: list[str],
+    unique_col: str,
+    salt: int = DEFAULT_SALT,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the skewed side salted and the other side
+    replicated ``salt`` ways, so a hot join key spreads over ``salt``
+    reducers instead of one. ``unique_col`` must be a column of the
+    skewed side with high cardinality (drives the deterministic salt).
+    """
+    s = skewed.withColumn("_salt", _salt_col(unique_col, salt))
+    o = other.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return s.join(o, on + ["_salt"], how).drop("_salt")

@@ -511,3 +511,18 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.count_distinct(F.col("user_id")).alias("exact_users"),
     )
+
+
+@query(
+    "sim_ivf_topk",
+    "datapipe",
+    doc="IVF ANN probe: KMeans centroids (seeded, distributed fit) + "
+    "nprobe nearest-centroid candidate scan — the learned-partition "
+    "scale path for ANN. Oracle omitted (KMeans is not reproducible in "
+    "SQL; correctness pinned in tests/test_skew_ivf.py: full-probe IVF "
+    "equals brute-force exact top-k).",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, query_vec_id=0, k=10, n_centroids=8,
+                               nprobe=2)

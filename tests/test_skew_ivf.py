@@ -1,0 +1,114 @@
+"""Skew-mitigation and IVF-ANN tests: salted transforms must be
+semantics-preserving; the IVF probe must degrade gracefully to the
+exact result at full probe width."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tajo_spark.catalog import load_table
+from tajo_spark.operators import similarity as sim
+from tajo_spark.operators.skew import salted_agg, salted_join
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def skewed_df(spark):
+    # 90% of rows share key 0 — the hot-key shape
+    return spark.range(0, 20_000).select(
+        F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("uid"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+
+
+def test_salted_agg_equals_plain(spark, skewed_df):
+    plain = {
+        (r.k): (r.s, r.c, r.mn, r.mx)
+        for r in skewed_df.groupBy("k")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count("v").alias("c"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.k): (r.s, r.c, r.mn, r.mx)
+        for r in salted_agg(
+            skewed_df,
+            ["k"],
+            {
+                "s": ("sum", "v"),
+                "c": ("count", "v"),
+                "mn": ("min", "v"),
+                "mx": ("max", "v"),
+            },
+            unique_col="uid",
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_equals_plain(spark, skewed_df):
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.concat(F.lit("n"), F.col("id")).alias("name")
+    )
+    plain = sorted(
+        (r.k, r.uid, r.name)
+        for r in skewed_df.join(dim, ["k"]).select("k", "uid", "name").collect()
+    )
+    salted = sorted(
+        (r.k, r.uid, r.name)
+        for r in salted_join(skewed_df, dim, ["k"], unique_col="uid")
+        .select("k", "uid", "name")
+        .collect()
+    )
+    assert salted == plain
+
+
+def test_salted_agg_rejects_non_decomposable(skewed_df):
+    with pytest.raises(ValueError):
+        salted_agg(skewed_df, ["k"], {"a": ("avg", "v")}, unique_col="uid")
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = [
+        (r.vec_id, r.cos_sim)
+        for r in sim.cosine_topk(emb, query_vec_id=0, k=10).collect()
+    ]
+    ivf_all = [
+        (r.vec_id, r.cos_sim)
+        for r in sim.ivf_topk(
+            emb, query_vec_id=0, k=10, n_centroids=8, nprobe=8
+        ).collect()
+    ]
+    assert ivf_all == exact
+
+
+def test_ivf_probe_is_subset_and_sorted(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = sim.ivf_topk(
+        emb, query_vec_id=0, k=10, n_centroids=8, nprobe=2
+    ).collect()
+    assert 0 < len(rows) <= 10
+    sims = [r.cos_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert len({r.centroid_id for r in rows}) <= 2
+
+
+def test_plan_report_api(spark):
+    from tajo_spark.plans.inspect import plan_report
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    rep = plan_report(
+        li.filter(F.col("l_quantity") > 10)
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"))
+    )
+    assert rep.n_scans == 1
+    assert rep.has_partial_agg
+    assert rep.pushed_filters and "GreaterThan(l_quantity" in rep.pushed_filters[0]
