@@ -124,21 +124,33 @@ def pairwise_similar(
 # --------------------------------------------------------------------------
 
 
+def l2_normalize(vec: Column) -> Column:
+    """Unit-normalize (zero vectors guarded): after normalization,
+    Euclidean nearest-centroid ordering agrees with cosine ordering —
+    required for a cosine-consistent IVF index."""
+    v = _as_double(vec)
+    norm = F.greatest(F.sqrt(dot(v, v)), F.lit(1e-12))
+    return F.transform(v, lambda x: x / norm)
+
+
 def ivf_assign(emb: DataFrame, n_centroids: int = 16, seed: int = 42,
                max_iter: int = 5):
-    """Train KMeans centroids (distributed fit, fixed seed) and assign
-    each vector to its nearest centroid: the IVF index build. Returns
-    (assigned_df with ``centroid_id``, fitted model). At 100 TB the fit
-    runs on a sample and assignment is a map-only scan — the index is
-    just a partitioning column, ideally persisted via
-    ``write.partitionBy("centroid_id")`` so probes prune at the source."""
+    """Train KMeans centroids (distributed fit, fixed seed) on
+    L2-normalized vectors and assign each vector to its nearest
+    centroid: the IVF index build. Normalizing first makes L2 cluster
+    geometry match the cosine ranking used at probe time (spherical
+    KMeans shape). Returns (assigned_df with ``centroid_id``, model).
+    At 100 TB the fit runs on a sample and assignment is a map-only
+    scan — the index is just a partitioning column, ideally persisted
+    via ``write.partitionBy("centroid_id")`` so probes prune at the
+    source."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     feat = emb.select(
         "vec_id",
         "embedding",
-        array_to_vector(_as_double(F.col("embedding"))).alias("features"),
+        array_to_vector(l2_normalize(F.col("embedding"))).alias("features"),
     )
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feat)
     assigned = (
@@ -151,24 +163,37 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 16, seed: int = 42,
 
 def ivf_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
              n_centroids: int = 16, nprobe: int = 2,
-             round_to: int = 4) -> DataFrame:
+             round_to: int = 4, index=None) -> DataFrame:
     """IVF probe: score only vectors in the ``nprobe`` centroids nearest
-    the query. Centroids are model metadata (n_centroids × dim floats) —
-    choosing probe targets driver-side is O(centroids), not a data
-    collect; candidates never leave the executors."""
+    the query (cosine-consistent: centroids live on the unit sphere, the
+    query is normalized before the centroid distance test). Centroids
+    are model metadata (n_centroids × dim floats) — choosing probe
+    targets driver-side is O(centroids), not a data collect; candidates
+    never leave the executors.
+
+    Pass ``index=(assigned, model)`` from :func:`ivf_assign` to amortize
+    the index build across probes (the production shape — per-call fit
+    is only for one-shot exploration).
+    """
     import numpy as np
 
-    assigned, model = ivf_assign(emb, n_centroids=n_centroids)
-    qrow = (
-        assigned.filter(F.col("vec_id") == query_vec_id)
-        .select("embedding")
-        .first()
+    assigned, model = index if index is not None else ivf_assign(
+        emb, n_centroids=n_centroids
     )
+    qrow = (
+        emb.filter(F.col("vec_id") == query_vec_id).select("embedding").first()
+    )
+    if qrow is None:  # unknown query id → empty result, like cosine_topk
+        return assigned.select(
+            "vec_id", "centroid_id",
+            F.lit(0.0).alias("cos_sim"),
+        ).limit(0)
     qv = np.asarray(qrow.embedding, dtype="float64")
+    qn = qv / max(float(np.linalg.norm(qv)), 1e-12)
     centers = model.clusterCenters()
-    order = np.argsort([float(np.linalg.norm(c - qv)) for c in centers])
+    order = np.argsort([float(np.linalg.norm(c - qn)) for c in centers])
     probe = [int(i) for i in order[:nprobe]]
-    q = assigned.filter(F.col("vec_id") == query_vec_id).select(
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qv")
     )
     return (

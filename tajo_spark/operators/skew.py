@@ -39,6 +39,15 @@ def _salt_col(unique_col: str, salt: int) -> Column:
     return F.pmod(F.abs(F.hash(F.col(unique_col))), F.lit(salt))
 
 
+def _check_no_salt_col(*dfs: DataFrame) -> None:
+    for df in dfs:
+        if "_salt" in df.columns:
+            raise ValueError(
+                "input already has a '_salt' column; rename it before "
+                "salting (the name is reserved by the transform)"
+            )
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
@@ -57,6 +66,7 @@ def salted_agg(
     for name, (fn, _) in aggs.items():
         if fn not in _DECOMPOSABLE:
             raise ValueError(f"{name}: '{fn}' is not decomposable")
+    _check_no_salt_col(df)
     salted = df.withColumn("_salt", _salt_col(unique_col, salt))
     partial = salted.groupBy(*keys, "_salt").agg(
         *[
@@ -84,7 +94,19 @@ def salted_join(
     replicated ``salt`` ways, so a hot join key spreads over ``salt``
     reducers instead of one. ``unique_col`` must be a column of the
     skewed side with high cardinality (drives the deterministic salt).
+
+    Only join types that preserve at most the *skewed* side are legal
+    (inner/left/semi/anti): the other side is replicated, so a
+    right/full outer join would emit each unmatched ``other`` row
+    ``salt`` times.
     """
+    if how.lower().replace("_", "") in (
+        "right", "rightouter", "full", "fullouter", "outer",
+    ):
+        raise ValueError(
+            f"salted_join cannot preserve the replicated side: how={how!r}"
+        )
+    _check_no_salt_col(skewed, other)
     s = skewed.withColumn("_salt", _salt_col(unique_col, salt))
     o = other.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

@@ -49,7 +49,9 @@ def plan_report(df: DataFrame) -> PlanReport:
     # count numbered plan nodes only — the formatted output repeats node
     # names in the per-node details section
     r.n_scans = len(re.findall(r"\(\d+\) Scan (?:parquet|csv|json|orc)", text))
-    r.n_exchanges = len(re.findall(r"\(\d+\) Exchange", text))
+    r.n_exchanges = len(
+        re.findall(r"\(\d+\) (?:Broadcast)?Exchange", text)
+    )
     r.n_broadcast_joins = text.count("BroadcastHashJoin") + text.count(
         "BroadcastNestedLoopJoin"
     )
@@ -57,7 +59,9 @@ def plan_report(df: DataFrame) -> PlanReport:
     r.has_partial_agg = "partial_" in text
     r.has_take_ordered = "TakeOrderedAndProject" in text
     r.wholestage_codegen = "WholeStageCodegen" in text
-    r.pushed_filters = re.findall(r"PushedFilters: \[([^\]]*)\]", text)
-    r.partition_filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", text)
+    # greedy-to-line-end capture: filter lists may contain nested
+    # brackets (e.g. In(col, [a,b])), so [^\]]* would truncate
+    r.pushed_filters = re.findall(r"PushedFilters: \[(.*)\]", text)
+    r.partition_filters = re.findall(r"PartitionFilters: \[(.*)\]", text)
     r.read_schemas = re.findall(r"ReadSchema: (\S+)", text)
     return r

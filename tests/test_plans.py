@@ -24,12 +24,7 @@ from tajo_spark.catalog import load_table
 from tests.conftest import SF_DIR
 
 
-def plan_of(df) -> str:
-    return df._jdf.queryExecution().explainString(
-        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
-    )
+from tajo_spark.plans.inspect import formatted_plan as plan_of
 
 
 def test_filter_and_projection_pushdown(spark):

@@ -112,3 +112,45 @@ def test_plan_report_api(spark):
     assert rep.n_scans == 1
     assert rep.has_partial_agg
     assert rep.pushed_filters and "GreaterThan(l_quantity" in rep.pushed_filters[0]
+
+
+def test_salted_join_rejects_outer(spark, skewed_df):
+    dim = spark.range(0, 5).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        salted_join(skewed_df, dim, ["k"], unique_col="uid", how="full")
+    with pytest.raises(ValueError):
+        salted_join(skewed_df, dim, ["k"], unique_col="uid", how="right")
+
+
+def test_salting_rejects_reserved_column(spark):
+    df = spark.range(3).select(
+        F.col("id").alias("k"), F.col("id").alias("uid"),
+        F.lit(1).alias("_salt"), F.lit(1.0).alias("v"),
+    )
+    with pytest.raises(ValueError):
+        salted_agg(df, ["k"], {"s": ("sum", "v")}, unique_col="uid")
+
+
+def test_ivf_unknown_query_returns_empty(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assert sim.ivf_topk(emb, query_vec_id=10**9, n_centroids=4).count() == 0
+
+
+def test_ivf_prebuilt_index_reused(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    index = sim.ivf_assign(emb, n_centroids=4)
+    a = sim.ivf_topk(emb, 0, k=5, nprobe=4, n_centroids=4, index=index)
+    b = sim.ivf_topk(emb, 0, k=5, nprobe=4, n_centroids=4)
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_plan_report_in_filter_not_truncated(spark):
+    from tajo_spark.plans.inspect import plan_report
+
+    orders = load_table(spark, SF_DIR, "orders")
+    rep = plan_report(
+        orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey")
+    )
+    joined = ";".join(rep.pushed_filters)
+    assert "In(o_orderpriority, [1-URGENT,2-HIGH])" in joined
