@@ -66,8 +66,22 @@ def main() -> None:
     spark = build_spark(app_name="tajo_spark_bench")
     registry = all_queries()
 
-    # Warm the JVM/codegen path once with a trivial action.
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # Warm the JVM once: parquet reader, hash-agg, broadcast-join and
+    # window codegen paths all compile here so the first measured query
+    # doesn't pay one-time JIT/codegen costs.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from tajo_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").limit(10_000)
+    na = load_table(spark, sf_dir, "nation")
+    (
+        li.join(F.broadcast(na), li.l_suppkey % 25 == na.n_nationkey)
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.avg("l_extendedprice").alias("a"))
+        .withColumn("r", F.rank().over(Window.orderBy(F.desc("s"))))
+        .collect()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

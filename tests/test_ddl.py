@@ -89,3 +89,29 @@ def test_partitioned_ctas_prunes(engine, spark):
     plan = plan_of(df)
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
     engine.execute_sql("DROP TABLE ddl_t.opart")
+
+
+def test_analyze_table_stats_feed_cbo(engine, spark):
+    # TableStatUpdateRewriter.java:39 / ANALYZE parity: stats recorded in
+    # the catalog and visible to the cost-based optimizer
+    engine.execute_sql(
+        "CREATE TABLE ddl_t.st (x INT4, y TEXT) USING PARQUET"
+    )
+    engine.execute_sql(
+        "INSERT INTO ddl_t.st VALUES (1,'a'), (2,'b'), (3,'c')"
+    )
+    engine.execute_sql(
+        "ANALYZE TABLE ddl_t.st COMPUTE STATISTICS FOR ALL COLUMNS"
+    )
+    desc = {
+        r.col_name: r.data_type
+        for r in spark.sql("DESCRIBE TABLE EXTENDED ddl_t.st").collect()
+    }
+    assert "Statistics" in desc and "bytes" in desc["Statistics"]
+    # column-level stats present (CBO inputs)
+    xstats = spark.sql(
+        "DESCRIBE EXTENDED ddl_t.st x"
+    ).collect()
+    info = {r.info_name: r.info_value for r in xstats}
+    assert info.get("distinct_count") == "3"
+    engine.execute_sql("DROP TABLE ddl_t.st")

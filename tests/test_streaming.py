@@ -84,3 +84,29 @@ def test_stateful_sessionize_matches_batch_closed_sessions(spark, batch_events):
         key = (r.user_id, r.session_start, r.session_end, r.n_events,
                float(r.session_value))
         assert key in exp_keys, f"streamed session not in batch result: {key}"
+
+
+def test_file_sink_checkpoint_exactly_once(spark, batch_events, tmp_path):
+    # exactly-once file sink: restarting from the same checkpoint must
+    # not duplicate output rows
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    total = batch_events.count()
+
+    def run_once():
+        q = (
+            P.stream_events(spark, SF_DIR)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    run_once()
+    run_once()  # restart: source offsets already committed → no new rows
+    assert spark.read.parquet(out).count() == total
