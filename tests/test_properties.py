@@ -1,0 +1,128 @@
+"""Property-based cross-engine tests (hypothesis): randomized inputs,
+one Spark job per example (inputs batched into a single DataFrame so
+the property runs at DataFrame granularity, not row granularity).
+
+Goes beyond the reference's test strategy (SURVEY.md §5: "no
+property-based/randomized testing") where it pays off most: the
+dialect translation and the salting transforms, whose input spaces are
+too big for golden files.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from tajo_spark.operators.skew import salted_agg
+from tajo_spark.plans.dialect import sql_regex_to_java
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# SQL-standard SIMILAR TO pattern fragments (what the translator handles)
+_PATTERN_PIECE = st.sampled_from(
+    ["a", "b", "c", "%", "_", "[ab]", "[bc]", "(a|b)", "ab", "c%"]
+)
+_PATTERNS = st.lists(_PATTERN_PIECE, min_size=1, max_size=4).map("".join)
+_STRINGS = st.text(alphabet="abc", min_size=0, max_size=6)
+
+
+@settings(**SETTINGS)
+@given(
+    patterns=st.lists(_PATTERNS, min_size=1, max_size=5, unique=True),
+    strings=st.lists(_STRINGS, min_size=1, max_size=20, unique=True),
+)
+def test_similar_to_translation_property(spark, patterns, strings):
+    """For every (string, pattern): Spark `RLIKE '^(?:translated)$'`
+    must agree with an independent evaluation of SQL-standard SIMILAR TO
+    semantics (Python re.fullmatch over the same translation — Java and
+    Python regex agree on this construct subset).
+
+    DuckDB's native SIMILAR TO is deliberately NOT the oracle here: it
+    treats the pattern as a raw RE2 regex without the SQL-standard
+    %/_ wildcard translation (even ``'a' SIMILAR TO '%'`` is false
+    there), diverging from the standard and from the reference's
+    PostgreSQL-compatible semantics (SimilarToPredicateEval.java).
+    """
+    import re as pyre
+
+    cases = [(s, p) for s in strings for p in patterns]
+    df = spark.createDataFrame(cases, "s STRING, p STRING")
+    got = {}
+    for p in patterns:
+        jre = f"^(?:{sql_regex_to_java(p)})$"
+        for r in df.filter(F.col("p") == p).select(
+            "s", F.col("s").rlike(jre).alias("m")
+        ).collect():
+            got[(r.s, p)] = r.m
+    for s, p in cases:
+        exp = pyre.fullmatch(f"(?:{sql_regex_to_java(p)})", s) is not None
+        assert got[(s, p)] == exp, f"string={s!r} pattern={p!r}"
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # key (few → skew)
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    salt=st.sampled_from([2, 7, 16]),
+)
+def test_salted_agg_equals_plain_random(spark, rows, salt):
+    df = spark.createDataFrame(
+        [(k, float(i), v) for i, (k, v) in enumerate(rows)],
+        "k INT, uid DOUBLE, v DOUBLE",
+    )
+    plain = {
+        r.k: (r.c, r.mn, r.mx)
+        for r in df.groupBy("k")
+        .agg(
+            F.count("v").alias("c"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        r.k: (r.c, r.mn, r.mx)
+        for r in salted_agg(
+            df,
+            ["k"],
+            {"c": ("count", "v"), "mn": ("min", "v"), "mx": ("max", "v")},
+            unique_col="uid",
+            salt=salt,
+        ).collect()
+    }
+    assert salted == plain
+
+
+@settings(**SETTINGS)
+@given(
+    ips=st.lists(
+        st.tuples(*[st.integers(0, 255)] * 4).map(
+            lambda t: ".".join(map(str, t))
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_inet_roundtrip(spark, ips):
+    from tajo_spark.functions.registry import register_all
+
+    register_all(spark)
+    df = spark.createDataFrame([(ip,) for ip in ips], "ip STRING")
+    rows = df.selectExpr("ip", "inet_ntoa(inet_aton(ip)) AS back").collect()
+    for r in rows:
+        assert r.back == r.ip
