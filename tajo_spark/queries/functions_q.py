@@ -360,3 +360,50 @@ def fn_to_char_pg_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "FROM orders WHERE o_orderkey < 100"
         )
     )
+
+
+@query(
+    "fn_string_math_extended",
+    "functions",
+    doc="Remaining §2.8 scalar-function sweep: find_in_set, left/right, "
+    "strpos(locate), btrim, bit_length, to_hex, mod, atan2, tan, "
+    "asin/acos — all native Spark built-ins "
+    "(engine/function/string/*, math/* parity).",
+    oracle="""
+        SELECT p_partkey,
+               CAST(coalesce(list_position(string_split('bolt,widget,rod', ','),
+                             split_part(p_name, ' ', 2)), 0) AS INT)
+                 AS in_set,
+               left(p_name, 3) AS l3,
+               right(p_name, 3) AS r3,
+               CAST(strpos(p_name, 'o') AS INT) AS o_pos,
+               trim(p_name, 'dl') AS btrimmed,
+               CAST(bit_length(p_name) AS INT) AS bits,
+               upper(to_hex(p_partkey)) AS hexkey,
+               CAST(mod(p_partkey, 7) AS BIGINT) AS m7,
+               round(atan2(p_size, 10), 6) AS at2,
+               round(tan(p_size / 100.0), 6) AS tn,
+               round(asin(least(p_size / 50.0, 1.0)), 6) AS asn,
+               round(acos(least(p_size / 50.0, 1.0)), 6) AS acs
+        FROM part
+    """,
+)
+def fn_string_math_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    name, size, key = F.col("p_name"), F.col("p_size"), F.col("p_partkey")
+    return part.select(
+        "p_partkey",
+        F.find_in_set(F.split_part(name, F.lit(" "), F.lit(2)),
+                      F.lit("bolt,widget,rod")).alias("in_set"),
+        F.left(name, F.lit(3)).alias("l3"),
+        F.right(name, F.lit(3)).alias("r3"),
+        F.locate("o", name).alias("o_pos"),
+        F.btrim(name, F.lit("dl")).alias("btrimmed"),
+        F.bit_length(name).alias("bits"),
+        F.hex(key).alias("hexkey"),
+        (key % 7).alias("m7"),
+        F.round(F.atan2(size, F.lit(10)), 6).alias("at2"),
+        F.round(F.tan(size / 100.0), 6).alias("tn"),
+        F.round(F.asin(F.least(size / 50.0, F.lit(1.0))), 6).alias("asn"),
+        F.round(F.acos(F.least(size / 50.0, F.lit(1.0))), 6).alias("acs"),
+    )
