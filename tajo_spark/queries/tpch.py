@@ -658,10 +658,13 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_name") == "EUROPE")
         .select("ps_partkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
     )
+    # per-part min as a broadcast side: |parts| rows regardless of corpus
+    # size, so the large eu side never shuffles (a window-min would
+    # shuffle+sort all of eu — worse at scale, though faster at toy SF)
     mn = eu.groupBy("ps_partkey").agg(F.min("ps_supplycost").alias("min_cost"))
     flt = part.filter((F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY"))
     return (
-        eu.join(mn.withColumnRenamed("ps_partkey", "mn_partkey"),
+        eu.join(F.broadcast(mn.withColumnRenamed("ps_partkey", "mn_partkey")),
                 (F.col("ps_partkey") == F.col("mn_partkey"))
                 & (F.col("ps_supplycost") == F.col("min_cost")))
         .join(flt, F.col("ps_partkey") == F.col("p_partkey"))
