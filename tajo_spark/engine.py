@@ -75,6 +75,44 @@ SESSION_VARS: dict[str, SessionVarSpec] = {
 }
 
 
+def split_statements(script: str) -> list[str]:
+    """Split a SQL script into statements: ';' terminates a statement
+    unless inside a single-quoted literal; '--' comments run to EOL
+    (outside literals). Mirrors the reference's SimpleParser behavior."""
+    out: list[str] = []
+    buf: list[str] = []
+    in_str = False
+    i = 0
+    while i < len(script):
+        c = script[i]
+        if in_str:
+            buf.append(c)
+            if c == "'":
+                # '' is an escaped quote inside the literal
+                if i + 1 < len(script) and script[i + 1] == "'":
+                    buf.append("'")
+                    i += 1
+                else:
+                    in_str = False
+        elif c == "'":
+            in_str = True
+            buf.append(c)
+        elif c == "-" and script[i : i + 2] == "--":
+            while i < len(script) and script[i] != "\n":
+                i += 1
+            continue
+        elif c == ";":
+            if "".join(buf).strip():
+                out.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    if "".join(buf).strip():
+        out.append("".join(buf).strip())
+    return out
+
+
 class Engine:
     """A Tajo-capability SQL engine over a SparkSession."""
 
@@ -96,6 +134,13 @@ class Engine:
 
     # tsql-compatible alias
     sql = execute_sql
+
+    def execute_script(self, script: str) -> list[DataFrame | None]:
+        """Run a multi-statement script, statement by statement — the
+        tsql file mode (TajoCli reads statements via SimpleParser,
+        tajo-cli/.../TajoCli.java:59). Splits on ';' outside quotes;
+        '--' line comments stripped. Returns per-statement results."""
+        return [self.execute_sql(stmt) for stmt in split_statements(script)]
 
     def explain(self, sql: str, mode: str = "formatted") -> str:
         """EXPLAIN [GLOBAL] parity (QueryExecutor.java:126): the formatted

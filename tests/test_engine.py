@@ -171,3 +171,32 @@ def test_tajo_functions(engine, expr, expected):
         assert str(val).startswith("2024-02-01")
     else:
         assert val == expected
+
+
+def test_split_statements():
+    from tajo_spark.engine import split_statements
+
+    stmts = split_statements(
+        """
+        -- setup
+        SET SESSION TIMEZONE TO 'UTC';
+        SELECT 'a;b' AS s, 'it''s' AS q;  -- trailing comment
+        SELECT 2
+        """
+    )
+    assert stmts == [
+        "SET SESSION TIMEZONE TO 'UTC'",
+        "SELECT 'a;b' AS s, 'it''s' AS q",
+        "SELECT 2",
+    ]
+
+
+def test_execute_script(engine):
+    results = engine.execute_script(
+        "SET SESSION TIMEZONE TO 'UTC';\n"
+        "SELECT 1 AS one;\n"
+        "SELECT 'x;y' AS s"
+    )
+    assert results[0] is None  # session directive
+    assert results[1].collect()[0].one == 1
+    assert results[2].collect()[0].s == "x;y"
