@@ -12,7 +12,7 @@ Beyond-reference capability (BASELINE.json north star). Scale design:
   collision rate, not corpus size. This is the standard web-scale
   (GPL/MinHashLSH) dedup shape: at 100 TB the only heavy op is the
   band-key shuffle.
-* SimHash — 64-bit signed fingerprint from per-token md5 bits;
+* SimHash — 16-bit fingerprint from per-token md5 nibble votes;
   Hamming-adjacent buckets via band slicing, same join trick.
 
 Everything uses md5 (hex) as the hash family so the DuckDB oracle can
@@ -85,12 +85,21 @@ def shingles_from_tokens(toks: Column, k: int = SHINGLE_K) -> Column:
     """
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n >= k, F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.get(toks, i + j) for j in range(k)]
-        ),
-    )).otherwise(F.array(F.concat_ws(" ", toks)))
+    return (
+        # NULL text must propagate to a NULL shingle array (concat_ws
+        # never returns null, so the otherwise-branch would silently
+        # give every null-text doc the identical "" shingle and pair
+        # them all up as near-dups); explode(NULL) then drops the doc,
+        # matching the oracle where NULL band hashes never equi-join.
+        F.when(toks.isNull(), F.lit(None).cast("array<string>"))
+        .when(n >= k, F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.get(toks, i + j) for j in range(k)]
+            ),
+        ))
+        .otherwise(F.array(F.concat_ws(" ", toks)))
+    )
 
 
 def shingles(text: Column, k: int = SHINGLE_K) -> Column:

@@ -36,8 +36,13 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """NULL when either vector has zero norm — matching SQL division
+    semantics (DuckDB 0.0/0.0 → NULL); an unguarded 0/0 would produce
+    NaN on Spark, which sorts ABOVE every real similarity in desc
+    order and corrupts top-k results."""
     a, b = _as_double(a), _as_double(b)
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    denom = F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))
+    return F.when(denom != 0, dot(a, b) / denom)
 
 
 def sign_bucket(vec: Column, dims: tuple[int, ...] = LSH_DIMS) -> Column:
@@ -193,8 +198,10 @@ def ivf_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
     centers = model.clusterCenters()
     order = np.argsort([float(np.linalg.norm(c - qn)) for c in centers])
     probe = [int(i) for i in order[:nprobe]]
-    q = emb.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("qv")
+    # broadcast side built from the already-collected query row — a
+    # filter on emb here would re-scan the table once per probe
+    q = emb.sparkSession.createDataFrame(
+        [([float(x) for x in qrow.embedding],)], "qv ARRAY<DOUBLE>"
     )
     return (
         assigned.filter(

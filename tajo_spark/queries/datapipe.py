@@ -111,7 +111,7 @@ _MINHASH_PAIRS_CTE = _minhash_pairs_cte()
 
 def _minhash_oracle() -> str:
     return f"""
-        WITH {_minhash_pairs_cte()}
+        WITH {_MINHASH_PAIRS_CTE}
         SELECT doc_a, doc_b FROM pairs
     """
 

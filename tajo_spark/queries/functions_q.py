@@ -276,7 +276,7 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "fn_tajo_registry",
-    "functions",
+    "function",
     doc="Tajo-name function registry through the SQL path (Engine): "
     "strposb (byte offsets), quote_ident, digest, json_extract_path_text "
     "over events.props, div — all SQL UDFs inlined by Catalyst "
@@ -317,7 +317,7 @@ def fn_tajo_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "fn_similar_to_dialect",
-    "functions",
+    "function",
     doc="SIMILAR TO through the dialect shim (SimilarToPredicateEval.java "
     "parity): SQL-regex translated to Java regex, full-anchored.",
     oracle="""
@@ -340,7 +340,7 @@ def fn_similar_to_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "fn_to_char_pg_formats",
-    "functions",
+    "function",
     doc="to_char with PostgreSQL format codes through the dialect shim "
     "(ToCharTimestamp.java parity) over order dates.",
     oracle="""
@@ -364,7 +364,7 @@ def fn_to_char_pg_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "fn_string_math_extended",
-    "functions",
+    "function",
     doc="Remaining §2.8 scalar-function sweep: find_in_set, left/right, "
     "strpos(locate), btrim, bit_length, to_hex, mod, atan2, tan, "
     "asin/acos — all native Spark built-ins "

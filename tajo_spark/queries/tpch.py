@@ -742,8 +742,11 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q9",
     "tpch",
     doc="Product-type profit by nation/year — ref tpch/q9.sql (partsupp "
-    "derived; p_name LIKE '%widget%'). Fact-to-fact join lineitem⋈orders "
-    "shuffles on orderkey; all dims broadcast.",
+    "derived; p_name LIKE '%widget%'). Fact-to-fact joins "
+    "lineitem⋈partsupp⋈orders shuffle on their keys (partsupp is "
+    "4x|part| — fact-sized at scale, so NOT broadcast-hinted; AQE may "
+    "still broadcast it at small SF); part/supplier/nation dims "
+    "broadcast.",
     oracle=f"""
         WITH {_PARTSUPP_CTE}
         SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
@@ -770,7 +773,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(
-            F.broadcast(ps),
+            ps,
             (F.col("ps_partkey") == F.col("l_partkey"))
             & (F.col("ps_suppkey") == F.col("l_suppkey")),
         )

@@ -154,3 +154,30 @@ def test_plan_report_in_filter_not_truncated(spark):
     )
     joined = ";".join(rep.pushed_filters)
     assert "In(o_orderpriority, [1-URGENT,2-HIGH])" in joined
+
+
+def test_cosine_null_on_zero_vector(spark):
+    # 0/0 must be NULL (SQL semantics), not NaN — NaN sorts above every
+    # real similarity in desc order and would corrupt top-k results
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])], "vec_id INT, e ARRAY<DOUBLE>"
+    )
+    rows = df.select(
+        "vec_id", sim.cosine(F.col("e"), F.array(F.lit(1.0), F.lit(0.0))).alias("c")
+    ).collect()
+    vals = {r.vec_id: r.c for r in rows}
+    assert vals[1] is None and abs(vals[2] - 1.0) < 1e-12
+
+
+def test_minhash_null_text_produces_no_pairs(spark):
+    from tajo_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "the quick brown fox jumps high"),
+         (4, "the quick brown fox jumps high")],
+        "doc_id BIGINT, text STRING",
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_candidate_pairs(docs).collect()}
+    # null-text docs must never pair (NULL propagates, as in the SQL
+    # oracle); identical real docs must pair
+    assert pairs == {(3, 4)}
