@@ -48,7 +48,11 @@ def sessionize(events: DataFrame, gap_ms: int = SESSION_GAP_MS) -> DataFrame:
         with_session.groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            # exact integer-scaled sum: float accumulation order differs
+            # across engines and exact-half round() flips (SCALE.md /
+            # memory: oracle-parity-gotchas)
+            (F.sum(F.round(F.col("value") * 10000).cast("long")) / 10000.0)
+            .alias("session_value"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
         )
@@ -63,7 +67,16 @@ def tumbling_window_agg(events: DataFrame, unit: str = "hour") -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            (F.sum(F.round(F.col("value") * 10000).cast("long")) / 10000.0)
+            .alias("total_value"),
+            # truncated 4-decimal mean over exact integer units — the
+            # only cross-engine-deterministic formulation
+            (
+                F.floor(
+                    F.sum(F.round(F.col("value") * 10000).cast("long"))
+                    / F.count(F.lit(1))
+                )
+                / 10000.0
+            ).alias("avg_value"),
         )
     )

@@ -380,7 +380,8 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ORDER BY ts, event_id) AS BIGINT) AS session_id
             FROM flagged)
         SELECT user_id, session_id, count(*) AS n_events,
-               round(sum(value), 2) AS session_value,
+               sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0
+                 AS session_value,
                min(ts) AS session_start, max(ts) AS session_end
         FROM sess GROUP BY user_id, session_id
     """,
@@ -397,8 +398,11 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the streaming windowed agg in streaming/pipeline.py).",
     oracle="""
         SELECT date_trunc('hour', ts) AS window_start, event_type,
-               count(*) AS n, round(sum(value), 2) AS total_value,
-               round(avg(value), 4) AS avg_value
+               count(*) AS n,
+               sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0
+                 AS total_value,
+               floor(sum(CAST(round(value * 10000) AS BIGINT)) / count(*))
+                 / 10000.0 AS avg_value
         FROM events GROUP BY date_trunc('hour', ts), event_type
     """,
 )

@@ -69,7 +69,8 @@ def tumbling_counts(events: DataFrame, size: str = "1 hour",
         .groupBy(F.window("ts", size).alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            (F.sum(F.round(F.col("value") * 10000).cast("long")) / 10000.0)
+            .alias("total_value"),
         )
         .select(
             F.col("win.start").alias("window_start"),
@@ -108,7 +109,8 @@ def session_windows(events: DataFrame, gap: str = SESSION_GAP,
         .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            (F.sum(F.round(F.col("value") * 10000).cast("long")) / 10000.0)
+            .alias("session_value"),
         )
         .select(
             F.col("win.start").alias("session_start"),
@@ -147,7 +149,7 @@ _SESSION_OUT_DDL = (
     "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, "
     "n_events BIGINT, session_value DOUBLE"
 )
-_SESSION_STATE_DDL = "start_us BIGINT, last_us BIGINT, n BIGINT, v DOUBLE"
+_SESSION_STATE_DDL = "start_us BIGINT, last_us BIGINT, n BIGINT, v BIGINT"
 
 
 def stateful_sessionize(events: DataFrame,
@@ -176,7 +178,7 @@ def stateful_sessionize(events: DataFrame,
                 "session_start": [pd.Timestamp(s[1], unit="us") for s in sessions],
                 "session_end": [pd.Timestamp(s[2], unit="us") for s in sessions],
                 "n_events": [s[3] for s in sessions],
-                "session_value": [round(s[4], 2) for s in sessions],
+                "session_value": [s[4] / 10000.0 for s in sessions],
             }
         )
 
@@ -195,19 +197,21 @@ def stateful_sessionize(events: DataFrame,
         if state.exists:
             start_us, last_us, n, v = state.get
         else:
-            start_us, last_us, n, v = int(us[0]), int(us[0]), 0, 0.0
+            start_us, last_us, n, v = int(us[0]), int(us[0]), 0, 0
         out = []
         for t, val in zip(us, vals):
             t = int(t)
             if n > 0 and t - last_us > gap_us:
                 out.append((user_id, start_us, last_us, n, v))
-                n, v = 0, 0.0
+                n, v = 0, 0
             if n == 0:
                 start_us = t
             n += 1
-            v += float(val)
+            # exact integer units, matching the batch operator's
+            # sum(round(value*10000)) so stream == batch bit-for-bit
+            v += int(round(float(val) * 10000))
             last_us = t
-        state.update((int(start_us), int(last_us), int(n), float(v)))
+        state.update((int(start_us), int(last_us), int(n), int(v)))
         state.setTimeoutTimestamp((int(last_us) + gap_us) // 1000)
         if out:
             yield _emit(pd, out)

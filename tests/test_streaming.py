@@ -26,7 +26,8 @@ def test_tumbling_stream_equals_batch(spark, batch_events):
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            (F.sum(F.round(F.col("value") * 10000).cast("long")) / 10000.0)
+            .alias("total_value"),
         )
         .orderBy("window_start", "event_type")
     )
