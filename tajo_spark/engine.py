@@ -204,5 +204,26 @@ class Engine:
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
 
-    def tables(self) -> list[str]:
-        return [t.name for t in self.spark.catalog.listTables()]
+    def tables(self, database: str | None = None) -> list[str]:
+        """tsql ``\\d`` — list tables (TajoCli meta-command parity)."""
+        args = (database,) if database else ()
+        return [t.name for t in self.spark.catalog.listTables(*args)]
+
+    def databases(self) -> list[str]:
+        """tsql ``\\l`` — list databases."""
+        return [d.name for d in self.spark.catalog.listDatabases()]
+
+    def describe_table(self, name: str) -> list[tuple[str, str]]:
+        """tsql ``\\d <table>`` — (column, type) pairs."""
+        return [
+            (f.name, f.dataType.simpleString())
+            for f in self.spark.table(name).schema.fields
+        ]
+
+    def functions(self, pattern: str | None = None) -> list[str]:
+        """tsql ``\\df`` — list functions (built-ins + registered UDFs);
+        reference analogue: FunctionsResource / catalog function list."""
+        fns = [f.name for f in self.spark.catalog.listFunctions()]
+        if pattern:
+            fns = [f for f in fns if pattern.lower() in f.lower()]
+        return sorted(fns)

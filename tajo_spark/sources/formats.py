@@ -185,3 +185,31 @@ def read_jdbc(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+# --- KAFKA -------------------------------------------------------------------
+def read_kafka_batch(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    ending_offsets: str = "latest",
+) -> DataFrame:
+    """KafkaTablespace parity (KafkaScanner.java reads fixed offset
+    ranges as batch fragments): Spark's kafka datasource does exactly
+    this with ``startingOffsets``/``endingOffsets``. Gated — needs
+    spark-sql-kafka on the classpath and a reachable broker."""
+    try:
+        return (
+            spark.read.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .option("endingOffsets", ending_offsets)
+            .load()
+        )
+    except Exception as e:
+        raise NotImplementedError(
+            "kafka datasource not on classpath; add "
+            "org.apache.spark:spark-sql-kafka-0-10"
+        ) from e

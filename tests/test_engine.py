@@ -200,3 +200,16 @@ def test_execute_script(engine):
     assert results[0] is None  # session directive
     assert results[1].collect()[0].one == 1
     assert results[2].collect()[0].s == "x;y"
+
+
+def test_catalog_meta_commands(engine, spark):
+    from tajo_spark.catalog import register_tables
+
+    register_tables(spark, SF_DIR, ("nation",))
+    assert "nation" in engine.tables()
+    assert "default" in engine.databases()
+    cols = dict(engine.describe_table("nation"))
+    assert cols["n_nationkey"] == "int" and cols["n_name"] == "string"
+    fns = engine.functions("strposb")
+    assert "strposb" in fns
+    assert "upper" in engine.functions("upper")
