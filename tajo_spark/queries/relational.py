@@ -740,3 +740,86 @@ def nested_join_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_cust"))
     )
+
+
+@query(
+    "join_right_semi",
+    "join",
+    doc="RIGHT SEMI join — reference executes it by swapping operands "
+    "onto the left variant (PhysicalPlannerImpl.createRightSemiJoinPlan, "
+    "PhysicalPlannerImpl.java:681-758); Spark has native right-side "
+    "pushdown via left_semi with reversed inputs.",
+    oracle="""
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem
+                            WHERE l_quantity > 45)
+    """,
+)
+def join_right_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    supp = load_table(spark, sf_dir, "supplier")
+    # right-semi(li, supp) == left-semi(supp, li) — the reference's swap
+    return supp.join(
+        li, supp.s_suppkey == li.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@query(
+    "join_right_anti",
+    "join",
+    doc="RIGHT ANTI join via operand swap (PhysicalPlannerImpl.java:681 "
+    "builds HashLeftAntiJoinExec with reversed children).",
+    oracle="""
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem
+                                WHERE l_quantity > 45)
+    """,
+)
+def join_right_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    supp = load_table(spark, sf_dir, "supplier")
+    return supp.join(
+        li, supp.s_suppkey == li.l_suppkey, "left_anti"
+    ).select("s_suppkey", "s_name")
+
+
+@query(
+    "subq_cte_chain",
+    "subquery",
+    doc="Multi-CTE chain through the SQL path (WITH ... referencing an "
+    "earlier CTE) — grammar SQLParser.g4 WITH support; executes via "
+    "spark.sql with both CTEs inlined by Catalyst.",
+    oracle="""
+        WITH big_orders AS (
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_totalprice > 150000),
+        per_cust AS (
+            SELECT o_custkey, count(*) AS n_big,
+                   round(sum(o_totalprice), 2) AS total
+            FROM big_orders GROUP BY o_custkey)
+        SELECT c_mktsegment, count(*) AS n_cust,
+               round(sum(total), 2) AS segment_total
+        FROM per_cust, customer
+        WHERE o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+)
+def subq_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+        WITH big_orders AS (
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_totalprice > 150000),
+        per_cust AS (
+            SELECT o_custkey, count(*) AS n_big,
+                   round(sum(o_totalprice), 2) AS total
+            FROM big_orders GROUP BY o_custkey)
+        SELECT c_mktsegment, count(*) AS n_cust,
+               round(sum(total), 2) AS segment_total
+        FROM per_cust JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """
+    )
