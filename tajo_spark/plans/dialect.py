@@ -156,8 +156,84 @@ def _translate_options(opts: str) -> str:
     return ", ".join(out)
 
 
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas at paren/angle depth 0."""
+    parts, buf, depth = [], [], 0
+    for c in s:
+        if c in "(<":
+            depth += 1
+        elif c in ")>":
+            depth -= 1
+        if c == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+    if buf:
+        parts.append("".join(buf))
+    return parts
+
+
+def convert_record_types(cols: str) -> str:
+    """Tajo nested-record DDL → Spark struct DDL:
+    ``name RECORD (a TEXT, b RECORD (c TEXT))`` →
+    ``name STRUCT<a: STRING, b: STRUCT<c: STRING>>`` (recursively).
+    Reference: queries/TestSelectNestedRecord/sample0_ddl.sql:1."""
+    out: list[str] = []
+    i = 0
+    while i < len(cols):
+        m = re.match(r"RECORD\s*\(", cols[i:], re.IGNORECASE)
+        if m:
+            start = i + m.end()
+            depth, j = 1, start
+            while j < len(cols) and depth:
+                if cols[j] == "(":
+                    depth += 1
+                elif cols[j] == ")":
+                    depth -= 1
+                j += 1
+            inner = convert_record_types(cols[start : j - 1])
+            fields = []
+            for f in _split_top_level(inner):
+                name, typ = f.strip().split(None, 1)
+                fields.append(f"{name}: {typ}")
+            out.append("STRUCT<" + ", ".join(fields) + ">")
+            i = j
+        else:
+            out.append(cols[i])
+            i += 1
+    return "".join(out)
+
+
+def _extract_column_list(sql: str) -> tuple[str, str | None]:
+    """Pull the balanced (...) column list out of a CREATE TABLE head so
+    nested RECORD parens don't confuse the statement regex. Returns
+    (sql_with_placeholder, cols) — cols None when schemaless (CTAS /
+    self-describing)."""
+    head = re.match(
+        r"^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"[\w.\"]+\s*",
+        sql,
+        re.IGNORECASE,
+    )
+    if not head or head.end() >= len(sql) or sql[head.end()] != "(":
+        return sql, None
+    depth, j = 0, head.end()
+    while j < len(sql):
+        if sql[j] == "(":
+            depth += 1
+        elif sql[j] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        j += 1
+    cols = sql[head.end() + 1 : j]
+    return sql[: head.end()] + "(#COLS#)" + sql[j + 1 :], cols
+
+
 def translate_create_table(sql: str) -> str:
-    m = _CREATE_RE.match(sql.strip().rstrip(";"))
+    sql, cols_body = _extract_column_list(sql.strip().rstrip(";"))
+    m = _CREATE_RE.match(sql)
     if not m:
         return sql
     fmt = (m.group("fmt") or "PARQUET").upper()
@@ -167,11 +243,16 @@ def translate_create_table(sql: str) -> str:
             f"storage format {fmt} has no Spark datasource "
             "(BuiltinStorages.java parity gap; see sources/)"
         )
+    cols_sql = ""
+    if cols_body is not None:
+        cols_sql = "(" + translate_type_names(
+            convert_record_types(cols_body)
+        ) + ")"
     parts = [
         "CREATE TABLE",
         m.group(2) or "",
         m.group("name"),
-        translate_type_names(m.group("cols")) if m.group("cols") else "",
+        cols_sql,
         f"USING {spark_fmt}",
     ]
     if m.group("opts"):

@@ -213,3 +213,41 @@ def test_catalog_meta_commands(engine, spark):
     fns = engine.functions("strposb")
     assert "strposb" in fns
     assert "upper" in engine.functions("upper")
+
+
+def test_record_type_ddl_translation():
+    out = dialect.translate(
+        "CREATE EXTERNAL TABLE tweets (title TEXT, "
+        "name RECORD (first_name TEXT, last_name TEXT)) "
+        "USING JSON LOCATION '/x'"
+    )
+    assert "name STRUCT<first_name: STRING, last_name: STRING>" in out
+    assert "title STRING" in out and "USING json" in out
+    # nested-in-nested
+    out2 = dialect.translate(
+        "CREATE TABLE t (a RECORD (b TEXT, c RECORD (d INT4))) USING PARQUET"
+    )
+    assert "a STRUCT<b: STRING, c: STRUCT<d: INT>>" in out2
+
+
+def test_nested_record_ddl_end_to_end(engine, spark, tmp_path):
+    # TestSelectNestedRecord parity: JSON table with RECORD column DDL,
+    # nested projection through the SQL path
+    p = str(tmp_path / "tweets")
+    spark.createDataFrame(
+        [("Hand of the King", ("Eddard", "Stark")),
+         ("Queen", ("Cersei", "Lannister"))],
+        "title STRING, name STRUCT<first_name: STRING, last_name: STRING>",
+    ).write.json(p)
+    engine.execute_sql(
+        f"CREATE EXTERNAL TABLE tweets_t (title TEXT, "
+        f"name RECORD (first_name TEXT, last_name TEXT)) "
+        f"USING JSON LOCATION '{p}'"
+    )
+    rows = engine.execute_sql(
+        "SELECT title, name.first_name AS fn FROM tweets_t ORDER BY title"
+    ).collect()
+    assert [(r.title, r.fn) for r in rows] == [
+        ("Hand of the King", "Eddard"), ("Queen", "Cersei"),
+    ]
+    engine.execute_sql("DROP TABLE tweets_t")
