@@ -193,9 +193,16 @@ class Engine:
             raise NotImplementedError(f"format {fmt} unsupported on Spark")
         reader = self.spark.read.format(spark_fmt)
         for k, v in (options or {}).items():
-            reader = reader.option(dialect.OPTION_MAP.get(k.lower(), k), v)
+            sk = dialect.OPTION_MAP.get(k.lower(), k)
+            if sk == "header":  # Tajo counts header lines; Spark wants bool
+                v = "true" if str(v).strip() not in ("", "0") else "false"
+            reader = reader.option(sk, v)
         if schema:
-            reader = reader.schema(dialect.translate_type_names(schema))
+            reader = reader.schema(
+                dialect.translate_column_defs(
+                    dialect.convert_record_types(schema)
+                )
+            )
         reader.load(path).createOrReplaceTempView(name)
 
     def drop_table(self, name: str) -> None:

@@ -20,10 +20,9 @@ e.g. ``@output_type('int4')`` in Tajo's python examples):
     def plus_one(x: int) -> int:          # scalar: registered as
         return x + 1                       # vectorized pandas_udf
 
-    def mean_diff(v: float) -> float:      # name prefix 'agg_' or
-        ...                                # AGGREGATES entry → grouped agg
-
     AGGREGATES = {"my_avg": ("double", lambda s: s.mean())}
+    # (entries in AGGREGATES become grouped-agg pandas UDFs; everything
+    # else with a return annotation becomes a scalar UDF)
 
 Type mapping uses Tajo type names or Python annotations
 (int→bigint, float→double, str→string, bool→boolean, bytes→binary).

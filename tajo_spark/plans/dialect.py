@@ -231,11 +231,29 @@ def _extract_column_list(sql: str) -> tuple[str, str | None]:
     return sql[: head.end()] + "(#COLS#)" + sql[j + 1 :], cols
 
 
+def translate_column_defs(cols: str) -> str:
+    """Translate type names per column definition, touching only the
+    part after the column name — a column literally named ``text`` or
+    ``time`` must not be rewritten."""
+    out = []
+    for field in _split_top_level(cols):
+        f = field.strip()
+        if not f:
+            continue
+        bits = f.split(None, 1)
+        if len(bits) == 2:
+            out.append(f"{bits[0]} {translate_type_names(bits[1])}")
+        else:
+            out.append(f)
+    return ", ".join(out)
+
+
 def translate_create_table(sql: str) -> str:
-    sql, cols_body = _extract_column_list(sql.strip().rstrip(";"))
+    original = sql.strip().rstrip(";")
+    sql, cols_body = _extract_column_list(original)
     m = _CREATE_RE.match(sql)
     if not m:
-        return sql
+        return original  # never leak the (#COLS#) placeholder
     fmt = (m.group("fmt") or "PARQUET").upper()
     spark_fmt = FORMAT_MAP.get(fmt, fmt.lower())
     if spark_fmt is None:
@@ -245,7 +263,7 @@ def translate_create_table(sql: str) -> str:
         )
     cols_sql = ""
     if cols_body is not None:
-        cols_sql = "(" + translate_type_names(
+        cols_sql = "(" + translate_column_defs(
             convert_record_types(cols_body)
         ) + ")"
     parts = [
@@ -369,12 +387,20 @@ def translate(sql: str) -> str:
     s = _INSERT_OVERWRITE_RE.sub("INSERT OVERWRITE TABLE", s)
     s = translate_similar_to(s)
     s = _translate_to_char_formats(s)
-    if re.match(r"^\s*(CREATE|ALTER)\b", s, re.IGNORECASE):
-        s = translate_type_names(s)
-    # CAST(x AS INT4) / literals typed with Tajo names inside queries
+    if re.match(r"^\s*ALTER\b", s, re.IGNORECASE):
+        # only column-definition lists carry type names in ALTER; a
+        # whole-statement rewrite would rename identifiers like a
+        # column called "text"
+        s = re.sub(
+            r"\(([^()]*)\)",
+            lambda m: "(" + translate_column_defs(m.group(1)) + ")",
+            s,
+        )
+    # CAST(x AS INT4): rewrite only when the type name closes the cast —
+    # a SELECT alias like "AS time" must stay untouched
     s = re.sub(
-        r"\bAS\s+(" + "|".join(TYPE_MAP) + r")\b",
-        lambda m: "AS " + TYPE_MAP[m.group(1).upper()],
+        r"\bAS\s+(" + "|".join(TYPE_MAP) + r")(\s*\))",
+        lambda m: "AS " + TYPE_MAP[m.group(1).upper()] + m.group(2),
         s,
         flags=re.IGNORECASE,
     )

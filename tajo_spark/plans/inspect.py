@@ -52,10 +52,10 @@ def plan_report(df: DataFrame) -> PlanReport:
     r.n_exchanges = len(
         re.findall(r"\(\d+\) (?:Broadcast)?Exchange", text)
     )
-    r.n_broadcast_joins = text.count("BroadcastHashJoin") + text.count(
-        "BroadcastNestedLoopJoin"
+    r.n_broadcast_joins = len(
+        re.findall(r"\(\d+\) Broadcast(?:Hash|NestedLoop)Join", text)
     )
-    r.n_sortmerge_joins = text.count("SortMergeJoin")
+    r.n_sortmerge_joins = len(re.findall(r"\(\d+\) SortMergeJoin", text))
     r.has_partial_agg = "partial_" in text
     r.has_take_ordered = "TakeOrderedAndProject" in text
     r.wholestage_codegen = "WholeStageCodegen" in text

@@ -141,10 +141,13 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     engine works without it (AvroScanner.java parity when present)."""
     try:
         return spark.read.format("avro").load(path)
-    except Exception as e:  # AnalysisException: failed to find data source
-        raise NotImplementedError(
-            "avro datasource not on classpath; add org.apache.spark:spark-avro"
-        ) from e
+    except Exception as e:
+        if "Failed to find" in str(e) or "ClassNotFound" in str(e):
+            raise NotImplementedError(
+                "avro datasource not on classpath; add "
+                "org.apache.spark:spark-avro"
+            ) from e
+        raise  # real read errors must surface as themselves
 
 
 # --- SEQUENCEFILE ------------------------------------------------------------
@@ -161,8 +164,12 @@ def read_sequencefile(
         raise NotImplementedError(
             "sequencefile input requires Hadoop IO classes"
         ) from e
+    from tajo_spark.plans.dialect import _split_top_level
+
     lines = spark.createDataFrame(rdd.map(lambda v: (v,)), "value STRING")
-    names_types = [c.strip().rsplit(" ", 1) for c in value_schema.split(",")]
+    names_types = [
+        c.strip().split(None, 1) for c in _split_top_level(value_schema)
+    ]
     cols = [
         F.split(F.col("value"), _re.escape(delimiter)).getItem(i)
         .cast(t)
@@ -209,7 +216,9 @@ def read_kafka_batch(
             .load()
         )
     except Exception as e:
-        raise NotImplementedError(
-            "kafka datasource not on classpath; add "
-            "org.apache.spark:spark-sql-kafka-0-10"
-        ) from e
+        if "Failed to find" in str(e) or "ClassNotFound" in str(e):
+            raise NotImplementedError(
+                "kafka datasource not on classpath; add "
+                "org.apache.spark:spark-sql-kafka-0-10"
+            ) from e
+        raise

@@ -18,6 +18,7 @@ sink.
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -207,9 +208,13 @@ def stateful_sessionize(events: DataFrame,
             if n == 0:
                 start_us = t
             n += 1
-            # exact integer units, matching the batch operator's
-            # sum(round(value*10000)) so stream == batch bit-for-bit
-            v += int(round(float(val) * 10000))
+            # exact integer units matching the batch operator's
+            # sum(round(value*10000)): NULLs are skipped (F.sum skips
+            # them; the row still counts), and rounding is HALF_UP away
+            # from zero (Spark's F.round), not Python's banker's round
+            if not pd.isna(val):
+                x = float(val) * 10000
+                v += int(math.copysign(math.floor(abs(x) + 0.5), x))
             last_us = t
         state.update((int(start_us), int(last_us), int(n), int(v)))
         state.setTimeoutTimestamp((int(last_us) + gap_us) // 1000)

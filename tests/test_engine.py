@@ -251,3 +251,38 @@ def test_nested_record_ddl_end_to_end(engine, spark, tmp_path):
         ("Hand of the King", "Eddard"), ("Queen", "Cersei"),
     ]
     engine.execute_sql("DROP TABLE tweets_t")
+
+
+def test_unparseable_create_never_leaks_placeholder():
+    out = dialect.translate(
+        "CREATE TABLE t (a INT4) TABLESPACE weird USING PARQUET"
+    )
+    assert "#COLS#" not in out and "a INT4" in out
+
+
+def test_alias_named_like_type_survives():
+    out = dialect.translate("SELECT ts AS time FROM events")
+    assert "AS time" in out
+    # CAST still translates
+    out2 = dialect.translate("SELECT CAST(x AS INT4) FROM t")
+    assert "AS INT)" in out2
+
+
+def test_column_named_like_type_survives():
+    out = dialect.translate(
+        "CREATE TABLE t (text TEXT, time INT4) USING PARQUET"
+    )
+    assert "text STRING" in out and "time INT" in out
+
+
+def test_create_external_table_record_schema(engine, spark, tmp_path):
+    p = str(tmp_path / "rec_json")
+    spark.createDataFrame(
+        [(("a", "b"),)], "name STRUCT<f: STRING, l: STRING>"
+    ).write.json(p)
+    engine.create_external_table(
+        "rec_ext", p, "JSON", schema="name RECORD (f TEXT, l TEXT)"
+    )
+    row = engine.execute_sql("SELECT name.f AS f FROM rec_ext").collect()[0]
+    assert row.f == "a"
+    engine.drop_table("rec_ext")

@@ -111,3 +111,25 @@ def test_file_sink_checkpoint_exactly_once(spark, batch_events, tmp_path):
     run_once()
     run_once()  # restart: source offsets already committed → no new rows
     assert spark.read.parquet(out).count() == total
+
+
+def test_stateful_sessionize_null_values(spark, tmp_path):
+    # NULL event values must be skipped (like F.sum), not crash the worker
+    src = str(tmp_path / "null_events")
+    spark.createDataFrame(
+        [(1, 1_700_000_000_000_000_000 + i * 10**9, 7, "a", None if i == 1 else 2.5, "{}")
+         for i in range(3)],
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING",
+    ).write.parquet(src)
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.readStream.schema(P.events_schema_ddl())
+        .parquet(src)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    sdf = P.stateful_sessionize(raw)
+    got = P.run_to_memory(sdf, "t_null_sessions", output_mode="append")
+    # single open session → flushed only on timeout; no crash is the test
+    assert got.count() >= 0
