@@ -530,3 +530,39 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb, query_vec_id=0, k=10, n_centroids=8,
                                nprobe=2)
+
+
+@query(
+    "dedup_apply",
+    "datapipe",
+    doc="End-to-end dedup application: return the corpus with exact "
+    "duplicates removed, keeping the lowest doc_id per content hash — "
+    "the materialization step after candidate analysis. One shuffle on "
+    "the fingerprint; survivors join back broadcast-free via semi-join "
+    "on (fp, doc_id).",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, source, lang, n_chars,
+                   row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn
+            FROM documents)
+        SELECT doc_id, source, lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.row_number()
+        .over(
+            W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+        )
+        .alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).drop("rn")
