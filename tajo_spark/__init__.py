@@ -10,4 +10,14 @@ the reference's optimizer rules to a built-in Catalyst rule).
 from tajo_spark.session import build_spark
 from tajo_spark.catalog import register_tables, load_table
 
-__all__ = ["build_spark", "register_tables", "load_table"]
+
+def engine(*args, **kwargs):
+    """Convenience constructor for the client API:
+    ``tajo_spark.engine().execute_sql(...)``. Lazy import keeps bare
+    ``import tajo_spark`` free of SparkSession side effects."""
+    from tajo_spark.engine import Engine
+
+    return Engine(*args, **kwargs)
+
+
+__all__ = ["build_spark", "register_tables", "load_table", "engine"]
