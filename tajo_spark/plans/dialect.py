@@ -325,6 +325,29 @@ _INSERT_OVERWRITE_RE = re.compile(
     r"\bINSERT\s+OVERWRITE\s+INTO\b", re.IGNORECASE
 )
 
+# INSERT [OVERWRITE] INTO LOCATION 'path' [USING fmt] — path-target
+# inserts (InsertNode, LogicalPlanner.java:1589-1610) → Spark
+# INSERT OVERWRITE DIRECTORY 'path' USING fmt
+_INSERT_LOCATION_RE = re.compile(
+    r"^\s*INSERT\s+(?:OVERWRITE\s+)?INTO\s+LOCATION\s+'(?P<loc>[^']+)'"
+    r"(?:\s+USING\s+(?P<fmt>\w+))?\s+(?P<body>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def translate_insert_location(sql: str) -> str | None:
+    m = _INSERT_LOCATION_RE.match(sql)
+    if not m:
+        return None
+    fmt = (m.group("fmt") or "PARQUET").upper()
+    spark_fmt = FORMAT_MAP.get(fmt, fmt.lower())
+    if spark_fmt is None:
+        raise NotImplementedError(f"format {fmt} unsupported on Spark")
+    return (
+        f"INSERT OVERWRITE DIRECTORY '{m.group('loc')}' "
+        f"USING {spark_fmt} {m.group('body')}"
+    )
+
 # --- to_char PostgreSQL format codes ----------------------------------------
 _PG_CODES = ("YYYY", "HH24", "HH12", "MI", "DD", "DY", "MS")
 
@@ -384,6 +407,9 @@ def translate(sql: str) -> str:
     s = sql.strip().rstrip(";")
     if re.match(r"^\s*CREATE\s+(EXTERNAL\s+)?TABLE\b", s, re.IGNORECASE):
         return translate_create_table(s)
+    loc = translate_insert_location(s)
+    if loc is not None:
+        return loc
     s = _INSERT_OVERWRITE_RE.sub("INSERT OVERWRITE TABLE", s)
     s = translate_similar_to(s)
     s = _translate_to_char_formats(s)

@@ -286,3 +286,20 @@ def test_create_external_table_record_schema(engine, spark, tmp_path):
     row = engine.execute_sql("SELECT name.f AS f FROM rec_ext").collect()[0]
     assert row.f == "a"
     engine.drop_table("rec_ext")
+
+
+def test_insert_into_location(engine, spark, tmp_path):
+    # InsertNode path-target parity (LogicalPlanner.java:1589-1610)
+    p = str(tmp_path / "ins_loc")
+    engine.execute_sql(
+        f"INSERT OVERWRITE INTO LOCATION '{p}' "
+        "SELECT 1 AS a, 'x' AS b"
+    )
+    back = spark.read.parquet(p)
+    assert [(r.a, r.b) for r in back.collect()] == [(1, "x")]
+    # csv variant with USING
+    p2 = str(tmp_path / "ins_loc_csv")
+    engine.execute_sql(
+        f"INSERT INTO LOCATION '{p2}' USING TEXT SELECT 2 AS a"
+    )
+    assert spark.read.csv(p2).count() == 1
