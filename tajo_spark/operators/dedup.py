@@ -124,9 +124,15 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, h0..h{n-1}) MinHash signatures.
 
-    h_s = min over shingles of md5(s || ':' || shingle). String-min over
-    hex md5 is a valid uniform hash order; seeds are literal prefixes so
-    any SQL engine reproduces it.
+    h_s = min over shingles of an 8-hex-char (32-bit) slice of a seeded
+    md5: slice j of md5(seed || ':' || shingle) gives hash s = seed*4+j.
+    One md5 yields four independent 32-bit sub-hashes, so the hot loop
+    computes ceil(num_hashes/4) digests per shingle instead of
+    num_hashes (4× less hashing CPU at identical statistical quality —
+    min over a 32-bit uniform keeps ample entropy at any realistic
+    shingle count). String-min over fixed-width hex is a valid uniform
+    hash order; seeds are literal prefixes so any SQL engine reproduces
+    the exact values.
 
     Plan shape (scale-critical): the shingle array is materialized ONCE
     per document in its own projection, exploded to one row per shingle,
@@ -145,12 +151,20 @@ def minhash_signatures(
     sh = tok.select(
         "doc_id", F.explode(shingles_from_tokens(F.col("w"))).alias("sh")
     )
-    hashed = sh.select(
+    n_seeds = (num_hashes + 3) // 4
+    digests = sh.select(
         "doc_id",
         *[
-            F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")).cast("binary")).alias(
-                f"m{s}"
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col("sh")).cast("binary")).alias(
+                f"d{seed}"
             )
+            for seed in range(n_seeds)
+        ],
+    )
+    hashed = digests.select(
+        "doc_id",
+        *[
+            F.substring(f"d{s // 4}", 1 + 8 * (s % 4), 8).alias(f"m{s}")
             for s in range(num_hashes)
         ],
     )

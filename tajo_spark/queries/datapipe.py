@@ -68,8 +68,11 @@ def _minhash_pairs_cte() -> str:
     pairs; shared by the minhash query and the Jaccard verify stage."""
     nh, nb = dedup.NUM_HASHES, dedup.NUM_BANDS
     rpb = nh // nb
+    # hash s = 8-hex-char slice (s % 4) of md5 seeded with (s // 4) —
+    # mirror of dedup.minhash_signatures' one-digest-four-subhash scheme
     sig_cols = ",\n               ".join(
-        f"list_min(list_transform(s, x -> md5('{s}:' || x))) AS h{s}"
+        f"list_min(list_transform(s, x -> "
+        f"substr(md5('{s // 4}:' || x), {1 + 8 * (s % 4)}, 8))) AS h{s}"
         for s in range(nh)
     )
     band_cols = ",\n               ".join(
@@ -120,8 +123,9 @@ def _minhash_oracle() -> str:
     "dedup_minhash_pairs",
     "datapipe",
     doc="MinHash+LSH near-duplicate candidate pairs: 3-word shingles → "
-    "8 md5 minhashes → 4 bands → band-key self-join. The banding join "
-    "replaces the quadratic all-pairs scan (the web-scale dedup shape).",
+    "8 minhashes (32-bit slices of 2 seeded md5s) → 4 bands → band-key "
+    "bucketing. Banding replaces the quadratic all-pairs scan (the "
+    "web-scale dedup shape).",
     oracle=_minhash_oracle(),
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
