@@ -70,6 +70,7 @@ def all_queries() -> dict[str, QuerySpec]:
         datapipe,
         functions_q,
         relational,
+        temporal_q,
         tpch,
         windows_q,
     )
