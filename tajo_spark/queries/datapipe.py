@@ -570,3 +570,96 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rn"),
     )
     return ranked.filter(F.col("rn") == 1).drop("rn")
+
+
+@query(
+    "sample_hash_split",
+    "datapipe",
+    doc="Reproducible train/val/test split from an md5-prefix bucket of "
+    "the stable doc_id (operators/sampling.py::split_column) — pure "
+    "per-row projection, no shuffle beyond the audit groupBy, identical "
+    "membership on every engine/run/partitioning (unlike RNG sampling).",
+    oracle="""
+        WITH labeled AS (
+            SELECT CASE
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                       THEN 'train'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                       THEN 'val'
+                     ELSE 'test' END AS split,
+                   n_chars
+            FROM documents)
+        SELECT split, count(*) AS n_docs,
+               round(avg(n_chars), 2) AS avg_chars
+        FROM labeled GROUP BY split
+    """,
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            sampling.split_column(F.col("doc_id")).alias("split"), "n_chars"
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
+
+
+@query(
+    "sample_deterministic_rows",
+    "datapipe",
+    doc="Row-level deterministic ~10% sample via 16-bit md5-prefix "
+    "threshold (operators/sampling.py::deterministic_sample) — "
+    "filter-only plan, reproducible row membership across engines.",
+    oracle="""
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+    """,
+)
+def sample_deterministic_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert sampling.sample_threshold_hex(0.1) == "1999"
+    return sampling.deterministic_sample(docs, "doc_id", 0.1).select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+@query(
+    "text_term_topk",
+    "datapipe",
+    doc="Corpus vocabulary: top-100 terms by term frequency with "
+    "document frequency — explode tokens, one groupBy shuffle with "
+    "map-side partial agg, TakeOrderedAndProject top-k (never a global "
+    "sort). The vocab-building step of a tokenizer pipeline.",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+            FROM documents)
+        SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+        FROM tok WHERE term <> ''
+        GROUP BY term ORDER BY tf DESC, term LIMIT 100
+    """,
+)
+def text_term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(100)
+    )

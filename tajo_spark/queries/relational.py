@@ -260,6 +260,33 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_percentiles",
+    "aggregate",
+    doc="Exact percentile aggregates (linear interpolation): Spark "
+    "percentile == DuckDB quantile_cont. Superset — the reference has "
+    "no percentile builtin. Note: exact percentile buffers group values; "
+    "at 100 TB use approx_percentile (t-digest sketch, mergeable "
+    "partials) — same API shape, sketch checked rows-only elsewhere.",
+    oracle="""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+               round(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
+               round(quantile_cont(l_extendedprice, 0.90), 2) AS p90,
+               round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.percentile("l_extendedprice", F.lit(p)), 2).alias(name)
+            for p, name in [(0.25, "p25"), (0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
+        ]
+    )
+
+
+@query(
     "agg_string_agg",
     "aggregate",
     doc="string_agg — ref engine/function/builtin/StringAgg.java. Order "

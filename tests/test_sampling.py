@@ -1,0 +1,42 @@
+"""Deterministic sampling operator tests (operators/sampling.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tajo_spark.operators import sampling
+
+
+def test_sample_stable_under_repartition(spark):
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    a = {r.k for r in sampling.deterministic_sample(df, "k", 0.2).collect()}
+    b = {
+        r.k
+        for r in sampling.deterministic_sample(
+            df.repartition(17, "k"), "k", 0.2
+        ).collect()
+    }
+    assert a == b
+    # within 3 percentage points of the target fraction
+    assert abs(len(a) / 5000 - 0.2) < 0.03
+
+
+def test_split_column_partitions_everything(spark):
+    df = spark.range(0, 4000).select(
+        sampling.split_column(F.col("id")).alias("s")
+    )
+    counts = {r.s: r.n for r in df.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 4000
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+
+def test_sample_is_filter_only_plan(spark):
+    df = spark.range(0, 10).withColumnRenamed("id", "k")
+    plan = (
+        sampling.deterministic_sample(df, "k", 0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
