@@ -232,3 +232,70 @@ def stateful_sessionize(events: DataFrame,
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming dedup & stream-stream join
+# --------------------------------------------------------------------------
+
+
+def dedup_stream(events: DataFrame, id_col: str = "event_id",
+                 watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Streaming exact dedup: repair an at-least-once source (Kafka
+    redelivery, file re-ingest) into exactly-once rows by id.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per id only
+    until the watermark passes its event time, so state is bounded by
+    the ids seen inside one watermark horizon — not the stream's
+    lifetime (``dropDuplicates`` without a watermark would grow state
+    forever; the classic 100 TB/day footgun).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        [id_col]
+    )
+
+
+def click_purchase_join(events: DataFrame,
+                        horizon: str = "1 hour",
+                        watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to same-user
+    clicks in the preceding ``horizon`` (attribution). The streaming
+    twin of the batch keyed range join (operators/temporal.py).
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can size the join state buffer and evict rows
+    once they can no longer match — unbounded-state stream joins are
+    rejected by the planner by design.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}"))
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "purchase_ts",
+        "click_ts",
+        "purchase_value",
+    )

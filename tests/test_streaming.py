@@ -133,3 +133,52 @@ def test_stateful_sessionize_null_values(spark, tmp_path):
     got = P.run_to_memory(sdf, "t_null_sessions", output_mode="append")
     # single open session → flushed only on timeout; no crash is the test
     assert got.count() >= 0
+
+
+def test_dedup_stream_removes_redelivered_rows(spark, tmp_path):
+    # simulate at-least-once delivery: the same rows land twice with a
+    # slightly later arrival, one file per delivery (two micro-batch inputs)
+    src = str(tmp_path / "dup_events")
+    base = 1_700_000_000_000_000_000
+    rows = [
+        (i, base + i * 10**9, i % 3, "click", 1.0, "{}") for i in range(50)
+    ]
+    schema = P.events_schema_ddl()
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    raw = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    got = P.run_to_memory(
+        P.dedup_stream(raw), "t_dedup_stream", output_mode="append"
+    )
+    assert got.count() == 50
+    assert got.select("event_id").distinct().count() == 50
+
+
+def test_click_purchase_join_matches_batch_range_join(spark, batch_events):
+    sdf = P.click_purchase_join(P.stream_events(spark, SF_DIR))
+    got = P.run_to_memory(sdf, "t_cp_join", output_mode="append")
+
+    clicks = batch_events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = batch_events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    exp = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    got_pairs = {(r.purchase_id, r.click_id) for r in got.collect()}
+    exp_pairs = {(r.purchase_id, r.click_id) for r in exp.collect()}
+    assert got_pairs == exp_pairs and len(exp_pairs) > 0
