@@ -55,7 +55,11 @@ HEADLINE = [
     "dedup_simhash",
     "sim_cosine_topk",
     "text_metrics",
+    "text_term_topk",
     "events_sessionize",
+    "asof_join_events_orders",
+    "range_join_event_burst",
+    "sample_hash_split",
 ]
 
 

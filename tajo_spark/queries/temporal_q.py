@@ -55,36 +55,48 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "range_join_order_week_events",
+    "range_join_event_burst",
     "temporal",
-    doc="Keyed interval join: per order, activity of the same customer "
-    "in the 7 days from order date — equi-join on the key with the "
-    "range as residual filter (operators/temporal.py::range_join), so "
-    "the shuffle is keyed, never a nested loop.",
+    doc="Keyed interval self-join: per event, how many events the same "
+    "user produced in the strictly-preceding hour (burst/velocity "
+    "feature) — equi-join on the key with the range as residual filter "
+    "(operators/temporal.py::range_join), so the shuffle is keyed, "
+    "never a nested loop.",
     oracle="""
-        SELECT o.o_orderkey,
-               count(e.event_id) AS events_in_week,
-               round(coalesce(sum(e.value), 0), 2) AS value_in_week
-        FROM orders o LEFT JOIN events e
-          ON e.user_id = o.o_custkey
-         AND e.ts >= o.o_orderdate
-         AND e.ts < o.o_orderdate + INTERVAL 7 DAY
-        GROUP BY o.o_orderkey
+        SELECT a.event_id,
+               count(b.b_id) AS prior_events_1h,
+               round(coalesce(sum(b.b_value), 0), 2) AS prior_value_1h
+        FROM events a LEFT JOIN (
+            SELECT user_id AS b_user, ts AS b_ts, event_id AS b_id,
+                   value AS b_value
+            FROM events) b
+          ON b.b_user = a.user_id
+         AND b.b_ts >= a.ts - INTERVAL 1 HOUR
+         AND b.b_ts < a.ts
+        GROUP BY a.event_id
     """,
 )
-def range_join_order_week_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def range_join_event_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    orders = load_table(spark, sf_dir, "orders")
+    a = events.select("event_id", "user_id", "ts")
+    b = events.select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_id").alias("b_id"),
+        F.col("value").alias("b_value"),
+    )
     joined = temporal.range_join(
-        events.select("event_id", "user_id", "ts", "value"),
-        orders.select("o_orderkey", "o_custkey", "o_orderdate"),
-        on=[("user_id", "o_custkey")],
-        point="ts",
-        start=orders["o_orderdate"],
-        end=orders["o_orderdate"] + F.expr("INTERVAL 7 DAYS"),
+        b,
+        a,
+        on=[("b_user", "user_id")],
+        point="b_ts",
+        start=a["ts"] - F.expr("INTERVAL 1 HOUR"),
+        end=a["ts"],
         how="right",
     )
-    return joined.groupBy("o_orderkey").agg(
-        F.count("event_id").alias("events_in_week"),
-        F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("value_in_week"),
+    return joined.groupBy("event_id").agg(
+        F.count("b_id").alias("prior_events_1h"),
+        F.round(F.coalesce(F.sum("b_value"), F.lit(0.0)), 2).alias(
+            "prior_value_1h"
+        ),
     )
