@@ -663,3 +663,36 @@ def text_term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tf"), F.asc("term"))
         .limit(100)
     )
+
+
+@query(
+    "dedup_components",
+    "datapipe",
+    doc="Duplicate clusters: connected components over the MinHash+LSH "
+    "candidate pairs (operators/graph.py::connected_components — "
+    "iterative min-label propagation, lineage truncated per round). "
+    "Cluster id = min doc_id, the canonical survivor. Oracle: DuckDB "
+    "recursive CTE transitive closure (tractable at gate scale; the "
+    "Spark loop is the 100 TB path).",
+    oracle=f"""
+        WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+        cc_edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION
+            SELECT doc_b AS a, doc_a AS b FROM pairs),
+        reach(node, label) AS (
+            SELECT a, a FROM cc_edges
+            UNION
+            SELECT e.b, r.label FROM reach r JOIN cc_edges e ON e.a = r.node)
+        SELECT node AS doc_id, min(label) AS component
+        FROM reach GROUP BY node
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidate_pairs(docs)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )

@@ -1,0 +1,42 @@
+"""Connected-components operator tests (operators/graph.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tajo_spark.operators.graph import connected_components
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    return {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+
+
+def test_two_components(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_long_chain_converges(spark):
+    n = 12
+    got = _cc(spark, [(i, i + 1) for i in range(n)])
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+
+
+def test_cycle_and_cross_edges(spark):
+    got = _cc(spark, [(5, 6), (6, 7), (7, 5), (7, 2), (30, 31)])
+    assert got[5] == got[6] == got[7] == got[2] == 2
+    assert got[30] == got[31] == 30
+
+
+def test_matches_oracle_on_real_pairs(spark, ddb):
+    from tajo_spark.queries.registry import all_queries
+    import tests.conftest as C
+
+    spec = all_queries()["dedup_components"]
+    spdf = spec.spark(spark, C.SF_DIR).toPandas()
+    opdf = ddb.execute(spec.oracle).fetchdf()
+    C.assert_frames_match(spdf, opdf, "dedup_components")
