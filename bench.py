@@ -94,16 +94,20 @@ def main() -> None:
     # for the wide pipelines, pure single-run artifact: at production
     # scale a query compiles once and runs for minutes). noop sink, so
     # nothing is cached but code.
-    warm_dir = "/root/testdata/sf0.001"
-    if not os.path.isdir(warm_dir):
-        warm_dir = sf_dir
-    for name in HEADLINE:
-        try:
-            registry[name].spark(spark, warm_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-        except Exception as exc:  # warmup must never fail the bench
-            print(f"  warmup {name} skipped: {exc}", file=sys.stderr)
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(
+        sf_dir
+    ):
+        for name in HEADLINE:
+            try:
+                registry[name].spark(spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as exc:  # warmup must never fail the bench
+                print(f"  warmup {name} skipped: {exc}", file=sys.stderr)
+    # no tiny SF available → skip per-query warmup rather than scanning
+    # the measured SF untimed (which would pre-warm the page cache and
+    # make timings incomparable across hosts)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -48,6 +48,7 @@ def connected_components(
     labels = both.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
+    converged = False
     for _ in range(max_iter):
         # neighbor minimum: for each node, the smallest label adjacent
         # to it this round (map-side partial min before the shuffle)
@@ -75,4 +76,10 @@ def connected_components(
         labels = new_labels
         if converged:
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(label-propagation diameter exceeds max_iter); raise "
+            "max_iter or switch to the large-star/small-star variant"
+        )
     return labels.select("node", F.col("label").alias("component"))

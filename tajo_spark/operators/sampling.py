@@ -52,15 +52,23 @@ def deterministic_sample(
 ) -> DataFrame:
     """Keep ~``fraction`` of rows, chosen by a 16-bit md5-prefix
     threshold on ``id_col`` — the same rows on every run, engine, and
-    partitioning. Granularity is 1/65536."""
-    thresh = format(int(fraction * 65536), "04x")
+    partitioning. Granularity is 1/65536; ``fraction >= 1`` keeps
+    everything, ``<= 0`` keeps nothing."""
+    if fraction >= 1.0:
+        return df
+    if fraction <= 0.0:
+        return df.filter(F.lit(False))
     prefix = F.substring(
         F.md5(F.col(id_col).cast("string").cast("binary")), 1, 4
     )
-    return df.filter(prefix < F.lit(thresh))
+    return df.filter(prefix < F.lit(sample_threshold_hex(fraction)))
 
 
 def sample_threshold_hex(fraction: float) -> str:
-    """The 4-hex-char threshold ``deterministic_sample`` uses — exposed
-    so SQL oracles embed the identical literal."""
-    return format(int(fraction * 65536), "04x")
+    """The 4-hex-char threshold ``deterministic_sample`` compares
+    against — exposed so SQL oracles embed the identical literal. Only
+    meaningful for 0 < fraction < 1 (a 5-char '10000' would compare
+    wrongly against 4-char prefixes, so it is rejected)."""
+    if not 0.0 < fraction < 1.0:
+        raise ValueError(f"fraction must be in (0, 1), got {fraction}")
+    return format(min(int(fraction * 65536), 65535), "04x")

@@ -74,7 +74,15 @@ def asof_join(
     match_fields = [F.col(right_ts).alias("matched_ts")] + [
         F.col(v).alias(v) for v in right_vals
     ]
-    r = right.select(
+    tb_type = dict(right.dtypes)[tiebreak] if tiebreak else "int"
+    # SQL match semantics: a NULL key never equals anything and
+    # `ts >= NULL` is never true, so null-key/null-ts right rows can
+    # never be matched — drop them BEFORE the union (otherwise the
+    # window's null-key partition and null-first sort order would
+    # fabricate matches no SQL engine produces).
+    r = right.filter(
+        F.col(right_key).isNotNull() & F.col(right_ts).isNotNull()
+    ).select(
         F.col(right_key).alias(_KEY),
         F.col(right_ts).alias(_TS),
         F.lit(0).alias(_SIDE),
@@ -87,14 +95,24 @@ def asof_join(
         F.col(left_key).alias(_KEY),
         F.col(left_ts).alias(_TS),
         F.lit(1).alias(_SIDE),
-        F.lit(None).cast("int").alias("__tb"),
+        F.lit(None).cast(tb_type).alias("__tb"),
         F.lit(None).cast(match_type).alias(_MATCH),
     )
-    for c in left.columns:
-        r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    left_types = dict(left.dtypes)
+    r = r.select(
+        "*",
+        *[F.lit(None).cast(left_types[c]).alias(c) for c in left.columns],
+    )
     merged = l.unionByName(r.select(*l.columns))
 
-    ts_order = F.col(_TS).asc() if direction == "backward" else F.col(_TS).desc()
+    # null-ts LEFT rows must sort before every right row in scan order
+    # (match = NULL, mirroring `NULL >= ts` = false): asc is nulls-first
+    # already; desc needs it explicit.
+    ts_order = (
+        F.col(_TS).asc()
+        if direction == "backward"
+        else F.col(_TS).desc_nulls_first()
+    )
     w = (
         W.partitionBy(_KEY)
         .orderBy(ts_order, F.col(_SIDE).asc(), F.col("__tb").asc_nulls_last())
@@ -156,16 +174,23 @@ def bucketed_range_join(
     lb = left.withColumn("__bucket", F.floor(point_expr / bucket_width)).withColumn(
         "__p", point_expr
     )
+    # last bucket: the one holding the largest point < __e — an interval
+    # ending exactly on a boundary excludes that boundary's bucket
+    # (integer arithmetic, not a float epsilon that underflows at
+    # unix-timestamp magnitudes). Empty/inverted intervals (__e <= __s)
+    # are dropped BEFORE the explode: F.sequence would otherwise step
+    # DOWNWARD through a huge descending bucket range for one dirty row.
+    last_bucket = F.floor(F.col("__e") / bucket_width) - F.when(
+        F.col("__e") % bucket_width == 0, 1
+    ).otherwise(0)
     rb = (
         right.withColumn("__s", start_expr)
         .withColumn("__e", end_expr)
+        .filter(F.col("__e") > F.col("__s"))
         .withColumn(
             "__bucket",
             F.explode(
-                F.sequence(
-                    F.floor(F.col("__s") / bucket_width),
-                    F.floor((F.col("__e") - 1e-9) / bucket_width),
-                )
+                F.sequence(F.floor(F.col("__s") / bucket_width), last_bucket)
             ),
         )
     )

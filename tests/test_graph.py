@@ -40,3 +40,13 @@ def test_matches_oracle_on_real_pairs(spark, ddb):
     spdf = spec.spark(spark, C.SF_DIR).toPandas()
     opdf = ddb.execute(spec.oracle).fetchdf()
     C.assert_frames_match(spdf, opdf, "dedup_components")
+
+
+def test_raises_when_not_converged(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)

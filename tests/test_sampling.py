@@ -40,3 +40,14 @@ def test_sample_is_filter_only_plan(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_sample_full_and_zero_fractions(spark):
+    import pytest
+    from tajo_spark.operators.sampling import sample_threshold_hex
+
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    assert sampling.deterministic_sample(df, "k", 1.0).count() == 100
+    assert sampling.deterministic_sample(df, "k", 0.0).count() == 0
+    with pytest.raises(ValueError):
+        sample_threshold_hex(1.0)

@@ -59,15 +59,14 @@ def test_asof_tiebreak_picks_greatest(spark):
 
 
 def test_asof_matches_duckdb_asof(spark, ddb):
-    """Cross-engine check on real tables at the test SF."""
+    """Cross-engine value check on real tables at the test SF."""
     from tajo_spark.queries.registry import all_queries
     import tests.conftest as C
 
     spec = all_queries()["asof_join_events_orders"]
     spdf = spec.spark(spark, C.SF_DIR).toPandas()
     opdf = ddb.execute(spec.oracle).fetchdf()
-    assert len(spdf) == len(opdf)
-    assert sorted(spdf.columns) == sorted(opdf.columns)
+    C.assert_frames_match(spdf, opdf, "asof_join_events_orders")
 
 
 def test_asof_join_plan_single_key_shuffle(spark):
@@ -114,3 +113,46 @@ def test_bucketed_range_join_matches_naive(spark):
     got = {(r.pid, r.iid) for r in fast.collect()}
     want = {(r.pid, r.iid) for r in naive.collect()}
     assert got == want and len(want) > 0
+
+
+def test_asof_null_keys_and_ts_never_match(spark):
+    left = _mk(spark, [(1, 5), (None, 5), (1, None)], "k int, ts int")
+    right = _mk(
+        spark,
+        [(None, 1, "nullkey"), (1, None, "nullts"), (1, 3, "ok")],
+        "k int, ts int, rv string",
+    )
+    out = temporal.asof_join(left, right, "k", "k", "ts", "ts", ["rv"])
+    got = {(r.k, r.ts): r.rv for r in out.collect()}
+    assert got[(1, 5)] == "ok"          # only the valid right row matches
+    assert got[(None, 5)] is None       # NULL key never equals NULL
+    assert got[(1, None)] is None       # NULL ts compares to nothing
+    # forward direction: null left ts must also stay unmatched
+    fwd = temporal.asof_join(
+        left, right, "k", "k", "ts", "ts", ["rv"], direction="forward"
+    )
+    fgot = {(r.k, r.ts): r.rv for r in fwd.collect()}
+    assert fgot[(1, None)] is None
+
+
+def test_bucketed_range_join_ignores_inverted_intervals(spark):
+    left = spark.createDataFrame([(1, 5.0)], "pid int, p double")
+    right = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 1e9, 0.0), (3, 7.0, 7.0)],
+        "iid int, s double, e double",
+    )
+    out = temporal.bucketed_range_join(
+        left, right, F.col("p"), F.col("s"), F.col("e"), bucket_width=50
+    )
+    assert [(r.pid, r.iid) for r in out.collect()] == [(1, 1)]
+
+
+def test_bucketed_range_join_boundary_end_excluded(spark):
+    # interval ending exactly on a bucket boundary must not explode an
+    # extra bucket (integer boundary arithmetic, not float epsilon)
+    right = spark.createDataFrame([(1, 0.0, 100.0)], "iid int, s double, e double")
+    left = spark.createDataFrame([(1, 100.0)], "pid int, p double")
+    out = temporal.bucketed_range_join(
+        left, right, F.col("p"), F.col("s"), F.col("e"), bucket_width=50
+    )
+    assert out.count() == 0  # p=100 not in [0,100)
