@@ -67,6 +67,7 @@ def query(
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules exactly once.
     from tajo_spark.queries import (  # noqa: F401
+        analytics_q,
         datapipe,
         functions_q,
         relational,
