@@ -156,8 +156,20 @@ class Engine:
     # ---- session variables -------------------------------------------------
     def _apply_directive(self, d: dialect.SessionDirective) -> None:
         if d.kind == "timezone":
+            if d.value is None:  # SET TIME ZONE DEFAULT
+                self.spark.conf.unset("spark.sql.session.timeZone")
+                self.session_vars.pop("TIMEZONE", None)
+                return None
             self.spark.conf.set("spark.sql.session.timeZone", d.value)
             self.session_vars["TIMEZONE"] = d.value
+            return None
+        if d.kind == "catalog":
+            # Tajo has exactly one catalog; switch database when one of
+            # that name exists, otherwise record the selection only
+            self.session_vars["CATALOG"] = d.value
+            dbs = [db.name for db in self.spark.catalog.listDatabases()]
+            if d.value in dbs:
+                self.spark.catalog.setCurrentDatabase(d.value)
             return None
         if d.kind == "unset":
             self.session_vars.pop(d.key, None)

@@ -61,11 +61,19 @@ _TAJO_TO_SPARK = {
 }
 
 
+_PY_NAMES_TO_SPARK = {t.__name__: s for t, s in _PY_TO_SPARK.items()}
+
+
 def _spark_type(ann) -> str:
     if ann in _PY_TO_SPARK:
         return _PY_TO_SPARK[ann]
     if isinstance(ann, str):
-        return _TAJO_TO_SPARK.get(ann.lower(), ann.lower())
+        # `from __future__ import annotations` stringizes annotations to
+        # their SOURCE text: `-> "int4"` arrives as '"int4"' (quotes
+        # included) and `-> int` as 'int' — strip quoting, then try the
+        # Tajo names, the python builtin names, and finally raw DDL
+        a = ann.strip().strip("'\"").lower()
+        return _TAJO_TO_SPARK.get(a) or _PY_NAMES_TO_SPARK.get(a) or a
     raise TypeError(f"unsupported UDF type annotation: {ann!r}")
 
 
@@ -81,6 +89,12 @@ def _vectorize(fn: Callable, ret_type: str):
         return pd.Series(map(fn, *cols))
 
     return wrapped
+
+
+def _n_params(fn: Callable) -> int:
+    import inspect
+
+    return len(inspect.signature(fn).parameters)
 
 
 def load_python_udfs(
@@ -113,7 +127,13 @@ def load_python_udfs(
                 "return"
             ) is not None and obj.__module__ == mod.__name__:
                 ret = _spark_type(obj.__annotations__["return"])
-                spark.udf.register(prefix + name, _vectorize(obj, ret))
+                if _n_params(obj) == 0:
+                    # zero-arg (constant) functions can't be Arrow UDFs
+                    # (no column to batch over) — plain UDF is fine,
+                    # it's evaluated once per row with no data transfer
+                    spark.udf.register(prefix + name, obj, ret)
+                else:
+                    spark.udf.register(prefix + name, _vectorize(obj, ret))
                 registered.append(prefix + name)
 
         for agg_name, (ret, series_fn) in getattr(

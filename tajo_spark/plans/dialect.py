@@ -255,6 +255,11 @@ def translate_create_table(sql: str) -> str:
     if not m:
         return original  # never leak the (#COLS#) placeholder
     fmt = (m.group("fmt") or "PARQUET").upper()
+    if fmt == "RAW" and not m.group(1):
+        # managed CREATE ... USING RAW: the reference rejects RAW as a
+        # store format (TestQueryValidation/invalid_store_format.sql)
+        # and Spark's binaryFile source is read-only anyway
+        raise ValueError("RAW is not a writable store format")
     spark_fmt = FORMAT_MAP.get(fmt, fmt.lower())
     if spark_fmt is None:
         raise NotImplementedError(
@@ -301,12 +306,28 @@ class SessionDirective:
 
 
 _SET_RE = re.compile(
-    r"^\s*SET\s+SESSION\s+(\w+)\s+(?:TO|=)\s+(.+?)\s*;?\s*$", re.IGNORECASE
+    r"^\s*SET\s+SESSION\s+(\w+)\s+(?:(?:TO|=)\s+)?(.+?)\s*;?\s*$",
+    re.IGNORECASE,
 )
 _UNSET_RE = re.compile(r"^\s*SET\s+SESSION\s+(\w+)\s+TO\s+DEFAULT\s*;?\s*$",
                        re.IGNORECASE)
 _TZ_RE = re.compile(r"^\s*SET\s+TIME\s*ZONE\s+(?:TO\s+)?'?([^';]+)'?\s*;?\s*$",
                     re.IGNORECASE)
+_CATALOG_RE = re.compile(
+    r"^\s*SET\s+CATALOG\s+(?:\"([^\"]+)\"|'([^']+)'|(\w+))\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+# Tajo accepts bare timezone abbreviations (SET TIME ZONE 'PDT',
+# TestSQLAnalyzer/settimezone*.sql); Java rejects most of them — map the
+# common ones onto region ids (fixed historical meanings).
+TZ_ABBREVIATIONS = {
+    "PST": "America/Los_Angeles", "PDT": "America/Los_Angeles",
+    "MST": "America/Denver", "MDT": "America/Denver",
+    "CST": "America/Chicago", "CDT": "America/Chicago",
+    "EST": "America/New_York", "EDT": "America/New_York",
+    "GMT": "UTC", "KST": "Asia/Seoul", "JST": "Asia/Tokyo",
+}
 
 
 def parse_session_statement(sql: str) -> SessionDirective | None:
@@ -317,7 +338,17 @@ def parse_session_statement(sql: str) -> SessionDirective | None:
             "set", key=m.group(1).upper(), value=m.group(2).strip().strip("'")
         )
     if m := _TZ_RE.match(sql):
-        return SessionDirective("timezone", value=m.group(1))
+        tz = m.group(1)
+        if tz.strip().upper() == "DEFAULT":
+            return SessionDirective("timezone", value=None)
+        return SessionDirective(
+            "timezone", value=TZ_ABBREVIATIONS.get(tz.upper(), tz)
+        )
+    if m := _CATALOG_RE.match(sql):
+        # Tajo's single catalog maps onto Spark's current database
+        return SessionDirective(
+            "catalog", value=m.group(1) or m.group(2) or m.group(3)
+        )
     return None
 
 
@@ -401,10 +432,65 @@ def _translate_to_char_formats(sql: str) -> str:
     return "".join(out)
 
 
+# ANSI double-quoted identifiers ("lineitem".l_orderkey) → backticks.
+# Tajo treats double quotes strictly as identifier quoting (ANSI), so
+# every double-quoted run outside a single-quoted string is an
+# identifier; Spark's default parser reads them as string literals.
+_SQSTRING_OR_DQUOTED = re.compile(r"('(?:[^']|'')*')|\"([^\"]*)\"")
+
+
+def translate_quoted_identifiers(sql: str) -> str:
+    return _SQSTRING_OR_DQUOTED.sub(
+        lambda m: m.group(1) if m.group(1) is not None else f"`{m.group(2)}`",
+        sql,
+    )
+
+
+# Ranking window functions Tajo evaluates without ORDER BY (arbitrary
+# intra-partition order, WindowAggExec); Spark requires an ordered
+# window — inject the constant ORDER BY 1, which Spark accepts and
+# which reproduces "arbitrary order" semantics.
+_RANKING_OVER_RE = re.compile(
+    r"\b(?:row_number|rank|dense_rank|percent_rank|cume_dist|ntile)"
+    r"\s*\([^()]*\)\s*OVER\s*\(",
+    re.IGNORECASE,
+)
+
+
+def inject_window_order(sql: str) -> str:
+    edits: list[tuple[int, int, str]] = []
+    for m in _RANKING_OVER_RE.finditer(sql):
+        start = m.end()  # just past the OVER clause's '('
+        depth, j = 1, start
+        while j < len(sql) and depth:
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        body = sql[start : j - 1]
+        if re.search(r"\bORDER\s+BY\b", body, re.IGNORECASE):
+            continue
+        sep = " " if body.strip() else ""
+        edits.append((start, j - 1, body + sep + "ORDER BY 1"))
+    for s_, e_, rep in reversed(edits):
+        sql = sql[:s_] + rep + sql[e_:]
+    return sql
+
+
 def translate(sql: str) -> str:
     """Full statement rewrite (session statements excluded — those are
     routed by ``parse_session_statement`` first)."""
     s = sql.strip().rstrip(";")
+    s = translate_quoted_identifiers(s)
+    s = inject_window_order(s)
+    # Tajo allows a parenthesized bare table reference: FROM (t1)
+    s = re.sub(
+        r"\b(FROM|JOIN)\s*\(\s*([A-Za-z_][\w.]*)\s*\)",
+        r"\1 \2",
+        s,
+        flags=re.IGNORECASE,
+    )
     if re.match(r"^\s*CREATE\s+(EXTERNAL\s+)?TABLE\b", s, re.IGNORECASE):
         return translate_create_table(s)
     loc = translate_insert_location(s)
@@ -427,6 +513,15 @@ def translate(sql: str) -> str:
     s = re.sub(
         r"\bAS\s+(" + "|".join(TYPE_MAP) + r")(\s*\))",
         lambda m: "AS " + TYPE_MAP[m.group(1).upper()] + m.group(2),
+        s,
+        flags=re.IGNORECASE,
+    )
+    # PostgreSQL cast syntax x::INT8 — Spark parses `::` natively, only
+    # the Tajo/PG type name needs mapping; the `::` anchor means this
+    # can never rename an ordinary identifier
+    s = re.sub(
+        r"::\s*(" + "|".join(TYPE_MAP) + r")\b",
+        lambda m: "::" + TYPE_MAP[m.group(1).upper()],
         s,
         flags=re.IGNORECASE,
     )

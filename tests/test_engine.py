@@ -303,3 +303,48 @@ def test_insert_into_location(engine, spark, tmp_path):
         f"INSERT INTO LOCATION '{p2}' USING TEXT SELECT 2 AS a"
     )
     assert spark.read.csv(p2).count() == 1
+
+
+def test_dialect_quoted_identifiers_and_pg_cast(spark, engine):
+    # ANSI double-quoted identifiers and ::TYPE casts (golden corpus:
+    # TestCaseByCases/testTAJO718Case.sql, TestBuiltinFunctions)
+    df = engine.execute_sql('SELECT max(l_orderkey::text) AS m FROM "lineitem"')
+    assert df.collect()[0].m is not None
+
+
+def test_dialect_ranking_window_without_order(spark, engine):
+    # Tajo executes row_number() with an unordered window; Spark needs
+    # ORDER BY — the shim injects a constant one
+    df = engine.execute_sql(
+        "SELECT l_orderkey, row_number() OVER (PARTITION BY l_orderkey) rn "
+        "FROM lineitem"
+    )
+    assert df.filter("rn >= 1").count() == df.count()
+    # aggregate windows must NOT be touched (ORDER BY would change
+    # semantics from whole-partition to running)
+    df2 = engine.execute_sql(
+        "SELECT sum(l_quantity) OVER (PARTITION BY l_orderkey) s FROM lineitem"
+    )
+    grouped = engine.execute_sql(
+        "SELECT l_orderkey, sum(l_quantity) s FROM lineitem GROUP BY l_orderkey"
+    )
+    assert df2.select("s").distinct().count() == grouped.select("s").distinct().count()
+
+
+def test_dialect_parenthesized_table_and_session_forms(spark, engine):
+    assert engine.execute_sql("SELECT count(*) c FROM (lineitem)").collect()[0].c > 0
+    engine.execute_sql("SET TIME ZONE 'PDT'")
+    assert engine.show_session()["TIMEZONE"] == "America/Los_Angeles"
+    engine.execute_sql("SET TIME ZONE DEFAULT")
+    assert "TIMEZONE" not in engine.show_session()
+    engine.execute_sql('SET CATALOG "Mixed Letter"')
+    assert engine.show_session()["CATALOG"] == "Mixed Letter"
+    engine.execute_sql("SET SESSION EXTSORT_BUFFER_SIZE 'ABCD'")
+    assert engine.show_session()["EXTSORT_BUFFER_SIZE"] == "ABCD"
+
+
+def test_dialect_rejects_raw_create(spark, engine):
+    import pytest
+
+    with pytest.raises(Exception, match="RAW"):
+        engine.execute_sql("create table t_raw (name text, age int) using RAW")
