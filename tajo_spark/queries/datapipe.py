@@ -696,3 +696,68 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), "component"
     )
+
+
+@query(
+    "pipeline_corpus_prep",
+    "datapipe",
+    doc="End-to-end corpus preparation — the operators composed the way "
+    "a training-data pipeline runs them: exact-dedup survivors → "
+    "language filter (stopword heuristic) → deterministic train/val/"
+    "test split → per-split document/token accounting. One window "
+    "shuffle + one aggregation shuffle; filters and the split label "
+    "are pure projections.",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT doc_id, text, n_chars,
+                   row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn
+            FROM documents),
+        keep AS (SELECT doc_id, text, n_chars FROM ranked WHERE rn = 1),
+        en AS (
+            SELECT doc_id, text, n_chars FROM keep
+            WHERE len(list_filter({_TOKS}, x -> x IN ({_STOPS})))
+                  / greatest(len({_TOKS}), 1) > 0.05),
+        lab AS (
+            SELECT CASE
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                       THEN 'train'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                       THEN 'val'
+                     ELSE 'test' END AS split,
+                   len({_TOKS}) AS ntok, n_chars
+            FROM en)
+        SELECT split, count(*) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS total_tokens,
+               round(avg(n_chars), 2) AS avg_chars
+        FROM lab GROUP BY split
+    """,
+)
+def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from tajo_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        F.row_number()
+        .over(
+            W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+        )
+        .alias("rn"),
+    )
+    keep = ranked.filter(F.col("rn") == 1)
+    en = keep.filter(text.lang_id(F.col("text")) == "en")
+    lab = en.select(
+        sampling.split_column(F.col("doc_id")).alias("split"),
+        text.token_count(F.col("text")).alias("ntok"),
+        "n_chars",
+    )
+    return lab.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
