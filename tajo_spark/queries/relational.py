@@ -269,18 +269,28 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partials) — same API shape, sketch checked rows-only elsewhere.",
     oracle="""
         SELECT l_returnflag,
-               round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-               round(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
-               round(quantile_cont(l_extendedprice, 0.90), 2) AS p90,
-               round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+               quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.25)
+                 / 100.0 AS p25,
+               quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.50)
+                 / 100.0 AS p50,
+               quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.90)
+                 / 100.0 AS p90,
+               quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.99)
+                 / 100.0 AS p99
         FROM lineitem GROUP BY l_returnflag
     """,
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Percentile over exact integer cents, NOT raw doubles + round(2):
+    # the two engines interpolate lo/hi with formulas that differ in the
+    # last ulp, and a coarse round amplifies that across a .xx5 boundary
+    # (the exact-half gotcha). Integer inputs make the interpolation
+    # arithmetic identical to well past the compare precision.
     li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     return li.groupBy("l_returnflag").agg(
         *[
-            F.round(F.percentile("l_extendedprice", F.lit(p)), 2).alias(name)
+            (F.percentile(cents, F.lit(p)) / 100.0).alias(name)
             for p, name in [(0.25, "p25"), (0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
         ]
     )
