@@ -522,6 +522,30 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_approx_percentile",
+    "datapipe",
+    doc="approx_percentile (mergeable quantile sketch) per return flag — "
+    "the 100 TB companion to agg_percentiles: exact percentile buffers "
+    "every group value, the sketch ships constant-size partials through "
+    "the shuffle. Oracle omitted: sketch estimates are engine-specific "
+    "(rows-only check); accuracy is bounded against the exact values "
+    "in-query instead.",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)
+    )
+    exact = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)))
+    return li.groupBy("l_returnflag").agg(
+        approx[0].alias("approx_p50"),
+        approx[1].alias("approx_p90"),
+        exact[0].alias("exact_p50"),
+        exact[1].alias("exact_p90"),
+    )
+
+
+@query(
     "sim_ivf_topk",
     "datapipe",
     doc="IVF ANN probe: KMeans centroids (seeded, distributed fit) + "

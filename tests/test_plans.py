@@ -113,3 +113,31 @@ def test_cosine_topk_has_no_shuffle_join(spark):
     # 1-row query side must broadcast (nested-loop or hash), never SMJ
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_term_topk_plans_take_ordered(spark):
+    from tajo_spark.queries.registry import all_queries
+
+    df = all_queries()["text_term_topk"].spark(spark, SF_DIR)
+    assert "TakeOrderedAndProject" in plan_of(df)
+
+
+def test_pipeline_corpus_prep_plan_shape(spark):
+    # the composed pipeline must stay join-free (all per-row stages) —
+    # one window shuffle + one aggregation shuffle is the whole story
+    from tajo_spark.queries.registry import all_queries
+
+    df = all_queries()["pipeline_corpus_prep"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Join" not in plan
+    assert "partial" in plan.lower()  # map-side combine before the agg shuffle
+
+
+def test_approx_percentile_within_tolerance(spark):
+    from tajo_spark.queries.registry import all_queries
+
+    rows = all_queries()["agg_approx_percentile"].spark(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_p50 - r.exact_p50) <= 0.02 * abs(r.exact_p50)
+        assert abs(r.approx_p90 - r.exact_p90) <= 0.02 * abs(r.exact_p90)
