@@ -1,0 +1,84 @@
+"""Incremental rollup maintenance: only affected partitions rewritten,
+result always equals a full recompute (operators/rollup.py)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from tajo_spark.operators import rollup
+
+SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE"
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+def _rows(day, n, etype="click", start_id=0):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, day, 12, 0, 0)
+    return [
+        (start_id + i, base + dt.timedelta(minutes=i), etype, 1.5)
+        for i in range(n)
+    ]
+
+
+def _snapshot(path):
+    return {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    }
+
+
+def test_maintain_only_rewrites_affected_partitions(spark, tmp_path):
+    path = str(tmp_path / "rollup")
+    initial = _rows(1, 10) + _rows(2, 20) + _rows(3, 30)
+    src1 = _events(spark, initial)
+    rollup.build_rollup(src1, path)
+    before = _snapshot(path)
+
+    # a late batch lands on day 2 only
+    late = _rows(2, 5, etype="purchase", start_id=1000)
+    src2 = _events(spark, initial + late)
+    n = rollup.maintain_rollup(spark, src2, _events(spark, late), path)
+    assert n == 1
+
+    after = _snapshot(path)
+    untouched = {
+        f for f in before if "event_date=2024-01-02" not in f
+    }
+    for f in untouched:
+        assert f in after and after[f] == before[f], f"{f} was rewritten"
+
+    # and the maintained table equals a from-scratch rebuild
+    got = (
+        spark.read.parquet(path)
+        .orderBy("event_date", "event_type")
+        .collect()
+    )
+    want = (
+        rollup.rollup_events(src2)
+        .orderBy("event_date", "event_type")
+        .collect()
+    )
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+
+
+def test_maintain_empty_batch_is_noop(spark, tmp_path):
+    path = str(tmp_path / "rollup2")
+    src = _events(spark, _rows(1, 3))
+    rollup.build_rollup(src, path)
+    before = _snapshot(path)
+    n = rollup.maintain_rollup(
+        spark, src, _events(spark, []), path
+    )
+    assert n == 0
+    assert _snapshot(path) == before
