@@ -84,8 +84,13 @@ def _vectorize(fn: Callable, ret_type: str):
 
     @pandas_udf(ret_type)
     def wrapped(*cols: pd.Series) -> pd.Series:
+        # SQL NULL in an int/float column arrives as NaN in the pandas
+        # batch; plain functions expect None (the reference's contract),
+        # so normalize before calling — otherwise `x is None` guards
+        # never fire and NaN leaks into typed results.
+        cols = tuple(c.astype(object).where(c.notna(), None) for c in cols)
         if len(cols) == 1:
-            return cols[0].map(fn)
+            return cols[0].map(fn, na_action=None)
         return pd.Series(map(fn, *cols))
 
     return wrapped

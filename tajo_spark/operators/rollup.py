@@ -50,18 +50,27 @@ def maintain_rollup(
     ``source`` must be the full current source (including the batch) —
     the affected partitions are recomputed from it, which makes the
     operation idempotent and late-data-safe.
+
+    The affected DATE KEYS (not data) are collected to the driver: the
+    set is bounded by partitions-per-batch, and an `isin` literal list
+    is the only predicate shape that pushes down to prune a
+    date-partitioned source (a semi-join on `to_date(ts)` cannot).
+    NULL event times refresh the null-date partition via an explicit
+    isNull branch (isin never matches NULL).
     """
-    affected = (
-        batch.select(F.to_date("ts").alias("event_date")).distinct()
-    )
-    n_affected = affected.count()
-    if n_affected == 0:
+    dates = [
+        r.event_date
+        for r in batch.select(F.to_date("ts").alias("event_date"))
+        .distinct()
+        .collect()
+    ]
+    if not dates:
         return 0
-    scoped = source.join(
-        F.broadcast(affected),
-        F.to_date(source["ts"]) == affected["event_date"],
-        "left_semi",
-    )
+    src_date = F.to_date(source["ts"])
+    cond = src_date.isin([d for d in dates if d is not None])
+    if None in dates:
+        cond = cond | src_date.isNull()
+    scoped = source.filter(cond)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -70,4 +79,4 @@ def maintain_rollup(
         ).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    return n_affected
+    return len(dates)

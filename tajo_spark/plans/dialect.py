@@ -135,7 +135,7 @@ def translate_similar_to(sql: str) -> str:
 # --- DDL ---------------------------------------------------------------------
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+(EXTERNAL\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
-    r"(?P<name>[\w.\"]+)\s*(?P<cols>\([^)]*\))?\s*"
+    r"(?P<name>[\w.`\"]+)\s*(?P<cols>\([^)]*\))?\s*"
     r"(?:USING\s+(?P<fmt>\w+))?\s*"
     r"(?:WITH\s*\((?P<opts>[^)]*)\))?\s*"
     r"(?:PARTITION\s+BY\s+COLUMN\s*\((?P<parts>[^)]*)\))?\s*"
@@ -212,7 +212,7 @@ def _extract_column_list(sql: str) -> tuple[str, str | None]:
     self-describing)."""
     head = re.match(
         r"^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-        r"[\w.\"]+\s*",
+        r"[\w.`\"]+\s*",
         sql,
         re.IGNORECASE,
     )
@@ -319,14 +319,15 @@ _CATALOG_RE = re.compile(
 )
 
 # Tajo accepts bare timezone abbreviations (SET TIME ZONE 'PDT',
-# TestSQLAnalyzer/settimezone*.sql); Java rejects most of them — map the
-# common ones onto region ids (fixed historical meanings).
+# TestSQLAnalyzer/settimezone*.sql); Java rejects most of them — map
+# each onto its FIXED offset (an abbreviation denotes one offset;
+# mapping to a DST-observing region id would drift an hour in summer).
 TZ_ABBREVIATIONS = {
-    "PST": "America/Los_Angeles", "PDT": "America/Los_Angeles",
-    "MST": "America/Denver", "MDT": "America/Denver",
-    "CST": "America/Chicago", "CDT": "America/Chicago",
-    "EST": "America/New_York", "EDT": "America/New_York",
-    "GMT": "UTC", "KST": "Asia/Seoul", "JST": "Asia/Tokyo",
+    "PST": "-08:00", "PDT": "-07:00",
+    "MST": "-07:00", "MDT": "-06:00",
+    "CST": "-06:00", "CDT": "-05:00",
+    "EST": "-05:00", "EDT": "-04:00",
+    "GMT": "UTC", "KST": "+09:00", "JST": "+09:00",
 }
 
 
@@ -432,42 +433,77 @@ def _translate_to_char_formats(sql: str) -> str:
     return "".join(out)
 
 
+# Single-quoted SQL string literal (with '' escapes) — segments the
+# statement so structural rewrites never touch string data.
+_SQSTRING_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def _outside_strings(sql: str, fn) -> str:
+    """Apply ``fn`` to every segment of ``sql`` that lies outside
+    single-quoted string literals (literals pass through verbatim)."""
+    out, last = [], 0
+    for m in _SQSTRING_RE.finditer(sql):
+        out.append(fn(sql[last : m.start()]))
+        out.append(m.group(0))
+        last = m.end()
+    out.append(fn(sql[last:]))
+    return "".join(out)
+
+
 # ANSI double-quoted identifiers ("lineitem".l_orderkey) → backticks.
 # Tajo treats double quotes strictly as identifier quoting (ANSI), so
 # every double-quoted run outside a single-quoted string is an
 # identifier; Spark's default parser reads them as string literals.
-_SQSTRING_OR_DQUOTED = re.compile(r"('(?:[^']|'')*')|\"([^\"]*)\"")
+# A doubled "" inside the identifier is the ANSI escape for one ".
+_DQUOTED_RE = re.compile(r"\"((?:[^\"]|\"\")*)\"")
 
 
 def translate_quoted_identifiers(sql: str) -> str:
-    return _SQSTRING_OR_DQUOTED.sub(
-        lambda m: m.group(1) if m.group(1) is not None else f"`{m.group(2)}`",
-        sql,
-    )
+    def seg(s: str) -> str:
+        return _DQUOTED_RE.sub(
+            lambda m: "`"
+            + m.group(1).replace('""', '"').replace("`", "``")
+            + "`",
+            s,
+        )
+
+    return _outside_strings(sql, seg)
+
+
+def _matching_paren(sql: str, open_idx: int) -> int:
+    """Index just past the ')' matching the '(' at ``open_idx``."""
+    depth, j = 1, open_idx + 1
+    while j < len(sql) and depth:
+        if sql[j] == "(":
+            depth += 1
+        elif sql[j] == ")":
+            depth -= 1
+        j += 1
+    return j
 
 
 # Ranking window functions Tajo evaluates without ORDER BY (arbitrary
 # intra-partition order, WindowAggExec); Spark requires an ordered
 # window — inject the constant ORDER BY 1, which Spark accepts and
-# which reproduces "arbitrary order" semantics.
-_RANKING_OVER_RE = re.compile(
-    r"\b(?:row_number|rank|dense_rank|percent_rank|cume_dist|ntile)"
-    r"\s*\([^()]*\)\s*OVER\s*\(",
+# which reproduces "arbitrary order" semantics. The argument list is
+# matched with a balanced scan so nested parens (ntile(cast(4 as int)))
+# don't escape the rewrite; OVER <window-name> forms are out of scope.
+_RANKING_FN_RE = re.compile(
+    r"\b(?:row_number|rank|dense_rank|percent_rank|cume_dist|ntile)\s*\(",
     re.IGNORECASE,
 )
+_OVER_RE = re.compile(r"\s*OVER\s*\(", re.IGNORECASE)
 
 
 def inject_window_order(sql: str) -> str:
     edits: list[tuple[int, int, str]] = []
-    for m in _RANKING_OVER_RE.finditer(sql):
-        start = m.end()  # just past the OVER clause's '('
-        depth, j = 1, start
-        while j < len(sql) and depth:
-            if sql[j] == "(":
-                depth += 1
-            elif sql[j] == ")":
-                depth -= 1
-            j += 1
+    for m in _RANKING_FN_RE.finditer(sql):
+        args_end = _matching_paren(sql, m.end() - 1)
+        over = _OVER_RE.match(sql, args_end)
+        if not over:
+            continue
+        start = over.end()  # just past the OVER clause's '('
+        j = _matching_paren(sql, start - 1)
         body = sql[start : j - 1]
         if re.search(r"\bORDER\s+BY\b", body, re.IGNORECASE):
             continue
@@ -518,11 +554,15 @@ def translate(sql: str) -> str:
     )
     # PostgreSQL cast syntax x::INT8 — Spark parses `::` natively, only
     # the Tajo/PG type name needs mapping; the `::` anchor means this
-    # can never rename an ordinary identifier
-    s = re.sub(
-        r"::\s*(" + "|".join(TYPE_MAP) + r")\b",
-        lambda m: "::" + TYPE_MAP[m.group(1).upper()],
+    # can never rename an ordinary identifier. Applied outside string
+    # literals only, so data containing '::text' stays untouched.
+    s = _outside_strings(
         s,
-        flags=re.IGNORECASE,
+        lambda seg: re.sub(
+            r"::\s*(" + "|".join(TYPE_MAP) + r")\b",
+            lambda m: "::" + TYPE_MAP[m.group(1).upper()],
+            seg,
+            flags=re.IGNORECASE,
+        ),
     )
     return s

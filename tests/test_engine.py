@@ -12,6 +12,7 @@ import os
 
 import pytest
 
+from tajo_spark.catalog import register_tables
 from tajo_spark.engine import Engine
 from tajo_spark.plans import dialect
 from tests.conftest import SF_DIR
@@ -308,6 +309,7 @@ def test_insert_into_location(engine, spark, tmp_path):
 def test_dialect_quoted_identifiers_and_pg_cast(spark, engine):
     # ANSI double-quoted identifiers and ::TYPE casts (golden corpus:
     # TestCaseByCases/testTAJO718Case.sql, TestBuiltinFunctions)
+    register_tables(spark, SF_DIR, ("lineitem",))
     df = engine.execute_sql('SELECT max(l_orderkey::text) AS m FROM "lineitem"')
     assert df.collect()[0].m is not None
 
@@ -315,6 +317,7 @@ def test_dialect_quoted_identifiers_and_pg_cast(spark, engine):
 def test_dialect_ranking_window_without_order(spark, engine):
     # Tajo executes row_number() with an unordered window; Spark needs
     # ORDER BY — the shim injects a constant one
+    register_tables(spark, SF_DIR, ("lineitem",))
     df = engine.execute_sql(
         "SELECT l_orderkey, row_number() OVER (PARTITION BY l_orderkey) rn "
         "FROM lineitem"
@@ -332,9 +335,10 @@ def test_dialect_ranking_window_without_order(spark, engine):
 
 
 def test_dialect_parenthesized_table_and_session_forms(spark, engine):
+    register_tables(spark, SF_DIR, ("lineitem",))
     assert engine.execute_sql("SELECT count(*) c FROM (lineitem)").collect()[0].c > 0
     engine.execute_sql("SET TIME ZONE 'PDT'")
-    assert engine.show_session()["TIMEZONE"] == "America/Los_Angeles"
+    assert engine.show_session()["TIMEZONE"] == "-07:00"
     engine.execute_sql("SET TIME ZONE DEFAULT")
     assert "TIMEZONE" not in engine.show_session()
     engine.execute_sql('SET CATALOG "Mixed Letter"')
@@ -348,3 +352,44 @@ def test_dialect_rejects_raw_create(spark, engine):
 
     with pytest.raises(Exception, match="RAW"):
         engine.execute_sql("create table t_raw (name text, age int) using RAW")
+
+
+def test_dialect_string_literals_survive_rewrites(spark, engine):
+    row = engine.execute_sql(
+        "SELECT 'x::text marker' AS s, 'not \"quoted\" ident' AS t, "
+        "5::int8 AS v"
+    ).collect()[0]
+    assert row.s == "x::text marker"
+    assert row.t == 'not "quoted" ident'
+    assert row.v == 5
+
+
+def test_dialect_quoted_create_table_still_translates(spark, engine, tmp_path):
+    engine.execute_sql('DROP TABLE IF EXISTS qct')
+    engine.execute_sql(
+        'CREATE TABLE "qct" (id INT4, name TEXT) USING PARQUET'
+    )
+    cols = dict(engine.describe_table("qct"))
+    assert cols["id"] == "int" and cols["name"] == "string"
+    engine.execute_sql("DROP TABLE qct")
+
+
+def test_dialect_ranking_nested_paren_args(spark, engine):
+    register_tables(spark, SF_DIR, ("lineitem",))
+    df = engine.execute_sql(
+        "SELECT ntile(cast(4 as int4)) OVER (PARTITION BY l_returnflag) nt "
+        "FROM lineitem"
+    )
+    assert df.filter("nt between 1 and 4").count() == df.count()
+
+
+def test_udf_null_int_arguments(spark, engine):
+    from tajo_spark.functions.python_udf import load_python_udfs
+
+    load_python_udfs(spark, "tajo_spark/functions/udf_examples")
+    row = spark.sql(
+        "SELECT add_py(CAST(NULL AS INT), 2) a, "
+        "str_len(CAST(NULL AS STRING)) b"
+    ).collect()[0]
+    assert row.a is None
+    assert row.b == 0

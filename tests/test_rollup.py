@@ -82,3 +82,18 @@ def test_maintain_empty_batch_is_noop(spark, tmp_path):
     )
     assert n == 0
     assert _snapshot(path) == before
+
+
+def test_maintain_refreshes_null_ts_partition(spark, tmp_path):
+    path = str(tmp_path / "rollup3")
+    rows = _rows(1, 4)
+    null_rows = [(900, None, "click", 2.0)]
+    src1 = _events(spark, rows + null_rows)
+    rollup.build_rollup(src1, path)
+
+    late_null = [(901, None, "click", 3.0)]
+    src2 = _events(spark, rows + null_rows + late_null)
+    n = rollup.maintain_rollup(spark, src2, _events(spark, late_null), path)
+    assert n == 1
+    got = spark.read.parquet(path).filter(F.col("event_date").isNull()).collect()
+    assert len(got) == 1 and got[0].n == 2  # both null-ts rows counted
