@@ -495,23 +495,63 @@ _RANKING_FN_RE = re.compile(
 _OVER_RE = re.compile(r"\s*OVER\s*\(", re.IGNORECASE)
 
 
-def inject_window_order(sql: str) -> str:
+def _rewrite_over_bodies(sql: str, fn_re: re.Pattern, rewrite) -> str:
+    """For every ``<fn>(args) OVER (body)`` where the function name
+    matches ``fn_re``, replace body with ``rewrite(body)`` (balanced
+    paren scan; None = leave unchanged)."""
     edits: list[tuple[int, int, str]] = []
-    for m in _RANKING_FN_RE.finditer(sql):
+    for m in fn_re.finditer(sql):
         args_end = _matching_paren(sql, m.end() - 1)
         over = _OVER_RE.match(sql, args_end)
         if not over:
             continue
-        start = over.end()  # just past the OVER clause's '('
+        start = over.end()
         j = _matching_paren(sql, start - 1)
-        body = sql[start : j - 1]
-        if re.search(r"\bORDER\s+BY\b", body, re.IGNORECASE):
-            continue
-        sep = " " if body.strip() else ""
-        edits.append((start, j - 1, body + sep + "ORDER BY 1"))
+        new_body = rewrite(sql[start : j - 1])
+        if new_body is not None:
+            edits.append((start, j - 1, new_body))
     for s_, e_, rep in reversed(edits):
         sql = sql[:s_] + rep + sql[e_:]
     return sql
+
+
+def inject_window_order(sql: str) -> str:
+    def rw(body: str):
+        if re.search(r"\bORDER\s+BY\b", body, re.IGNORECASE):
+            return None
+        return body + (" " if body.strip() else "") + "ORDER BY 1"
+
+    return _rewrite_over_bodies(sql, _RANKING_FN_RE, rw)
+
+
+# Aggregate functions over an ORDER BY window with no explicit frame:
+# Tajo's plan-level default frame is UNBOUNDED PRECEDING → UNBOUNDED
+# FOLLOWING (tajo-plan/.../logical/WindowSpec.java:82-83 — whole
+# partition), while Spark's ANSI default is RANGE → CURRENT ROW
+# (running). Force Tajo's frame explicitly so `sum(x) OVER (ORDER BY
+# y)` means the partition total, as it does on the reference
+# (SURVEY.md §7.3.2). Ranking/offset functions are untouched — the
+# reference executor special-cases ordered functions
+# (WindowAggExec.java:125-131).
+_AGG_FN_RE = re.compile(
+    r"\b(?:sum|avg|count|min|max|stddev|stddev_pop|stddev_samp|"
+    r"variance|var_pop|var_samp)\s*\(",
+    re.IGNORECASE,
+)
+_TAJO_DEFAULT_FRAME = (
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+)
+
+
+def force_tajo_window_frames(sql: str) -> str:
+    def rw(body: str):
+        if not re.search(r"\bORDER\s+BY\b", body, re.IGNORECASE):
+            return None  # same default both engines: whole partition
+        if re.search(r"\b(ROWS|RANGE)\b", body, re.IGNORECASE):
+            return None  # explicit frame: user said what they meant
+        return body + _TAJO_DEFAULT_FRAME
+
+    return _rewrite_over_bodies(sql, _AGG_FN_RE, rw)
 
 
 def translate(sql: str) -> str:
@@ -520,6 +560,7 @@ def translate(sql: str) -> str:
     s = sql.strip().rstrip(";")
     s = translate_quoted_identifiers(s)
     s = inject_window_order(s)
+    s = force_tajo_window_frames(s)
     # Tajo allows a parenthesized bare table reference: FROM (t1)
     s = re.sub(
         r"\b(FROM|JOIN)\s*\(\s*([A-Za-z_][\w.]*)\s*\)",

@@ -393,3 +393,28 @@ def test_udf_null_int_arguments(spark, engine):
     ).collect()[0]
     assert row.a is None
     assert row.b == 0
+
+
+def test_dialect_tajo_default_window_frame(spark, engine):
+    # Tajo: sum OVER (ORDER BY ...) with no frame = WHOLE-PARTITION
+    # total (WindowSpec.java:82-83), not Spark's ANSI running sum
+    register_tables(spark, SF_DIR, ("orders",))
+    rows = engine.execute_sql(
+        "SELECT o_custkey, sum(o_totalprice) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderkey) AS s FROM orders"
+    ).collect()
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r.o_custkey, set()).add(round(r.s, 2))
+    # whole-partition semantics → one value per partition, not a prefix chain
+    assert all(len(v) == 1 for v in per_key.values())
+    # explicit frames are honored verbatim (running sum has many values)
+    running = engine.execute_sql(
+        "SELECT o_custkey, sum(o_totalprice) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderkey "
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s FROM orders"
+    ).collect()
+    rk = {}
+    for r in running:
+        rk.setdefault(r.o_custkey, set()).add(round(r.s, 2))
+    assert any(len(v) > 1 for v in rk.values())
