@@ -535,7 +535,7 @@ def inject_window_order(sql: str) -> str:
 # (WindowAggExec.java:125-131).
 _AGG_FN_RE = re.compile(
     r"\b(?:sum|avg|count|min|max|stddev|stddev_pop|stddev_samp|"
-    r"variance|var_pop|var_samp)\s*\(",
+    r"variance|var_pop|var_samp|first_value|last_value)\s*\(",
     re.IGNORECASE,
 )
 _TAJO_DEFAULT_FRAME = (

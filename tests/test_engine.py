@@ -418,3 +418,21 @@ def test_dialect_tajo_default_window_frame(spark, engine):
     for r in running:
         rk.setdefault(r.o_custkey, set()).add(round(r.s, 2))
     assert any(len(v) > 1 for v in rk.values())
+
+
+def test_dialect_last_value_sees_partition_end(spark, engine):
+    # Tajo default frame makes last_value the PARTITION's last row;
+    # Spark's ANSI running default would echo the current row instead
+    register_tables(spark, SF_DIR, ("orders",))
+    rows = engine.execute_sql(
+        "SELECT o_custkey, o_orderkey, last_value(o_orderkey) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderkey) AS lv FROM orders"
+    ).collect()
+    per_key_lv = {}
+    per_key_max = {}
+    for r in rows:
+        per_key_lv.setdefault(r.o_custkey, set()).add(r.lv)
+        per_key_max[r.o_custkey] = max(
+            per_key_max.get(r.o_custkey, 0), r.o_orderkey
+        )
+    assert all(v == {per_key_max[k]} for k, v in per_key_lv.items())
