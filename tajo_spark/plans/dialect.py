@@ -561,9 +561,12 @@ def translate(sql: str) -> str:
     s = translate_quoted_identifiers(s)
     s = inject_window_order(s)
     s = force_tajo_window_frames(s)
-    # Tajo allows a parenthesized bare table reference: FROM (t1)
+    # Tajo allows a parenthesized table reference, optionally with an
+    # alias and column-alias list: FROM (t1), FROM (t1 x (a,b,c))
     s = re.sub(
-        r"\b(FROM|JOIN)\s*\(\s*([A-Za-z_][\w.]*)\s*\)",
+        r"\b(FROM|JOIN)\s*\(\s*(?!SELECT\b|VALUES\b|TABLE\b|WITH\b)"
+        r"([A-Za-z_][\w.]*(?:\s+(?!SELECT\b)[A-Za-z_]\w*)?"
+        r"(?:\s*\([^()]*\))?)\s*\)",
         r"\1 \2",
         s,
         flags=re.IGNORECASE,

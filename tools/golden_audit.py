@@ -70,6 +70,61 @@ DIALECT_LAX = {
     # one GROUP BY (INVALID_PANDAS_UDF_PLACEMENT); workaround is two
     # aggregations joined on the keys
     "TestGroupByQuery/testPythonUdafWithHaving.sql",
+    # parse-only in the reference and semantically invalid under ANSI:
+    # unqualified columns present on both join sides, UNION branches of
+    # unequal arity, subquery columns referenced outside their scope
+    "TestSQLAnalyzer/positive/join_2.sql",
+    "TestSQLAnalyzer/positive/join_5.sql",
+    "TestSQLAnalyzer/positive/join_6.sql",
+    "TestSQLAnalyzer/positive/join_7.sql",
+    "TestSQLAnalyzer/positive/set_1.sql",
+    "TestSQLAnalyzer/positive/table_subquery1.sql",
+    "TestSQLAnalyzer/positive/table_subquery2.sql",
+    # (x,y,z) positional column aliases for a wider base table — ANSI
+    # requires the alias list to match the table degree
+    "TestSQLAnalyzer/positive/parentheses_table_3.sql",
+}
+
+
+# Generic fixture tables many parse-level suites (TestSQLAnalyzer,
+# TestLogicalPlanner drafts) reference; columns are the union of what
+# the corpus selects from each. Tiny deterministic rows — these suites
+# exercise statement shapes, not data volume.
+GENERIC_FIXTURES = {
+    "table1": (
+        "c1 INT, c2 INT, c3 INT, c4 INT, a INT, b INT, c INT, "
+        "member_id BIGINT, member_name STRING, name STRING, id BIGINT, "
+        "age INT, score DOUBLE, key STRING, value DOUBLE, fk INT, "
+        "point DOUBLE, post_code STRING, x INT, y INT, z INT, "
+        "text STRING, number INT",
+        [(i, i + 1, i + 2, i + 3, i, i, i, i, f"m{i}", f"n{i}", i,
+          20 + i, 1.5 * i, f"k{i}", 2.5 * i, i % 2, 0.5 * i, f"p{i}",
+          i, i * 2, i * 3, f"t{i}", i) for i in range(4)],
+    ),
+    "table2": (
+        "c1 INT, c2 INT, c3 INT, c4 INT, c5 INT, a INT, b INT, c INT, "
+        "col1 INT, col2 INT, col3 INT, key STRING, name STRING, "
+        "data STRING, total DOUBLE, id BIGINT",
+        [(i, i, i, i, i, i, i, i, i, i, i, f"k{i}", f"n{i}", f"d{i}",
+          1.0 * i, i) for i in range(4)],
+    ),
+    "table3": (
+        "c1 INT, c2 INT, c3 INT, c7 INT, c8 INT, a INT, b INT, c INT, "
+        "id BIGINT, name STRING",
+        [(i, i, i, i, i, i, i, i, i, f"n{i}") for i in range(3)],
+    ),
+    "people": (
+        "id BIGINT, name STRING, age INT, addr STRING, gender STRING, "
+        "score DOUBLE",
+        [(i, f"p{i}", 20 + i, f"addr{i}", "xy"[i % 2], 1.0 * i)
+         for i in range(4)],
+    ),
+    # no addr here: USING-join goldens select people.addr unqualified,
+    # which must stay unambiguous
+    "student": (
+        "id BIGINT, name STRING, score INT, grade INT",
+        [(i, f"p{i}", 60 + i, i % 4) for i in range(4)],
+    ),
 }
 
 
@@ -85,6 +140,12 @@ def stage(spark):
     spark.table("orders").limit(0).createOrReplaceTempView("empty_orders")
     spark.table("lineitem").limit(0).createOrReplaceTempView(
         "empty_lineitem"
+    )
+    for name, (ddl, rows) in GENERIC_FIXTURES.items():
+        spark.createDataFrame(rows, ddl).createOrReplaceTempView(name)
+    # generic placeholder scalar the parser-suite goldens call as func()
+    spark.udf.register(
+        "func", lambda a, b, c: float(a or 0) + float(b or 0), "double"
     )
     load_python_udfs(
         spark, os.path.join(REPO, "tajo_spark/functions/udf_examples")
