@@ -517,11 +517,66 @@ def _rewrite_over_bodies(sql: str, fn_re: re.Pattern, rewrite) -> str:
 
 def inject_window_order(sql: str) -> str:
     def rw(body: str):
-        if re.search(r"\bORDER\s+BY\b", body, re.IGNORECASE):
-            return None
-        return body + (" " if body.strip() else "") + "ORDER BY 1"
+        if re.fullmatch(r"\s*\w+\s*", body):
+            return None  # OVER (window_name) reference, not a spec
+        # Tajo IGNORES a frame clause on ranking functions (ordered
+        # functions special-case, WindowAggExec.java:125-131); Spark
+        # REJECTS one — strip it. The frame is always the trailing
+        # component of a window spec.
+        stripped = re.sub(
+            r"\b(?:ROWS|RANGE)\b.*$", "", body, flags=re.IGNORECASE | re.DOTALL
+        )
+        if re.search(r"\bORDER\s+BY\b", stripped, re.IGNORECASE):
+            return stripped if stripped != body else None
+        return stripped + (" " if stripped.strip() else "") + "ORDER BY 1"
 
     return _rewrite_over_bodies(sql, _RANKING_FN_RE, rw)
+
+
+_RANKING_NAMES = {
+    "row_number", "rank", "dense_rank", "percent_rank", "cume_dist",
+    "ntile",
+}
+_NAMED_WINDOW_RE = re.compile(r"\bWINDOW\s+(\w+)\s+AS\s*\(", re.IGNORECASE)
+
+
+def strip_ranking_frames_from_named_windows(sql: str) -> str:
+    """``WINDOW w AS (... ROWS ...)`` referenced only by ranking
+    functions: drop the frame (Tajo ignores it for ordered functions,
+    Spark rejects it). Mixed usage leaves the definition alone — the
+    aggregate users need the frame."""
+    edits: list[tuple[int, int, str]] = []
+    for m in _NAMED_WINDOW_RE.finditer(sql):
+        name = m.group(1)
+        users = re.findall(
+            r"(\w+)\s*\([^()]*\)\s*OVER\s*\(?\s*" + re.escape(name)
+            + r"\s*\)?",
+            sql,
+            re.IGNORECASE,
+        )
+        if not users or not all(u.lower() in _RANKING_NAMES for u in users):
+            continue
+        start = m.end()
+        j = _matching_paren(sql, start - 1)
+        body = sql[start : j - 1]
+        stripped = re.sub(
+            r"\b(?:ROWS|RANGE)\b.*$", "", body, flags=re.IGNORECASE | re.DOTALL
+        )
+        if stripped != body:
+            edits.append((start, j - 1, stripped))
+    for s_, e_, rep in reversed(edits):
+        sql = sql[:s_] + rep + sql[e_:]
+    # Tajo writes OVER (window1) to reference a named window; Spark's
+    # grammar wants the bare OVER window1
+    for m in list(_NAMED_WINDOW_RE.finditer(sql)):
+        name = m.group(1)
+        sql = re.sub(
+            r"\bOVER\s*\(\s*" + re.escape(name) + r"\s*\)",
+            f"OVER {name}",
+            sql,
+            flags=re.IGNORECASE,
+        )
+    return sql
 
 
 # Aggregate functions over an ORDER BY window with no explicit frame:
@@ -559,6 +614,9 @@ def translate(sql: str) -> str:
     routed by ``parse_session_statement`` first)."""
     s = sql.strip().rstrip(";")
     s = translate_quoted_identifiers(s)
+    # named-window handling FIRST: it rewrites OVER (w) → OVER w, so the
+    # inline-spec rewriters below never mistake a window name for a spec
+    s = strip_ranking_frames_from_named_windows(s)
     s = inject_window_order(s)
     s = force_tajo_window_frames(s)
     # Tajo allows a parenthesized table reference, optionally with an

@@ -436,3 +436,23 @@ def test_dialect_last_value_sees_partition_end(spark, engine):
             per_key_max.get(r.o_custkey, 0), r.o_orderkey
         )
     assert all(v == {per_key_max[k]} for k, v in per_key_lv.items())
+
+
+def test_dialect_named_window_with_ranking_frame(spark, engine):
+    # Tajo: OVER (window1) references a WINDOW-clause name and ignores
+    # its frame for ranking functions; Spark needs OVER window1 and
+    # rejects frames on row_number — the shim handles both
+    register_tables(spark, SF_DIR, ("orders",))
+    rows = engine.execute_sql(
+        "SELECT o_orderkey, row_number() OVER (w1) AS rn, "
+        "rank() OVER (w1) AS rk FROM orders "
+        "WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderkey "
+        "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)"
+    ).limit(5).collect()
+    assert all(r.rn >= 1 and r.rk >= 1 for r in rows)
+    # ranking frames on inline specs are stripped too
+    rows2 = engine.execute_sql(
+        "SELECT row_number() OVER (PARTITION BY o_custkey ORDER BY "
+        "o_orderkey ROWS UNBOUNDED PRECEDING) AS rn FROM orders"
+    ).limit(3).collect()
+    assert all(r.rn >= 1 for r in rows2)

@@ -125,6 +125,25 @@ GENERIC_FIXTURES = {
         "id BIGINT, name STRING, score INT, grade INT",
         [(i, f"p{i}", 60 + i, i % 4) for i in range(4)],
     ),
+    "sum_example": (
+        "dt DOUBLE, dt2 DOUBLE, xy DOUBLE",
+        [(1.5 * i, 2.5 * i, 3.5 * i) for i in range(4)],
+    ),
+    # column-partitioned fixture (TestTablePartitions): key is the
+    # partition column, null_col all-null as the suite's filters expect
+    "testquerycasesoncolumnpartitionedtable": (
+        "col1 INT, col2 STRING, null_col STRING, key DOUBLE",
+        [(i, f"c{i}", None, float(k))
+         for i, k in enumerate([45, 38, 45, 10])],
+    ),
+    # partitioned customer variant (partitioned_customer_ddl.sql)
+    "customer_parts": (
+        "c_custkey INT, c_name STRING, c_address STRING, c_phone STRING, "
+        "c_acctbal DOUBLE, c_mktsegment STRING, c_comment STRING, "
+        "c_nationkey INT",
+        [(i, f"n{i}", f"a{i}", f"p{i}", 1.0 * i, "SEG", f"cm{i}", i % 5)
+         for i in range(6)],
+    ),
 }
 
 
