@@ -50,6 +50,9 @@ MISSING_COLUMNS = (
     "c_comment", "c_address", "c_phone", "s_comment", "s_address",
     "s_phone", "n_comment", "r_comment", "p_comment", "p_mfgr",
     "ps_comment",
+    # self-desc JSON: Tajo's schemaless tables return NULL for paths
+    # absent from the data; Spark's inferred schema cannot resolve them
+    "null_expected",
 )
 
 NEGATIVE_MARKERS = ("/negative/", "/errors/")
@@ -162,6 +165,18 @@ def stage(spark):
     )
     for name, (ddl, rows) in GENERIC_FIXTURES.items():
         spark.createDataFrame(rows, ddl).createOrReplaceTempView(name)
+    # self-describing JSON tables: the reference's own datasets, read
+    # with schema inference — the Spark analogue of its `(*) using json`
+    # tables (TestQueryOnSelfDescTable.java:36-46)
+    ds = ("/root/reference/tajo-core-tests/src/test/resources/dataset/"
+          "TestQueryOnSelfDescTable")
+    for view, sub in [("self_desc_table1", "sample1"),
+                      ("self_desc_table2", "sample2"),
+                      ("self_desc_table3", "tweets"),
+                      ("github", "github")]:
+        p = os.path.join(ds, sub)
+        if os.path.isdir(p):
+            spark.read.json(p).createOrReplaceTempView(view)
     # generic placeholder scalar the parser-suite goldens call as func()
     spark.udf.register(
         "func", lambda a, b, c: float(a or 0) + float(b or 0), "double"
