@@ -515,17 +515,25 @@ def _rewrite_over_bodies(sql: str, fn_re: re.Pattern, rewrite) -> str:
     return sql
 
 
+# A frame clause starts with ROWS|RANGE followed by a frame token —
+# anchoring on the follower keeps a column literally named "rows" or
+# "range" in the ORDER BY out of reach.
+_FRAME_RE = re.compile(
+    r"\b(?:ROWS|RANGE)\s+(?:BETWEEN|UNBOUNDED|CURRENT|\d).*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _strip_trailing_frame(body: str) -> str:
+    return _FRAME_RE.sub("", body)
+
+
 def inject_window_order(sql: str) -> str:
     def rw(body: str):
-        if re.fullmatch(r"\s*\w+\s*", body):
-            return None  # OVER (window_name) reference, not a spec
         # Tajo IGNORES a frame clause on ranking functions (ordered
         # functions special-case, WindowAggExec.java:125-131); Spark
-        # REJECTS one — strip it. The frame is always the trailing
-        # component of a window spec.
-        stripped = re.sub(
-            r"\b(?:ROWS|RANGE)\b.*$", "", body, flags=re.IGNORECASE | re.DOTALL
-        )
+        # REJECTS one — strip it.
+        stripped = _strip_trailing_frame(body)
         if re.search(r"\bORDER\s+BY\b", stripped, re.IGNORECASE):
             return stripped if stripped != body else None
         return stripped + (" " if stripped.strip() else "") + "ORDER BY 1"
@@ -533,50 +541,55 @@ def inject_window_order(sql: str) -> str:
     return _rewrite_over_bodies(sql, _RANKING_FN_RE, rw)
 
 
-_RANKING_NAMES = {
-    "row_number", "rank", "dense_rank", "percent_rank", "cume_dist",
-    "ntile",
-}
-_NAMED_WINDOW_RE = re.compile(r"\bWINDOW\s+(\w+)\s+AS\s*\(", re.IGNORECASE)
+_WINDOW_CLAUSE_RE = re.compile(r"\bWINDOW\s+(\w+)\s+AS\s*\(", re.IGNORECASE)
 
 
-def strip_ranking_frames_from_named_windows(sql: str) -> str:
-    """``WINDOW w AS (... ROWS ...)`` referenced only by ranking
-    functions: drop the frame (Tajo ignores it for ordered functions,
-    Spark rejects it). Mixed usage leaves the definition alone — the
-    aggregate users need the frame."""
-    edits: list[tuple[int, int, str]] = []
-    for m in _NAMED_WINDOW_RE.finditer(sql):
-        name = m.group(1)
-        users = re.findall(
-            r"(\w+)\s*\([^()]*\)\s*OVER\s*\(?\s*" + re.escape(name)
-            + r"\s*\)?",
-            sql,
-            re.IGNORECASE,
-        )
-        if not users or not all(u.lower() in _RANKING_NAMES for u in users):
-            continue
-        start = m.end()
-        j = _matching_paren(sql, start - 1)
-        body = sql[start : j - 1]
-        stripped = re.sub(
-            r"\b(?:ROWS|RANGE)\b.*$", "", body, flags=re.IGNORECASE | re.DOTALL
-        )
-        if stripped != body:
-            edits.append((start, j - 1, stripped))
-    for s_, e_, rep in reversed(edits):
-        sql = sql[:s_] + rep + sql[e_:]
-    # Tajo writes OVER (window1) to reference a named window; Spark's
-    # grammar wants the bare OVER window1
-    for m in list(_NAMED_WINDOW_RE.finditer(sql)):
-        name = m.group(1)
-        sql = re.sub(
-            r"\bOVER\s*\(\s*" + re.escape(name) + r"\s*\)",
-            f"OVER {name}",
-            sql,
-            flags=re.IGNORECASE,
-        )
-    return sql
+def inline_named_windows(sql: str) -> str:
+    """Replace every named-window reference (``OVER (w)`` / ``OVER w``)
+    with its full definition inline, and drop the WINDOW clause.
+
+    Each usage then carries its own copy of the spec, so the ranking
+    (strip frame, ensure ORDER BY) and aggregate (force Tajo default
+    frame) rewrites that follow apply per-usage — mixed ranking +
+    aggregate users of one named window each get correct treatment,
+    which no shared-definition edit could provide.
+    """
+    m = _WINDOW_CLAUSE_RE.search(sql)
+    if not m:
+        return sql
+    # parse the comma-separated definition list: WINDOW w1 AS (..)[, w2 AS (..)]*
+    defs: dict[str, str] = {}
+    clause_start = m.start()
+    pos = m.start()
+    pat = re.compile(r"\s*(\w+)\s+AS\s*\(", re.IGNORECASE)
+    pos = clause_start + len("WINDOW")
+    while True:
+        dm = pat.match(sql, pos)
+        if not dm:
+            break
+        open_idx = dm.end() - 1
+        close = _matching_paren(sql, open_idx)
+        defs[dm.group(1).lower()] = sql[dm.end() : close - 1]
+        pos = close
+        cm = re.match(r"\s*,", sql[pos:])
+        if not cm:
+            break
+        pos += cm.end()
+    clause_end = pos
+    body = sql[:clause_start] + sql[clause_end:]
+
+    def sub_ref(mm: re.Match) -> str:
+        name = (mm.group(1) or mm.group(2)).lower()
+        if name in defs:
+            return f"OVER ({defs[name]})"
+        return mm.group(0)
+
+    return re.sub(
+        r"\bOVER\s*(?:\(\s*(\w+)\s*\)|(?!\s*\()\s+(\w+)\b)",
+        sub_ref,
+        body,
+        flags=re.IGNORECASE,
+    )
 
 
 # Aggregate functions over an ORDER BY window with no explicit frame:
@@ -614,9 +627,9 @@ def translate(sql: str) -> str:
     routed by ``parse_session_statement`` first)."""
     s = sql.strip().rstrip(";")
     s = translate_quoted_identifiers(s)
-    # named-window handling FIRST: it rewrites OVER (w) → OVER w, so the
-    # inline-spec rewriters below never mistake a window name for a spec
-    s = strip_ranking_frames_from_named_windows(s)
+    # named windows are inlined FIRST so every OVER carries a full spec
+    # and the per-usage rewrites below see inline bodies only
+    s = inline_named_windows(s)
     s = inject_window_order(s)
     s = force_tajo_window_frames(s)
     # Tajo allows a parenthesized table reference, optionally with an
