@@ -456,3 +456,21 @@ def test_dialect_named_window_with_ranking_frame(spark, engine):
         "o_orderkey ROWS UNBOUNDED PRECEDING) AS rn FROM orders"
     ).limit(3).collect()
     assert all(r.rn >= 1 for r in rows2)
+
+
+def test_dialect_mixed_named_window_usage(spark, engine):
+    # one named window, ranking + aggregate users: the ranking copy
+    # sheds the frame Spark rejects, the aggregate copy keeps it
+    register_tables(spark, SF_DIR, ("orders",))
+    rows = engine.execute_sql(
+        "SELECT o_custkey, row_number() OVER (w) AS rn, "
+        "sum(o_totalprice) OVER (w) AS s FROM orders "
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    ).collect()
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r.o_custkey, set()).add(round(r.s, 2))
+    # the aggregate kept the whole-partition frame → one sum per key
+    assert all(len(v) == 1 for v in per_key.values())
+    assert all(r.rn >= 1 for r in rows)
