@@ -177,6 +177,14 @@ def stage(spark):
         p = os.path.join(ds, sub)
         if os.path.isdir(p):
             spark.read.json(p).createOrReplaceTempView(view)
+    # nested-record suite datasets (TestSelectNestedRecord): RECORD
+    # columns ↔ inferred struct columns
+    nr = ("/root/reference/tajo-core-tests/src/test/resources/dataset/"
+          "TestSelectNestedRecord")
+    for sub in ["sample1", "sample2", "tweets"]:
+        p = os.path.join(nr, sub)
+        if os.path.isdir(p):
+            spark.read.json(p).createOrReplaceTempView(sub)
     # generic placeholder scalar the parser-suite goldens call as func()
     spark.udf.register(
         "func", lambda a, b, c: float(a or 0) + float(b or 0), "double"
