@@ -86,6 +86,11 @@ DIALECT_LAX = {
     # (x,y,z) positional column aliases for a wider base table — ANSI
     # requires the alias list to match the table degree
     "TestSQLAnalyzer/positive/parentheses_table_3.sql",
+    # aliases referenced without being declared / ambiguous unqualified
+    # name across multiple join inputs
+    "TestSQLAnalyzer/positive/asterisk_2.sql",
+    "TestSQLAnalyzer/positive/join_12.sql",
+    "TestSQLAnalyzer/positive/select_2.sql",
 }
 
 
@@ -118,15 +123,27 @@ GENERIC_FIXTURES = {
     ),
     "people": (
         "id BIGINT, name STRING, age INT, addr STRING, gender STRING, "
-        "score DOUBLE",
-        [(i, f"p{i}", 20 + i, f"addr{i}", "xy"[i % 2], 1.0 * i)
+        "score DOUBLE, x INT",
+        [(i, f"p{i}", 20 + i, f"addr{i}", "xy"[i % 2], 1.0 * i, i)
          for i in range(4)],
     ),
     # no addr here: USING-join goldens select people.addr unqualified,
-    # which must stay unambiguous
+    # which must stay unambiguous; y/l feed unqualified ON predicates
     "student": (
-        "id BIGINT, name STRING, score INT, grade INT",
-        [(i, f"p{i}", 60 + i, i % 4) for i in range(4)],
+        "id BIGINT, name STRING, score INT, grade INT, y INT, l INT",
+        [(i, f"p{i}", 60 + i, i % 4, i, i) for i in range(4)],
+    ),
+    "students": (
+        "name STRING, addr STRING, score INT",
+        [(f"p{i}", f"addr{i}", 60 + i) for i in range(4)],
+    ),
+    "professor": (
+        "name STRING, m INT",
+        [(f"p{i}", i) for i in range(4)],
+    ),
+    "base": (
+        "col0 INT, col1 INT, col2 INT, col3 INT, col4 DOUBLE, col5 DOUBLE",
+        [(i, i, i, i, 1.0 * i, 2.0 * i) for i in range(4)],
     ),
     "sum_example": (
         "dt DOUBLE, dt2 DOUBLE, xy DOUBLE",
@@ -163,8 +180,23 @@ def stage(spark):
     spark.table("lineitem").limit(0).createOrReplaceTempView(
         "empty_lineitem"
     )
+    # every synthetic fixture is coalesced to ONE partition: an N-way
+    # cross join of default-parallelism frames multiplies TASK counts
+    # (32^N) even when the data is a handful of rows
     for name, (ddl, rows) in GENERIC_FIXTURES.items():
-        spark.createDataFrame(rows, ddl).createOrReplaceTempView(name)
+        spark.createDataFrame(rows, ddl).coalesce(1).createOrReplaceTempView(name)
+    # single-column scratch relations for multi-way cross-join goldens,
+    # and id-keyed tables for the 10-way join-chain goldens
+    for name in ["a", "b", "c", "d", "e"]:
+        spark.createDataFrame(
+            [(i,) for i in range(2)], f"k_{name} INT"
+        ).coalesce(1).createOrReplaceTempView(name)
+    for name in ["table4", "table5", "table6", "table10", "table11",
+                 "table12"]:
+        spark.createDataFrame(
+            [(i, i, i, i, None if i % 2 else i) for i in range(3)],
+            f"id BIGINT, v_{name} INT, col1 INT, col2 INT, col3 INT",
+        ).coalesce(1).createOrReplaceTempView(name)
     # self-describing JSON tables: the reference's own datasets, read
     # with schema inference — the Spark analogue of its `(*) using json`
     # tables (TestQueryOnSelfDescTable.java:36-46)
