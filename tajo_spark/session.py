@@ -59,6 +59,14 @@ def build_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # Runtime row-level filtering: when one join side is selective,
+        # inject a bloom filter into the other side's scan — at 100 TB
+        # this prunes shuffle input before it is ever materialized (the
+        # dynamic analogue of Tajo's static filter pushdown,
+        # FilterPushDownRule.java). NOTE: do not also enable
+        # runtimeFilter.semiJoinReduction here — it deadlocks session
+        # startup on this Spark build.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # The driver's events.parquet stores TIMESTAMP(NANOS); Spark has no
         # nanos timestamp type, so read as long and rebuild in catalog.py.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
