@@ -785,3 +785,35 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ntok").cast("long").alias("total_tokens"),
         F.round(F.avg("n_chars"), 2).alias("avg_chars"),
     )
+
+
+@query(
+    "sample_stratified_topk",
+    "datapipe",
+    doc="Exact stratified sample: precisely 20 documents per language, "
+    "chosen by md5-hash order within each stratum — deterministic "
+    "balanced subsets (eval-set construction). One window shuffle on "
+    "the stratum key; the hash order makes the choice reproducible on "
+    "any engine, unlike RNG sampling.",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                     PARTITION BY lang
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents)
+        SELECT doc_id, lang FROM ranked WHERE rn <= 20
+    """,
+)
+def sample_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
