@@ -21,11 +21,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def id_md5(id_col: Column) -> Column:
+    """md5 hex of the stringified id — THE shared hash recipe every
+    sampling operator (and oracle SQL via ``md5(CAST(id AS VARCHAR))``)
+    uses; keep the cast chain identical everywhere or cross-engine
+    membership diverges."""
+    return F.md5(id_col.cast("string").cast("binary"))
+
+
 def _bucket2(id_col: Column) -> Column:
     """First 2 hex chars of md5(id) — a uniform value in 256 buckets,
     compared lexicographically (hex strings are fixed-width lowercase,
     so string order == numeric order in every engine)."""
-    return F.substring(F.md5(id_col.cast("string").cast("binary")), 1, 2)
+    return F.substring(id_md5(id_col), 1, 2)
 
 
 def split_column(
@@ -58,9 +66,7 @@ def deterministic_sample(
         return df
     if fraction <= 0.0:
         return df.filter(F.lit(False))
-    prefix = F.substring(
-        F.md5(F.col(id_col).cast("string").cast("binary")), 1, 4
-    )
+    prefix = F.substring(id_md5(F.col(id_col)), 1, 4)
     return df.filter(prefix < F.lit(sample_threshold_hex(fraction)))
 
 

@@ -808,10 +808,10 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sample_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    from tajo_spark.operators.sampling import id_md5
+
     docs = load_table(spark, sf_dir, "documents")
-    w = W.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
-    )
+    w = W.partitionBy("lang").orderBy(id_md5(F.col("doc_id")), "doc_id")
     return (
         docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 20)

@@ -53,12 +53,21 @@ def zorder_write(
     every output file covers a compact hyper-rectangle of the key
     space.
     """
-    ranked = [
-        (F.percent_rank().over(W.orderBy(c)) * ((1 << bits) - 1))
-        .cast("int")
-        for c in cols
-    ]
-    z = df.withColumn("__z", _interleave(ranked, bits))
+    # materialize each rank ONCE as a real column: passing the window
+    # expression itself into _interleave would re-inline it per bit
+    # (16× per column — Catalyst does not dedup window expressions;
+    # the CollapseProject pitfall pinned in this repo's plan tests)
+    ranked = df
+    for i, c in enumerate(cols):
+        ranked = ranked.withColumn(
+            f"__r{i}",
+            (F.percent_rank().over(W.orderBy(c)) * ((1 << bits) - 1)).cast(
+                "int"
+            ),
+        )
+    z = ranked.withColumn(
+        "__z", _interleave([F.col(f"__r{i}") for i in range(len(cols))], bits)
+    ).drop(*[f"__r{i}" for i in range(len(cols))])
     (
         z.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
@@ -68,7 +77,7 @@ def zorder_write(
     )
 
 
-def file_minmax(spark, path: str, column: str) -> list[tuple]:
+def file_minmax(path: str, column: str) -> list[tuple]:
     """(file, min, max) of ``column`` per parquet file — lets callers
     (and tests) measure how much a filter could skip."""
     import pyarrow.parquet as pq

@@ -51,3 +51,19 @@ def test_sample_full_and_zero_fractions(spark):
     assert sampling.deterministic_sample(df, "k", 0.0).count() == 0
     with pytest.raises(ValueError):
         sample_threshold_hex(1.0)
+
+
+def test_stratified_topk_exact_k_per_group_and_deterministic(spark, ddb):
+    from tajo_spark.queries.registry import all_queries
+    import tests.conftest as C
+
+    spec = all_queries()["sample_stratified_topk"]
+    a = spec.spark(spark, C.SF_DIR).toPandas()
+    b = spec.spark(spark, C.SF_DIR).toPandas()
+    counts = a.groupby("lang").size()
+    assert (counts == 20).all()
+    assert sorted(map(tuple, a.values.tolist())) == sorted(
+        map(tuple, b.values.tolist())
+    )
+    opdf = ddb.execute(spec.oracle).fetchdf()
+    C.assert_frames_match(a, opdf, "sample_stratified_topk")

@@ -24,10 +24,10 @@ def test_zorder_makes_both_dimensions_skippable(spark, tmp_path):
 
     # a 10%-selective range predicate on EACH dimension
     q = (45_000, 55_000)
-    zx = zorder.skip_fraction(zorder.file_minmax(spark, zpath, "x"), *q)
-    zy = zorder.skip_fraction(zorder.file_minmax(spark, zpath, "y"), *q)
-    sx = zorder.skip_fraction(zorder.file_minmax(spark, spath, "x"), *q)
-    sy = zorder.skip_fraction(zorder.file_minmax(spark, spath, "y"), *q)
+    zx = zorder.skip_fraction(zorder.file_minmax(zpath, "x"), *q)
+    zy = zorder.skip_fraction(zorder.file_minmax(zpath, "y"), *q)
+    sx = zorder.skip_fraction(zorder.file_minmax(spath, "x"), *q)
+    sy = zorder.skip_fraction(zorder.file_minmax(spath, "y"), *q)
 
     # x-sort: x highly skippable, y not at all
     assert sx >= 0.7 and sy == 0.0
