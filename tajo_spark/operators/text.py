@@ -80,6 +80,36 @@ def lang_id(text: Column) -> Column:
     return F.when(stopword_ratio(text) > 0.05, F.lit("en")).otherwise(F.lit("other"))
 
 
+# PII patterns shared with the DuckDB oracle. Kept to constructs whose
+# match semantics agree between Java regex (Spark) and RE2 (DuckDB):
+# character classes, bounded repetition, \b anchors — no lookaround, no
+# backtracking-sensitive alternation.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_SSN = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace email / IPv4 / SSN-shaped spans with fixed tags.
+
+    Pure per-row regexp_replace chain — JVM-side, no shuffle; the
+    standard pre-training scrub pass (C4/Dolma-style rule-based PII
+    removal). Order matters: emails first so their dotted domains are
+    not half-eaten by the IPv4 rule."""
+    out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    return F.regexp_replace(out, PII_SSN, "<SSN>")
+
+
+def pii_counts(text: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_ips, n_ssns) match counts per document."""
+    return (
+        F.regexp_count(text, F.lit(PII_EMAIL)).cast("long"),
+        F.regexp_count(text, F.lit(PII_IPV4)).cast("long"),
+        F.regexp_count(text, F.lit(PII_SSN)).cast("long"),
+    )
+
+
 def normalize_for_fingerprint(text: Column) -> Column:
     """Lowercase, strip punctuation, collapse whitespace — canonical text
     for near-identical dedup."""

@@ -335,6 +335,134 @@ def text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_pii_stats",
+    "datapipe",
+    doc="Rule-based PII scrub (emails / IPv4 / SSN-shaped spans → fixed "
+    "tags) with per-document match counts and the redacted-text "
+    "fingerprint — the standard pre-training scrub pass. Pure per-row "
+    "regexp chain, no shuffle; patterns restricted to constructs whose "
+    "semantics agree between Java regex and RE2.",
+    oracle=f"""
+        WITH r AS (SELECT doc_id, text,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{text.PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{text.PII_IPV4}', '<IP>', 'g'),
+                   '{text.PII_SSN}', '<SSN>', 'g') AS red
+              FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{text.PII_EMAIL}')) AS BIGINT)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(text, '{text.PII_IPV4}')) AS BIGINT)
+                 AS n_ips,
+               CAST(len(regexp_extract_all(text, '{text.PII_SSN}')) AS BIGINT)
+                 AS n_ssns,
+               CAST(length(red) AS BIGINT) AS redacted_len,
+               md5(red) AS redacted_fp
+        FROM r
+    """,
+)
+def text_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    n_emails, n_ips, n_ssns = text.pii_counts(c)
+    red = text.pii_redact(c)
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_ssns.alias("n_ssns"),
+        F.length(red).cast("long").alias("redacted_len"),
+        F.md5(red.cast("binary")).alias("redacted_fp"),
+    )
+
+
+@query(
+    "text_repetition_signals",
+    "datapipe",
+    doc="Gopher-style repetition/diversity signals per document: token "
+    "count, distinct-token count, type-token ratio, most-frequent-token "
+    "share. Plan: explode tokens → two-phase count on (doc_id, token) "
+    "(map-side combine collapses the fan-out before the shuffle) → "
+    "per-doc rollup; shuffle volume is |doc × distinct token|, not "
+    "|tokens|.",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        f AS (SELECT doc_id, tok, count(*) AS c FROM t
+              WHERE tok <> '' GROUP BY doc_id, tok)
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               round(count(*) / sum(c), 4) AS ttr,
+               round(max(c) / sum(c), 4) AS top_frac
+        FROM f GROUP BY doc_id
+    """,
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        dedup.spread_by(docs, "doc_id")
+        .select("doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    freq = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return freq.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), 4).alias("ttr"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_frac"),
+    )
+
+
+@query(
+    "text_contamination",
+    "datapipe",
+    doc="Benchmark-contamination check: flag corpus documents sharing "
+    "any 3-word shingle with a held-out benchmark set (doc_id % 97 = 0 "
+    "stands in for the eval suite). The benchmark shingle set is tiny "
+    "by construction, so Spark broadcasts it — the corpus side is a "
+    "single map-side semi-join scan, no corpus shuffle; the per-doc "
+    "hit count then aggregates on doc_id.",
+    oracle=f"""
+        WITH cn_n AS (SELECT doc_id, {_NORM} AS t FROM documents),
+        cn_tk AS (SELECT doc_id, string_split(t, ' ') AS w FROM cn_n),
+        cn_sh AS (SELECT doc_id, unnest(list_distinct(
+                      CASE WHEN len(w) >= {dedup.SHINGLE_K}
+                           THEN list_transform(range(1, len(w) - {dedup.SHINGLE_K - 2}),
+                                i -> {" || ' ' || ".join(f"w[i+{j}]" for j in range(dedup.SHINGLE_K))})
+                           ELSE [array_to_string(w, ' ')] END)) AS sh
+               FROM cn_tk),
+        bench AS (SELECT DISTINCT sh FROM cn_sh
+                  WHERE doc_id % 97 = 0 AND sh <> '')
+        SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hit_shingles
+        FROM cn_sh s JOIN bench b USING (sh)
+        WHERE s.doc_id % 97 <> 0 AND s.sh <> ''
+        GROUP BY s.doc_id
+    """,
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = dedup.spread_by(docs, "doc_id").select(
+        "doc_id",
+        F.split(text.normalize_for_fingerprint(F.col("text")), " ").alias("w"),
+    )
+    sh = tok.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(dedup.shingles_from_tokens(F.col("w")))
+        ).alias("sh"),
+    ).filter(F.col("sh") != "")
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0).select("sh").distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit_shingles"))
+    )
+
+
+@query(
     "multimodal_binary_meta",
     "datapipe",
     doc="Opaque-binary column plumbing: byte length + content key over "

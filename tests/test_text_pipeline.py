@@ -1,0 +1,131 @@
+"""Round-2 text-pipeline operators: PII scrub, repetition signals,
+contamination check. The sf-corpus parity runs live in
+test_oracle_parity; these tests exercise crafted adversarial inputs the
+synthetic corpus doesn't contain (real emails/IPs/SSNs, degenerate
+repetition, exact shingle overlap)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tajo_spark.operators import text
+from tests.conftest import assert_frames_match
+
+PII_DOCS = [
+    (0, "contact me at alice.smith+work@example-corp.co.uk today"),
+    (1, "server 192.168.0.1 and 10.0.0.255 responded; not 999.1 though"),
+    (2, "ssn 123-45-6789 but not 1234-56-789 or 12-345-6789"),
+    (3, "mixed: bob@x.io from 8.8.8.8 holds 987-65-4321"),
+    (4, "clean text with no identifiers at all"),
+    (5, ""),
+    (6, None),
+    # dotted-domain email must not be half-eaten by the IPv4 rule
+    (7, "edge a@b.cd next to 1.2.3.4.5 run"),
+]
+
+
+@pytest.fixture(scope="module")
+def pii_frames(spark):
+    sdf = spark.createDataFrame(PII_DOCS, "doc_id INT, text STRING")
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(PII_DOCS, columns=["doc_id", "text"]),
+    )
+    yield sdf, con
+    con.close()
+
+
+def test_pii_redaction_matches_duckdb(pii_frames):
+    sdf, con = pii_frames
+    c = F.col("text")
+    n_emails, n_ips, n_ssns = text.pii_counts(c)
+    got = sdf.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_ssns.alias("n_ssns"),
+        text.pii_redact(c).alias("red"),
+    ).toPandas()
+    want = con.execute(
+        f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{text.PII_EMAIL}')) AS INT)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(text, '{text.PII_IPV4}')) AS INT)
+                 AS n_ips,
+               CAST(len(regexp_extract_all(text, '{text.PII_SSN}')) AS INT)
+                 AS n_ssns,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{text.PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{text.PII_IPV4}', '<IP>', 'g'),
+                   '{text.PII_SSN}', '<SSN>', 'g') AS red
+        FROM documents
+        """
+    ).fetchdf()
+    assert_frames_match(got, want, "pii_redact_crafted")
+
+
+def test_pii_redaction_semantics(pii_frames):
+    sdf, _ = pii_frames
+    rows = {
+        r["doc_id"]: r["red"]
+        for r in sdf.select(
+            "doc_id", text.pii_redact(F.col("text")).alias("red")
+        ).collect()
+    }
+    assert rows[0] == "contact me at <EMAIL> today"
+    assert rows[1] == "server <IP> and <IP> responded; not 999.1 though"
+    assert rows[2] == "ssn <SSN> but not 1234-56-789 or 12-345-6789"
+    assert rows[3] == "mixed: <EMAIL> from <IP> holds <SSN>"
+    assert rows[4] == "clean text with no identifiers at all"
+    assert rows[6] is None
+
+
+def test_repetition_signals_degenerate(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam"),
+            (1, "all four words differ"),
+            (2, "   "),
+        ],
+        "doc_id INT, text STRING",
+    )
+    from tajo_spark.operators import dedup
+
+    toks = (
+        docs.select(
+            "doc_id", F.explode(text.tokens(F.col("text"))).alias("tok")
+        ).filter(F.col("tok") != "")
+    )
+    freq = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    got = {
+        r["doc_id"]: r
+        for r in freq.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.round(F.max("c") / F.sum("c"), 4).alias("top_frac"),
+        )
+        .collect()
+    }
+    assert got[0]["n_tokens"] == 4 and got[0]["n_types"] == 1
+    assert got[0]["top_frac"] == 1.0
+    assert got[1]["n_types"] == 4 and got[1]["top_frac"] == 0.25
+    assert 2 not in got  # whitespace-only doc drops out entirely
+    assert dedup  # imported for parity with the registry plan
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    """The benchmark shingle set must enter the corpus join as a
+    broadcast — a shuffled corpus-side join would move the whole corpus
+    for a tiny eval suite."""
+    from tajo_spark.queries.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    df = all_queries()["text_contamination"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
