@@ -60,6 +60,9 @@ HEADLINE = [
     "asof_join_events_orders",
     "range_join_event_burst",
     "sample_hash_split",
+    "text_pii_stats",
+    "text_repetition_signals",
+    "text_contamination",
 ]
 
 

@@ -108,6 +108,55 @@ def image_metadata(binary_df: DataFrame, fake: bool = True) -> DataFrame:
     )
 
 
+RESIZED_DDL = (
+    "doc_id BIGINT, width INT, height INT, resized BINARY, "
+    "resized_key STRING"
+)
+
+
+def resize_image(binary_df: DataFrame, max_side: int = 224,
+                 fake: bool = True) -> DataFrame:
+    """Resize stage: (doc_id, content) → fixed-bound thumbnail payload.
+
+    Real deployments swap the kernel for PIL/opencv ``thumbnail``; the
+    stub derives target dims from the fake decode (aspect preserved,
+    longest side clamped to ``max_side``) and emits a deterministic
+    payload-key so downstream stages (dedup on resized content,
+    embedding) are exercised end-to-end. Arrow-batched ``mapInPandas``
+    — per-batch memory is bounded by maxRecordsPerBatch, the binary
+    column never transits a shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            if not fake:
+                raise NotImplementedError(
+                    "image codecs unavailable; see module doc"
+                )
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["content"]):
+                payload = bytes(payload)
+                w, hgt, _ = _fake_image_dims(payload)
+                scale = min(1.0, max_side / max(w, hgt))
+                rw, rh = max(1, int(w * scale)), max(1, int(hgt * scale))
+                key = hashlib.md5(
+                    payload + f":{rw}x{rh}".encode()
+                ).hexdigest()
+                rows.append(
+                    (doc_id, rw, rh, key.encode()[:16], key[:8])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "resized",
+                         "resized_key"],
+            )
+
+    return binary_df.select("doc_id", "content").mapInPandas(
+        run, schema=RESIZED_DDL
+    )
+
+
 def decode_audio(batch: pd.DataFrame, fake: bool) -> pd.DataFrame:
     if not fake:
         raise NotImplementedError(

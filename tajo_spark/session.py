@@ -54,6 +54,13 @@ def build_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The reference predates ANSI-mode SQL: its eval layer returns
+        # NULL / lenient coercions where ANSI raises (text→number casts
+        # on malformed input, overflow wraparound). Spark 4 defaults
+        # ansi=true; pin it off to match reference cast semantics
+        # (golden corpus: TestQueryOnSelfDescTable casts inferred-typed
+        # JSON fields against text columns).
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.cbo.joinReorder.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

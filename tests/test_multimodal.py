@@ -58,3 +58,21 @@ def test_real_decode_is_gated(binary_df):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_resize_bounds_and_determinism(binary_df):
+    out = M.resize_image(binary_df, max_side=128)
+    rows = out.collect()
+    assert rows, "resize produced no rows"
+    assert dict(out.dtypes)["resized"] == "binary"
+    for r in rows:
+        assert max(r["width"], r["height"]) <= 128
+        assert min(r["width"], r["height"]) >= 1
+    again = {r["doc_id"]: r["resized_key"] for r in
+             M.resize_image(binary_df, max_side=128).collect()}
+    assert {r["doc_id"]: r["resized_key"] for r in rows} == again
+
+
+def test_resize_real_kernel_is_gated(binary_df):
+    with pytest.raises(Exception):
+        M.resize_image(binary_df, fake=False).collect()
