@@ -23,6 +23,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from tajo_spark.functions import agg_fallback
 from tajo_spark.functions.registry import register_all
 from tajo_spark.plans import dialect
 from tajo_spark.session import build_spark
@@ -130,7 +131,28 @@ class Engine:
         directive = dialect.parse_session_statement(sql)
         if directive is not None:
             return self._apply_directive(directive)
-        return self.spark.sql(dialect.translate(sql))
+        return self._sql(dialect.translate(sql))
+
+    def _sql(self, translated: str) -> DataFrame:
+        """spark.sql with the mixed-UDAF fallback (agg_fallback.py):
+        Tajo runs Python UDAFs and built-in aggregates in one per-group
+        loop; Spark refuses that placement, so on that exact error the
+        statement retries with built-ins rewritten to pandas twins."""
+        translated = agg_fallback.inject_zero_arg_constants(translated)
+        df = self.spark.sql(translated)
+        low = translated.lower()
+        if any(n.lower() in low for n in agg_fallback.LOADED_AGGREGATES):
+            # the placement check fires at physical planning, not at
+            # analysis — force it now (plan is cached, not recomputed)
+            try:
+                df._jdf.queryExecution().executedPlan()
+            except Exception as exc:
+                if agg_fallback.MIXED_PLACEMENT_ERROR not in str(exc):
+                    raise
+                df = self.spark.sql(
+                    agg_fallback.rewrite_uniform_pandas(translated)
+                )
+        return df
 
     # tsql-compatible alias
     sql = execute_sql
@@ -146,7 +168,7 @@ class Engine:
         """EXPLAIN [GLOBAL] parity (QueryExecutor.java:126): the formatted
         physical plan, which at cluster scale includes the exchange
         (shuffle) structure — the MasterPlan DAG equivalent."""
-        df = self.spark.sql(dialect.translate(sql))
+        df = self._sql(dialect.translate(sql))
         return df._jdf.queryExecution().explainString(
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 mode

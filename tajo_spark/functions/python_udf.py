@@ -156,4 +156,8 @@ def load_python_udfs(
 
             spark.udf.register(prefix + agg_name, make(series_fn))
             registered.append(prefix + agg_name)
+            # record for the zero-arg bridge (agg_fallback)
+            from tajo_spark.functions.agg_fallback import LOADED_AGGREGATES
+
+            LOADED_AGGREGATES.add(prefix + agg_name)
     return registered

@@ -169,4 +169,7 @@ def register_all(spark: SparkSession) -> list[str]:
             f"RETURNS {ret} RETURN {body}"
         )
         names.append(name)
+    from tajo_spark.functions.agg_fallback import register_twins
+
+    register_twins(spark)
     return names

@@ -67,3 +67,65 @@ def test_grouped_agg_udaf(spark, code_dir):
     }
     exp0 = float(np.quantile([float(i) for i in range(0, 100, 2)], 0.9))
     assert abs(rows[0] - exp0) < 1e-6
+
+
+def test_mixed_udaf_fallback_matches_jvm_results(spark, code_dir):
+    """Tajo mixes Python UDAFs with built-in aggregates in one GROUP BY
+    (TestGroupByQuery.testPythonUdaf2/3); Spark rejects the placement,
+    so the engine retries all-pandas — values must match the JVM run."""
+    from tajo_spark.engine import Engine
+
+    load_python_udfs(spark, code_dir)
+    eng = Engine(spark)
+    spark.createDataFrame(
+        [(i % 3, float(i)) for i in range(30)], "g INT, v DOUBLE"
+    ).createOrReplaceTempView("fb_t")
+    got = {
+        r.g: (r.p, r.a, r.c, r.sd)
+        for r in eng.execute_sql(
+            "SELECT g, p90(v) AS p, avg(v) AS a, count(*) AS c, "
+            "sum(DISTINCT CAST(v AS INT) % 4) AS sd "
+            "FROM fb_t GROUP BY g"
+        ).collect()
+    }
+    jvm = {
+        r.g: (r.a, r.c, r.sd)
+        for r in spark.sql(
+            "SELECT g, avg(v) AS a, count(*) AS c, "
+            "sum(DISTINCT CAST(v AS INT) % 4) AS sd FROM fb_t GROUP BY g"
+        ).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    for g, (_, a, c, sd) in got.items():
+        ja, jc, jsd = jvm[g]
+        assert (a, c, float(sd)) == (ja, jc, float(jsd))
+
+
+def test_zero_arg_udaf_bridge(spark, code_dir):
+    """countpy()-style zero-arg UDAF calls (reference controller.py
+    feeds whole rows) run via constant injection, mixed or not."""
+    import textwrap as tw
+
+    from tajo_spark.engine import Engine
+
+    (spark.createDataFrame([(1,), (1,), (2,)], "k INT")
+     .createOrReplaceTempView("fb_z"))
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        with open(os.path.join(d, "zero.py"), "w") as fh:
+            fh.write(tw.dedent('''
+                AGGREGATES = {
+                    "rowspy": ("bigint", lambda s: int(s.size)),
+                }
+            '''))
+        load_python_udfs(spark, d)
+    eng = Engine(spark)
+    rows = {
+        r.k: (r.n, r.c)
+        for r in eng.execute_sql(
+            "SELECT k, rowspy() AS n, count(*) AS c FROM fb_z GROUP BY k"
+        ).collect()
+    }
+    assert rows == {1: (2, 2), 2: (1, 1)}
