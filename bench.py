@@ -63,6 +63,7 @@ HEADLINE = [
     "text_pii_stats",
     "text_repetition_signals",
     "text_contamination",
+    "text_tfidf_topk",
 ]
 
 

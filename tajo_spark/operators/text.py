@@ -120,3 +120,59 @@ def normalize_for_fingerprint(text: Column) -> Column:
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of normalized text."""
     return F.md5(normalize_for_fingerprint(text).cast("binary"))
+
+
+def tfidf_topk(docs, k: int = 3, doc_col: str = "text",
+               id_col: str = "doc_id"):
+    """Top-k keywords per document by TF-IDF over normalized tokens.
+
+    Plan shape (100 TB): explode → two-phase (id, token) count, so the
+    map-side combine collapses token fan-out before any shuffle; the
+    document-frequency aggregate reuses the tf output (one extra
+    token-keyed shuffle over |doc × distinct token| rows, never raw
+    tokens); corpus size joins in as a broadcast scalar; final per-doc
+    window partitions on the document id. The token-keyed tf⋈df join is
+    the heavy edge — AQE skew-join splits hot tokens.
+
+    Scores are rounded to 6 dp BEFORE ranking so the ordering is
+    reproducible across engines (ln() may differ by 1 ulp between
+    libm implementations); token breaks residual ties.
+    """
+    from pyspark.sql import Window
+
+    from tajo_spark.operators.dedup import spread_by
+
+    toks = (
+        spread_by(docs, id_col)
+        .select(
+            id_col,
+            F.explode(
+                F.split(normalize_for_fingerprint(F.col(doc_col)), " ")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "tok",
+            F.round(
+                F.col("c")
+                * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("tok")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -463,6 +463,38 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_tfidf_topk",
+    "datapipe",
+    doc="Top-3 keywords per document by TF-IDF (keyword extraction / "
+    "quality signal). Two-phase tf on (doc_id, token); document "
+    "frequency reuses the tf output so the raw token fan-out is never "
+    "shuffled twice; corpus size joins as a broadcast scalar; scores "
+    "rounded before ranking so libm ulp drift can't flip orders "
+    "across engines.",
+    oracle=f"""
+        WITH tok AS (SELECT doc_id, unnest(string_split({_NORM}, ' '))
+                       AS tok FROM documents),
+        tf AS (SELECT doc_id, tok, count(*) AS c FROM tok
+               WHERE tok <> '' GROUP BY doc_id, tok),
+        dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (SELECT tf.doc_id, tf.tok,
+                          round(tf.c * ln((n.n + 1.0) / (dfreq.df + 1.0)),
+                                6) AS score
+                   FROM tf JOIN dfreq USING (tok) CROSS JOIN n)
+        SELECT doc_id, tok, score FROM (
+            SELECT scored.*, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
+            FROM scored) t
+        WHERE rn <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.tfidf_topk(docs, k=3)
+
+
+@query(
     "multimodal_binary_meta",
     "datapipe",
     doc="Opaque-binary column plumbing: byte length + content key over "

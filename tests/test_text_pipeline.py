@@ -129,3 +129,46 @@ def test_contamination_plan_broadcasts_benchmark(spark):
     df = all_queries()["text_contamination"].spark(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_tfidf_topk_ranks_rare_terms_above_ubiquitous(spark):
+    """A term present in every document gets near-zero idf; a term
+    unique to one document must win that document's top slot."""
+    docs = spark.createDataFrame(
+        [
+            (1, "common common zebra common"),
+            (2, "common words here common"),
+            (3, "common quartz words common"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = text.tfidf_topk(docs, k=1).collect()
+    top = {r.doc_id: r.tok for r in out}
+    assert top[1] == "zebra"
+    assert top[3] == "quartz"
+    # every doc yields exactly one row at k=1
+    assert len(out) == 3
+
+
+def test_tfidf_topk_deterministic_tie_break(spark):
+    """Equal scores break by token ascending — reproducible ordering."""
+    docs = spark.createDataFrame(
+        [(1, "beta alpha"), (2, "filler filler")],
+        "doc_id BIGINT, text STRING",
+    )
+    rows = sorted(
+        (r.tok for r in text.tfidf_topk(docs, k=1).collect()
+         if r.doc_id == 1)
+    )
+    assert rows == ["alpha"]
+
+
+def test_tfidf_corpus_scalar_is_broadcast(spark):
+    """The corpus-size side of the cross join must broadcast — a
+    shuffled cross join on the scalar would serialize the plan."""
+    docs = spark.createDataFrame(
+        [(i, f"word{i} shared") for i in range(10)],
+        "doc_id BIGINT, text STRING",
+    )
+    plan = text.tfidf_topk(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
