@@ -64,6 +64,7 @@ HEADLINE = [
     "text_repetition_signals",
     "text_contamination",
     "text_tfidf_topk",
+    "pack_sequences",
 ]
 
 

@@ -78,3 +78,44 @@ def sample_threshold_hex(fraction: float) -> str:
     if not 0.0 < fraction < 1.0:
         raise ValueError(f"fraction must be in (0, 1), got {fraction}")
     return format(min(int(fraction * 65536), 65535), "04x")
+
+
+def mixture_thresholds(
+    rates: dict[str, float]
+) -> dict[str, str]:
+    """Per-stratum hex thresholds for ``mixture_sample`` — exposed so
+    SQL oracles embed identical literals. rate>=1 → 'g' (every 4-hex
+    prefix sorts below it), rate<=0 → '0000' (nothing sorts below)."""
+    return {
+        k: "g" if r >= 1.0 else ("0000" if r <= 0.0 else
+                                 sample_threshold_hex(r))
+        for k, r in rates.items()
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Corpus-mixture construction: keep each row with its stratum's
+    rate (per-source / per-language up- and down-weighting, the Dolma /
+    Pile mixing step), decided by the shared md5-prefix recipe so
+    membership is reproducible across engines, runs, and partitionings.
+
+    Pure per-row filter — no shuffle, no RNG state, linear at 100 TB;
+    the stratum column stays available for downstream mixture audits.
+    """
+    prefix = F.substring(id_md5(F.col(id_col)), 1, 4)
+    thresholds = mixture_thresholds(rates)
+    default_thr = mixture_thresholds({"_": default_rate})["_"]
+    thr = None
+    for val, bound in thresholds.items():
+        cond = F.col(stratum_col) == F.lit(val)
+        thr = (
+            F.when(cond, bound) if thr is None else thr.when(cond, bound)
+        )
+    thr = F.lit(default_thr) if thr is None else thr.otherwise(default_thr)
+    return df.filter(prefix < thr)

@@ -666,6 +666,28 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pack_sequences",
+    "datapipe",
+    doc="Sequence packing: greedy next-fit binning of documents into "
+    "512-token training sequences (operators/packing.py) — one "
+    "doc-id-hash shuffle, then each partition packs independently with "
+    "O(1) state via mapInPandas; pack ids are partition-prefixed so no "
+    "coordination is needed. Oracle omitted: bin packing is an "
+    "inherently sequential assignment, not SQL-expressible "
+    "(rows-only check; invariants pinned in tests/test_packing.py).",
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        # whitespace-token budget estimate: chars/4 (BPE-ish density)
+        (F.col("n_chars") / 4 + 1).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(docs, max_tokens=512, num_partitions=32)
+
+
+@query(
     "agg_approx_distinct",
     "datapipe",
     doc="approx_count_distinct (HLL++) per event_type — no reference "
@@ -814,6 +836,40 @@ def sample_deterministic_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.deterministic_sample(docs, "doc_id", 0.1).select(
         "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+
+@query(
+    "sample_mixture",
+    "datapipe",
+    doc="Corpus-mixture construction: per-language keep rates (the "
+    "Dolma/Pile mixing step — keep all English, half German/French, a "
+    "quarter Spanish/Chinese) via the shared md5-prefix recipe "
+    "(operators/sampling.py::mixture_sample). Pure per-row filter, no "
+    "shuffle, reproducible membership across engines.",
+    oracle="""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+              CASE lang WHEN 'en' THEN 'g'
+                        WHEN 'de' THEN '8000'
+                        WHEN 'fr' THEN '8000'
+                        WHEN 'es' THEN '4000'
+                        WHEN 'zh' THEN '4000'
+                        ELSE '028f' END
+    """,
+)
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.25}
+    assert sampling.mixture_thresholds(rates) == {
+        "en": "g", "de": "8000", "fr": "8000",
+        "es": "4000", "zh": "4000",
+    }
+    return sampling.mixture_sample(
+        docs, "doc_id", "lang", rates, default_rate=0.01
+    ).select("doc_id", "lang", "source")
 
 
 @query(
