@@ -126,13 +126,15 @@ def tfidf_topk(docs, k: int = 3, doc_col: str = "text",
                id_col: str = "doc_id"):
     """Top-k keywords per document by TF-IDF over normalized tokens.
 
-    Plan shape (100 TB): explode → two-phase (id, token) count, so the
-    map-side combine collapses token fan-out before any shuffle; the
-    document-frequency aggregate reuses the tf output (one extra
-    token-keyed shuffle over |doc × distinct token| rows, never raw
-    tokens); corpus size joins in as a broadcast scalar; final per-doc
-    window partitions on the document id. The token-keyed tf⋈df join is
-    the heavy edge — AQE skew-join splits hot tokens.
+    Plan shape (100 TB): explode → two-phase (id, token) count; the
+    repartition on id satisfies the group clustering, so tf aggregates
+    exchange-free right after the explode. Document frequency is a
+    count window over the SAME tf lineage (a groupBy+self-join would
+    make Catalyst re-scan and re-explode the whole corpus — the df
+    branch is not a reused exchange), costing one token-keyed shuffle
+    of |doc × distinct token| rows, never raw tokens. Corpus size
+    joins in as a broadcast scalar; the final per-doc rank runs as
+    WindowGroupLimit (top-k pushed below the full sort).
 
     Scores are rounded to 6 dp BEFORE ranking so the ordering is
     reproducible across engines (ln() may differ by 1 ulp between
@@ -153,10 +155,11 @@ def tfidf_topk(docs, k: int = 3, doc_col: str = "text",
         .filter(F.col("tok") != "")
     )
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n"))
     scored = (
-        tf.join(dfreq, "tok")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+        )
         .crossJoin(F.broadcast(n))
         .select(
             id_col,
