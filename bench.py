@@ -64,6 +64,7 @@ HEADLINE = [
     "text_repetition_signals",
     "text_contamination",
     "text_tfidf_topk",
+    "text_chunk_overlap",
     "pack_sequences",
 ]
 
@@ -99,17 +100,32 @@ def main() -> None:
     # for the wide pipelines, pure single-run artifact: at production
     # scale a query compiles once and runs for minutes). noop sink, so
     # nothing is cached but code.
+    # The session pins spark.sql.codegen.cache.maxEntries=2000 (default
+    # 100): with the default cache, this 40-query warmup evicts each
+    # query's generated classes before its measured run and every
+    # measurement re-pays Janino compilation (~3-10 s for the wide
+    # pipelines — dedup_minhash_pairs measured 12.2 s evicted vs ~2 s
+    # cached). Warming everything first, then measuring, also lets the
+    # C2 JIT settle so compilation threads don't steal cycles from the
+    # measured runs.
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(
         sf_dir
     ):
-        for name in HEADLINE:
-            try:
-                registry[name].spark(spark, warm_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-            except Exception as exc:  # warmup must never fail the bench
-                print(f"  warmup {name} skipped: {exc}", file=sys.stderr)
+        # Two passes: the first compiles every codegen unit, the second
+        # runs against a hot cache and gives the C2 JIT a profile to
+        # finish tiering; without it the first measured queries absorb
+        # the async-compilation backlog (tpch_q2 measured 7.4 s right
+        # after a single pass vs ~1.6 s settled).
+        for _ in range(2):
+            for name in HEADLINE:
+                try:
+                    registry[name].spark(spark, warm_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                except Exception as exc:  # warmup must never fail the bench
+                    print(f"  warmup {name} skipped: {exc}", file=sys.stderr)
+        time.sleep(5)  # drain background JIT/GC before the first timing
     # no tiny SF available → skip per-query warmup rather than scanning
     # the measured SF untimed (which would pre-warm the page cache and
     # make timings incomparable across hosts)

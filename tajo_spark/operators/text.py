@@ -122,6 +122,58 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize_for_fingerprint(text).cast("binary"))
 
 
+def chunk_documents(
+    docs,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    doc_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Split documents into fixed-size token windows with overlap — the
+    standard long-document → training-context preprocessing step
+    (stride < chunk_tokens yields ``chunk_tokens - stride`` overlapping
+    tokens between consecutive chunks, preserving cross-boundary
+    context).
+
+    Plan shape (100 TB): pure projection + explode — tokenize once,
+    generate window start offsets with ``sequence``, slice the token
+    array per offset. No shuffle at all; chunk fan-out per document is
+    ceil(n_tokens / stride), materialized inside the row, so the
+    operator scales linearly with executors exactly like the other text
+    projections. Chunk ids are (doc_id, ordinal) — no coordination.
+
+    NULL text produces no chunks — filtered explicitly: with ANSI mode
+    off (the engine's Tajo-compat posture) ``size(NULL)`` is -1, not
+    NULL, so the offset ``sequence`` would otherwise fabricate one
+    empty chunk per NULL document.
+    """
+    if not 0 < stride <= chunk_tokens:
+        raise ValueError(
+            f"need 0 < stride <= chunk_tokens, got {stride=} {chunk_tokens=}"
+        )
+    toked = docs.filter(F.col(doc_col).isNotNull()).select(
+        id_col, tokens(F.col(doc_col)).alias("__w")
+    )
+    exploded = toked.select(
+        id_col,
+        "__w",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("__w") - 1, F.lit(0)),
+                F.lit(stride),
+            )
+        ).alias("__start"),
+    )
+    chunk = F.slice(exploded["__w"], exploded["__start"] + 1, chunk_tokens)
+    return exploded.select(
+        id_col,
+        (F.col("__start") / stride).cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
 def tfidf_topk(docs, k: int = 3, doc_col: str = "text",
                id_col: str = "doc_id"):
     """Top-k keywords per document by TF-IDF over normalized tokens.

@@ -495,6 +495,35 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_chunk_overlap",
+    "datapipe",
+    doc="Fixed-window document chunking with overlap (64-token chunks, "
+    "stride 48 → 16-token overlap): long-document → training-context "
+    "preprocessing. Pure projection + explode, zero shuffle "
+    "(operators/text.py::chunk_documents).",
+    oracle="""
+        WITH toked AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+            FROM documents WHERE text IS NOT NULL),
+        starts AS (
+            SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), 48))
+                   AS start
+            FROM toked)
+        SELECT doc_id,
+               CAST(start / 48 AS BIGINT) AS chunk_id,
+               CAST(len(list_slice(w, start + 1, start + 64)) AS BIGINT)
+                   AS n_tokens,
+               array_to_string(list_slice(w, start + 1, start + 64), ' ')
+                   AS chunk_text
+        FROM starts
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, chunk_tokens=64, stride=48)
+
+
+@query(
     "multimodal_binary_meta",
     "datapipe",
     doc="Opaque-binary column plumbing: byte length + content key over "

@@ -77,6 +77,13 @@ def build_spark(
         # The driver's events.parquet stores TIMESTAMP(NANOS); Spark has no
         # nanos timestamp type, so read as long and rebuild in catalog.py.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Generated-class cache (static conf, default 100 entries): a
+        # 100+-query session (bench, oracle-parity sweep) evicts early
+        # queries' codegen units and re-pays Janino compilation (~3-10 s
+        # for wide pipelines) on every re-run. 2000 entries keeps every
+        # registry query's generated classes resident; cost is class
+        # metadata only.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -172,3 +172,59 @@ def test_tfidf_corpus_scalar_is_broadcast(spark):
     )
     plan = text.tfidf_topk(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    """64/48 default geometry replaced by a tiny 4/3: chunks must tile
+    the token stream with (chunk-stride)-token overlaps, cover every
+    token, and the final partial chunk keeps the remainder."""
+    docs = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6")],  # 7 tokens
+        "doc_id BIGINT, text STRING",
+    )
+    rows = {
+        r.chunk_id: r
+        for r in text.chunk_documents(
+            docs, chunk_tokens=4, stride=3
+        ).collect()
+    }
+    # starts at 0, 3, 6 → 3 chunks
+    assert sorted(rows) == [0, 1, 2]
+    assert rows[0].chunk_text == "t0 t1 t2 t3"
+    assert rows[1].chunk_text == "t3 t4 t5 t6"   # 1-token overlap
+    assert rows[2].chunk_text == "t6"            # trailing remainder
+    assert [rows[i].n_tokens for i in range(3)] == [4, 4, 1]
+
+
+def test_chunk_documents_short_null_and_validation(spark):
+    docs = spark.createDataFrame(
+        [(1, "only two"), (2, None), (3, "")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = text.chunk_documents(docs, chunk_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # short doc → single chunk with every token
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk_text == "only two"
+    # NULL text → no chunks (explode over NULL offsets drops the doc)
+    assert 2 not in by_doc
+    # empty text tokenizes to [""] like token_count does → one chunk
+    assert len(by_doc[3]) == 1
+    with pytest.raises(ValueError):
+        text.chunk_documents(docs, chunk_tokens=4, stride=5)
+    with pytest.raises(ValueError):
+        text.chunk_documents(docs, chunk_tokens=4, stride=0)
+
+
+def test_chunk_documents_plan_has_no_shuffle(spark):
+    """Chunking is projection+explode only — an Exchange in this plan
+    means a regression that would shuffle the whole corpus at scale."""
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(8)],
+        "doc_id BIGINT, text STRING",
+    )
+    plan = (
+        text.chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
