@@ -40,9 +40,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong (session.py)
     # it arrives as a long of epoch-nanos — rebuild the µs timestamp
     # (floor division matches DuckDB's ns→µs truncation).
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if name == "events" and ts_type == "bigint":
         # integer DIV — double division loses precision on epoch-nanos
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif name == "events" and ts_type == "timestamp_ntz":
+        # parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+        # TIMESTAMP_NTZ, which functions like unix_millis reject; with
+        # the session timezone pinned to UTC (session.py) the cast to
+        # session-TZ timestamp is value-identical.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -119,3 +119,67 @@ def mixture_sample(
         )
     thr = F.lit(default_thr) if thr is None else thr.otherwise(default_thr)
     return df.filter(prefix < thr)
+
+
+def global_shuffle_position(
+    df: DataFrame, id_col: str, seed: int = 42, bucket_chars: int = 3
+) -> DataFrame:
+    """Deterministic global shuffle: assign every row its position in
+    the md5(seed:id) permutation — the training-data shuffling step
+    (epoch order must be reproducible across runs and engines, unlike
+    ``df.orderBy(rand())``).
+
+    Scale design: a naive ``row_number() OVER (ORDER BY hash)`` is a
+    single-partition window — a 100 TB corpus would serialize through
+    one task. Instead the permutation rank is computed in two phases on
+    the hash's own prefix, mirroring how the range-partitioned global
+    sort works (the reference's UniformRangePartition,
+    tajo-core/.../planner/UniformRangePartition.java:48, computes sort
+    ranges the same way — from key-space structure, not data movement):
+
+    1. bucket = first ``bucket_chars`` hex chars of the hash (4096
+       buckets by default) → per-bucket ``row_number`` over a window
+       PARTITIONED by bucket (parallel, each bucket ~|rows|/4096);
+    2. bucket row-counts (4096-row aggregate) → cumulative offsets via
+       one tiny single-partition window over metadata-sized input,
+       broadcast-joined back.
+
+    position = offset(bucket) + rank-within-bucket, and because the
+    bucket is a prefix of the hash, (bucket, hash, id) order equals
+    (hash, id) order — the result is the exact global permutation rank,
+    reproducible on any engine with md5.
+    """
+    key = F.md5(
+        F.concat_ws(
+            ":", F.lit(str(seed)), F.col(id_col).cast("string")
+        ).cast("binary")
+    )
+    from pyspark.sql import Window as W
+
+    keyed = df.withColumn("__sk", key).withColumn(
+        "__bk", F.substring(F.col("__sk"), 1, bucket_chars)
+    )
+    in_bucket = F.row_number().over(
+        W.partitionBy("__bk").orderBy("__sk", id_col)
+    )
+    offsets = (
+        keyed.groupBy("__bk")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__n").over(
+                    W.orderBy("__bk").rowsBetween(
+                        W.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("__n")
+    )
+    return (
+        keyed.join(F.broadcast(offsets), "__bk")
+        .withColumn("shuffle_pos", (F.col("__off") + in_bucket).cast("long"))
+        .drop("__sk", "__bk", "__off")
+    )

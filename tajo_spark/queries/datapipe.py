@@ -902,6 +902,32 @@ def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_global_shuffle",
+    "datapipe",
+    doc="Deterministic global shuffle: every document's position in the "
+    "md5(seed:doc_id) permutation — reproducible epoch ordering for "
+    "training (operators/sampling.py::global_shuffle_position). Scale "
+    "path: per-hash-prefix-bucket row_number (parallel windows) + "
+    "broadcast cumulative bucket offsets, never a single-partition "
+    "global window.",
+    oracle="""
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS shuffle_pos
+        FROM documents
+    """,
+)
+def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.global_shuffle_position(docs, "doc_id", seed=42).select(
+        "doc_id", "lang", "shuffle_pos"
+    )
+
+
+@query(
     "text_term_topk",
     "datapipe",
     doc="Corpus vocabulary: top-100 terms by term frequency with "

@@ -28,11 +28,14 @@ SESSION_GAP = "30 minutes"
 DEFAULT_WATERMARK = "1 hour"
 
 
-def events_schema_ddl() -> str:
-    """Schema of the driver's events table (FIXTURES.md §2), with ts as
-    the parquet physical type (nanos → long under nanosAsLong)."""
+def events_schema_ddl(ts_type: str = "BIGINT") -> str:
+    """Schema of the driver's events table (FIXTURES.md §2). ``ts_type``
+    is the parquet physical type of ``ts``, which has varied across
+    driver testdata generations: TIMESTAMP(NANOS) → ``BIGINT`` under
+    nanosAsLong, TIMESTAMP(MICROS, isAdjustedToUTC=false) →
+    ``TIMESTAMP_NTZ``."""
     return (
-        "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+        f"event_id BIGINT, ts {ts_type}, user_id BIGINT, "
         "event_type STRING, value DOUBLE, props STRING"
     )
 
@@ -44,6 +47,10 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     transformations below are source-agnostic.
     """
     path = os.path.join(sf_dir, "events.parquet")
+    # Probe the footer's ts type with a batch read (metadata-only): the
+    # stream must declare its schema up front, and the rebuild applied
+    # below depends on the physical type (see events_schema_ddl).
+    ts_type = dict(spark.read.parquet(path).dtypes).get("ts")
     if os.path.isfile(path):
         # The file source requires a directory; stage a symlink dir
         # (no data copy) under the engine's working directory.
@@ -56,8 +63,17 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not os.path.exists(link):
             os.symlink(path, link)
         path = stage
-    raw = spark.readStream.schema(events_schema_ddl()).parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) under nanosAsLong
+        raw = spark.readStream.schema(events_schema_ddl("BIGINT")).parquet(path)
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    # µs-precision parquet: read as NTZ and cast — identity under the
+    # session's pinned UTC timezone (same normalization as catalog.py).
+    raw = spark.readStream.schema(
+        events_schema_ddl("TIMESTAMP_NTZ")
+    ).parquet(path)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, size: str = "1 hour",

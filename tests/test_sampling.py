@@ -67,3 +67,54 @@ def test_stratified_topk_exact_k_per_group_and_deterministic(spark, ddb):
     )
     opdf = ddb.execute(spec.oracle).fetchdf()
     C.assert_frames_match(a, opdf, "sample_stratified_topk")
+
+
+def test_global_shuffle_is_exact_permutation(spark):
+    from pyspark.sql import Window as W
+
+    df = spark.range(0, 3000).withColumnRenamed("id", "k")
+    out = sampling.global_shuffle_position(df, "k", seed=7)
+    rows = out.select("k", "shuffle_pos").collect()
+    # positions are exactly 1..N (a permutation, no gaps/dupes)
+    assert sorted(r.shuffle_pos for r in rows) == list(range(1, 3001))
+    # two-phase rank equals the naive single-window global rank
+    key = F.md5(
+        F.concat_ws(":", F.lit("7"), F.col("k").cast("string")).cast("binary")
+    )
+    naive = {
+        r.k: r.p
+        for r in df.select(
+            "k", F.row_number().over(W.orderBy(key, "k")).alias("p")
+        ).collect()
+    }
+    assert {r.k: r.shuffle_pos for r in rows} == naive
+
+
+def test_global_shuffle_stable_under_repartition(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = {r.k: r.shuffle_pos
+         for r in sampling.global_shuffle_position(df, "k").collect()}
+    b = {r.k: r.shuffle_pos
+         for r in sampling.global_shuffle_position(
+             df.repartition(13, "k"), "k").collect()}
+    assert a == b
+
+
+def test_global_shuffle_windows_are_bucket_partitioned(spark):
+    # the data-sized window must be PARTITIONED by the hash-prefix
+    # bucket; a regression to a naive global rank would show a window
+    # spec that orders by the hash key __sk with no partition column
+    # in front of it (single-partition bottleneck at scale).
+    import re
+
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    plan = (
+        sampling.global_shuffle_position(df, "k")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "windowspecdefinition" in plan
+    assert not re.search(r"windowspecdefinition\(__sk#\d+ ASC", plan)
+    # the in-bucket rank window partitions on __bk then orders on __sk
+    assert re.search(r"windowspecdefinition\(__bk#\d+, __sk#\d+ ASC", plan)
