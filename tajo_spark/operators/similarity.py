@@ -219,3 +219,105 @@ def ivf_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup — semantic dedup on embedding clusters
+# --------------------------------------------------------------------------
+
+
+def seeded_cluster_assign(
+    emb: DataFrame, n_seeds: int = 16, id_col: str = "vec_id"
+) -> DataFrame:
+    """Assign every vector to its max-cosine *seed vector* — the
+    cluster step of SemDeDup-style semantic dedup, with deterministic
+    seeds (the ``n_seeds`` lowest-id vectors) instead of trained KMeans
+    centroids so an SQL oracle reproduces the exact partition.
+
+    Scale design: the seeds collapse into ONE broadcast row (a
+    ``collect_list`` aggregate — the metadata-sized broadcast-scalar
+    pattern, never a driver collect), and the argmax over seeds is a
+    per-row JVM fold (``aggregate`` over the sorted seed array): the
+    whole assignment is a zero-shuffle map-only scan, same plan shape
+    as IVF assignment. Production uses ~|corpus|/target_cluster_size
+    seeds; cluster count bounds the downstream quadratic pair step.
+
+    Ties (equal rounded cosine) go to the lowest seed_id, matching the
+    oracle's ``ORDER BY round(cos,6) DESC, seed_id``.
+    """
+    seeds_row = (
+        emb.filter(F.col(id_col) < n_seeds)
+        .select(
+            F.col(id_col).alias("seed_id"),
+            _as_double(F.col("embedding")).alias("sv"),
+        )
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("seed_id", "sv"))
+            ).alias("__seeds")
+        )
+    )
+    v = _as_double(F.col("embedding"))
+    best = F.aggregate(
+        F.col("__seeds"),
+        F.struct(
+            F.lit(-2.0).alias("cos"), F.lit(None).cast("long").alias("cid")
+        ),
+        lambda acc, s: F.when(
+            F.round(cosine(v, s.sv), 6) > F.round(acc.cos, 6),
+            F.struct(
+                cosine(v, s.sv).alias("cos"), s.seed_id.alias("cid")
+            ),
+        ).otherwise(acc),
+    )
+    return (
+        emb.join(F.broadcast(seeds_row))
+        .withColumn("__best", best)
+        .select(
+            id_col,
+            "embedding",
+            F.col("__best.cid").alias("cluster_id"),
+            F.round(F.col("__best.cos"), 4).alias("seed_cos"),
+        )
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_seeds: int = 16,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup: mark a vector removed when it is ≥``threshold`` cosine
+    to any LOWER-id vector in its cluster (greedy keep-lowest-id, the
+    deterministic form of the paper's keep-one-per-near-dup-group).
+
+    One shuffle on ``cluster_id`` for the in-cluster pair join; the
+    quadratic term is bounded per cluster (seeds scale with corpus
+    size). Output: (vec_id, cluster_id, is_kept).
+    """
+    assigned = seeded_cluster_assign(emb, n_seeds=n_seeds, id_col=id_col)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    removed = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
+        )
+        .filter(
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4)
+            >= threshold
+        )
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("__rm", F.lit(True))
+    )
+    return (
+        assigned.select(id_col, "cluster_id")
+        .join(removed, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.coalesce(~F.col("__rm"), F.lit(True)).alias("is_kept"),
+        )
+    )

@@ -255,6 +255,55 @@ def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pairwise_similar(emb, threshold=0.3)
 
 
+@query(
+    "dedup_semantic",
+    "datapipe",
+    doc="SemDeDup-style semantic dedup: assign each embedding to its "
+    "max-cosine seed vector (deterministic seeds = 16 lowest vec_ids, "
+    "broadcast as one row; zero-shuffle map-only assignment), then mark "
+    "vectors ≥0.3 cosine to a lower-id cluster-mate as removed "
+    "(operators/similarity.py::semantic_dedup).",
+    oracle="""
+        WITH seeds AS (
+            SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv
+            FROM embeddings WHERE vec_id < 16),
+        vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+        scored AS (
+            SELECT e.vec_id, s.seed_id,
+                   list_dot_product(e.v, s.sv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(s.sv, s.sv))) AS cos
+            FROM vecs e CROSS JOIN seeds s),
+        assigned AS (
+            SELECT vec_id, seed_id AS cluster_id FROM (
+                SELECT vec_id, seed_id,
+                       row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY round(cos, 6) DESC, seed_id) AS rn
+                FROM scored) t
+            WHERE rn = 1),
+        withv AS (
+            SELECT a.vec_id, a.cluster_id, v.v
+            FROM assigned a JOIN vecs v USING (vec_id)),
+        removed AS (
+            SELECT DISTINCT a.vec_id
+            FROM withv a JOIN withv b
+              ON a.cluster_id = b.cluster_id AND a.vec_id > b.vec_id
+            WHERE round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3)
+        SELECT a.vec_id, a.cluster_id,
+               (r.vec_id IS NULL) AS is_kept
+        FROM assigned a LEFT JOIN removed r ON a.vec_id = r.vec_id
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, n_seeds=16, threshold=0.3)
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------

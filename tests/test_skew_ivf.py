@@ -181,3 +181,54 @@ def test_minhash_null_text_produces_no_pairs(spark):
     # null-text docs must never pair (NULL propagates, as in the SQL
     # oracle); identical real docs must pair
     assert pairs == {(3, 4)}
+
+
+def test_semantic_dedup_partitions_and_greedy_rule(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = sim.semantic_dedup(emb, n_seeds=8, threshold=0.3).collect()
+    n = emb.count()
+    assert len(out) == n  # one verdict per vector
+    assert {r.cluster_id for r in out} <= set(range(8))
+    # every seed vector keeps itself unless a lower-id near-dup exists;
+    # vec_id 0 has no lower id, so it must always be kept
+    by_id = {r.vec_id: r for r in out}
+    assert by_id[0].is_kept is True
+    # removal is sound: recompute — every removed vector really has a
+    # lower-id cluster-mate above threshold
+    assigned = sim.seeded_cluster_assign(emb, n_seeds=8)
+    rows = assigned.collect()
+    import numpy as np
+
+    vec = {r.vec_id: np.asarray(r.embedding, dtype="float64") for r in rows}
+    cl = {r.vec_id: r.cluster_id for r in rows}
+    for r in out:
+        if r.is_kept:
+            continue
+        mates = [i for i in cl if cl[i] == r.cluster_id and i < r.vec_id]
+        best = max(
+            float(vec[r.vec_id] @ vec[i]
+                  / (np.linalg.norm(vec[r.vec_id]) * np.linalg.norm(vec[i])))
+            for i in mates
+        )
+        assert round(best, 4) >= 0.3
+
+
+def test_seeded_assign_is_zero_shuffle(spark):
+    # the assignment itself must stay map-only: the only Exchange in
+    # the plan feeds the one-row broadcast seed aggregate, never the
+    # full embeddings scan.
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = (
+        sim.seeded_cluster_assign(emb, n_seeds=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    # every shuffle exchange present must be single-partition (the seed
+    # collect_list aggregate), i.e. SinglePartition — a hashpartitioning
+    # exchange would mean the data side shuffles (BroadcastExchange is
+    # the seed row being shipped, not a shuffle)
+    for m in re.finditer(r"(?<!Broadcast)Exchange (\w+)", plan):
+        assert m.group(1) == "SinglePartition", plan
