@@ -139,7 +139,20 @@ class Engine:
         loop; Spark refuses that placement, so on that exact error the
         statement retries with built-ins rewritten to pandas twins."""
         translated = agg_fallback.inject_zero_arg_constants(translated)
-        df = self.spark.sql(translated)
+        try:
+            df = self.spark.sql(translated)
+        except Exception as exc:
+            # Tajo name-resolution laxities (SELECT alias in WHERE,
+            # stale qualifier over an aliased table) — recover only
+            # after the strict path failed, so conforming queries are
+            # never rewritten (dialect.recover_name_resolution).
+            if "UNRESOLVED_COLUMN" not in str(exc):
+                raise
+            recovered = dialect.recover_name_resolution(translated)
+            if recovered == translated:
+                raise
+            df = self.spark.sql(recovered)
+            translated = recovered
         low = translated.lower()
         if any(n.lower() in low for n in agg_fallback.LOADED_AGGREGATES):
             # the placement check fires at physical planning, not at

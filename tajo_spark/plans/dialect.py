@@ -622,6 +622,187 @@ def force_tajo_window_frames(sql: str) -> str:
     return _rewrite_over_bodies(sql, _AGG_FN_RE, rw)
 
 
+# ---------------------------------------------------------------------------
+# Name-resolution laxity recovery. Tajo's resolver accepts two things
+# ANSI/Spark reject (tajo-plan/.../nameresolver/NameResolver.java):
+#   1. a SELECT-list alias referenced in that block's WHERE clause
+#      (queries/TestSelectQuery/testWhereCond1.sql), and
+#   2. the original table name used as a qualifier although the FROM
+#      clause aliased the table (TestSortQuery/testSortWithAlias2.sql).
+# The Engine applies these rewrites ONLY after Spark raises
+# UNRESOLVED_COLUMN — never on the happy path, so conforming queries
+# are untouched.
+# ---------------------------------------------------------------------------
+
+_RESERVED_ALIAS = frozenset(
+    """select from where group order having union intersect except limit
+    join inner left right full cross natural on as and or not in like
+    between case when then else end distinct all by asc desc nulls
+    using values window over partition lateral""".split()
+)
+
+_AS_ALIAS_RE = re.compile(
+    r"^(.*\S)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", re.IGNORECASE | re.DOTALL
+)
+
+
+def _mask_string_bodies(sql: str) -> str:
+    """Same length as ``sql`` with string-literal bodies blanked, so
+    keyword/identifier scans never match inside literals."""
+    return _SQSTRING_RE.sub(
+        lambda m: "'" + " " * (len(m.group(0)) - 2) + "'", sql
+    )
+
+
+_WORD_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+_CLAUSE_ENDERS = frozenset(
+    ("group", "order", "having", "union", "intersect", "except", "limit",
+     "window")
+)
+
+
+def _select_where_spans(masked: str):
+    """Yield (select_list_text, where_start, where_end) for every
+    SELECT block, spans indexed into the original string. Walks the
+    masked text with paren-depth tracking relative to each SELECT."""
+    words = [
+        (m.group(0).lower(), m.start(), m.end())
+        for m in _WORD_RE.finditer(masked)
+    ]
+    depth_at = []
+    d = 0
+    # prefix depths so each word knows its absolute paren depth
+    pos_depth = {}
+    for i, c in enumerate(masked):
+        if c == "(":
+            d += 1
+        elif c == ")":
+            d -= 1
+        pos_depth[i] = d
+    for wi, (w, ws, we) in enumerate(words):
+        if w != "select":
+            continue
+        base = pos_depth.get(ws, 0)
+        sel_from = None
+        where_s = where_e = None
+        for w2, s2, e2 in words[wi + 1 :]:
+            dd = pos_depth.get(s2, 0)
+            if dd < base:
+                break  # this SELECT's block closed
+            if dd != base:
+                continue  # inside a subexpression/subquery
+            if w2 == "from" and sel_from is None:
+                sel_from = s2
+            elif w2 == "where" and where_s is None and sel_from is not None:
+                where_s = e2
+            elif (
+                where_s is not None
+                and where_e is None
+                and w2 in _CLAUSE_ENDERS
+            ):
+                where_e = s2
+                break
+            elif w2 == "select":
+                # a sibling SELECT at the same depth (set-operation
+                # branch): its clauses are not ours — stop scanning
+                break
+        if sel_from is None or where_s is None:
+            continue
+        if where_e is None:
+            # clause runs to the end of this paren block (or statement)
+            where_e = len(masked)
+            for i in range(where_s, len(masked)):
+                if pos_depth.get(i, 0) < base:
+                    where_e = i
+                    break
+        yield masked[we:sel_from], where_s, where_e
+
+
+def inline_where_aliases(sql: str) -> str:
+    """Rewrite each SELECT block's WHERE clause, replacing references
+    to that block's explicit ``expr AS alias`` select items with
+    ``(expr)`` — Tajo laxity #1."""
+    masked = _mask_string_bodies(sql)
+    edits = []  # (start, end, replacement)
+    for sel_list, ws, we in _select_where_spans(masked):
+        aliases = {}
+        for item in _split_top_level(sel_list):
+            m = _AS_ALIAS_RE.match(item.strip())
+            if m and m.group(2).lower() not in _RESERVED_ALIAS:
+                aliases[m.group(2).lower()] = m.group(1).strip()
+        if not aliases:
+            continue
+        clause = sql[ws:we]
+
+        def sub_alias(segment: str) -> str:
+            def repl(m: re.Match) -> str:
+                expr = aliases.get(m.group(0).lower())
+                return f"({expr})" if expr else m.group(0)
+
+            return re.sub(r"(?<![\w.`])[A-Za-z_][A-Za-z0-9_]*", repl,
+                          segment)
+
+        new_clause = _outside_strings(clause, sub_alias)
+        if new_clause != clause:
+            edits.append((ws, we, new_clause))
+    for s, e, rep in sorted(edits, reverse=True):
+        sql = sql[:s] + rep + sql[e:]
+    return sql
+
+
+_FROM_ITEM_RE = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z0-9_.]*)\s+(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*$",
+    re.IGNORECASE,
+)
+_FROM_JOIN_RE = re.compile(r"\b(from|join)\b", re.IGNORECASE)
+
+
+def requalify_aliased_tables(sql: str) -> str:
+    """Rewrite ``table.`` qualifiers to the FROM-clause alias when the
+    table was aliased — Tajo laxity #2 (stale qualifier)."""
+    masked = _mask_string_bodies(sql)
+    mapping: dict[str, str] = {}
+    for m in _FROM_JOIN_RE.finditer(masked):
+        # take the item list up to the next clause keyword at depth 0
+        start = m.end()
+        tail = masked[start:]
+        stop = re.search(
+            r"\b(where|group|order|having|union|intersect|except|limit|"
+            r"join|inner|left|right|full|cross|on|window)\b",
+            tail,
+            re.IGNORECASE,
+        )
+        seg = tail[: stop.start()] if stop else tail
+        for item in _split_top_level(seg):
+            im = _FROM_ITEM_RE.match(item)
+            if not im:
+                continue
+            name, alias = im.group(1), im.group(2)
+            if alias.lower() in _RESERVED_ALIAS or name.lower() == alias.lower():
+                continue
+            mapping[name.lower()] = alias
+    if not mapping:
+        return sql
+
+    def requalify(segment: str) -> str:
+        def repl(m: re.Match) -> str:
+            alias = mapping.get(m.group(1).lower())
+            return f"{alias}." if alias else m.group(0)
+
+        return re.sub(
+            r"(?<![\w.`])([A-Za-z_][A-Za-z0-9_]*)\s*\.", repl, segment
+        )
+
+    return _outside_strings(sql, requalify)
+
+
+def recover_name_resolution(sql: str) -> str:
+    """Both laxity rewrites, in the order that composes: stale
+    qualifiers first (so inlined alias expressions keep working
+    qualifiers), then alias-in-WHERE inlining."""
+    return inline_where_aliases(requalify_aliased_tables(sql))
+
+
 def translate(sql: str) -> str:
     """Full statement rewrite (session statements excluded — those are
     routed by ``parse_session_statement`` first)."""

@@ -98,3 +98,26 @@ def test_semicolon_inside_literal_not_a_terminator(engine):
     got = run(engine, "SELECT 'a;b' AS x\n;")
     assert "a;b" in got
     assert got.count("rows,") == 1
+
+
+# ---- pure-Python properties (no Spark) -----------------------------------
+
+from hypothesis import given
+from hypothesis import strategies as st
+
+from tajo_spark.cli import _last_terminator
+from tajo_spark.engine import split_statements
+
+
+@given(st.text(alphabet="ab1';-\n, ", max_size=80))
+def test_last_terminator_invariants(s):
+    cut = _last_terminator(s)
+    if cut >= 0:
+        assert s[cut] == ";"
+        # the prefix up to the terminator is a complete script: feeding
+        # it to the splitter must consume everything (no dangling text
+        # after the last statement beyond whitespace/comments)
+        stmts = split_statements(s[: cut + 1])
+        rebuilt = ";".join(stmts)
+        assert all(x.strip() for x in stmts)
+        assert len(rebuilt) <= cut + 1

@@ -474,3 +474,64 @@ def test_dialect_mixed_named_window_usage(spark, engine):
     # the aggregate kept the whole-partition frame → one sum per key
     assert all(len(v) == 1 for v in per_key.values())
     assert all(r.rn >= 1 for r in rows)
+
+
+# ---- Tajo name-resolution laxity recovery (dialect.py) -------------------
+# Reference: NameResolver accepts SELECT-list aliases in WHERE and stale
+# table qualifiers over aliased tables; ANSI/Spark reject both. The
+# engine retries with dialect.recover_name_resolution only after
+# UNRESOLVED_COLUMN (goldens: TestSelectQuery/testWhereCond1.sql,
+# TestSortQuery/testSortWithAlias2.sql, TestUnionQuery/testUnion13.sql).
+
+
+def test_alias_in_where_recovers(engine, spark):
+    spark.range(0, 10).selectExpr("id AS a", "id * 2 AS b").createOrReplaceTempView(
+        "lax_t"
+    )
+    rows = engine.execute_sql(
+        "select a + b as plus from lax_t where plus = 6"
+    ).collect()
+    assert [r.plus for r in rows] == [6]
+
+
+def test_alias_in_where_inside_subquery_recovers(engine, spark):
+    spark.range(0, 10).selectExpr("id AS a").createOrReplaceTempView("lax_t2")
+    rows = engine.execute_sql(
+        "select n from (select a * 3 as n from lax_t2 where n > 24) s"
+    ).collect()
+    assert sorted(r.n for r in rows) == [27]
+
+
+def test_stale_qualifier_recovers(engine, spark):
+    spark.range(0, 5).selectExpr("id AS k").createOrReplaceTempView("lax_t3")
+    rows = engine.execute_sql(
+        "select lax_t3.k as k from lax_t3 x group by lax_t3.k order by lax_t3.k"
+    ).collect()
+    assert [r.k for r in rows] == [0, 1, 2, 3, 4]
+
+
+def test_alias_not_inlined_inside_string_literal(engine, spark):
+    spark.range(0, 3).selectExpr("id AS a", "'plus' AS s").createOrReplaceTempView(
+        "lax_t4"
+    )
+    rows = engine.execute_sql(
+        "select a as plus, s from lax_t4 where s = 'plus' and plus = 1"
+    ).collect()
+    assert len(rows) == 1 and rows[0].plus == 1
+
+
+def test_union_branch_aliases_stay_separate(engine, spark):
+    spark.range(0, 5).selectExpr("id AS a").createOrReplaceTempView("lax_t5")
+    # each branch's WHERE may only see its own aliases
+    rows = engine.execute_sql(
+        "select a * 10 as x from lax_t5 where x = 20 "
+        "union all select a as y from lax_t5 where y = 4"
+    ).collect()
+    assert sorted(r.x for r in rows) == [4, 20]
+
+
+def test_conforming_query_untouched_by_recovery():
+    from tajo_spark.plans import dialect
+
+    sql = "select l_orderkey from lineitem where l_orderkey = 1"
+    assert dialect.recover_name_resolution(sql) == sql
