@@ -258,25 +258,28 @@ def seeded_cluster_assign(
         )
     )
     v = _as_double(F.col("embedding"))
-    best = F.aggregate(
+    # one cosine per seed (transform), then array_max over
+    # (rounded-cos, -seed_id) structs: struct ordering gives max cosine
+    # with ties to the lowest seed_id — the fold alternative evaluates
+    # each seed's cosine twice (condition + selection) per step, which
+    # doubled the hot interpreted-HOF loop. Zero-norm cosines (NULL)
+    # coalesce to -2 so they lose to every real similarity.
+    scores = F.transform(
         F.col("__seeds"),
-        F.struct(
-            F.lit(-2.0).alias("cos"), F.lit(None).cast("long").alias("cid")
-        ),
-        lambda acc, s: F.when(
-            F.round(cosine(v, s.sv), 6) > F.round(acc.cos, 6),
-            F.struct(
-                cosine(v, s.sv).alias("cos"), s.seed_id.alias("cid")
+        lambda s: F.struct(
+            F.coalesce(F.round(cosine(v, s.sv), 6), F.lit(-2.0)).alias(
+                "cos"
             ),
-        ).otherwise(acc),
+            (-s.seed_id).alias("neg_id"),
+        ),
     )
     return (
         emb.join(F.broadcast(seeds_row))
-        .withColumn("__best", best)
+        .withColumn("__best", F.array_max(scores))
         .select(
             id_col,
             "embedding",
-            F.col("__best.cid").alias("cluster_id"),
+            (-F.col("__best.neg_id")).cast("long").alias("cluster_id"),
             F.round(F.col("__best.cos"), 4).alias("seed_cos"),
         )
     )
@@ -292,28 +295,53 @@ def semantic_dedup(
     to any LOWER-id vector in its cluster (greedy keep-lowest-id, the
     deterministic form of the paper's keep-one-per-near-dup-group).
 
-    One shuffle on ``cluster_id`` for the in-cluster pair join; the
-    quadratic term is bounded per cluster (seeds scale with corpus
-    size). Output: (vec_id, cluster_id, is_kept).
+    The quadratic term is bounded per cluster (seeds scale with corpus
+    size). Pair-scan economics: each vector's norm is computed ONCE
+    before the join — the same `sqrt(dot(v,v))` value per row, so the
+    pair cosine `dot/(norm_a*norm_b)` is arithmetically identical to
+    the oracle's per-pair formula but does one array fold per pair
+    instead of three (the folds are the hot loop). The probe side is
+    hash-repartitioned so the pair explosion spreads over every core
+    rather than however few partitions the scan produced; the build
+    side is broadcast because the demo seed count (16) would cap a
+    cluster-keyed shuffle join at 16 active partitions. At production
+    seed counts (|corpus|/cluster_size, i.e. thousands of clusters)
+    drop the broadcast and let the join shuffle on ``cluster_id`` —
+    same plan shape as the LSH bucket join.
+    Output: (vec_id, cluster_id, is_kept).
     """
     assigned = seeded_cluster_assign(emb, n_seeds=n_seeds, id_col=id_col)
-    a, b = assigned.alias("a"), assigned.alias("b")
+    v = _as_double(F.col("embedding"))
+    # materialize the assignment once: a self-join would otherwise
+    # re-evaluate the whole seed-scoring pipeline on BOTH sides
+    # (exchanges are not reused across join branches — same lesson as
+    # the minhash one-scan pin); at production scale this is the
+    # persisted assignment table between pipeline stages.
+    withn = assigned.withColumn("__norm", F.sqrt(dot(v, v))).localCheckpoint()
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    a = withn.repartition(par, id_col).alias("a")
+    b = withn.alias("b")
+    denom = F.col("a.__norm") * F.col("b.__norm")
+    pair_cos = F.when(
+        denom != 0,
+        dot(
+            _as_double(F.col("a.embedding")), _as_double(F.col("b.embedding"))
+        )
+        / denom,
+    )
     removed = (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("a.cluster_id") == F.col("b.cluster_id"))
             & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
         )
-        .filter(
-            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4)
-            >= threshold
-        )
+        .filter(F.round(pair_cos, 4) >= threshold)
         .select(F.col(f"a.{id_col}").alias(id_col))
         .distinct()
         .withColumn("__rm", F.lit(True))
     )
     return (
-        assigned.select(id_col, "cluster_id")
+        withn.select(id_col, "cluster_id")
         .join(removed, id_col, "left")
         .select(
             id_col,
