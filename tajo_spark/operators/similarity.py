@@ -221,6 +221,65 @@ def ivf_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
     )
 
 
+def ivf_persist_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    seed: int = 42,
+):
+    """Materialize the IVF index as a parquet table partitioned by
+    ``centroid_id`` — the production index layout: a probe then reads
+    ONLY its ``nprobe`` partition directories (source-level pruning,
+    no scan of the other centroids' vectors). This is the scale
+    difference between "filter after reading everything" and an index:
+    at 100 TB with 4096 centroids and nprobe=8, a probe touches 0.2 %
+    of the files. Returns the fitted model (centroids are the only
+    state a prober needs besides the path).
+    """
+    assigned, model = ivf_assign(emb, n_centroids=n_centroids, seed=seed)
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    return model
+
+
+def ivf_probe_persisted(
+    spark,
+    path: str,
+    model,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-k over a persisted IVF index: choose the ``nprobe`` nearest
+    centroids driver-side (model metadata, O(centroids)), then scan
+    only those partitions — the ``centroid_id IN (...)`` filter prunes
+    at the directory level before any file is opened."""
+    import numpy as np
+
+    qv = np.asarray(query_vec, dtype="float64")
+    qn = qv / max(float(np.linalg.norm(qv)), 1e-12)
+    centers = model.clusterCenters()
+    order = np.argsort([float(np.linalg.norm(c - qn)) for c in centers])
+    probe = [int(i) for i in order[:nprobe]]
+    q = spark.createDataFrame(
+        [([float(x) for x in query_vec],)], "qv ARRAY<DOUBLE>"
+    )
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("centroid_id").isin(probe))
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), round_to).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(k)
+    )
+
+
 # --------------------------------------------------------------------------
 # SemDeDup — semantic dedup on embedding clusters
 # --------------------------------------------------------------------------

@@ -232,3 +232,33 @@ def test_seeded_assign_is_zero_shuffle(spark):
     # the seed row being shipped, not a shuffle)
     for m in re.finditer(r"(?<!Broadcast)Exchange (\w+)", plan):
         assert m.group(1) == "SinglePartition", plan
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, tmp_path_factory):
+    # the persisted-index probe must read only the nprobe partition
+    # directories: PartitionFilters in the scan, matching results vs
+    # the in-memory probe path.
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    model = sim.ivf_persist_index(emb, path, n_centroids=8)
+    qrow = emb.filter(emb.vec_id == 0).select("embedding").first()
+    df = sim.ivf_probe_persisted(
+        spark, path, model, list(qrow.embedding), k=10, nprobe=2
+    )
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # directory-level pruning: the scan itself carries the partition
+    # filter (file listing is restricted BEFORE any file is opened)
+    assert re.search(r"PartitionFilters: \[.*centroid_id", plan), plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 10
+    assert len({r.centroid_id for r in rows}) <= 2
+    # and the results match the in-memory probe over the same index
+    mem = sim.ivf_topk(
+        emb, query_vec_id=0, k=10, nprobe=8, n_centroids=8
+    ).filter(F.col("vec_id").isin([r.vec_id for r in rows]))
+    mem_sims = {r.vec_id: r.cos_sim for r in mem.collect()}
+    for r in rows:
+        if r.vec_id in mem_sims:
+            assert abs(mem_sims[r.vec_id] - r.cos_sim) < 1e-9
