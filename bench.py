@@ -66,6 +66,7 @@ HEADLINE = [
     "text_repetition_signals",
     "text_contamination",
     "text_tfidf_topk",
+    "text_unigram_logprob",
     "text_chunk_overlap",
     "pack_sequences",
 ]

@@ -977,6 +977,57 @@ def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_unigram_logprob",
+    "datapipe",
+    doc="Unigram-LM quality score: per-document average token "
+    "log-probability under the corpus unigram distribution — the "
+    "perplexity-style filter of LM data pipelines (low avg_logp = "
+    "gibberish / rare-token soup). One corpus scan: per-doc term "
+    "counts, corpus term frequencies aggregated FROM that lineage "
+    "(never a re-scan), corpus total as a broadcast 1-row aggregate; "
+    "the scoring join shuffles |distinct (doc,term)| rows, not "
+    "|tokens|.",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+            FROM documents),
+        dtf AS (SELECT doc_id, term, count(*) AS c
+                FROM tok WHERE term <> '' GROUP BY doc_id, term),
+        tf AS (SELECT term, sum(c) AS tf FROM dtf GROUP BY term),
+        tot AS (SELECT sum(tf) AS n FROM tf)
+        SELECT dtf.doc_id,
+               round(sum(dtf.c * ln(tf.tf * 1.0 / tot.n)) / sum(dtf.c), 3)
+                   AS avg_logp,
+               CAST(sum(dtf.c) AS BIGINT) AS n_tokens
+        FROM dtf JOIN tf USING (term) CROSS JOIN tot
+        GROUP BY dtf.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = dedup.spread_by(docs, "doc_id").select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    dtf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    tf = dtf.groupBy("term").agg(F.sum("c").alias("tf"))
+    tot = tf.agg(F.sum("tf").alias("n"))
+    return (
+        dtf.join(tf, "term")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("c") * F.log(F.col("tf") * 1.0 / F.col("n")))
+                / F.sum("c"),
+                3,
+            ).alias("avg_logp"),
+            F.sum("c").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+@query(
     "text_term_topk",
     "datapipe",
     doc="Corpus vocabulary: top-100 terms by term frequency with "
