@@ -282,3 +282,35 @@ def simhash_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
         term = F.when(F.col(f"v{bit}") > 0, F.lit(2 ** bit)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return votes.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact 3-gram Jaccard over the MinHash+LSH candidate pairs —
+    the verify stage of the two-stage near-dup pipeline (cheap banding
+    proposes, exact set similarity disposes). The set intersection runs
+    on |candidates| pairs only, never all-pairs.
+    Output: (doc_a, doc_b, jaccard)."""
+    pairs = minhash_candidate_pairs(docs, text_col)
+    tok = spread_by(docs, "doc_id").select(
+        "doc_id",
+        F.split(normalize_for_fingerprint(F.col(text_col)), " ").alias("w"),
+    )
+    sh = tok.select(
+        "doc_id",
+        F.array_distinct(shingles_from_tokens(F.col("w"), 3)).alias("s"),
+    )
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("a_s"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("b_s"))
+    return (
+        pairs.join(a, pairs.doc_a == a.a_id)
+        .join(b, pairs.doc_b == b.b_id)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("a_s", "b_s")).cast("double")
+                / F.size(F.array_union("a_s", "b_s")),
+                4,
+            ).alias("jaccard"),
+        )
+    )

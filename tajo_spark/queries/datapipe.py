@@ -680,32 +680,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_candidate_pairs(docs)
-    tok = dedup.spread_by(docs, "doc_id").select(
-        "doc_id",
-        F.split(text.normalize_for_fingerprint(F.col("text")), " ").alias("w"),
-    )
-    sh = tok.select(
-        "doc_id",
-        F.array_distinct(
-            dedup.shingles_from_tokens(F.col("w"), 3)
-        ).alias("s"),
-    )
-    a = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("a_s"))
-    b = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("b_s"))
-    return (
-        pairs.join(a, pairs.doc_a == a.a_id)
-        .join(b, pairs.doc_b == b.b_id)
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.size(F.array_intersect("a_s", "b_s")).cast("double")
-                / F.size(F.array_union("a_s", "b_s")),
-                4,
-            ).alias("jaccard"),
-        )
-    )
+    return dedup.ngram_jaccard_pairs(docs)
 
 
 @query(
@@ -1090,6 +1065,70 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_candidate_pairs(docs)
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), "component"
+    )
+
+
+@query(
+    "dedup_apply_neardup",
+    "datapipe",
+    doc="End-to-end NEAR-dup dedup materialization — the full textbook "
+    "pipeline composed: MinHash+LSH candidates → exact 3-gram Jaccard "
+    "verify (≥0.8) → connected components over verified pairs → corpus "
+    "minus non-canonical cluster members (survivor = min doc_id per "
+    "component, transitively). Oracle: same stages in SQL with a "
+    "recursive-CTE closure.",
+    oracle=f"""
+        WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+        vnorm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+        vtk AS (SELECT doc_id, string_split(t, ' ') AS w FROM vnorm),
+        vsh AS (SELECT doc_id,
+                      CASE WHEN len(w) >= 3
+                           THEN list_distinct(list_transform(
+                                range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                           ELSE [array_to_string(w, ' ')] END AS s
+               FROM vtk),
+        vpairs AS (
+            SELECT p.doc_a, p.doc_b
+            FROM pairs p, vsh a, vsh b
+            WHERE a.doc_id = p.doc_a AND b.doc_id = p.doc_b
+              AND round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                        / len(list_distinct(a.s || b.s)), 4) >= 0.8),
+        cc_edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM vpairs
+            UNION
+            SELECT doc_b AS a, doc_a AS b FROM vpairs),
+        reach(node, label) AS (
+            SELECT a, a FROM cc_edges
+            UNION
+            SELECT e.b, r.label FROM reach r JOIN cc_edges e ON e.a = r.node),
+        removed AS (
+            SELECT node AS doc_id FROM reach
+            GROUP BY node HAVING min(label) <> node)
+        SELECT d.doc_id, d.lang, d.source,
+               CAST(d.n_chars AS BIGINT) AS n_chars
+        FROM documents d LEFT JOIN removed r ON d.doc_id = r.doc_id
+        WHERE r.doc_id IS NULL
+    """,
+)
+def dedup_apply_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    verified = (
+        dedup.ngram_jaccard_pairs(docs)
+        .filter(F.col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(verified)
+    removed = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(removed, "doc_id", "left_anti").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
     )
 
 
