@@ -54,6 +54,7 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_simhash",
     "dedup_semantic",
+    "dedup_apply_neardup",
     "sim_cosine_topk",
     "text_metrics",
     "text_term_topk",
