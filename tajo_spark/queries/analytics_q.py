@@ -106,3 +106,45 @@ def events_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0, EVENT_TYPES)
     )
+
+
+@query(
+    "events_retention_cohorts",
+    "analytics",
+    doc="Weekly cohort retention matrix: users grouped by first-active "
+    "week, activity counted at each week offset — the standard "
+    "retention triangle. Shuffles: distinct (user, week), min-week per "
+    "user (both partial-agg'd), user-keyed join, final groupBy. Week "
+    "offsets are exact multiples of 7 days because both sides are "
+    "Monday-truncated.",
+    oracle="""
+        WITH uw AS (
+            SELECT DISTINCT user_id,
+                   date_trunc('week', ts) AS wk
+            FROM events),
+        coh AS (
+            SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY user_id)
+        SELECT c.cohort_week,
+               CAST(date_diff('day', c.cohort_week, u.wk) / 7 AS BIGINT)
+                   AS week_offset,
+               count(DISTINCT u.user_id) AS active_users
+        FROM uw u JOIN coh c USING (user_id)
+        GROUP BY c.cohort_week, week_offset
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    uw = events.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    coh = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        uw.join(coh, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
