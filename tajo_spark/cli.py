@@ -91,6 +91,7 @@ class Cli:
         self.max_rows = max_rows
         self._buf: list[str] = []
         self.done = False
+        self.errors = 0  # statements that printed ERROR (batch exit code)
 
     # ---- line protocol ----------------------------------------------------
     def feed_line(self, line: str) -> None:
@@ -130,6 +131,7 @@ class Cli:
         except Exception as exc:  # surface engine errors like tsql's ERROR:
             first = str(exc).strip().splitlines()[0] if str(exc) else repr(exc)
             print(f"ERROR: {first}", file=self.out)
+            self.errors += 1
             return
         elapsed = time.perf_counter() - t0
         if df is None:  # session directive / DDL with no result set
@@ -203,11 +205,11 @@ def main(argv: list[str] | None = None) -> int:
     cli = Cli()
     if a.command:
         cli.run_script(a.command)
-        return 0
+        return 1 if cli.errors else 0
     if a.file:
         with open(a.file, encoding="utf-8") as fh:
             cli.run_script(fh.read())
-        return 0
+        return 1 if cli.errors else 0
     while not cli.done:
         try:
             cli.out.write(PROMPT if not cli._buf else "   -> ")

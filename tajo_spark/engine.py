@@ -151,7 +151,13 @@ class Engine:
             recovered = dialect.recover_name_resolution(translated)
             if recovered == translated:
                 raise
-            df = self.spark.sql(recovered)
+            try:
+                df = self.spark.sql(recovered)
+            except Exception:
+                # the rewrite didn't help — surface the ORIGINAL
+                # unresolved-column error about the user's own SQL,
+                # not one about the internally generated retry text
+                raise exc from None
             translated = recovered
         low = translated.lower()
         if any(n.lower() in low for n in agg_fallback.LOADED_AGGREGATES):

@@ -149,9 +149,12 @@ def global_shuffle_position(
     (hash, id) order — the result is the exact global permutation rank,
     reproducible on any engine with md5.
     """
+    # F.concat (not concat_ws): NULL ids must yield a NULL key exactly
+    # like the oracle's `md5('seed:' || NULL)` — concat_ws silently
+    # drops NULLs and would collapse every NULL-id row onto md5(seed)
     key = F.md5(
-        F.concat_ws(
-            ":", F.lit(str(seed)), F.col(id_col).cast("string")
+        F.concat(
+            F.lit(f"{seed}:"), F.col(id_col).cast("string")
         ).cast("binary")
     )
     from pyspark.sql import Window as W

@@ -661,6 +661,52 @@ _CLAUSE_ENDERS = frozenset(
 )
 
 
+def _paren_depths(masked: str) -> list[int]:
+    """Per-character paren depth (depth AT that character)."""
+    out = [0] * len(masked)
+    d = 0
+    for i, c in enumerate(masked):
+        if c == "(":
+            d += 1
+        elif c == ")":
+            d -= 1
+        out[i] = d
+    return out
+
+
+def _split_top_parens(s: str) -> list[str]:
+    """Split on commas at paren depth 0 ONLY — unlike
+    :func:`_split_top_level` this does not treat ``<``/``>`` as
+    brackets, so comparison operators in a select list don't glue
+    items together."""
+    parts, buf, depth = [], [], 0
+    for c in s:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+    if buf:
+        parts.append("".join(buf))
+    return parts
+
+
+def _subquery_spans(masked: str) -> list[tuple[int, int]]:
+    """Spans of every parenthesized subquery ``( select ... )`` —
+    regions the enclosing block's rewrites must never touch (they have
+    their own scope and get their own pass)."""
+    spans = []
+    for m in re.finditer(r"\(\s*select\b", masked, re.IGNORECASE):
+        close = _matching_paren(masked, m.start())
+        if close > 0:
+            spans.append((m.start(), close + 1))
+    return spans
+
+
 def _select_where_spans(masked: str):
     """Yield (select_list_text, where_start, where_end) for every
     SELECT block, spans indexed into the original string. Walks the
@@ -669,24 +715,15 @@ def _select_where_spans(masked: str):
         (m.group(0).lower(), m.start(), m.end())
         for m in _WORD_RE.finditer(masked)
     ]
-    depth_at = []
-    d = 0
-    # prefix depths so each word knows its absolute paren depth
-    pos_depth = {}
-    for i, c in enumerate(masked):
-        if c == "(":
-            d += 1
-        elif c == ")":
-            d -= 1
-        pos_depth[i] = d
+    pos_depth = _paren_depths(masked)
     for wi, (w, ws, we) in enumerate(words):
         if w != "select":
             continue
-        base = pos_depth.get(ws, 0)
+        base = pos_depth[ws] if ws < len(pos_depth) else 0
         sel_from = None
         where_s = where_e = None
         for w2, s2, e2 in words[wi + 1 :]:
-            dd = pos_depth.get(s2, 0)
+            dd = pos_depth[s2] if s2 < len(pos_depth) else 0
             if dd < base:
                 break  # this SELECT's block closed
             if dd != base:
@@ -712,41 +749,85 @@ def _select_where_spans(masked: str):
             # clause runs to the end of this paren block (or statement)
             where_e = len(masked)
             for i in range(where_s, len(masked)):
-                if pos_depth.get(i, 0) < base:
+                if pos_depth[i] < base:
                     where_e = i
                     break
         yield masked[we:sel_from], where_s, where_e
 
 
-def inline_where_aliases(sql: str) -> str:
-    """Rewrite each SELECT block's WHERE clause, replacing references
-    to that block's explicit ``expr AS alias`` select items with
-    ``(expr)`` — Tajo laxity #1."""
+def _one_alias_inline_pass(sql: str) -> str:
+    """Apply AT MOST ONE block's alias-in-WHERE rewrite and return the
+    result (== input when nothing to do). One edit per pass keeps every
+    span offset valid — overlapping/nested edits with stale offsets
+    were corrupting the SQL."""
     masked = _mask_string_bodies(sql)
-    edits = []  # (start, end, replacement)
+    sub_spans = _subquery_spans(masked)
     for sel_list, ws, we in _select_where_spans(masked):
         aliases = {}
-        for item in _split_top_level(sel_list):
+        for item in _split_top_parens(sel_list):
             m = _AS_ALIAS_RE.match(item.strip())
             if m and m.group(2).lower() not in _RESERVED_ALIAS:
-                aliases[m.group(2).lower()] = m.group(1).strip()
+                alias, expr = m.group(2), m.group(1).strip()
+                # circular guard: an alias whose expression references
+                # its own name would re-trigger forever (`a+1 AS a`)
+                if not re.search(
+                    rf"(?<![\w.`]){re.escape(alias)}(?![\w(])",
+                    expr,
+                    re.IGNORECASE,
+                ):
+                    aliases[alias.lower()] = expr
         if not aliases:
             continue
-        clause = sql[ws:we]
 
         def sub_alias(segment: str) -> str:
             def repl(m: re.Match) -> str:
                 expr = aliases.get(m.group(0).lower())
                 return f"({expr})" if expr else m.group(0)
 
-            return re.sub(r"(?<![\w.`])[A-Za-z_][A-Za-z0-9_]*", repl,
-                          segment)
+            # no lookahead-( : an alias sharing a function's name must
+            # not rewrite the call site into "(expr)(args)"
+            return re.sub(
+                r"(?<![\w.`])[A-Za-z_][A-Za-z0-9_]*(?!\s*\()",
+                repl,
+                segment,
+            )
 
-        new_clause = _outside_strings(clause, sub_alias)
-        if new_clause != clause:
-            edits.append((ws, we, new_clause))
-    for s, e, rep in sorted(edits, reverse=True):
-        sql = sql[:s] + rep + sql[e:]
+        # rewrite only the parts of the clause OUTSIDE nested
+        # subqueries: those have their own scope (their columns may
+        # legitimately shadow the alias name) and get their own pass
+        pieces, cur = [], ws
+        changed = False
+        # a clause may end one char inside the subquery's closing paren
+        # (where_e stops at the depth drop) — clamp, don't drop
+        inner = [
+            (s0, min(e0, we)) for s0, e0 in sub_spans if ws <= s0 < we
+        ]
+        for s0, e0 in sorted(inner):
+            seg = sql[cur:s0]
+            out = _outside_strings(seg, sub_alias)
+            changed |= out != seg
+            pieces.append(out)
+            pieces.append(sql[s0:e0])  # subquery text verbatim
+            cur = e0
+        seg = sql[cur:we]
+        out = _outside_strings(seg, sub_alias)
+        changed |= out != seg
+        pieces.append(out)
+        if changed:
+            return sql[:ws] + "".join(pieces) + sql[we:]
+    return sql
+
+
+def inline_where_aliases(sql: str) -> str:
+    """Rewrite each SELECT block's WHERE clause, replacing references
+    to that block's explicit ``expr AS alias`` select items with
+    ``(expr)`` — Tajo laxity #1. Iterates one block-edit at a time to
+    a fixpoint (bounded), so nested blocks never corrupt offsets."""
+    for _ in range(8):  # bound: one pass per block needing a rewrite
+        nxt = _one_alias_inline_pass(sql)
+        if nxt == sql:
+            return sql
+        sql = nxt
     return sql
 
 
@@ -759,11 +840,17 @@ _FROM_JOIN_RE = re.compile(r"\b(from|join)\b", re.IGNORECASE)
 
 def requalify_aliased_tables(sql: str) -> str:
     """Rewrite ``table.`` qualifiers to the FROM-clause alias when the
-    table was aliased — Tajo laxity #2 (stale qualifier)."""
+    table was aliased — Tajo laxity #2 (stale qualifier). Scope-safe:
+    only top-level (depth-0) FROM/JOIN items build the map, and nested
+    subquery text is never rewritten (an alias bound inside a subquery
+    is not visible outside it, and vice versa)."""
     masked = _mask_string_bodies(sql)
+    depths = _paren_depths(masked)
+    sub_spans = _subquery_spans(masked)
     mapping: dict[str, str] = {}
     for m in _FROM_JOIN_RE.finditer(masked):
-        # take the item list up to the next clause keyword at depth 0
+        if depths[m.start()] != 0:
+            continue  # a subquery's FROM — different scope
         start = m.end()
         tail = masked[start:]
         stop = re.search(
@@ -773,7 +860,7 @@ def requalify_aliased_tables(sql: str) -> str:
             re.IGNORECASE,
         )
         seg = tail[: stop.start()] if stop else tail
-        for item in _split_top_level(seg):
+        for item in _split_top_parens(seg):
             im = _FROM_ITEM_RE.match(item)
             if not im:
                 continue
@@ -793,7 +880,15 @@ def requalify_aliased_tables(sql: str) -> str:
             r"(?<![\w.`])([A-Za-z_][A-Za-z0-9_]*)\s*\.", repl, segment
         )
 
-    return _outside_strings(sql, requalify)
+    pieces, cur = [], 0
+    for s0, e0 in sorted(sub_spans):
+        if s0 < cur:
+            continue  # nested inside an already-skipped span
+        pieces.append(_outside_strings(sql[cur:s0], requalify))
+        pieces.append(sql[s0:e0])  # subquery scope left untouched
+        cur = e0
+    pieces.append(_outside_strings(sql[cur:], requalify))
+    return "".join(pieces)
 
 
 def recover_name_resolution(sql: str) -> str:

@@ -121,3 +121,11 @@ def test_last_terminator_invariants(s):
         rebuilt = ";".join(stmts)
         assert all(x.strip() for x in stmts)
         assert len(rebuilt) <= cut + 1
+
+
+def test_main_batch_mode_exits_nonzero_on_error(engine, capsys, monkeypatch):
+    import tajo_spark.cli as cli_mod
+
+    monkeypatch.setattr(cli_mod, "Engine", lambda: engine)
+    assert cli_mod.main(["-c", "SELECT definitely_missing FROM range(1);"]) == 1
+    assert "ERROR:" in capsys.readouterr().out

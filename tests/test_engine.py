@@ -535,3 +535,73 @@ def test_conforming_query_untouched_by_recovery():
 
     sql = "select l_orderkey from lineitem where l_orderkey = 1"
     assert dialect.recover_name_resolution(sql) == sql
+
+
+def test_recovery_preserves_subquery_scope():
+    from tajo_spark.plans import dialect
+
+    # an alias must not be inlined inside a nested subquery (its own
+    # scope may legitimately bind the same name), while the subquery's
+    # own aliases are handled by their own block
+    out = dialect.inline_where_aliases(
+        "select a as n from t where n > 0 "
+        "and exists (select 1 from u where n = u.z)"
+    )
+    assert out == (
+        "select a as n from t where (a) > 0 "
+        "and exists (select 1 from u where n = u.z)"
+    )
+    out2 = dialect.inline_where_aliases(
+        "select a*3 as n from t where n in "
+        "(select b as m from u where m > 2)"
+    )
+    assert out2 == (
+        "select a*3 as n from t where (a*3) in "
+        "(select b as m from u where (b) > 2)"
+    )
+
+
+def test_recovery_handles_lt_and_function_collisions():
+    from tajo_spark.plans import dialect
+
+    # '<' in a select item must not glue items together
+    out = dialect.inline_where_aliases(
+        "select case when a < b then 1 else 0 end as flag, c as n "
+        "from t where n = 1"
+    )
+    assert out.endswith("where (c) = 1")
+    # an alias sharing a function's name must not rewrite the call site
+    out2 = dialect.inline_where_aliases(
+        "select x as abs from t where abs(y) > 1 and abs = 2"
+    )
+    assert "abs(y)" in out2 and "(x) = 2" in out2
+    # circular alias never loops or rewrites
+    out3 = dialect.inline_where_aliases("select a+1 as a from t where a = 2")
+    assert out3 == "select a+1 as a from t where a = 2"
+
+
+def test_requalify_is_scope_local():
+    from tajo_spark.plans import dialect
+
+    # a table aliased only inside a subquery must not requalify
+    # outer-scope references
+    sql = (
+        "select t.x as n from t where n = 1 "
+        "and t.x in (select u.k from t u where u.k > 0)"
+    )
+    out = dialect.recover_name_resolution(sql)
+    assert out.startswith("select t.x as n from t where (t.x) = 1")
+    assert "select u.k from t u where u.k > 0" in out
+
+
+def test_recovery_failure_surfaces_original_error(engine, spark):
+    import pytest
+
+    spark.range(0, 3).selectExpr("id AS a").createOrReplaceTempView("lax_t6")
+    # alias-looking reference that the rewrite cannot fix: the original
+    # UNRESOLVED_COLUMN (about the user's SQL) must surface, not an
+    # error about the internally generated retry
+    with pytest.raises(Exception) as ei:
+        engine.execute_sql("select a as n from lax_t6 where zz = 1")
+    assert "UNRESOLVED_COLUMN" in str(ei.value)
+    assert "zz" in str(ei.value)

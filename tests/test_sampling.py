@@ -79,7 +79,7 @@ def test_global_shuffle_is_exact_permutation(spark):
     assert sorted(r.shuffle_pos for r in rows) == list(range(1, 3001))
     # two-phase rank equals the naive single-window global rank
     key = F.md5(
-        F.concat_ws(":", F.lit("7"), F.col("k").cast("string")).cast("binary")
+        F.concat(F.lit("7:"), F.col("k").cast("string")).cast("binary")
     )
     naive = {
         r.k: r.p
