@@ -47,6 +47,8 @@ HEADLINE = [
     "tpch_q21",
     "tpch_q22",
     "micro_selection",
+    "micro_selection1",
+    "micro_selection2",
     "micro_groupby1",
     "micro_groupby2",
     "window_topk_per_group",

@@ -571,6 +571,28 @@ def micro_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "micro_selection1",
+    "micro",
+    doc="ref benchmark/simple/selection1.sql: full-width SELECT * scan.",
+    oracle="SELECT * FROM lineitem",
+)
+def micro_selection1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem")
+
+
+@query(
+    "micro_selection2",
+    "micro",
+    doc="ref benchmark/simple/selection2.sql: pure two-column projection "
+    "— column pruning reaches the parquet scan (ReadSchema shows only "
+    "the projected columns).",
+    oracle="SELECT l_orderkey, l_linenumber FROM lineitem",
+)
+def micro_selection2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+
+
 # --------------------------------------------------------------------------
 # Derived partsupp (FIXTURES.md §1 note: the driver generated no partsupp
 # table; it is synthesized deterministically — 4 suppliers per part with
