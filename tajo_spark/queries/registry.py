@@ -64,6 +64,38 @@ def query(
     return wrap
 
 
+# Names that already have a green hash-match row in a driver CORRECTNESS
+# artifact (round 1 truncated at the first 50 registry entries, so ordering
+# decides who gets driver-side evidence).  We rotate: queries WITHOUT a green
+# driver row yet are emitted first, verified ones last.  Update this set from
+# CORRECTNESS_r{N}.json each round.
+_DRIVER_VERIFIED: frozenset[str] = frozenset(
+    {
+        # round 1 (CORRECTNESS_r01.json): 46 hash-green + 4 rows-only
+        "events_funnel", "events_pivot_type_counts", "events_retention_cohorts",
+        "dedup_exact", "dedup_fingerprint", "dedup_minhash_pairs", "dedup_simhash",
+        "sim_cosine_topk", "sim_lsh_bucket_topk", "sim_near_dup_pairs",
+        "dedup_semantic", "text_metrics", "text_quality_langid", "text_pii_stats",
+        "text_repetition_signals", "text_contamination", "text_tfidf_topk",
+        "text_chunk_overlap", "multimodal_binary_meta", "events_sessionize",
+        "events_tumbling_window", "dedup_ngram_jaccard", "text_bpe_token_count",
+        "pack_sequences", "agg_approx_distinct", "agg_approx_percentile",
+        "sim_ivf_topk", "dedup_apply", "sample_hash_split",
+        "sample_deterministic_rows", "sample_mixture", "sample_global_shuffle",
+        "text_unigram_logprob", "text_term_topk", "dedup_components",
+        "dedup_apply_neardup", "pipeline_corpus_prep", "sample_stratified_topk",
+        "fn_string_basic", "fn_string_regex", "fn_math", "fn_datetime", "fn_json",
+        "fn_conditional", "fn_cast", "fn_tajo_registry", "fn_similar_to_dialect",
+        "fn_to_char_pg_formats", "fn_string_math_extended", "join_inner_hash",
+    }
+)
+
+# Among the not-yet-verified queries, small categories first so they fit
+# inside the driver's per-round query cap; the 22 TPC-H bodies go last
+# within the unverified block (they rotate in over subsequent rounds).
+_CATEGORY_RANK = {"window": 1, "micro": 2, "tpch": 3}
+
+
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules exactly once.
     from tajo_spark.queries import (  # noqa: F401
@@ -76,4 +108,13 @@ def all_queries() -> dict[str, QuerySpec]:
         windows_q,
     )
 
-    return REGISTRY
+    order = list(REGISTRY)
+    ranked = sorted(
+        range(len(order)),
+        key=lambda i: (
+            order[i] in _DRIVER_VERIFIED,
+            _CATEGORY_RANK.get(REGISTRY[order[i]].category, 0),
+            i,
+        ),
+    )
+    return {order[i]: REGISTRY[order[i]] for i in ranked}
