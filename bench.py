@@ -167,6 +167,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # methodology stamp so cross-round comparisons can
+                # detect a measurement change (round 1 switched from
+                # single-pass to min-of-two steady-state)
+                "methodology": "min_of_2_passes_after_sf0.001_codegen_warmup",
+                "measured_passes": 2,
             }
         )
     )

@@ -27,6 +27,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _propagate_round(both: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label propagation round, materialized.
+
+    The convergence signal (``__changed``) is folded into the SAME
+    label-update projection, so the caller's convergence probe never
+    needs the old labels again — reading it is a scan of the
+    checkpointed output, not another join job.
+    """
+    # neighbor minimum: for each node, the smallest label adjacent to
+    # it this round (map-side partial min before the shuffle)
+    nbr = (
+        both.join(labels, both["a"] == labels["node"])
+        .select(F.col("b").alias("node"), "label")
+        .groupBy("node")
+        .agg(F.min("label").alias("nbr_label"))
+    )
+    return (
+        labels.join(nbr, "node", "left")
+        .select(
+            "node",
+            F.least("label", F.coalesce("nbr_label", "label")).alias(
+                "label"
+            ),
+            (F.coalesce("nbr_label", "label") < F.col("label")).alias(
+                "__changed"
+            ),
+        )
+        .localCheckpoint()  # truncate lineage: O(1) plan depth
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
@@ -50,30 +81,13 @@ def connected_components(
     )
     converged = False
     for _ in range(max_iter):
-        # neighbor minimum: for each node, the smallest label adjacent
-        # to it this round (map-side partial min before the shuffle)
-        nbr = (
-            both.join(labels, both["a"] == labels["node"])
-            .select(F.col("b").alias("node"), "label")
-            .groupBy("node")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(nbr, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    "label", F.coalesce("nbr_label", "label")
-                ).alias("label"),
-            )
-            .localCheckpoint()  # truncate lineage: O(1) plan depth
-        )
-        converged = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
-            .filter(F.col("label") != F.col("old"))
-            .isEmpty()
-        )
-        labels = new_labels
+        new_labels = _propagate_round(both, labels)
+        # the probe is a filter-scan of the just-materialized
+        # checkpoint blocks (short-circuits at the first changed
+        # partition) — no join, no shuffle; the round-1 version paid a
+        # full join-per-round job here
+        converged = new_labels.filter(F.col("__changed")).isEmpty()
+        labels = new_labels.drop("__changed")
         if converged:
             break
     if not converged:

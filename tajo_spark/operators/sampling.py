@@ -159,8 +159,17 @@ def global_shuffle_position(
     )
     from pyspark.sql import Window as W
 
+    # NULL keys ride a sentinel bucket that sorts AFTER every hex
+    # prefix ('z' > 'f'), mirroring the oracle's ASC NULLS LAST default
+    # — a bare substring would leave __bk NULL and the null-unsafe
+    # bucket join below would silently drop those rows while their
+    # count still shifted every cumulative offset
+    sentinel = "z" * bucket_chars
     keyed = df.withColumn("__sk", key).withColumn(
-        "__bk", F.substring(F.col("__sk"), 1, bucket_chars)
+        "__bk",
+        F.coalesce(
+            F.substring(F.col("__sk"), 1, bucket_chars), F.lit(sentinel)
+        ),
     )
     in_bucket = F.row_number().over(
         W.partitionBy("__bk").orderBy("__sk", id_col)

@@ -344,6 +344,13 @@ def seeded_cluster_assign(
     )
 
 
+# Above this many clusters the build side of the SemDeDup pair join is
+# no longer "a few clusters of the corpus" but effectively the corpus
+# itself — broadcast flips from a parallelism win to an executor OOM,
+# so the join shuffles on cluster_id instead.
+BROADCAST_MAX_CLUSTERS = 64
+
+
 def semantic_dedup(
     emb: DataFrame,
     n_seeds: int = 16,
@@ -359,14 +366,17 @@ def semantic_dedup(
     before the join — the same `sqrt(dot(v,v))` value per row, so the
     pair cosine `dot/(norm_a*norm_b)` is arithmetically identical to
     the oracle's per-pair formula but does one array fold per pair
-    instead of three (the folds are the hot loop). The probe side is
-    hash-repartitioned so the pair explosion spreads over every core
-    rather than however few partitions the scan produced; the build
-    side is broadcast because the demo seed count (16) would cap a
-    cluster-keyed shuffle join at 16 active partitions. At production
-    seed counts (|corpus|/cluster_size, i.e. thousands of clusters)
-    drop the broadcast and let the join shuffle on ``cluster_id`` —
-    same plan shape as the LSH bucket join.
+    instead of three (the folds are the hot loop).
+
+    Join strategy branches on cluster count (``broadcast_max_clusters``):
+    at demo seed counts a ``cluster_id``-shuffled join would cap
+    parallelism at ``n_seeds`` active partitions, so the probe side is
+    hash-repartitioned and the build side broadcast; at production seed
+    counts (|corpus|/cluster_size → thousands of clusters) the build
+    side IS the corpus — broadcasting it would OOM every executor — so
+    the pair join shuffles on ``cluster_id`` (shuffle-hash hinted, same
+    plan shape as the LSH bucket join; AQE skew-join splits oversized
+    clusters).
     Output: (vec_id, cluster_id, is_kept).
     """
     assigned = seeded_cluster_assign(emb, n_seeds=n_seeds, id_col=id_col)
@@ -377,9 +387,13 @@ def semantic_dedup(
     # the minhash one-scan pin); at production scale this is the
     # persisted assignment table between pipeline stages.
     withn = assigned.withColumn("__norm", F.sqrt(dot(v, v))).localCheckpoint()
-    par = emb.sparkSession.sparkContext.defaultParallelism
-    a = withn.repartition(par, id_col).alias("a")
-    b = withn.alias("b")
+    if n_seeds <= BROADCAST_MAX_CLUSTERS:
+        par = emb.sparkSession.sparkContext.defaultParallelism
+        a = withn.repartition(par, id_col).alias("a")
+        b = F.broadcast(withn.alias("b"))
+    else:
+        a = withn.alias("a")
+        b = withn.alias("b").hint("shuffle_hash")
     denom = F.col("a.__norm") * F.col("b.__norm")
     pair_cos = F.when(
         denom != 0,
@@ -390,7 +404,7 @@ def semantic_dedup(
     )
     removed = (
         a.join(
-            F.broadcast(b),
+            b,
             (F.col("a.cluster_id") == F.col("b.cluster_id"))
             & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
         )

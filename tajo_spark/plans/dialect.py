@@ -707,8 +707,27 @@ def _subquery_spans(masked: str) -> list[tuple[int, int]]:
     return spans
 
 
+def _split_top_paren_spans(s: str) -> list[tuple[int, int]]:
+    """(start, end) spans of the comma-separated items of ``s`` at
+    paren depth 0 — offset-preserving sibling of
+    :func:`_split_top_parens` for callers that must slice the
+    *original* (unmasked) text."""
+    spans, start, depth = [], 0, 0
+    for i, c in enumerate(s):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            spans.append((start, i))
+            start = i + 1
+    if s:
+        spans.append((start, len(s)))
+    return spans
+
+
 def _select_where_spans(masked: str):
-    """Yield (select_list_text, where_start, where_end) for every
+    """Yield (sel_start, sel_end, where_start, where_end) for every
     SELECT block, spans indexed into the original string. Walks the
     masked text with paren-depth tracking relative to each SELECT."""
     words = [
@@ -752,7 +771,7 @@ def _select_where_spans(masked: str):
                 if pos_depth[i] < base:
                     where_e = i
                     break
-        yield masked[we:sel_from], where_s, where_e
+        yield we, sel_from, where_s, where_e
 
 
 def _one_alias_inline_pass(sql: str) -> str:
@@ -762,17 +781,24 @@ def _one_alias_inline_pass(sql: str) -> str:
     were corrupting the SQL."""
     masked = _mask_string_bodies(sql)
     sub_spans = _subquery_spans(masked)
-    for sel_list, ws, we in _select_where_spans(masked):
+    for ls, le, ws, we in _select_where_spans(masked):
         aliases = {}
-        for item in _split_top_parens(sel_list):
-            m = _AS_ALIAS_RE.match(item.strip())
+        sel_masked = masked[ls:le]
+        for is_, ie in _split_top_paren_spans(sel_masked):
+            m = _AS_ALIAS_RE.match(sel_masked[is_:ie])
             if m and m.group(2).lower() not in _RESERVED_ALIAS:
-                alias, expr = m.group(2), m.group(1).strip()
+                alias = m.group(2)
+                # the masked text only drives span detection — the
+                # inlined expression is sliced from the ORIGINAL sql so
+                # string literals inside it survive intact
+                a, b = m.span(1)
+                expr = sql[ls + is_ + a : ls + is_ + b].strip()
                 # circular guard: an alias whose expression references
-                # its own name would re-trigger forever (`a+1 AS a`)
+                # its own name would re-trigger forever (`a+1 AS a`);
+                # scan the masked expr so literals never false-match
                 if not re.search(
                     rf"(?<![\w.`]){re.escape(alias)}(?![\w(])",
-                    expr,
+                    m.group(1),
                     re.IGNORECASE,
                 ):
                     aliases[alias.lower()] = expr

@@ -520,6 +520,36 @@ def test_alias_not_inlined_inside_string_literal(engine, spark):
     assert len(rows) == 1 and rows[0].plus == 1
 
 
+def test_aliased_expr_with_string_literal_inlines_intact(engine, spark):
+    # regression: the inlined expression must be sliced from the
+    # ORIGINAL sql — slicing from the masked text blanked literal
+    # bodies, silently rewriting to to_char(ts,'    ') (wrong results)
+    from tajo_spark.plans import dialect
+
+    out = dialect.inline_where_aliases(
+        "select to_char(ts,'YYYY') as y from t where y = '2024'"
+    )
+    assert out == (
+        "select to_char(ts,'YYYY') as y from t "
+        "where (to_char(ts,'YYYY'))"
+        " = '2024'"
+    )
+    # a comma inside a literal must not split select items either
+    out2 = dialect.inline_where_aliases(
+        "select concat(a, ', ') as j, b as k from t where j = 'x, y' and k = 1"
+    )
+    assert "(concat(a, ', ')) = 'x, y'" in out2 and "(b) = 1" in out2
+    # end-to-end through the engine's recovery path
+    spark.sql(
+        "select timestamp'2024-03-05 00:00:00' as ts union all "
+        "select timestamp'2023-01-01 00:00:00'"
+    ).createOrReplaceTempView("lax_t6")
+    rows = engine.execute_sql(
+        "select to_char(ts,'YYYY') as y from lax_t6 where y = '2024'"
+    ).collect()
+    assert [r.y for r in rows] == ["2024"]
+
+
 def test_union_branch_aliases_stay_separate(engine, spark):
     spark.range(0, 5).selectExpr("id AS a").createOrReplaceTempView("lax_t5")
     # each branch's WHERE may only see its own aliases

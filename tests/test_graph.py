@@ -42,6 +42,37 @@ def test_matches_oracle_on_real_pairs(spark, ddb):
     C.assert_frames_match(spdf, opdf, "dedup_components")
 
 
+def test_convergence_probe_is_shuffle_free_scan(spark):
+    # regression pin: the per-round convergence probe must read the
+    # __changed flag folded into the label-update pass — a filter-scan
+    # of the checkpointed blocks with no Join and no Exchange (round 1
+    # paid a join+shuffle job per round just to detect convergence)
+    from tajo_spark.operators import graph
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    both = (
+        df.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(df.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        both.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    out = graph._propagate_round(both, labels)
+    assert "__changed" in out.columns
+    probe_plan = (
+        out.filter(F.col("__changed"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in probe_plan, probe_plan
+    assert "Exchange" not in probe_plan, probe_plan
+
+
 def test_raises_when_not_converged(spark):
     import pytest
 

@@ -90,6 +90,22 @@ def test_global_shuffle_is_exact_permutation(spark):
     assert {r.k: r.shuffle_pos for r in rows} == naive
 
 
+def test_global_shuffle_keeps_null_id_rows_last(spark):
+    # regression: NULL ids hash to a NULL key; before the sentinel
+    # bucket the null-unsafe __bk join dropped those rows while their
+    # count still shifted the cumulative offsets (3 in → 2 out with a
+    # gap in positions). The oracle's row_number keeps them, NULLS LAST.
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,)], ["k"]
+    )
+    rows = sampling.global_shuffle_position(df, "k").collect()
+    assert len(rows) == 4
+    assert sorted(r.shuffle_pos for r in rows) == [1, 2, 3, 4]
+    # the NULL-key rows take the LAST positions, matching ASC NULLS LAST
+    null_pos = sorted(r.shuffle_pos for r in rows if r.k is None)
+    assert null_pos == [3, 4]
+
+
 def test_global_shuffle_stable_under_repartition(spark):
     df = spark.range(0, 2000).withColumnRenamed("id", "k")
     a = {r.k: r.shuffle_pos

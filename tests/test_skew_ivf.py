@@ -213,6 +213,46 @@ def test_semantic_dedup_partitions_and_greedy_rule(spark):
         assert round(best, 4) >= 0.3
 
 
+def test_semantic_dedup_high_seed_count_shuffles_not_broadcasts(spark):
+    # at production cluster counts the pair-join build side is the
+    # whole corpus: the plan must shuffle on cluster_id, never
+    # broadcast (the round-1 default broadcast was a 100 TB OOM). The
+    # low-seed path keeps its broadcast (parallelism would otherwise
+    # cap at n_seeds partitions).
+    emb = load_table(spark, SF_DIR, "embeddings")
+    high = sim.BROADCAST_MAX_CLUSTERS + 1
+    plan_high = (
+        sim.semantic_dedup(emb, n_seeds=high)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" not in plan_high, plan_high
+    assert "ShuffledHashJoin" in plan_high or "SortMergeJoin" in plan_high
+    plan_low = (
+        sim.semantic_dedup(emb, n_seeds=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan_low
+    # both strategies agree on the verdicts (cluster geometry differs
+    # with seed count, so compare the SAME seed count across a forced
+    # threshold flip)
+    import unittest.mock as mock
+
+    with mock.patch.object(sim, "BROADCAST_MAX_CLUSTERS", 4):
+        shuffled = {
+            (r.vec_id, r.cluster_id, r.is_kept)
+            for r in sim.semantic_dedup(emb, n_seeds=8).collect()
+        }
+    broadcast = {
+        (r.vec_id, r.cluster_id, r.is_kept)
+        for r in sim.semantic_dedup(emb, n_seeds=8).collect()
+    }
+    assert shuffled == broadcast
+
+
 def test_seeded_assign_is_zero_shuffle(spark):
     # the assignment itself must stay map-only: the only Exchange in
     # the plan feeds the one-row broadcast seed aggregate, never the
