@@ -725,9 +725,27 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "512-token training sequences (operators/packing.py) — one "
     "doc-id-hash shuffle, then each partition packs independently with "
     "O(1) state via mapInPandas; pack ids are partition-prefixed so no "
-    "coordination is needed. Oracle omitted: bin packing is an "
-    "inherently sequential assignment, not SQL-expressible "
-    "(rows-only check; invariants pinned in tests/test_packing.py).",
+    "coordination is needed. The exact pack assignment depends on the "
+    "engine's hash partitioning (not SQL-expressible), so the query "
+    "returns the packing's INVARIANT summary, every term of which the "
+    "oracle derives from the corpus alone: each doc packed exactly "
+    "once, token totals preserved, zero budget violations, oversize "
+    "docs (token estimate > 512) isolated as singleton packs, and "
+    "pack_pos dense 0..members-1 within every pack. Per-row assignment "
+    "is exercised by tests/test_packing.py and the bench.",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT)                     AS n_docs,
+               CAST(count(DISTINCT doc_id) AS BIGINT)       AS n_distinct_docs,
+               CAST(SUM(CAST(FLOOR(n_chars / 4.0 + 1) AS BIGINT)) AS BIGINT)
+                                                            AS total_tokens,
+               CAST(SUM(CASE WHEN CAST(FLOOR(n_chars / 4.0 + 1) AS BIGINT)
+                                  > 512 THEN 1 ELSE 0 END) AS BIGINT)
+                                                            AS oversize_docs,
+               CAST(0 AS BIGINT) AS budget_violations,
+               CAST(0 AS BIGINT) AS oversize_nonsingleton,
+               CAST(0 AS BIGINT) AS sparse_position_packs
+        FROM documents
+    """,
 )
 def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tajo_spark.operators.packing import pack_sequences
@@ -737,7 +755,52 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # whitespace-token budget estimate: chars/4 (BPE-ish density)
         (F.col("n_chars") / 4 + 1).cast("long").alias("n_tokens"),
     )
-    return pack_sequences(docs, max_tokens=512, num_partitions=32)
+    packed = pack_sequences(docs, max_tokens=512, num_partitions=32)
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("fill"),
+        F.count(F.lit(1)).alias("members"),
+        F.max(F.col("oversize").cast("int")).alias("has_oversize"),
+        F.sum("pack_pos").alias("pos_sum"),
+        F.max("pack_pos").alias("max_pos"),
+        F.sum("n_tokens").alias("tok"),
+        F.count_distinct("doc_id").alias("distinct_docs"),
+    )
+    return per_pack.agg(
+        F.sum("members").cast("long").alias("n_docs"),
+        F.sum("distinct_docs").cast("long").alias("n_distinct_docs"),
+        F.sum("tok").cast("long").alias("total_tokens"),
+        F.sum(
+            F.when(F.col("has_oversize") == 1, F.col("members")).otherwise(0)
+        )
+        .cast("long")
+        .alias("oversize_docs"),
+        F.sum(
+            F.when(
+                (F.col("fill") > 512) & (F.col("has_oversize") == 0), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("budget_violations"),
+        F.sum(
+            F.when(
+                (F.col("has_oversize") == 1) & (F.col("members") > 1), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("oversize_nonsingleton"),
+        F.sum(
+            F.when(
+                (
+                    F.col("pos_sum")
+                    != (F.col("members") * (F.col("members") - 1) / 2)
+                )
+                | (F.col("max_pos") != F.col("members") - 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("sparse_position_packs"),
+    )
 
 
 @query(
@@ -785,14 +848,44 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "datapipe",
     doc="IVF ANN probe: KMeans centroids (seeded, distributed fit) + "
     "nprobe nearest-centroid candidate scan — the learned-partition "
-    "scale path for ANN. Oracle omitted (KMeans is not reproducible in "
-    "SQL; correctness pinned in tests/test_skew_ivf.py: full-probe IVF "
-    "equals brute-force exact top-k).",
+    "scale path for ANN. The KMeans partition is not reproducible in "
+    "SQL, so the query returns the probe's QUALITY CONTRACT instead of "
+    "raw neighbors: the exact top-k leg is hash-checked numerically "
+    "(count + mean cosine vs the oracle's brute-force SQL) and the IVF "
+    "leg must recall >= 5 of the exact 10 at nprobe=2/8 (the full-probe "
+    "== exact identity is pinned in tests/test_skew_ivf.py; raw "
+    "neighbor output is exercised by sim_cosine_topk, which shares the "
+    "scoring expressions).",
+    oracle="""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        scored AS (
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding, q.qv), 4)
+                       AS cos_sim
+            FROM embeddings e, q WHERE e.vec_id <> 0
+        ),
+        topk AS (
+            SELECT vec_id, cos_sim FROM scored
+            ORDER BY cos_sim DESC, vec_id LIMIT 10
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_exact,
+               round(avg(cos_sim), 4)   AS exact_mean_cos,
+               TRUE                     AS ivf_recall_ok
+        FROM topk
+    """,
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb, query_vec_id=0, k=10, n_centroids=8,
-                               nprobe=2)
+    ivf = similarity.ivf_topk(
+        emb, query_vec_id=0, k=10, n_centroids=8, nprobe=2
+    ).select(F.col("vec_id").alias("ivf_id"))
+    exact = similarity.cosine_topk(emb, query_vec_id=0, k=10)
+    hits = exact.join(ivf, exact["vec_id"] == ivf["ivf_id"], "left")
+    return hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.round(F.avg("cos_sim"), 4).alias("exact_mean_cos"),
+        (F.count("ivf_id") >= 5).alias("ivf_recall_ok"),
+    )
 
 
 @query(
