@@ -53,6 +53,7 @@ HEADLINE = [
     "micro_groupby2",
     "window_topk_per_group",
     "window_running_agg",
+    "join_skew_salted",
     "dedup_minhash_pairs",
     "dedup_simhash",
     "dedup_semantic",

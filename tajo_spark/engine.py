@@ -142,21 +142,27 @@ class Engine:
         try:
             df = self.spark.sql(translated)
         except Exception as exc:
-            # Tajo name-resolution laxities (SELECT alias in WHERE,
-            # stale qualifier over an aliased table) — recover only
-            # after the strict path failed, so conforming queries are
-            # never rewritten (dialect.recover_name_resolution).
-            if "UNRESOLVED_COLUMN" not in str(exc):
+            # Tajo laxities are recovered only after the strict path
+            # failed, so conforming queries are never rewritten:
+            #   * PARSE_SYNTAX_ERROR → branch-level ORDER BY directly
+            #     before a set operator (dialect.drop_preunion_orderby)
+            #   * UNRESOLVED_COLUMN → SELECT alias in WHERE / stale
+            #     qualifier (dialect.recover_name_resolution)
+            msg = str(exc)
+            if "PARSE_SYNTAX_ERROR" in msg:
+                recovered = dialect.drop_preunion_orderby(translated)
+            elif "UNRESOLVED_COLUMN" in msg:
+                recovered = dialect.recover_name_resolution(translated)
+            else:
                 raise
-            recovered = dialect.recover_name_resolution(translated)
             if recovered == translated:
                 raise
             try:
                 df = self.spark.sql(recovered)
             except Exception:
                 # the rewrite didn't help — surface the ORIGINAL
-                # unresolved-column error about the user's own SQL,
-                # not one about the internally generated retry text
+                # error about the user's own SQL, not one about the
+                # internally generated retry text
                 raise exc from None
             translated = recovered
         low = translated.lower()

@@ -83,7 +83,29 @@ OPTION_MAP = {
 }
 
 
+# Lossy type mappings: Spark has no TIME-of-day type (SURVEY.md §1.2),
+# so TIME/TIMETZ columns become STRING — values round-trip textually
+# ('12:34:56') but lose temporal arithmetic. Surfaced as a one-line
+# warning per statement rather than a silent rewrite; COVERAGE.md lists
+# it as a documented divergence, not parity.
+_LOSSY_TYPES = frozenset({"TIME", "TIMETZ"})
+
+
 def translate_type_names(sql: str) -> str:
+    lossy = {
+        m.group(1).upper()
+        for m in _TYPE_RE.finditer(sql)
+        if m.group(1).upper() in _LOSSY_TYPES
+    }
+    if lossy:
+        import warnings
+
+        warnings.warn(
+            f"Tajo type(s) {sorted(lossy)} have no Spark equivalent and "
+            "map to STRING (text round-trip only; temporal arithmetic "
+            "is lost) — see COVERAGE.md",
+            stacklevel=3,
+        )
     return _TYPE_RE.sub(lambda m: TYPE_MAP[m.group(1).upper()], sql)
 
 
@@ -922,6 +944,45 @@ def recover_name_resolution(sql: str) -> str:
     qualifiers first (so inlined alias expressions keep working
     qualifiers), then alias-in-WHERE inlining."""
     return inline_where_aliases(requalify_aliased_tables(sql))
+
+
+def drop_preunion_orderby(sql: str) -> str:
+    """Tajo accepts a branch-level ``ORDER BY`` immediately before a
+    set operator (TestUnionQuery/testUnion10.sql, testUnionAll10.sql);
+    ANSI/Spark bind ORDER BY to the whole set expression and raise a
+    parse error. Dropping the clause is semantics-preserving: set-op
+    input order has no observable effect (the reference's own result
+    is defined by the outermost ORDER BY). Applied only after a parse
+    failure — conforming queries never reach this rewrite."""
+    masked = _mask_string_bodies(sql)
+    words = [
+        (m.group(0).lower(), m.start(), m.end())
+        for m in _WORD_RE.finditer(masked)
+    ]
+    depths = _paren_depths(masked)
+    spans = []
+    for idx, (w, s, _e) in enumerate(words):
+        if w != "order" or idx + 1 >= len(words):
+            continue
+        if words[idx + 1][0] != "by":
+            continue
+        d = depths[s]
+        j = idx + 2
+        while j < len(words):
+            w2, s2, _e2 = words[j]
+            d2 = depths[s2]
+            if d2 < d:
+                break  # clause ends at the paren close — legal position
+            if d2 == d:
+                if w2 in ("union", "intersect", "except"):
+                    spans.append((s, s2))
+                    break
+                if w2 in ("limit", "offset"):
+                    break  # ORDER BY feeding a LIMIT is load-bearing
+            j += 1
+    for s, e in sorted(spans, reverse=True):
+        sql = sql[:s] + sql[e:]
+    return sql
 
 
 def translate(sql: str) -> str:

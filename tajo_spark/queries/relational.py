@@ -860,3 +860,70 @@ def subq_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+
+
+@query(
+    "join_skew_salted",
+    "join",
+    doc="Skewed-key equi-join through the salted-join operator "
+    "(operators/skew.py): 70% of lineitem rows collapse onto one "
+    "derived hot key (the testdata has no natural join skew, so the "
+    "skew is synthesized deterministically from l_orderkey), the other "
+    "side is shuffle-hash-hinted so the join really shuffles, and "
+    "salting spreads the hot key over 16 reducers instead of one. "
+    "Result is compacted to per-returnflag sums so the driver hashes "
+    "3 rows while the 600k-row join executes in full. Reference "
+    "anchor: the enforcer's shuffle planning (Plan.proto:545-550) has "
+    "no skew answer — this is the 100 TB mitigation AQE + salting "
+    "provide.",
+    oracle="""
+        WITH lk AS (
+            SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+                        ELSE l_orderkey END AS skew_key,
+                   l_returnflag, l_quantity
+            FROM lineitem),
+        rk AS (
+            SELECT CASE WHEN o_orderkey % 10 < 7 THEN 0
+                        ELSE o_orderkey END AS skew_key,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM orders GROUP BY 1)
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(l_quantity * cnt) AS BIGINT) AS weighted_qty
+        FROM lk JOIN rk USING (skew_key)
+        GROUP BY l_returnflag
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 < 7, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .cast("long")
+        .alias("skew_key"),
+        "l_returnflag",
+        "l_quantity",
+        "l_orderkey",
+    )
+    rk = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.when(F.col("o_orderkey") % 10 < 7, F.lit(0))
+            .otherwise(F.col("o_orderkey"))
+            .cast("long")
+            .alias("skew_key")
+        )
+        .groupBy("skew_key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # force a real shuffled join: broadcasting the replicated side
+        # would bypass the skew path this query exists to exercise
+        .hint("shuffle_hash")
+    )
+    joined = salted_join(li, rk, on=["skew_key"], unique_col="l_orderkey")
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("l_quantity") * F.col("cnt")).cast("long").alias(
+            "weighted_qty"
+        ),
+    )

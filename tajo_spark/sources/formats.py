@@ -195,17 +195,47 @@ def read_jdbc(
 
 
 # --- KAFKA -------------------------------------------------------------------
+def kafka_offset_ranges_json(
+    topic: str, ranges: dict[int, tuple[int, int]]
+) -> tuple[str, str]:
+    """(startingOffsets, endingOffsets) JSON for fixed per-partition
+    offset ranges — the exact fragment surface of the reference's batch
+    Kafka scan (KafkaTablespace.java:59 plans one fragment per
+    (topic, partition, startOffset, lastOffset); KafkaScanner reads it).
+    Pure string builder so the option surface is unit-testable without
+    a broker."""
+    if not ranges:
+        raise ValueError("ranges must contain at least one partition")
+    for p, (s, e) in ranges.items():
+        if s < 0 or e < s:
+            raise ValueError(
+                f"partition {p}: invalid offset range [{s}, {e})"
+            )
+    import json
+
+    start = {str(p): s for p, (s, _) in ranges.items()}
+    end = {str(p): e for p, (_, e) in ranges.items()}
+    return json.dumps({topic: start}), json.dumps({topic: end})
+
+
 def read_kafka_batch(
     spark: SparkSession,
     bootstrap_servers: str,
     topic: str,
     starting_offsets: str = "earliest",
     ending_offsets: str = "latest",
+    offset_ranges: dict[int, tuple[int, int]] | None = None,
 ) -> DataFrame:
     """KafkaTablespace parity (KafkaScanner.java reads fixed offset
     ranges as batch fragments): Spark's kafka datasource does exactly
-    this with ``startingOffsets``/``endingOffsets``. Gated — needs
+    this with ``startingOffsets``/``endingOffsets``. Pass
+    ``offset_ranges`` ({partition: (start, end)}) to pin per-partition
+    ranges like the reference's fragments. Gated — needs
     spark-sql-kafka on the classpath and a reachable broker."""
+    if offset_ranges is not None:
+        starting_offsets, ending_offsets = kafka_offset_ranges_json(
+            topic, offset_ranges
+        )
     try:
         return (
             spark.read.format("kafka")

@@ -560,6 +560,51 @@ def test_union_branch_aliases_stay_separate(engine, spark):
     assert sorted(r.x for r in rows) == [4, 20]
 
 
+def test_preunion_orderby_recovers(engine, spark):
+    # Tajo laxity #3 (TestUnionQuery/testUnion10.sql): a branch-level
+    # ORDER BY immediately before UNION parses in the reference but is
+    # a Spark parse error; the engine drops the load-free clause on
+    # PARSE_SYNTAX_ERROR retry
+    spark.range(0, 6).selectExpr("id AS a").createOrReplaceTempView("lax_t7")
+    rows = engine.execute_sql(
+        "select a from (select a from lax_t7 where a < 3 order by a desc "
+        "union select a from lax_t7 where a < 2) t order by a"
+    ).collect()
+    assert [r.a for r in rows] == [0, 1, 2]
+    # an ORDER BY feeding a LIMIT is load-bearing and must survive
+    from tajo_spark.plans import dialect
+
+    keep = (
+        "select * from (select a from lax_t7 order by a desc limit 2) t "
+        "union select a from lax_t7 where a = 0"
+    )
+    assert dialect.drop_preunion_orderby(keep) == keep
+    # parenthesized subquery ORDER BY before an outer UNION is legal —
+    # untouched
+    legal = (
+        "select * from (select a from lax_t7 order by a) t "
+        "union select a from lax_t7"
+    )
+    assert dialect.drop_preunion_orderby(legal) == legal
+
+
+def test_time_type_maps_to_string_with_warning():
+    import warnings as W
+
+    from tajo_spark.plans import dialect
+
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        out = dialect.translate_type_names("c1 TIME, c2 INT4")
+    assert out == "c1 STRING, c2 INT"
+    assert any("no Spark equivalent" in str(w.message) for w in caught)
+    # non-lossy DDL stays silent
+    with W.catch_warnings(record=True) as caught2:
+        W.simplefilter("always")
+        dialect.translate_type_names("c1 INT4, c2 TEXT")
+    assert not caught2
+
+
 def test_conforming_query_untouched_by_recovery():
     from tajo_spark.plans import dialect
 

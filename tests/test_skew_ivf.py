@@ -114,6 +114,20 @@ def test_plan_report_api(spark):
     assert rep.pushed_filters and "GreaterThan(l_quantity" in rep.pushed_filters[0]
 
 
+def test_join_skew_salted_query_plan(spark):
+    # the headline skew query must really exercise the salted shuffle
+    # path: a shuffled join on (skew_key, _salt), never a broadcast of
+    # the replicated side (which would bypass what the bench measures)
+    from tajo_spark.queries.registry import all_queries
+    import tests.conftest as C
+
+    df = all_queries()["join_skew_salted"].spark(spark, C.SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "_salt" in plan  # the salt is part of the join key
+
+
 def test_salted_join_rejects_outer(spark, skewed_df):
     dim = spark.range(0, 5).select(F.col("id").alias("k"))
     with pytest.raises(ValueError):

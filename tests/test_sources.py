@@ -113,6 +113,62 @@ def test_sequencefile_reader(spark, tmp_path):
     assert rows == [(i, f"name{i}") for i in range(5)]
 
 
+def test_jdbc_read_pushes_filter_and_projection(spark, tmp_path):
+    # JdbcScanner.java:61,108 parity: filter + projection reach the
+    # remote database as generated SQL. Derby embedded ships with
+    # Spark (the Hive-metastore dependency), so this runs ungated.
+    spark.sparkContext._jvm.System.setProperty(
+        "derby.system.home", str(tmp_path)
+    )
+    url = f"jdbc:derby:{tmp_path}/pushdb;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    spark.range(0, 100).selectExpr(
+        "id AS k", "CAST(id * 2 AS INT) AS v", "repeat('x', 5) AS s"
+    ).write.format("jdbc").option("url", url).option("dbtable", "t").option(
+        "driver", drv
+    ).mode("overwrite").save()
+
+    out = (
+        S.read_jdbc(spark, url, "t", driver=drv)
+        .filter("k > 90")
+        .select("k", "v")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "JDBCRelation" in plan
+    assert "PushedFilters" in plan and "GreaterThan(k,90)" in plan, plan
+    # projection pruned at the source: the wide column never leaves the db
+    assert "struct<k:bigint,v:int>" in plan.replace('"', ""), plan
+    rows = sorted(tuple(r) for r in out.collect())
+    assert rows == [(i, i * 2) for i in range(91, 100)]
+
+
+def test_kafka_offset_range_surface(spark):
+    # the reference's batch Kafka scan plans fixed per-partition offset
+    # ranges (KafkaTablespace.java:59); the option builder must emit the
+    # exact JSON the Spark kafka source consumes
+    import json
+
+    start, end = S.kafka_offset_ranges_json("events", {0: (5, 100), 3: (0, 7)})
+    assert json.loads(start) == {"events": {"0": 5, "3": 0}}
+    assert json.loads(end) == {"events": {"0": 100, "3": 7}}
+    with pytest.raises(ValueError):
+        S.kafka_offset_ranges_json("events", {})
+    with pytest.raises(ValueError):
+        S.kafka_offset_ranges_json("events", {0: (10, 3)})
+    # the reader wires the ranges through; without the kafka datasource
+    # on the classpath it must gate with NotImplementedError
+    try:
+        df = S.read_kafka_batch(
+            spark, "localhost:9", "events", offset_ranges={0: (5, 100)}
+        )
+    except NotImplementedError:
+        pytest.skip("spark-sql-kafka not on classpath (gated as designed)")
+    except Exception:
+        pass  # datasource present; unreachable broker errors are fine
+    else:
+        assert "value" in df.columns
+
+
 def test_avro_gated(spark, tmp_path):
     try:
         df = S.read_avro(spark, str(tmp_path))

@@ -16,9 +16,13 @@ Categories:
                     (self-describing JSON tables, timezone tables, ...)
   udaf-zero-arg     uses the reference's zero-argument countpy() UDAF —
                     Spark grouped-agg pandas UDFs require ≥1 column
-  dialect-lax       reference accepts ANSI-invalid SQL (alias in WHERE,
-                    unaliased-table references, per-branch ORDER BY in
-                    UNION); rejected here by design — see DIALECT_LAX
+  dialect-lax       reference accepts ANSI-invalid SQL this engine
+                    neither recovers nor rejects — currently EMPTY:
+                    alias-in-WHERE / stale qualifiers / per-branch
+                    ORDER BY before UNION are all recovered by the
+                    engine's laxity fallbacks, and the parse-only
+                    invalid TestSQLAnalyzer goldens are classified
+                    expected-reject (EXPECTED_REJECT_PARSE_ONLY)
   ddl-or-side-effect CREATE/INSERT/DROP/ALTER fixtures (covered by
                     tests/test_ddl.py, not re-run here)
   fail              real divergence to fix
@@ -115,19 +119,26 @@ NEGATIVE_MARKERS = ("/negative/", "/errors/")
 #   * SELECT-list alias referenced in WHERE (testWhereCond1, ...)
 #   * original table name used although the FROM clause aliased it
 #   * per-branch ORDER BY before UNION without parentheses
-DIALECT_LAX = {
-    # (alias-in-WHERE and aliased-table requalification Tajo-isms are
-    # recovered by the engine's UNRESOLVED_COLUMN fallback —
-    # dialect.inline_where_aliases / requalify_aliased_tables — so
-    # testWhereCond1 / testSortWithAlias2 / testUnion13 etc. execute)
-    "TestUnionQuery/testUnion10.sql",
-    "TestUnionQuery/testUnionAll10.sql",
-    # parse-only golden with typo'd column names (s_nationekey,
-    # ps_ps_suppkey) — the reference never resolves them
+# (alias-in-WHERE, aliased-table requalification, and branch-level
+# ORDER-BY-before-UNION Tajo-isms are recovered by the engine's
+# UNRESOLVED_COLUMN / PARSE_SYNTAX_ERROR fallbacks —
+# dialect.inline_where_aliases / requalify_aliased_tables /
+# drop_preunion_orderby — so testWhereCond1 / testSortWithAlias2 /
+# testUnion10 / testUnionAll10 / testUnion13 etc. execute as plain
+# passes.) Remaining dialect-lax entries: none.
+DIALECT_LAX: set[str] = set()
+
+# Parse-only goldens that are SEMANTICALLY INVALID under ANSI: the
+# reference's TestSQLAnalyzer only checks the parse tree and never
+# resolves or executes these statements. This engine rejecting them at
+# analysis is the correct behavior, not a divergence — each entry
+# carries the specific invalidity.
+EXPECTED_REJECT_PARSE_ONLY = {
+    # typo'd column names (s_nationekey, ps_ps_suppkey) — the
+    # reference never resolves them either
     "TestSQLAnalyzer/positive/join_9.sql",
-    # parse-only in the reference and semantically invalid under ANSI:
-    # unqualified columns present on both join sides, UNION branches of
-    # unequal arity, subquery columns referenced outside their scope
+    # unqualified columns present on both join sides, UNION branches
+    # of unequal arity, subquery columns referenced outside their scope
     "TestSQLAnalyzer/positive/join_2.sql",
     "TestSQLAnalyzer/positive/join_5.sql",
     "TestSQLAnalyzer/positive/join_6.sql",
@@ -549,9 +560,13 @@ def classify_and_run(eng, path: str, known_tables: set[str]) -> str:
     )
     low = body.lower()
     base = os.path.basename(path)
-    negative = any(m in path for m in NEGATIVE_MARKERS) or (
-        "TestQueryValidation" in path
-        and base.startswith(("error_", "invalid_"))
+    negative = (
+        any(m in path for m in NEGATIVE_MARKERS)
+        or (
+            "TestQueryValidation" in path
+            and base.startswith(("error_", "invalid_"))
+        )
+        or rel in EXPECTED_REJECT_PARSE_ONLY
     )
 
     if rel in DIALECT_LAX:
