@@ -200,7 +200,24 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="tsql", description="tajo_spark shell")
     p.add_argument("-c", dest="command", help="run statements and exit")
     p.add_argument("-f", dest="file", help="run a script file and exit")
+    p.add_argument(
+        "--serve",
+        nargs="?",
+        const=26880,  # the reference's REST port family (tajo-docs)
+        type=int,
+        metavar="PORT",
+        help="serve the REST API (rest.py) instead of a shell",
+    )
     a = p.parse_args(argv)
+
+    if a.serve is not None:
+        from tajo_spark.engine import Engine
+        from tajo_spark.rest import make_server
+
+        server = make_server(Engine(), host="127.0.0.1", port=a.serve)
+        print(f"REST API on http://127.0.0.1:{server.server_address[1]}")
+        server.serve_forever()
+        return 0
 
     cli = Cli()
     if a.command:
