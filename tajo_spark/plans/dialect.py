@@ -375,6 +375,52 @@ def parse_session_statement(sql: str) -> SessionDirective | None:
     return None
 
 
+# CREATE INDEX name ON table (col [ASC|DESC], ...) [USING method]
+# (SQLParser.g4 index_statement; StoreIndexExec.java:39 builds the BST
+# file, AccessPathRewriter.java:39 consumes it). The Spark-first
+# equivalent is a key-clustered data rewrite — parsed here, executed by
+# Engine.create_index.
+_CREATE_INDEX_RE = re.compile(
+    r"^\s*CREATE\s+INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[A-Za-z_]\w*)"
+    r"\s+ON\s+(?P<table>[A-Za-z_][\w.]*)\s*\((?P<cols>[^)]*)\)"
+    r"(?:\s+USING\s+(?P<method>\w+))?\s*$",
+    re.IGNORECASE,
+)
+_DROP_INDEX_RE = re.compile(
+    r"^\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?(?P<name>[A-Za-z_]\w*)\s*$",
+    re.IGNORECASE,
+)
+
+
+@dataclass(frozen=True)
+class IndexStatement:
+    kind: str  # "create" | "drop"
+    name: str
+    table: str | None = None
+    # (column, ascending) pairs in declaration order
+    cols: tuple[tuple[str, bool], ...] = ()
+
+
+def parse_index_statement(sql: str) -> IndexStatement | None:
+    s = sql.strip().rstrip(";")
+    if m := _CREATE_INDEX_RE.match(s):
+        cols = []
+        for item in m.group("cols").split(","):
+            bits = item.split()
+            if not bits:
+                continue
+            asc = not (len(bits) > 1 and bits[1].upper() == "DESC")
+            cols.append((bits[0], asc))
+        if not cols:
+            raise ValueError("CREATE INDEX requires at least one column")
+        return IndexStatement(
+            "create", m.group("name"), m.group("table"), tuple(cols)
+        )
+    if m := _DROP_INDEX_RE.match(s):
+        return IndexStatement("drop", m.group("name"))
+    return None
+
+
 _INSERT_OVERWRITE_RE = re.compile(
     r"\bINSERT\s+OVERWRITE\s+INTO\b", re.IGNORECASE
 )

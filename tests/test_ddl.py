@@ -115,3 +115,87 @@ def test_analyze_table_stats_feed_cbo(engine, spark):
     info = {r.info_name: r.info_value for r in xstats}
     assert info.get("distinct_count") == "3"
     engine.execute_sql("DROP TABLE ddl_t.st")
+
+
+def test_create_index_clusters_layout_and_prunes(engine, spark, tmp_path):
+    # StoreIndexExec.java:39 / BSTIndexScanExec.java:46 parity: CREATE
+    # INDEX re-clusters storage on the key so every parquet file covers
+    # a tight disjoint key range and selective key predicates skip the
+    # rest via pushed min/max filters — the Spark-first replacement for
+    # the reference's BST side file (COVERAGE.md).
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "idx_t")
+    # write deliberately shuffled data so pre-index files have
+    # overlapping key ranges
+    spark.range(0, 10000).selectExpr(
+        "cast(pmod(id * 7919, 10000) as long) AS k", "id AS v"
+    ).repartition(8).write.parquet(path)
+    engine.create_external_table("idx_t", path, "PARQUET")
+    before = sorted(tuple(r) for r in spark.table("idx_t").collect())
+
+    engine.execute_sql("CREATE INDEX k_idx ON idx_t (k ASC)")
+    assert "k_idx" in engine.indexes
+    assert engine.indexes["k_idx"].table == "idx_t"
+
+    after = sorted(tuple(r) for r in spark.table("idx_t").collect())
+    assert after == before  # a layout rewrite, never a data change
+
+    # file-level key ranges are disjoint after clustering
+    ranges = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "k"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) > 1
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo  # disjoint (boundary value may touch)
+
+    # the key predicate reaches the scan as a pushed filter
+    df = spark.table("idx_t").filter("k = 4242")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "EqualTo(k,4242)" in plan
+    assert [r.v for r in df.collect()] == [
+        v for v in range(10000) if (v * 7919) % 10000 == 4242
+    ]
+
+    engine.execute_sql("DROP INDEX k_idx")
+    assert "k_idx" not in engine.indexes
+    engine.drop_table("idx_t")
+
+
+def test_create_index_rejects_bad_targets(engine, spark):
+    spark.range(0, 5).selectExpr("id AS a").createOrReplaceTempView(
+        "idx_loose"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no tracked storage"):
+        engine.execute_sql("CREATE INDEX i1 ON idx_loose (a)")
+    with _pytest.raises(Exception):
+        engine.execute_sql("CREATE INDEX i2 ON idx_loose ()")
+
+
+def test_create_index_on_managed_table(engine, spark):
+    engine.execute_sql(
+        "CREATE TABLE ddl_t.mi (k INT4, v TEXT) USING PARQUET"
+    )
+    engine.execute_sql(
+        "INSERT INTO ddl_t.mi VALUES (3,'c'), (1,'a'), (2,'b')"
+    )
+    engine.execute_sql("CREATE INDEX mi_idx ON ddl_t.mi (k)")
+    rows = sorted(
+        tuple(r) for r in spark.table("ddl_t.mi").collect()
+    )
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+    engine.execute_sql("DROP INDEX mi_idx")
+    engine.execute_sql("DROP TABLE ddl_t.mi")
