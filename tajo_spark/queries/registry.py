@@ -91,9 +91,10 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
 )
 
 # Among the not-yet-verified queries, small categories first so they fit
-# inside the driver's per-round query cap; the 22 TPC-H bodies go last
-# within the unverified block (they rotate in over subsequent rounds).
-_CATEGORY_RANK = {"window": 1, "micro": 2, "tpch": 3}
+# inside the driver's per-round query cap (round 1 truncated at 50);
+# self-staging scan round-trips and the 22 TPC-H bodies go last within
+# the unverified block (they rotate in over subsequent rounds).
+_CATEGORY_RANK = {"window": 1, "micro": 2, "scan": 3, "tpch": 4}
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -103,6 +104,7 @@ def all_queries() -> dict[str, QuerySpec]:
         datapipe,
         functions_q,
         relational,
+        sources_q,
         temporal_q,
         tpch,
         windows_q,
