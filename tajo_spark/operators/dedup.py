@@ -46,17 +46,17 @@ def spread_by(df: DataFrame, *keys: str) -> DataFrame:
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    # probe input width via the file listing (milliseconds) — converting
-    # the frame to an RDD just to count partitions costs ~1s of plan
-    # translation per call; fall back to the RDD count for non-file
-    # sources (in-memory test frames)
+    # probe input width via the file listing (milliseconds). For
+    # non-file sources (in-memory frames) repartition unconditionally:
+    # converting the frame to an RDD just to count partitions costs
+    # ~1s of plan translation per call — far more than the exchange it
+    # might save on a frame small enough to be in memory, and at real
+    # scale every input is file-backed anyway.
     try:
         n_inputs = len(df.inputFiles())
     except Exception:
         n_inputs = 0
-    if n_inputs == 0:
-        n_inputs = df.rdd.getNumPartitions()
-    if n_inputs < target:
+    if n_inputs == 0 or n_inputs < target:
         return df.repartition(target, *[F.col(k) for k in keys])
     return df
 
