@@ -808,14 +808,29 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "datapipe",
     doc="approx_count_distinct (HLL++) per event_type — no reference "
     "analogue (Tajo has no approximate aggregates, SURVEY.md §2.4); "
-    "sketch-mergeable so the shuffle carries sketches, not values. "
-    "Oracle omitted: HLL estimates are engine-specific (rows-only check).",
+    "sketch-mergeable so the shuffle carries sketches, not values. The "
+    "HLL estimate itself is engine-specific, so the driver-checked "
+    "output is the exact count (hash-matched) plus the sketch's "
+    "accuracy contract: estimate within 10% of exact (HLL++ default "
+    "rsd is 5%).",
+    oracle="""
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS approx_ok
+        FROM events GROUP BY event_type
+    """,
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
         F.count_distinct(F.col("user_id")).alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id")
+                - F.count_distinct(F.col("user_id"))
+            )
+            <= 0.10 * F.count_distinct(F.col("user_id"))
+        ).alias("approx_ok"),
     )
 
 
@@ -825,9 +840,18 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="approx_percentile (mergeable quantile sketch) per return flag — "
     "the 100 TB companion to agg_percentiles: exact percentile buffers "
     "every group value, the sketch ships constant-size partials through "
-    "the shuffle. Oracle omitted: sketch estimates are engine-specific "
-    "(rows-only check); accuracy is bounded against the exact values "
-    "in-query instead.",
+    "the shuffle. Sketch estimates are engine-specific, so the driver "
+    "hash-checks the exact percentiles and the sketch's accuracy "
+    "contract (within 1% of exact at accuracy=10000).",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(round(quantile_cont(l_extendedprice, 0.5), 2) AS DOUBLE)
+                   AS exact_p50,
+               CAST(round(quantile_cont(l_extendedprice, 0.9), 2) AS DOUBLE)
+                   AS exact_p90,
+               TRUE AS approx_ok
+        FROM lineitem GROUP BY l_returnflag
+    """,
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -836,10 +860,12 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)))
     return li.groupBy("l_returnflag").agg(
-        approx[0].alias("approx_p50"),
-        approx[1].alias("approx_p90"),
-        exact[0].alias("exact_p50"),
-        exact[1].alias("exact_p90"),
+        F.round(exact[0], 2).alias("exact_p50"),
+        F.round(exact[1], 2).alias("exact_p90"),
+        (
+            (F.abs(approx[0] - exact[0]) <= 0.01 * F.abs(exact[0]))
+            & (F.abs(approx[1] - exact[1]) <= 0.01 * F.abs(exact[1]))
+        ).alias("approx_ok"),
     )
 
 

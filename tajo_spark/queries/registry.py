@@ -94,7 +94,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
 # inside the driver's per-round query cap (round 1 truncated at 50);
 # self-staging scan round-trips and the 22 TPC-H bodies go last within
 # the unverified block (they rotate in over subsequent rounds).
-_CATEGORY_RANK = {"window": 1, "micro": 2, "scan": 3, "tpch": 4}
+_CATEGORY_RANK = {"window": 1, "micro": 2, "scan": 3, "tpch": 4, "skew": 5}
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -927,3 +927,37 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_qty"
         ),
     )
+
+
+@query(
+    "agg_skew_salted",
+    "skew",
+    doc="Hot-key aggregation through the two-phase salted operator "
+    "(operators/skew.salted_agg): event_type has only 5 distinct "
+    "values, so an unsalted groupBy bottoms out on 5 reducers no "
+    "matter how many cores exist; salting fans each hot key over 16 "
+    "reducers in phase 1 and merges 5x16 partials in phase 2. "
+    "Semantics-preserving — the oracle is the plain GROUP BY.",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(max(user_id) AS BIGINT) AS max_user
+        FROM events GROUP BY event_type
+    """,
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.skew import salted_agg
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("long").alias("user_id")
+    )
+    return salted_agg(
+        events,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("count", "user_id"),
+            "max_user": ("max", "user_id"),
+        },
+        unique_col="user_id",
+        salt=16,
+    )

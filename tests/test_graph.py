@@ -81,3 +81,43 @@ def test_raises_when_not_converged(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=2)
+
+
+def test_star_variant_matches_simple_on_shapes(spark):
+    # large-star/small-star (O(log n) rounds) must agree with the
+    # simple min-label variant on chains, cliques, crosses, singletons
+    from tajo_spark.operators.graph import connected_components_star
+
+    cases = [
+        [(1, 2), (2, 3), (10, 11)],
+        [(i, i + 1) for i in range(30)],  # long chain: star's home turf
+        [(5, 6), (6, 7), (7, 5), (7, 2), (30, 31)],
+        [(1, 1)],  # self-loop collapses to a singleton
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        simple = {
+            r.node: r.component
+            for r in connected_components(df, max_iter=60).collect()
+        }
+        star = {
+            r.node: r.component
+            for r in connected_components_star(df).collect()
+        }
+        assert star == simple, edges
+
+
+def test_star_variant_random_graphs(spark):
+    import random
+
+    from tajo_spark.operators.graph import connected_components_star
+
+    rng = random.Random(7)
+    nodes = list(range(60))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(80)
+    ]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    simple = {r.node: r.component for r in connected_components(df, max_iter=60).collect()}
+    star = {r.node: r.component for r in connected_components_star(df).collect()}
+    assert star == simple
