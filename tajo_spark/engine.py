@@ -261,7 +261,24 @@ class Engine:
         """CREATE EXTERNAL TABLE ... USING fmt WITH (...) LOCATION path."""
         spark_fmt = dialect.FORMAT_MAP.get(fmt.upper(), fmt.lower())
         if spark_fmt is None:
-            raise NotImplementedError(f"format {fmt} unsupported on Spark")
+            # RCFILE/SEQUENCEFILE have no Spark datasource but read fine
+            # through the Hive serde layer when the session has Hive
+            # support (sources/hive_formats.py; RCFile.java:328 parity)
+            from tajo_spark.sources import hive_formats
+
+            if hive_formats.hive_support_available(self.spark) and schema:
+                ddl = dialect.translate_column_defs(
+                    dialect.convert_record_types(schema)
+                )
+                hive_formats.read_stored_as(
+                    self.spark, path, ddl, fmt.upper()
+                ).createOrReplaceTempView(name)
+                self._external_paths[name] = (path, fmt.upper())
+                return
+            raise NotImplementedError(
+                f"format {fmt} unsupported on Spark without Hive support"
+                " (enableHiveSupport() + an explicit schema unlock it)"
+            )
         reader = self.spark.read.format(spark_fmt)
         for k, v in (options or {}).items():
             sk = dialect.OPTION_MAP.get(k.lower(), k)
@@ -321,6 +338,10 @@ class Engine:
         )
         if table in self._external_paths:
             path, fmt = self._external_paths[table]
+            if fmt.upper() in ("RCFILE", "SEQUENCEFILE"):
+                raise NotImplementedError(
+                    f"CREATE INDEX cannot rewrite Hive-serde format {fmt}"
+                )
             snap.write.format(fmt).mode("overwrite").save(path)
             self.spark.read.format(fmt).load(path).createOrReplaceTempView(
                 table

@@ -842,26 +842,33 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "every group value, the sketch ships constant-size partials through "
     "the shuffle. Sketch estimates are engine-specific, so the driver "
     "hash-checks the exact percentiles and the sketch's accuracy "
-    "contract (within 1% of exact at accuracy=10000).",
+    "contract (within 1% of exact at accuracy=10000). Percentiles are "
+    "computed over integer CENTS so interpolated midpoints are exact "
+    "binary halves (k/2) — rounding a dollar midpoint like .245 is a "
+    "float-representation coin flip between engines.",
     oracle="""
         SELECT l_returnflag,
-               CAST(round(quantile_cont(l_extendedprice, 0.5), 2) AS DOUBLE)
-                   AS exact_p50,
-               CAST(round(quantile_cont(l_extendedprice, 0.9), 2) AS DOUBLE)
-                   AS exact_p90,
+               CAST(quantile_cont(CAST(round(l_extendedprice * 100, 0)
+                                       AS BIGINT), 0.5) AS DOUBLE)
+                   AS exact_p50_cents,
+               CAST(quantile_cont(CAST(round(l_extendedprice * 100, 0)
+                                       AS BIGINT), 0.9) AS DOUBLE)
+                   AS exact_p90_cents,
                TRUE AS approx_ok
         FROM lineitem GROUP BY l_returnflag
     """,
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    approx = F.percentile_approx(
-        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "__cents", F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     )
-    exact = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)))
+    approx = F.percentile_approx(
+        "__cents", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)
+    )
+    exact = F.percentile("__cents", F.array(F.lit(0.5), F.lit(0.9)))
     return li.groupBy("l_returnflag").agg(
-        F.round(exact[0], 2).alias("exact_p50"),
-        F.round(exact[1], 2).alias("exact_p90"),
+        exact[0].alias("exact_p50_cents"),
+        exact[1].alias("exact_p90_cents"),
         (
             (F.abs(approx[0] - exact[0]) <= 0.01 * F.abs(exact[0]))
             & (F.abs(approx[1] - exact[1]) <= 0.01 * F.abs(exact[1]))

@@ -12,8 +12,8 @@ tajo-storage/tajo-storage-hdfs/.../storage/) → Spark datasources:
 | PARQUET | parquet/ParquetScanner.java:38 | native |
 | ORC | orc/OrcScanner.java:51 | native |
 | AVRO | avro/AvroScanner.java:53 | ``spark-avro`` when on classpath (gated) |
-| SEQUENCEFILE | sequencefile/SequenceFileScanner.java:48 | Hadoop RDD API (gated) |
-| RCFILE | rcfile/RCFile.java:328 | unsupported (no Spark datasource; Hive serde only) |
+| SEQUENCEFILE | sequencefile/SequenceFileScanner.java:48 | Hadoop RDD API (gated); typed serde path in sources/hive_formats.py |
+| RCFILE | rcfile/RCFile.java:328 | Hive serde tables (sources/hive_formats.py; needs enableHiveSupport) |
 
 JDBC pushdown parity (tajo-storage-jdbc/.../JdbcScanner.java:61,108
 generates remote SQL with filter+projection+limit): ``spark.read.jdbc``

@@ -138,6 +138,9 @@ def test_approx_percentile_within_tolerance(spark):
 
     rows = all_queries()["agg_approx_percentile"].spark(spark, SF_DIR).collect()
     assert rows
+    # the query folds the sketch-vs-exact tolerance into approx_ok (the
+    # driver hash-checks it); exact percentiles ride as integer cents so
+    # interpolated midpoints are exact binary halves on every engine
     for r in rows:
-        assert abs(r.approx_p50 - r.exact_p50) <= 0.02 * abs(r.exact_p50)
-        assert abs(r.approx_p90 - r.exact_p90) <= 0.02 * abs(r.exact_p90)
+        assert r.approx_ok
+        assert r.exact_p50_cents <= r.exact_p90_cents
