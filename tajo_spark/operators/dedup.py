@@ -314,3 +314,74 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+SPAN_K = 8             # tokens per duplicated-span probe window
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = SPAN_K,
+) -> DataFrame:
+    """Exact duplicated-substring detection at k-token granularity — the
+    train-set memorization filter of Lee et al., "Deduplicating Training
+    Data Makes Language Models Better" (public paper; their suffix-array
+    pass finds verbatim spans repeated across documents). Suffix arrays
+    don't distribute; the Spark-first equivalent hashes every k-token
+    sliding window and counts distinct documents per window hash.
+
+    Per document: total spans, spans shared with >=1 OTHER document, and
+    the duplicated fraction (the drop/trim signal).
+
+    Scale design: span explosion is a projection (|tokens| rows, no
+    shuffle); the window-hash cardinality count is one two-phase
+    hash-agg shuffle; the verdict join ships (hash, count>1) back onto
+    the exploded lineage. Nothing is quadratic — cost tracks corpus
+    token count exactly like the MinHash pass.
+    """
+    from tajo_spark.operators.text import tokens as _tokens
+
+    w = _tokens(F.col(text_col))
+    # guard: F.sequence(1, n-k+1) would COUNT DOWN for short docs
+    # (Spark sequences are bidirectional), emitting bogus spans
+    span_keys = F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (k - 1)),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(w, i, k)).cast("binary")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = spread_by(docs, id_col).select(
+        F.col(id_col), F.explode(span_keys).alias("sk")
+    )
+    counts = spans.groupBy("sk").agg(
+        F.countDistinct(id_col).alias("nd")
+    )
+    per_doc = (
+        spans.join(counts, "sk")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("n_dup_spans"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+            F.round(
+                F.coalesce("n_dup_spans", F.lit(0))
+                / F.greatest(F.coalesce("n_spans", F.lit(0)), F.lit(1)),
+                4,
+            ).alias("dup_span_ratio"),
+        )
+    )

@@ -195,3 +195,67 @@ def global_shuffle_position(
         .withColumn("shuffle_pos", (F.col("__off") + in_bucket).cast("long"))
         .drop("__sk", "__bk", "__off")
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Temperature-flattened corpus mixing: downsample common strata so
+    source shares follow ``share^(1/T)`` — the multilingual/multi-source
+    sampling rule of public LM pipelines (mBERT/XLM-R style; T=1 keeps
+    natural proportions, T→∞ approaches uniform).
+
+    Per stratum s with natural share p_s, the relative boost is
+    ``p_s^(1/T - 1)``; normalizing by the max boost gives keep-rates in
+    (0, 1] with the rarest stratum kept in full. Membership then rides
+    the shared md5-prefix recipe, so the sample is reproducible across
+    engines and partitionings.
+
+    Scale design: the stratum histogram is a metadata-sized two-phase
+    agg (|strata| rows); rates broadcast back; the filter itself is
+    per-row. One tiny shuffle + one broadcast join at any corpus size.
+
+    Rates are rounded to 6 decimals BEFORE the 16-bit threshold
+    conversion on both engines — pow() last-ulp differences must not
+    flip a threshold bucket.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__c"))
+    tot = counts.agg(F.sum("__c").alias("__tot"))
+    exp = 1.0 / temperature - 1.0
+    boosted = counts.join(F.broadcast(tot)).withColumn(
+        "__boost", F.pow(F.col("__c") / F.col("__tot"), F.lit(exp))
+    )
+    mx = boosted.agg(F.max("__boost").alias("__mx"))
+    rates = (
+        boosted.join(F.broadcast(mx))
+        .withColumn(
+            "keep_rate", F.round(F.col("__boost") / F.col("__mx"), 6)
+        )
+        .withColumn(
+            "__thr",
+            F.when(F.col("keep_rate") >= 1.0, F.lit("g")).otherwise(
+                F.lpad(
+                    F.lower(
+                        F.hex(
+                            F.floor(F.col("keep_rate") * 65536).cast("int")
+                        )
+                    ),
+                    4,
+                    "0",
+                )
+            ),
+        )
+        .select(stratum_col, "keep_rate", "__thr")
+    )
+    prefix = F.substring(id_md5(F.col(id_col)), 1, 4)
+    return (
+        df.withColumn("__pfx", prefix)
+        .join(F.broadcast(rates), stratum_col)
+        .filter(F.col("__pfx") < F.col("__thr"))
+        .drop("__pfx", "__thr")
+    )

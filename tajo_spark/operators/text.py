@@ -73,6 +73,46 @@ def quality_score(text: Column) -> Column:
     )
 
 
+# Logistic quality-classifier weights — the fasttext-style "trained
+# model" step of corpus curation, with hand-set deterministic weights so
+# every engine (and the DuckDB oracle) reproduces the score bit-for-bit
+# modulo a final round. On a cluster the weights row would come from a
+# model store; the plan shape (pure per-row projection, zero shuffle,
+# whole-stage codegen) is exactly what a learned linear scorer runs at
+# 100 TB.
+CLF_WEIGHTS = {
+    "bias": -2.0,
+    "log_tokens": 0.5,     # ln(1 + n_tokens): rewards substantive docs
+    "stopword_ratio": 3.0, # natural-language signal
+    "avg_token_len": 0.1,
+    "punct_ratio": 2.0,    # real prose has sentence punctuation
+    "digit_ratio": -4.0,   # numeric soup is boilerplate/tables
+}
+
+
+def digit_count(text: Column) -> Column:
+    return (
+        F.length(text) - F.length(F.regexp_replace(text, "[0-9]", ""))
+    ).cast("long")
+
+
+def quality_classifier_score(text: Column) -> Column:
+    """Linear-model document quality probability: sigmoid(w·x + b) over
+    cheap engineered features. The decision boundary (score >= 0.5) is
+    the keep/drop filter of an LLM data pipeline's quality stage."""
+    w = CLF_WEIGHTS
+    chars = F.greatest(char_count(text), F.lit(1))
+    z = (
+        F.lit(w["bias"])
+        + F.log(F.lit(1.0) + token_count(text)) * w["log_tokens"]
+        + stopword_ratio(text) * w["stopword_ratio"]
+        + avg_token_len(text) * w["avg_token_len"]
+        + (punct_count(text) / chars) * w["punct_ratio"]
+        + (digit_count(text) / chars) * w["digit_ratio"]
+    )
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+
+
 def lang_id(text: Column) -> Column:
     """N-gram/stopword heuristic language ID: English iff the stopword
     ratio clears a threshold. (Real models are out-of-container; the

@@ -1353,3 +1353,167 @@ def sample_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .drop("rn")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-2 curation additions (category 'curation': queue behind the
+# round-1 driver-verification backlog in registry order)
+# --------------------------------------------------------------------------
+
+
+def _clf_oracle() -> str:
+    w = text.CLF_WEIGHTS
+    return f"""
+        WITH t AS (SELECT doc_id, source, text, {_TOKS} AS toks
+                   FROM documents),
+        feats AS (SELECT doc_id, source,
+               ln(1.0 + len(toks)) AS log_tokens,
+               len(list_filter(toks, x -> x IN ({_STOPS})))
+                 / greatest(len(toks), 1) AS sw,
+               list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                 / greatest(len(toks), 1) AS atl,
+               (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                 * 1.0 / greatest(length(text), 1) AS pr,
+               (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                 * 1.0 / greatest(length(text), 1) AS dr
+              FROM t),
+        scored AS (SELECT doc_id, source,
+               round(1.0 / (1.0 + exp(-({w['bias']}
+                   + log_tokens * {w['log_tokens']}
+                   + sw * {w['stopword_ratio']}
+                   + atl * {w['avg_token_len']}
+                   + pr * {w['punct_ratio']}
+                   + dr * {w['digit_ratio']}))), 4) AS clf_score
+              FROM feats)
+        SELECT doc_id, source, clf_score,
+               clf_score >= 0.5 AS keep
+        FROM scored
+    """
+
+
+@query(
+    "text_quality_classifier",
+    "curation",
+    doc="Learned-linear quality classifier: sigmoid(w.x) over engineered "
+    "features (log tokens, stopword/punct/digit ratios, token length) "
+    "with deterministic weights — the fasttext-style model-scoring "
+    "stage of corpus curation as a pure per-row JVM projection (a "
+    "production model swaps the weight constants, not the plan).",
+    oracle=_clf_oracle(),
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    score = text.quality_classifier_score(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "source",
+        score.alias("clf_score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+@query(
+    "dedup_span_ngrams",
+    "curation",
+    doc="Exact duplicated-substring spans at 8-token granularity "
+    "(operators/dedup.py::dup_span_stats — the distributed stand-in "
+    "for Lee et al.'s suffix-array pass): per document, how many "
+    "sliding k-token windows are shared verbatim with another "
+    "document. One span-hash shuffle, nothing quadratic.",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+        sp AS (SELECT doc_id, unnest(
+                   CASE WHEN len(w) >= 8
+                        THEN list_transform(range(1, len(w) - 6),
+                             i -> md5(array_to_string(w[i:i+7], ' ')))
+                        ELSE CAST([] AS VARCHAR[]) END) AS sk
+               FROM t),
+        g AS (SELECT sk, count(DISTINCT doc_id) AS nd FROM sp GROUP BY sk),
+        d AS (SELECT sp.doc_id,
+                     count(*) AS n_spans,
+                     sum(CASE WHEN g.nd > 1 THEN 1 ELSE 0 END) AS n_dup
+              FROM sp JOIN g USING (sk) GROUP BY sp.doc_id)
+        SELECT doc_id,
+               CAST(coalesce(d.n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_spans,
+               round(coalesce(d.n_dup, 0) * 1.0
+                     / greatest(coalesce(d.n_spans, 0), 1), 4)
+                   AS dup_span_ratio
+        FROM documents LEFT JOIN d USING (doc_id)
+    """,
+)
+def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dup_span_stats(docs)
+
+
+@query(
+    "sample_temperature_mixture",
+    "curation",
+    doc="Temperature-flattened language mixing (share^(1/T) sampling, "
+    "T=2): rare languages kept in full, the dominant one "
+    "deterministically downsampled via the shared md5-prefix recipe "
+    "(operators/sampling.py::temperature_mixture_sample). Histogram + "
+    "rate computation are metadata-sized; the filter is per-row.",
+    oracle="""
+        WITH c AS (SELECT lang, count(*) AS n FROM documents
+                   GROUP BY lang),
+        b AS (SELECT lang, n,
+                     pow(n * 1.0 / (SELECT sum(n) FROM c), 1.0/2 - 1)
+                         AS boost
+              FROM c),
+        r AS (SELECT lang,
+                     round(boost / (SELECT max(boost) FROM b), 6)
+                         AS keep_rate
+              FROM b),
+        thr AS (SELECT lang, keep_rate,
+                       CASE WHEN keep_rate >= 1.0 THEN 'g'
+                            ELSE lpad(lower(to_hex(CAST(floor(
+                                     keep_rate * 65536) AS INT))), 4, '0')
+                       END AS t
+                FROM r)
+        SELECT d.doc_id, d.lang, thr.keep_rate
+        FROM documents d JOIN thr USING (lang)
+        WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < thr.t
+    """,
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.sampling import temperature_mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mixture_sample(
+        docs, "doc_id", "lang", temperature=2.0
+    ).select("doc_id", "lang", "keep_rate")
+
+
+@query(
+    "dedup_components_star",
+    "curation",
+    doc="Connected components via alternating large-star/small-star "
+    "(operators/graph.py::connected_components_star — O(log n) rounds "
+    "on ANY graph shape, the adversarial-diameter escape hatch for the "
+    "min-label variant) over the MinHash candidate pairs; identical "
+    "(node, component) contract to dedup_components, so the same "
+    "transitive-closure oracle checks both.",
+    oracle=f"""
+        WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+        cc_edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION
+            SELECT doc_b AS a, doc_a AS b FROM pairs),
+        reach(node, label) AS (
+            SELECT a, a FROM cc_edges
+            UNION
+            SELECT e.b, r.label FROM reach r JOIN cc_edges e ON e.a = r.node)
+        SELECT node AS doc_id, min(label) AS component
+        FROM reach GROUP BY node
+    """,
+)
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.graph import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidate_pairs(docs)
+    return connected_components_star(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )

@@ -94,7 +94,16 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
 # inside the driver's per-round query cap (round 1 truncated at 50);
 # self-staging scan round-trips and the 22 TPC-H bodies go last within
 # the unverified block (they rotate in over subsequent rounds).
-_CATEGORY_RANK = {"window": 1, "micro": 2, "scan": 3, "tpch": 4, "skew": 5}
+_CATEGORY_RANK = {
+    "window": 1,
+    "micro": 2,
+    "scan": 3,
+    "tpch": 4,
+    "skew": 5,
+    # round-2+ additions queue BEHIND the round-1 backlog: the driver
+    # cap should clear §2.3–§2.7 / TPC-H first (VERDICT.md next-round #1)
+    "curation": 6,
+}
 
 
 def all_queries() -> dict[str, QuerySpec]:

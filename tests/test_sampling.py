@@ -134,3 +134,48 @@ def test_global_shuffle_windows_are_bucket_partitioned(spark):
     assert not re.search(r"windowspecdefinition\(__sk#\d+ ASC", plan)
     # the in-bucket rank window partitions on __bk then orders on __sk
     assert re.search(r"windowspecdefinition\(__bk#\d+, __sk#\d+ ASC", plan)
+
+
+def test_temperature_mixture_keeps_rarest_fully(spark):
+    # 900 'web' rows vs 100 'book' rows; T=2 must keep every book row
+    # (rarest stratum rate == 1.0) and downsample web below 1.0
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 900, "web").otherwise("book").alias("src"),
+    )
+    out = sampling.temperature_mixture_sample(df, "k", "src", 2.0)
+    rows = out.collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.src, []).append(r)
+    assert len(by["book"]) == 100  # kept in full
+    # expected web rate: boost = share^(1/2-1) = share^-0.5;
+    # rate_web = (0.9^-0.5)/(0.1^-0.5) = sqrt(0.1/0.9) ≈ 0.3333
+    assert 0.25 * 900 < len(by["web"]) < 0.42 * 900
+    assert abs(by["web"][0].keep_rate - 0.333333) < 1e-6
+    # deterministic: identical membership under repartitioning
+    again = sampling.temperature_mixture_sample(
+        df.repartition(13, "k"), "k", "src", 2.0
+    )
+    assert {r.k for r in rows} == {r.k for r in again.collect()}
+
+
+def test_temperature_mixture_plan_broadcasts_rates(spark):
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("src")
+    )
+    out = sampling.temperature_mixture_sample(df, "k", "src", 2.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the per-stratum rate table must join back as a broadcast, never a
+    # full shuffle of the corpus side
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert plan.count("SortMergeJoin") == 0
+
+
+def test_temperature_one_is_natural_proportions(spark):
+    # T=1 → boost = share^0 = 1 for every stratum → keep_rate 1.0 → no-op
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("src")
+    )
+    out = sampling.temperature_mixture_sample(df, "k", "src", 1.0)
+    assert out.count() == 300

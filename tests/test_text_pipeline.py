@@ -228,3 +228,61 @@ def test_chunk_documents_plan_has_no_shuffle(spark):
         text.chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+SPAN_DOCS = [
+    # doc 0 and 1 share a verbatim 10-token run (> k=8): both must
+    # report duplicated spans; doc 2 is unique; doc 3 too short for any
+    # span at k=8
+    (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa unique0 tail"),
+    (1, "prefix1 alpha beta gamma delta epsilon zeta eta theta iota kappa end1"),
+    (2, "one two three four five six seven eight nine ten eleven twelve"),
+    (3, "short doc only"),
+]
+
+
+def test_dup_span_stats_flags_shared_runs(spark):
+    from tajo_spark.operators.dedup import dup_span_stats
+
+    docs = spark.createDataFrame(SPAN_DOCS, "doc_id INT, text STRING")
+    out = {r.doc_id: r for r in dup_span_stats(docs).collect()}
+    # a shared 10-token run at k=8 yields 3 shared windows per doc
+    assert out[0].n_dup_spans == 3 and out[1].n_dup_spans == 3
+    assert out[2].n_dup_spans == 0
+    # 12 tokens → 5 windows of 8
+    assert out[0].n_spans == 5 and out[2].n_spans == 5
+    # short docs survive with zeroed stats (left join), never dropped
+    assert out[3].n_spans == 0 and out[3].dup_span_ratio == 0.0
+
+
+def test_dup_span_stats_nothing_quadratic(spark):
+    from tajo_spark.operators.dedup import dup_span_stats
+
+    docs = spark.createDataFrame(SPAN_DOCS, "doc_id INT, text STRING")
+    plan = (
+        dup_span_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the span-hash count must partial-aggregate before its shuffle
+    assert "partial_count" in plan
+
+
+def test_quality_classifier_separates_prose_from_noise(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat and it is a story of the house "
+                "for the ages, told in the evening to the children."),
+            (1, "7 3 9 1 4 4 2 8 0 5 3 3 1 9 7 7 2 8 8 1 0 4 5 6 3 2"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id",
+            text.quality_classifier_score(F.col("text")).alias("s"),
+        ).collect()
+    }
+    assert out[0] >= 0.5, f"prose scored {out[0]}"
+    assert out[1] < 0.5, f"digit soup scored {out[1]}"
