@@ -63,24 +63,37 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; ``component`` is
     the minimum node id reachable from it (a canonical, deterministic
     cluster id any engine reproduces).
 
     Undirected semantics: each edge propagates labels both ways.
+
+    ``assume_distinct``: candidate-pair producers (LSH banding) emit
+    each undirected edge once with ``src < dst`` — the mirrored union
+    then has no duplicates and the edge-dedup shuffle is pure cost.
+    Duplicate edges never change the min-label result, only row volume,
+    so this is a safe fast path, not a semantics switch.
     """
-    both = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
+    both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    if not assume_distinct:
+        both = both.distinct()
+    both = both.localCheckpoint()
+    # Fused round 1: with identity labels the first propagation round's
+    # join degenerates to the edge list itself, so seed each node with
+    # min(self, min(neighbors)) in ONE aggregation — same result as the
+    # round-1 join+agg+join at a third of the shuffles.
+    labels = (
+        both.groupBy(F.col("a").alias("node"))
+        .agg(F.least(F.first("a"), F.min("b")).alias("label"))
         .localCheckpoint()
     )
-    labels = both.select(F.col("a").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
     converged = False
-    for _ in range(max_iter):
+    for _ in range(max_iter - 1):
         new_labels = _propagate_round(both, labels)
         # the probe is a filter-scan of the just-materialized
         # checkpoint blocks (short-circuits at the first changed

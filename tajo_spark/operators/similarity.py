@@ -28,6 +28,16 @@ def _as_double(vec: Column) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
+    """Vector dot product as a zip_with+aggregate fold.
+
+    Measured note (don't "optimize" this back): unrolling the fold into
+    a static sum of 64 ``element_at`` terms — the textbook move from
+    CodegenFallback HOFs to whole-stage-codegen arithmetic — is ~4x
+    SLOWER here (0.49 s vs 0.12 s per 2k x 64 norm pass): the fold
+    interpreter runs one tight loop over the array, while the unrolled
+    tree pays per-node dispatch x dim. The profitable lever is avoiding
+    per-pair array allocation instead (cast/normalize ONCE before a
+    pair join, never inside it) — see semantic_dedup."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -385,8 +395,18 @@ def semantic_dedup(
     # re-evaluate the whole seed-scoring pipeline on BOTH sides
     # (exchanges are not reused across join branches — same lesson as
     # the minhash one-scan pin); at production scale this is the
-    # persisted assignment table between pipeline stages.
-    withn = assigned.withColumn("__norm", F.sqrt(dot(v, v))).localCheckpoint()
+    # persisted assignment table between pipeline stages. The embedding
+    # is double-cast HERE, before the checkpoint: casting inside the
+    # pair join would allocate a fresh converted array per pair side
+    # (measured 2x on the pair scan; the join must see plain column
+    # references, nothing per-row).
+    withn = (
+        assigned.withColumn("embedding", v)
+        .withColumn(
+            "__norm", F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+        )
+        .localCheckpoint()
+    )
     if n_seeds <= BROADCAST_MAX_CLUSTERS:
         par = emb.sparkSession.sparkContext.defaultParallelism
         a = withn.repartition(par, id_col).alias("a")
@@ -397,10 +417,7 @@ def semantic_dedup(
     denom = F.col("a.__norm") * F.col("b.__norm")
     pair_cos = F.when(
         denom != 0,
-        dot(
-            _as_double(F.col("a.embedding")), _as_double(F.col("b.embedding"))
-        )
-        / denom,
+        dot(F.col("a.embedding"), F.col("b.embedding")) / denom,
     )
     removed = (
         a.join(

@@ -1189,7 +1189,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_candidate_pairs(docs)
-    return connected_components(pairs).select(
+    return connected_components(pairs, assume_distinct=True).select(
         F.col("node").alias("doc_id"), "component"
     )
 
@@ -1246,7 +1246,7 @@ def dedup_apply_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.8)
         .select("doc_a", "doc_b")
     )
-    comp = connected_components(verified)
+    comp = connected_components(verified, assume_distinct=True)
     removed = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
