@@ -73,6 +73,11 @@ HEADLINE = [
     "text_unigram_logprob",
     "text_chunk_overlap",
     "pack_sequences",
+    # round-2 curation additions
+    "text_quality_classifier",
+    "dedup_span_ngrams",
+    "sample_temperature_mixture",
+    "pipeline_corpus_prep_v2",
 ]
 
 

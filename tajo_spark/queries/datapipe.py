@@ -1517,3 +1517,100 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(pairs).select(
         F.col("node").alias("doc_id"), "component"
     )
+
+
+def _clf_z_sql() -> str:
+    """Classifier logit over a relation exposing (text) — mirror of
+    text.quality_classifier_score for composition into larger oracles."""
+    w = text.CLF_WEIGHTS
+    return f"""({w['bias']}
+        + ln(1.0 + len({_TOKS})) * {w['log_tokens']}
+        + (len(list_filter({_TOKS}, x -> x IN ({_STOPS})))
+           / greatest(len({_TOKS}), 1)) * {w['stopword_ratio']}
+        + (list_aggregate(list_transform({_TOKS}, x -> length(x)), 'sum')
+           / greatest(len({_TOKS}), 1)) * {w['avg_token_len']}
+        + ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+           * 1.0 / greatest(length(text), 1)) * {w['punct_ratio']}
+        + ((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+           * 1.0 / greatest(length(text), 1)) * {w['digit_ratio']})"""
+
+
+@query(
+    "pipeline_corpus_prep_v2",
+    "curation",
+    doc="Round-2 curation pipeline composed end-to-end the way an LLM "
+    "data run executes it: learned quality filter (keep score >= 0.5) "
+    "→ verbatim-span trim (drop docs whose 8-token windows are >50% "
+    "duplicated within the surviving corpus) → temperature-flattened "
+    "language mixing (T=2) → per-language manifest. Stage economics: "
+    "classifier is a projection; span stats one hash shuffle; mixture "
+    "histogram metadata-sized; manifest one agg shuffle.",
+    oracle=f"""
+        WITH q AS (
+            SELECT doc_id, text, lang,
+                   round(1.0 / (1.0 + exp(-{_clf_z_sql()})), 4) AS s
+            FROM documents),
+        kept AS (SELECT doc_id, text, lang FROM q WHERE s >= 0.5),
+        tk AS (SELECT doc_id, {_TOKS} AS w FROM kept),
+        sp AS (SELECT doc_id, unnest(
+                   CASE WHEN len(w) >= 8
+                        THEN list_transform(range(1, len(w) - 6),
+                             i -> md5(array_to_string(w[i:i+7], ' ')))
+                        ELSE CAST([] AS VARCHAR[]) END) AS sk
+               FROM tk),
+        g AS (SELECT sk, count(DISTINCT doc_id) AS nd FROM sp GROUP BY sk),
+        ratio AS (SELECT sp.doc_id,
+                         sum(CASE WHEN g.nd > 1 THEN 1 ELSE 0 END)
+                             * 1.0 / count(*) AS r
+                  FROM sp JOIN g USING (sk) GROUP BY sp.doc_id),
+        good AS (SELECT kept.doc_id, kept.text, kept.lang
+                 FROM kept LEFT JOIN ratio USING (doc_id)
+                 WHERE coalesce(ratio.r, 0) <= 0.5),
+        c AS (SELECT lang, count(*) AS n FROM good GROUP BY lang),
+        b AS (SELECT lang,
+                     pow(n * 1.0 / (SELECT sum(n) FROM c), 1.0/2 - 1)
+                         AS boost
+              FROM c),
+        r AS (SELECT lang,
+                     round(boost / (SELECT max(boost) FROM b), 6)
+                         AS keep_rate
+              FROM b),
+        thr AS (SELECT lang, keep_rate,
+                       CASE WHEN keep_rate >= 1.0 THEN 'g'
+                            ELSE lpad(lower(to_hex(CAST(floor(
+                                     keep_rate * 65536) AS INT))), 4, '0')
+                       END AS t
+                FROM r),
+        mixed AS (
+            SELECT good.doc_id, good.text, good.lang, thr.keep_rate
+            FROM good JOIN thr USING (lang)
+            WHERE substr(md5(CAST(good.doc_id AS VARCHAR)), 1, 4) < thr.t)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
+               round(any_value(keep_rate), 6) AS keep_rate
+        FROM mixed GROUP BY lang
+    """,
+)
+def pipeline_corpus_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.sampling import temperature_mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(
+        text.quality_classifier_score(F.col("text")) >= 0.5
+    ).select("doc_id", "text", "lang")
+    # span stats over the SURVIVING corpus (a doc's duplication ratio is
+    # relative to what remains, exactly as the pipeline would run it)
+    trim = (
+        dedup.dup_span_stats(kept)
+        .filter(F.col("dup_span_ratio") <= 0.5)
+        .select("doc_id")
+    )
+    good = kept.join(trim, "doc_id", "left_semi")
+    mixed = temperature_mixture_sample(good, "doc_id", "lang", 2.0)
+    return mixed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count(F.col("text"))).cast("long").alias(
+            "total_tokens"
+        ),
+        F.round(F.first("keep_rate"), 6).alias("keep_rate"),
+    )

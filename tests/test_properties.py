@@ -126,3 +126,75 @@ def test_inet_roundtrip(spark, ips):
     rows = df.selectExpr("ip", "inet_ntoa(inet_aton(ip)) AS back").collect()
     for r in rows:
         assert r.back == r.ip
+
+
+@settings(**SETTINGS)
+@given(
+    # (stratum, multiplicity): random skew across up to 4 strata
+    strata=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(1, 40)),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda t: t[0],
+    ),
+    temp=st.sampled_from([1.0, 2.0, 4.0]),
+)
+def test_temperature_mixture_invariants_random(spark, strata, temp):
+    from tajo_spark.operators.sampling import temperature_mixture_sample
+
+    rows, uid = [], 0
+    for s, n in strata:
+        for _ in range(n):
+            rows.append((uid, s))
+            uid += 1
+    df = spark.createDataFrame(rows, "k INT, src INT")
+    out = temperature_mixture_sample(df, "k", "src", temp).collect()
+    kept_ids = {r.k for r in out}
+    assert kept_ids <= {r[0] for r in rows}  # strictly a subset
+    rates = {r.src: r.keep_rate for r in out}
+    counts = dict((s, n) for s, n in strata)
+    # every surviving stratum's rate in (0, 1]; the smallest stratum —
+    # max boost by construction — is kept in full whenever it survives
+    for s, rate in rates.items():
+        assert 0 < rate <= 1.0
+    min_n = min(counts.values())
+    smallest = [s for s, n in counts.items() if n == min_n]
+    by_stratum = {}
+    for r in out:
+        by_stratum[r.src] = by_stratum.get(r.src, 0) + 1
+    for s in smallest:
+        assert by_stratum.get(s, 0) == counts[s]
+    # monotonicity: bigger strata never get a higher keep-rate
+    for a, na in counts.items():
+        for b, nb in counts.items():
+            if na < nb and a in rates and b in rates:
+                assert rates[a] >= rates[b] - 1e-9
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=0, max_size=24
+        ).map(" ".join),
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_dup_span_stats_invariants_random(spark, texts):
+    from tajo_spark.operators.dedup import dup_span_stats
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id INT, text STRING"
+    )
+    out = {r.doc_id: r for r in dup_span_stats(docs).collect()}
+    assert set(out) == set(range(len(texts)))  # every doc survives
+    for i, t in enumerate(texts):
+        r = out[i]
+        ntok = len(t.split())
+        expected_spans = max(ntok - 7, 0) if ntok >= 8 else 0
+        assert r.n_spans == expected_spans
+        assert 0 <= r.n_dup_spans <= r.n_spans
+        # identical texts must flag each other completely
+        if expected_spans and texts.count(t) > 1:
+            assert r.n_dup_spans == r.n_spans
