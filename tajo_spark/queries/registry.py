@@ -79,8 +79,11 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "text_repetition_signals", "text_contamination", "text_tfidf_topk",
         "text_chunk_overlap", "multimodal_binary_meta", "events_sessionize",
         "events_tumbling_window", "dedup_ngram_jaccard", "text_bpe_token_count",
-        "pack_sequences", "agg_approx_distinct", "agg_approx_percentile",
-        "sim_ivf_topk", "dedup_apply", "sample_hash_split",
+        # pack_sequences / agg_approx_distinct / agg_approx_percentile /
+        # sim_ivf_topk are deliberately NOT listed although r01 ran them:
+        # their r01 rows are "no_oracle" and they have real oracles now —
+        # re-queue them so the driver upgrades those rows to hash-green
+        "dedup_apply", "sample_hash_split",
         "sample_deterministic_rows", "sample_mixture", "sample_global_shuffle",
         "text_unigram_logprob", "text_term_topk", "dedup_components",
         "dedup_apply_neardup", "pipeline_corpus_prep", "sample_stratified_topk",
