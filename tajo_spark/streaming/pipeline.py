@@ -315,3 +315,47 @@ def click_purchase_join(events: DataFrame,
         "click_ts",
         "purchase_value",
     )
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet — the continuous-
+    ingest shape of a curation pipeline (new crawl shards arriving as
+    files; production swaps in a Kafka source, transformations
+    unchanged)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isfile(path):
+        stage = os.path.join(
+            os.getcwd(), ".stream_staging",
+            os.path.basename(os.path.normpath(sf_dir)) + "_docs",
+        )
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, "documents.parquet")
+        if not os.path.exists(link):
+            os.symlink(path, link)
+        path = stage
+    return spark.readStream.schema(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT"
+    ).parquet(path)
+
+
+def curate_stream(docs: DataFrame) -> DataFrame:
+    """Stateless curation over a document stream: learned quality filter
+    (keep score >= 0.5) + PII redaction + metadata projection.
+
+    Every expression is a per-row projection, so the streaming and
+    batch plans are IDENTICAL operator-for-operator — no watermark, no
+    state store, each micro-batch independently correct. This is the
+    always-on ingest filter in front of the batch dedup/mix stages
+    (which need corpus-global state and stay batch)."""
+    from tajo_spark.operators import text as T
+
+    score = T.quality_classifier_score(F.col("text"))
+    return docs.filter(score >= 0.5).select(
+        "doc_id",
+        "lang",
+        "source",
+        T.pii_redact(F.col("text")).alias("clean_text"),
+        score.alias("clf_score"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+    )

@@ -182,3 +182,33 @@ def test_click_purchase_join_matches_batch_range_join(spark, batch_events):
     got_pairs = {(r.purchase_id, r.click_id) for r in got.collect()}
     exp_pairs = {(r.purchase_id, r.click_id) for r in exp.collect()}
     assert got_pairs == exp_pairs and len(exp_pairs) > 0
+
+
+def test_curate_stream_equals_batch(spark):
+    """The stateless curation stage must produce byte-identical rows
+    under Structured Streaming and batch — same expressions, no state."""
+    from tajo_spark.streaming.pipeline import (
+        curate_stream,
+        run_to_memory,
+        stream_documents,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = run_to_memory(
+        curate_stream(stream_documents(spark, sf)),
+        "curated_docs",
+        output_mode="append",
+    )
+    got = {
+        (r.doc_id, r.clean_text, r.clf_score, r.n_tokens)
+        for r in streamed.collect()
+    }
+    from tajo_spark.catalog import load_table
+    from tajo_spark.streaming.pipeline import curate_stream as cs
+
+    batch = cs(load_table(spark, sf, "documents"))
+    want = {
+        (r.doc_id, r.clean_text, r.clf_score, r.n_tokens)
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
