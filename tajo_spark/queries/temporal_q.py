@@ -57,11 +57,14 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "range_join_event_burst",
     "temporal",
-    doc="Keyed interval self-join: per event, how many events the same "
-    "user produced in the strictly-preceding hour (burst/velocity "
-    "feature) — equi-join on the key with the range as residual filter "
-    "(operators/temporal.py::range_join), so the shuffle is keyed, "
-    "never a nested loop.",
+    doc="Per event, how many events the same user produced in the "
+    "strictly-preceding hour (burst/velocity feature). Plan: a RANGE "
+    "frame over (user, unix-micros ts) — ONE keyed shuffle + sort, no "
+    "pair materialization; the equivalent keyed interval self-join "
+    "(operators/temporal.py::range_join, still the right tool when the "
+    "two sides differ) explodes |in-window pairs| rows through the "
+    "join before re-aggregating, strictly worse for a self-aggregate "
+    "at any scale.",
     oracle="""
         SELECT a.event_id,
                count(b.b_id) AS prior_events_1h,
@@ -77,26 +80,21 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def range_join_event_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     events = load_table(spark, sf_dir, "events")
-    a = events.select("event_id", "user_id", "ts")
-    b = events.select(
-        F.col("user_id").alias("b_user"),
-        F.col("ts").alias("b_ts"),
-        F.col("event_id").alias("b_id"),
-        F.col("value").alias("b_value"),
+    # [ts - 1h, ts): µs offsets [-3_600_000_000, -1] — RANGE bounds are
+    # inclusive on both ends, so -1 encodes the strict "< ts" edge
+    # (events sharing a timestamp are frame peers and correctly excluded)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, -1)
     )
-    joined = temporal.range_join(
-        b,
-        a,
-        on=[("b_user", "user_id")],
-        point="b_ts",
-        start=a["ts"] - F.expr("INTERVAL 1 HOUR"),
-        end=a["ts"],
-        how="right",
-    )
-    return joined.groupBy("event_id").agg(
-        F.count("b_id").alias("prior_events_1h"),
-        F.round(F.coalesce(F.sum("b_value"), F.lit(0.0)), 2).alias(
+    return events.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("prior_events_1h"),
+        F.round(F.coalesce(F.sum("value").over(w), F.lit(0.0)), 2).alias(
             "prior_value_1h"
         ),
     )
