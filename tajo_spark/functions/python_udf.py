@@ -110,6 +110,16 @@ def load_python_udfs(
     * top-level callables with return annotations → scalar pandas UDFs
     * ``AGGREGATES = {name: (ret_type, series_fn)}`` → grouped-agg
       pandas UDFs (partial aggregation handled by Spark)
+    * top-level classes with an ``eval`` method and a ``RETURNS`` schema
+      string → Python UDTFs (table functions; superset — the reference
+      has no UDTF flavor at all). Usable as
+      ``SELECT * FROM my_udtf(col)`` / LATERAL joins::
+
+          class split_words:
+              RETURNS = "word string, pos int"
+              def eval(self, text):
+                  for i, w in enumerate((text or "").split()):
+                      yield (w, i)
 
     Returns registered names. Idempotent per session.
     """
@@ -128,6 +138,19 @@ def load_python_udfs(
             if name.startswith("_"):
                 continue
             obj = getattr(mod, name)
+            if (
+                isinstance(obj, type)
+                and obj.__module__ == mod.__name__
+                and hasattr(obj, "eval")
+                and isinstance(getattr(obj, "RETURNS", None), str)
+            ):
+                from pyspark.sql.functions import udtf
+
+                spark.udtf.register(
+                    prefix + name, udtf(obj, returnType=obj.RETURNS)
+                )
+                registered.append(prefix + name)
+                continue
             if callable(obj) and getattr(obj, "__annotations__", {}).get(
                 "return"
             ) is not None and obj.__module__ == mod.__name__:

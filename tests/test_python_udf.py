@@ -31,6 +31,12 @@ def code_dir(tmp_path):
             AGGREGATES = {
                 "p90": ("double", lambda s: float(s.quantile(0.9))),
             }
+
+            class split_words:
+                RETURNS = "word string, pos int"
+                def eval(self, text):
+                    for i, w in enumerate((text or "").split()):
+                        yield (w, i)
             '''
         )
     )
@@ -129,3 +135,27 @@ def test_zero_arg_udaf_bridge(spark, code_dir):
         ).collect()
     }
     assert rows == {1: (2, 2), 2: (1, 1)}
+
+
+def test_python_udtf_table_function(spark, code_dir):
+    """Classes with eval + RETURNS register as table functions —
+    the UDTF flavor the reference's function system lacks entirely."""
+    names = load_python_udfs(spark, code_dir)
+    assert "split_words" in names
+    rows = spark.sql(
+        "SELECT word, pos FROM split_words('alpha beta gamma')"
+    ).collect()
+    assert [(r.word, r.pos) for r in rows] == [
+        ("alpha", 0), ("beta", 1), ("gamma", 2),
+    ]
+    # LATERAL over table rows: one UDTF call per input row
+    spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, None)], "id INT, txt STRING"
+    ).createOrReplaceTempView("udtf_src")
+    out = spark.sql(
+        "SELECT id, word, pos FROM udtf_src, "
+        "LATERAL split_words(txt)"
+    ).collect()
+    assert sorted((r.id, r.word, r.pos) for r in out) == [
+        (1, "a", 0), (1, "b", 1),
+    ]
