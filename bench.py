@@ -163,6 +163,11 @@ def main() -> None:
             t = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, t), t)
             print(f"  pass{_pass} {name}: {t:.3f}s", file=sys.stderr)
+            # drop localCheckpoint blocks the iterative/staged queries
+            # leave behind — 53 queries x 2 passes otherwise accumulate
+            # storage memory and later queries pay the GC bill
+            for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+                rdd.unpersist()
 
     total = round(sum(timings.values()), 3)
     print(

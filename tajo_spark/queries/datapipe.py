@@ -1595,9 +1595,16 @@ def pipeline_corpus_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tajo_spark.operators.sampling import temperature_mixture_sample
 
     docs = load_table(spark, sf_dir, "documents")
-    kept = docs.filter(
-        text.quality_classifier_score(F.col("text")) >= 0.5
-    ).select("doc_id", "text", "lang")
+    # materialize the classifier survivors ONCE: four consumers read
+    # this stage (both sides of the span-hash join, the survivor
+    # semi-join, the mixture) and would each re-run the classifier
+    # scan otherwise — this is the natural stage boundary a production
+    # pipeline persists between curation steps
+    kept = (
+        docs.filter(text.quality_classifier_score(F.col("text")) >= 0.5)
+        .select("doc_id", "text", "lang")
+        .localCheckpoint()
+    )
     # span stats over the SURVIVING corpus (a doc's duplication ratio is
     # relative to what remains, exactly as the pipeline would run it)
     trim = (
@@ -1605,7 +1612,10 @@ def pipeline_corpus_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dup_span_ratio") <= 0.5)
         .select("doc_id")
     )
-    good = kept.join(trim, "doc_id", "left_semi")
+    # second stage boundary: the mixture reads its input twice (stratum
+    # histogram + the filtered side), which would re-run the span
+    # verification per read
+    good = kept.join(trim, "doc_id", "left_semi").localCheckpoint()
     mixed = temperature_mixture_sample(good, "doc_id", "lang", 2.0)
     return mixed.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
