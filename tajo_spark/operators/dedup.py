@@ -201,9 +201,15 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFram
     boilerplate duplicates) should be capped upstream via exact-dedup
     first — the standard web-scale pipeline order.
     """
+    return _bucket_pairs(banded_long(docs, text_col))
+
+
+def banded_long(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, band_id, bh) — one row per LSH band key; THE probe/store
+    representation of a document for near-dup purposes."""
     sig = minhash_signatures(docs, text_col)
     banded = sig.select("doc_id", *minhash_band_keys())
-    bands_long = banded.select(
+    return banded.select(
         "doc_id",
         F.explode(
             F.array(*[
@@ -212,6 +218,10 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFram
             ])
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.bh")
+
+
+def _bucket_pairs(bands_long: DataFrame) -> DataFrame:
+    """In-bucket (doc_a < doc_b) pair generation from banded keys."""
     buckets = (
         bands_long.groupBy("band_id", "bh")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
@@ -236,6 +246,71 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFram
         ).alias("p")
     )
     return pairs.select("p.doc_a", "p.doc_b").distinct()
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: new batch vs a persisted signature store
+# --------------------------------------------------------------------------
+
+
+def write_signature_store(
+    docs: DataFrame, path: str, text_col: str = "text", mode: str = "overwrite"
+) -> None:
+    """Persist the corpus's banded minhash keys, partitioned by band_id.
+
+    The continuous-ingest contract: the corpus is signed ONCE; every
+    later batch probes these |docs| x NUM_BANDS rows instead of
+    re-reading corpus text. ``mode='append'`` admits each surviving
+    batch into the store — the store grows by signatures only, never
+    re-signs. Partitioning by band_id lets a probe prune to the band
+    directories it touches; production would additionally bucket by
+    ``bh`` so the probe join is exchange-free on the store side.
+    """
+    banded_long(docs, text_col).write.partitionBy("band_id").mode(
+        mode
+    ).parquet(path)
+
+
+def read_signature_store(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def incremental_dedup_apply(
+    new_docs: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivors of ``new_docs`` against corpus ``store`` + themselves:
+    a new document is dropped when it shares an LSH bucket with ANY
+    stored document or with a lower-id new document — the greedy
+    drop-on-candidate rule. When the store holds the full signed
+    corpus, this equals a batch recompute of that rule over
+    (corpus ∪ batch) restricted to batch rows (the equivalence the
+    driver oracle checks); appending only *survivor* signatures per
+    batch instead gives the cheaper standard greedy-incremental
+    variant (a doc near-duplicating only dropped docs survives).
+
+    Plan: sign the batch once (checkpointed — probed twice), ONE
+    equi-join against the store on (band_id, bh) plus the in-batch
+    bucket pair-gen, then an anti-join. Store text is never touched;
+    cost scales with |batch|, not |corpus|.
+    """
+    nb = banded_long(new_docs, text_col).localCheckpoint()
+    vs_store = (
+        nb.alias("n")
+        .join(
+            store.select("band_id", "bh").alias("s"),
+            ["band_id", "bh"],
+            "left_semi",
+        )
+        .select(F.col("doc_id"))
+    )
+    vs_batch = _bucket_pairs(nb).select(F.col("doc_b").alias("doc_id"))
+    dropped = vs_store.union(vs_batch).distinct()
+    return new_docs.join(
+        dropped.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )
 
 
 SIMHASH_BITS = 16

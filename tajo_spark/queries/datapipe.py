@@ -1624,3 +1624,38 @@ def pipeline_corpus_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.first("keep_rate"), 6).alias("keep_rate"),
     )
+
+
+@query(
+    "dedup_incremental",
+    "curation",
+    doc="Continuous-ingest near-dup dedup: documents with doc_id < 250 "
+    "are the signed corpus (banded minhash keys persisted to a "
+    "band-partitioned parquet store, operators/dedup.py::"
+    "write_signature_store); the rest arrive as a new batch and probe "
+    "the STORE — one (band_id, band_hash) equi-join + in-batch bucket "
+    "pairs, corpus text never re-read, cost O(|batch|). Oracle: the "
+    "greedy drop-on-candidate rule recomputed over the full corpus, "
+    "restricted to batch rows — the incremental path must reproduce "
+    "the batch answer exactly.",
+    oracle=f"""
+        WITH {_MINHASH_PAIRS_CTE}
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d
+        WHERE d.doc_id >= 250
+          AND NOT EXISTS (
+              SELECT 1 FROM pairs p WHERE p.doc_b = d.doc_id)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    store_path = tempfile.mkdtemp(prefix="tajo_spark_sigstore_") + "/store"
+    dedup.write_signature_store(old, store_path)
+    store = dedup.read_signature_store(spark, store_path)
+    return dedup.incremental_dedup_apply(new, store).select(
+        "doc_id", "lang", "source"
+    )

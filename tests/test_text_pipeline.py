@@ -286,3 +286,78 @@ def test_quality_classifier_separates_prose_from_noise(spark):
     }
     assert out[0] >= 0.5, f"prose scored {out[0]}"
     assert out[1] < 0.5, f"digit soup scored {out[1]}"
+
+
+def test_incremental_dedup_store_append_flow(spark, tmp_path):
+    """Multi-batch incremental dedup: batch2 probes the store built
+    from batch1's SURVIVORS (the greedy-incremental variant); the
+    store is never re-signed, only appended."""
+    from tajo_spark.operators.dedup import (
+        incremental_dedup_apply,
+        read_signature_store,
+        write_signature_store,
+    )
+
+    base = "common words shared by every near duplicate document here"
+    b1 = spark.createDataFrame(
+        [
+            (0, base + " one"),
+            (1, base + " one"),          # near-dup of 0 → dropped in-batch
+            (2, "something entirely different about spark plans"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    store_path = str(tmp_path / "store")
+    # batch 1 bootstraps: empty store → only in-batch pairs apply
+    empty = spark.createDataFrame([], "doc_id INT, band_id INT, bh STRING")
+    s1 = incremental_dedup_apply(b1, empty)
+    assert sorted(r.doc_id for r in s1.collect()) == [0, 2]
+    write_signature_store(s1, store_path)
+
+    b2 = spark.createDataFrame(
+        [
+            (10, base + " one"),         # dup of stored 0 → dropped
+            (11, "fresh unrelated content discussing benchmarks today"),
+            (12, "fresh unrelated content discussing benchmarks today"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    store = read_signature_store(spark, store_path)
+    s2 = incremental_dedup_apply(b2, store)
+    assert sorted(r.doc_id for r in s2.collect()) == [11]
+    # admit batch-2 survivors; store now covers both batches
+    write_signature_store(s2, store_path, mode="append")
+    assert sorted(
+        r.doc_id
+        for r in read_signature_store(spark, store_path)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    ) == [0, 2, 11]
+
+
+def test_incremental_dedup_store_join_prunes_text(spark, tmp_path):
+    """The probe plan must read the STORE's signature columns, never
+    corpus text, and the store join must be an equi-join."""
+    from tajo_spark.operators.dedup import (
+        incremental_dedup_apply,
+        read_signature_store,
+        write_signature_store,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some words") for i in range(20)],
+        "doc_id INT, text STRING",
+    )
+    store_path = str(tmp_path / "store")
+    write_signature_store(docs, store_path)
+    new = spark.createDataFrame(
+        [(100, "document number 3 with some words")],
+        "doc_id INT, text STRING",
+    )
+    out = incremental_dedup_apply(
+        new, read_signature_store(spark, store_path)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
