@@ -1659,3 +1659,52 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_dedup_apply(new, store).select(
         "doc_id", "lang", "source"
     )
+
+
+def _hexval(expr: str) -> str:
+    return f"(strpos('0123456789abcdef', {expr}) - 1)"
+
+
+@query(
+    "multimodal_image_stats",
+    "curation",
+    doc="Image decode pipeline summary: the Arrow mapInPandas decode "
+    "stage (operators/multimodal.py::image_metadata, deterministic "
+    "fake decoder — dims from the content hash) rolled up by channel "
+    "count. The oracle recomputes the decoder's arithmetic in pure SQL "
+    "from the same md5, so the whole Python-batch path (schema, "
+    "batching, hash identity) is hash-checked, not just row-counted.",
+    oracle=f"""
+        WITH img AS (
+            SELECT doc_id,
+                   octet_length(CAST(text AS BLOB)) AS n_bytes,
+                   md5(text) AS h
+            FROM documents),
+        dims AS (
+            SELECT doc_id, n_bytes,
+                   64 + ({_hexval("substr(h, 1, 1)")} * 16
+                         + {_hexval("substr(h, 2, 1)")}) % 192 AS width,
+                   64 + ({_hexval("substr(h, 3, 1)")} * 16
+                         + {_hexval("substr(h, 4, 1)")}) % 192 AS height,
+                   1 + ({_hexval("substr(h, 5, 1)")} * 16
+                        + {_hexval("substr(h, 6, 1)")}) % 3 AS channels
+            FROM img)
+        SELECT CAST(channels AS INT) AS channels,
+               count(*) AS n_images,
+               round(avg(width), 2)  AS avg_width,
+               round(avg(height), 2) AS avg_height,
+               CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+        FROM dims GROUP BY channels
+    """,
+)
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = multimodal.image_metadata(multimodal.attach_binary(docs))
+    return imgs.groupBy(F.col("channels").cast("int").alias("channels")).agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.round(F.avg("width"), 2).alias("avg_width"),
+        F.round(F.avg("height"), 2).alias("avg_height"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+    )
