@@ -1708,3 +1708,47 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("height"), 2).alias("avg_height"),
         F.sum("n_bytes").cast("long").alias("total_bytes"),
     )
+
+
+@query(
+    "multimodal_audio_stats",
+    "curation",
+    doc="Audio decode pipeline summary by sample rate: the Arrow "
+    "mapInPandas decode stage (operators/multimodal.py::audio_metadata, "
+    "deterministic fake decoder — rate/samples from the content hash) "
+    "value-checked against a pure-SQL recomputation of the decoder's "
+    "arithmetic. Integer-only outputs, so no cross-engine float "
+    "rounding surface at all.",
+    oracle="""
+        WITH a AS (
+            SELECT doc_id,
+                   octet_length(CAST(text AS BLOB)) AS n_bytes,
+                   md5(text) AS h
+            FROM documents),
+        dec AS (
+            SELECT doc_id, n_bytes,
+                   (ARRAY[8000, 16000, 44100, 48000])
+                       [1 + CAST('0x' || substr(h, 1, 2) AS INT) % 4]
+                       AS sample_rate,
+                   1000 + CAST('0x' || substr(h, 3, 6) AS INT) % 100000
+                       AS n_samples
+            FROM a)
+        SELECT CAST(sample_rate AS INT) AS sample_rate,
+               count(*) AS n_clips,
+               CAST(sum(n_samples) AS BIGINT) AS total_samples,
+               CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+        FROM dec GROUP BY sample_rate
+    """,
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    clips = multimodal.audio_metadata(multimodal.attach_binary(docs))
+    return clips.groupBy(
+        F.col("sample_rate").cast("int").alias("sample_rate")
+    ).agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum("n_samples").cast("long").alias("total_samples"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+    )
