@@ -36,8 +36,13 @@ SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "CASE WHEN s RLIKE '^[a-z_][a-z0-9_]*$' THEN s "
         "ELSE concat('\"', replace(s, '\"', '\"\"'), '\"') END",
     ),
-    # ToBin.java / ToHex.java — Spark spells these bin()/hex().
+    # ToBin.java / ToHex.java — Spark spells these bin()/hex(); Tajo's
+    # to_hex renders lowercase (PostgreSQL convention).
     "to_bin": ("x BIGINT", "STRING", "bin(x)"),
+    "to_hex": ("x BIGINT", "STRING", "lower(hex(x))"),
+    # StrPos.java: 1-based character position, 0 if absent — Spark has
+    # locate/instr but no strpos spelling.
+    "strpos": ("s STRING, sub STRING", "INT", "instr(s, sub)"),
     # to_char(long) — ToCharLong.java: decimal rendering of an integer.
     "to_char_long": ("x BIGINT", "STRING", "CAST(x AS STRING)"),
     # Digest.java: digest(input, 'md5'|'sha1'|'sha256'|...)

@@ -501,6 +501,72 @@ def _translate_to_char_formats(sql: str) -> str:
     return "".join(out)
 
 
+# --- PostgreSQL-style encode/decode codecs ----------------------------------
+# Encode.java/Decode.java: encode(data, 'base64'|'hex'|'escape') — Spark's
+# builtin encode/decode are CHARSET conversions and shadow any session
+# function of the same name (system.builtin precedes system.session on the
+# resolution path), so the codec forms must be rewritten at dialect level.
+_CODEC_REWRITE = {
+    ("encode", "base64"): "base64(CAST({0} AS BINARY))",
+    ("encode", "hex"): "lower(hex(CAST({0} AS BINARY)))",
+    ("decode", "base64"): "CAST(unbase64({0}) AS STRING)",
+    ("decode", "hex"): "CAST(unhex({0}) AS STRING)",
+}
+
+
+def _translate_pg_codec(sql: str) -> str:
+    """Rewrite ``encode(expr, 'codec')`` / ``decode(expr, 'codec')``
+    calls (same balanced-paren scan as the to_char rewrite; charset
+    forms — any second argument that is not a known codec literal —
+    pass through to Spark's builtins untouched)."""
+    for fname in ("encode", "decode"):
+        out: list[str] = []
+        i = 0
+        low = sql.lower()
+        while True:
+            j = low.find(fname, i)
+            if j < 0:
+                out.append(sql[i:])
+                break
+            # must be a standalone identifier followed by '('
+            before_ok = j == 0 or not (sql[j - 1].isalnum() or sql[j - 1] == "_")
+            k = sql.find("(", j)
+            if not before_ok or k < 0 or sql[j + len(fname):k].strip():
+                out.append(sql[i : j + len(fname)])
+                i = j + len(fname)
+                continue
+            out.append(sql[i:j])
+            depth, p, in_str = 0, k, False
+            while p < len(sql):
+                c = sql[p]
+                if in_str:
+                    if c == "'":
+                        in_str = False
+                elif c == "'":
+                    in_str = True
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                p += 1
+            call = sql[j : p + 1]
+            m = re.fullmatch(
+                rf"{fname}\s*\(\s*(?P<arg>.*?)\s*,\s*'(?P<codec>\w+)'\s*\)",
+                call,
+                re.IGNORECASE | re.DOTALL,
+            )
+            tmpl = m and _CODEC_REWRITE.get((fname, m.group("codec").lower()))
+            if tmpl:
+                out.append(tmpl.format(_translate_pg_codec(m.group("arg"))))
+            else:
+                out.append(call)
+            i = p + 1
+        sql = "".join(out)
+    return sql
+
+
 # Single-quoted SQL string literal (with '' escapes) — segments the
 # statement so structural rewrites never touch string data.
 _SQSTRING_RE = re.compile(r"'(?:[^']|'')*'")
@@ -1059,6 +1125,7 @@ def translate(sql: str) -> str:
     s = _INSERT_OVERWRITE_RE.sub("INSERT OVERWRITE TABLE", s)
     s = translate_similar_to(s)
     s = _translate_to_char_formats(s)
+    s = _translate_pg_codec(s)
     if re.match(r"^\s*ALTER\b", s, re.IGNORECASE):
         # only column-definition lists carry type names in ALTER; a
         # whole-statement rewrite would rename identifiers like a
