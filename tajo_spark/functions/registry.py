@@ -65,6 +65,8 @@ SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "TIMESTAMP",
         "timestampadd(DAY, n, t)",
     ),
+    # CurrentTime.java: native — Spark 4.1's current_time() returns the
+    # TIME type directly (timeType enabled in session.py).
     # UtcUsecTo.java: truncate a UTC epoch-microsecond value to a unit.
     "utc_usec_to": (
         "unit STRING, usec BIGINT",

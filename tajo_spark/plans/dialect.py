@@ -50,7 +50,9 @@ TYPE_MAP = {
     "NUMERIC": "DECIMAL",
     "TIMESTAMPTZ": "TIMESTAMP",
     "TIMETZ": "STRING",
-    "TIME": "STRING",  # Spark has no TIME type (SURVEY.md §1.2)
+    # Native since Spark 4.1 behind spark.sql.timeType.enabled (set in
+    # session.py) — closes the TIME->STRING divergence round 1 documented
+    "TIME": "TIME",
     "RECORD": "STRUCT",
 }
 
@@ -83,12 +85,13 @@ OPTION_MAP = {
 }
 
 
-# Lossy type mappings: Spark has no TIME-of-day type (SURVEY.md §1.2),
-# so TIME/TIMETZ columns become STRING — values round-trip textually
-# ('12:34:56') but lose temporal arithmetic. Surfaced as a one-line
-# warning per statement rather than a silent rewrite; COVERAGE.md lists
-# it as a documented divergence, not parity.
-_LOSSY_TYPES = frozenset({"TIME", "TIMETZ"})
+# Lossy type mappings: Spark's TIME type (4.1+, enabled in session.py)
+# carries no zone offset, so TIMETZ columns become STRING — values
+# round-trip textually ('12:34:56+09') but lose temporal arithmetic.
+# Surfaced as a one-line warning per statement rather than a silent
+# rewrite; COVERAGE.md lists it as a documented divergence, not parity.
+# (Plain TIME is native as of round 2 — no longer lossy.)
+_LOSSY_TYPES = frozenset({"TIMETZ"})
 
 
 def translate_type_names(sql: str) -> str:

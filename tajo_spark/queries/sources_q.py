@@ -196,3 +196,42 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_totalprice")
     )
+
+
+@query(
+    "src_time_roundtrip",
+    "scan",
+    doc="Native TIME-of-day round-trip (Spark 4.1 time type, closing "
+    "the reference's TIME column gap — DataTypes.proto TIME, SURVEY "
+    "§1.2): derive a TIME value per order from o_orderdate's day "
+    "number, write parquet, read back, EXTRACT + render. The oracle "
+    "recomputes the same times in DuckDB directly — both engines "
+    "agree on the parquet TIME physical type AND the arithmetic.",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(EXTRACT(HOUR FROM make_time(
+                   CAST(substr(CAST(o_orderdate AS VARCHAR), 9, 2) AS INT) % 24,
+                   CAST(o_orderkey % 60 AS INT), 0.0)) AS INT) AS hh,
+               lpad(CAST(CAST(substr(CAST(o_orderdate AS VARCHAR), 9, 2) AS INT) % 24
+                         AS VARCHAR), 2, '0')
+                   || ':' || lpad(CAST(o_orderkey % 60 AS VARCHAR), 2, '0')
+                   || ':00' AS t_str
+        FROM orders WHERE o_orderkey <= 200
+    """,
+)
+def src_time_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    staged = orders.filter(F.col("o_orderkey") <= 200).selectExpr(
+        "o_orderkey",
+        "make_time(CAST(substr(CAST(o_orderdate AS STRING), 9, 2) AS INT) % 24, "
+        "CAST(o_orderkey % 60 AS INT), 0.0) AS t",
+    )
+    path = os.path.join(_tmp("timert"), "orders_time")
+    staged.write.parquet(path)
+    back = spark.read.parquet(path)
+    return back.select(
+        "o_orderkey",
+        F.expr("EXTRACT(HOUR FROM t)").cast("int").alias("hh"),
+        # CAST TIME->STRING renders HH:mm:ss (fraction omitted at 0)
+        F.col("t").cast("string").alias("t_str"),
+    )

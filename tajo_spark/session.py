@@ -61,6 +61,12 @@ def build_spark(
         # (golden corpus: TestQueryOnSelfDescTable casts inferred-typed
         # JSON fields against text columns).
         .config("spark.sql.ansi.enabled", "false")
+        # Native TIME-of-day type (Spark 4.1): TIME literals, casts,
+        # extract, parquet round-trip all work behind this flag — the
+        # reference's TIME columns map natively instead of the round-1
+        # TIME→STRING divergence (TIMETZ remains STRING: Spark's TIME
+        # carries no zone offset).
+        .config("spark.sql.timeType.enabled", "true")
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.cbo.joinReorder.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

@@ -588,7 +588,10 @@ def test_preunion_orderby_recovers(engine, spark):
     assert dialect.drop_preunion_orderby(legal) == legal
 
 
-def test_time_type_maps_to_string_with_warning():
+def test_time_type_native_timetz_warns():
+    """TIME is native (Spark 4.1 time type, enabled in session.py) —
+    the round-1 TIME->STRING divergence is closed; only TIMETZ (no zone
+    offset on Spark's TIME) remains a documented lossy mapping."""
     import warnings as W
 
     from tajo_spark.plans import dialect
@@ -596,13 +599,28 @@ def test_time_type_maps_to_string_with_warning():
     with W.catch_warnings(record=True) as caught:
         W.simplefilter("always")
         out = dialect.translate_type_names("c1 TIME, c2 INT4")
-    assert out == "c1 STRING, c2 INT"
-    assert any("no Spark equivalent" in str(w.message) for w in caught)
-    # non-lossy DDL stays silent
+    assert out == "c1 TIME, c2 INT"
+    assert not caught  # native mapping: no divergence warning
     with W.catch_warnings(record=True) as caught2:
         W.simplefilter("always")
-        dialect.translate_type_names("c1 INT4, c2 TEXT")
-    assert not caught2
+        out2 = dialect.translate_type_names("c1 TIMETZ")
+    assert out2 == "c1 STRING"
+    assert any("no Spark equivalent" in str(w.message) for w in caught2)
+
+
+def test_time_type_executes_end_to_end(spark):
+    """TIME values survive DDL, literals, extract, and parquet."""
+    from tajo_spark.engine import Engine
+
+    eng = Engine(spark)
+    rows = eng.execute_sql(
+        "SELECT CAST('12:34:56' AS TIME) AS t, "
+        "EXTRACT(HOUR FROM TIME'07:08:09') AS h"
+    ).collect()
+    import datetime
+
+    assert rows[0].t == datetime.time(12, 34, 56)
+    assert rows[0].h == 7
 
 
 def test_conforming_query_untouched_by_recovery():

@@ -93,6 +93,8 @@ DATETIME_FN = [
     ("add_days(dt, 2)", None),
     ("add_months(dt, 1)", None),
     ("current_date()", None),
+    ("current_time()", None),  # native TIME type (Spark 4.1)
+    ("EXTRACT(HOUR FROM TIME'07:08:09')", 7),
     ("date_part('year', ts)", 2024.0),
     ("utc_usec_to('day', 1709634030000000)", None),
     ("now()", None),
