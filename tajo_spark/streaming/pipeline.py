@@ -359,3 +359,53 @@ def curate_stream(docs: DataFrame) -> DataFrame:
         score.alias("clf_score"),
         T.token_count(F.col("text")).alias("n_tokens"),
     )
+
+
+def incremental_dedup_stream(
+    docs_stream: DataFrame,
+    store_path: str,
+    survivors_path: str,
+    checkpoint_path: str,
+):
+    """Continuous near-dup dedup: every micro-batch probes the persisted
+    signature store (operators/dedup.py::incremental_dedup_apply — one
+    equi-join on (band_id, band_hash), corpus text never re-read),
+    writes its survivors, and appends THEIR signatures to the store so
+    later batches dedup against everything admitted so far.
+
+    The store update is the greedy-incremental contract: membership
+    grows monotonically, each batch costs O(|batch|), and the join
+    plan is identical to the batch operator's — foreachBatch is the
+    standard Structured-Streaming shape for sinks that need a
+    read-modify-write the sink API can't express. Checkpointing makes
+    the whole pipeline restartable; batch ids make the store append
+    idempotent-enough for at-least-once delivery (a replayed batch
+    re-appends signatures, which cannot change any later dedup verdict
+    — duplicate store rows only re-confirm bucket membership).
+    """
+    import os as _os
+
+    from tajo_spark.operators import dedup as _dedup
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if _os.path.isdir(store_path) and any(
+            f.endswith(".parquet") or f.startswith("band_id=")
+            for f in _os.listdir(store_path)
+        ):
+            store = _dedup.read_signature_store(spark, store_path)
+        else:
+            store = spark.createDataFrame(
+                [], "doc_id BIGINT, band_id INT, bh STRING"
+            )
+        survivors = _dedup.incremental_dedup_apply(
+            batch_df, store
+        ).localCheckpoint()
+        survivors.write.mode("append").parquet(survivors_path)
+        _dedup.write_signature_store(survivors, store_path, mode="append")
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+    )

@@ -212,3 +212,54 @@ def test_curate_stream_equals_batch(spark):
         for r in batch.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_incremental_dedup_stream_matches_sequential_batches(spark, tmp_path):
+    """foreachBatch incremental dedup: the streamed store-probe-append
+    loop must reproduce what sequential batch calls produce."""
+    import os
+
+    from tajo_spark.streaming.pipeline import incremental_dedup_stream
+
+    base = "shared boilerplate words repeated across near duplicate docs"
+    rows = [
+        (0, base + " v1"),
+        (1, base + " v1"),              # in-batch dup of 0
+        (2, "unique first content about engines and plans"),
+        (10, base + " v1"),             # dup of doc 0 (earlier file)
+        (11, "unique second content about benchmarks and scans"),
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # two files → the file source processes them as micro-batches
+    spark.createDataFrame(rows[:3], "doc_id LONG, text STRING").coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "survivors")
+    q = incremental_dedup_stream(
+        stream, store, out, str(tmp_path / "ckpt")
+    ).start()
+    q.processAllAvailable()
+    q.stop()  # availableNow drains then terminates
+    # second wave arrives; RESTART from the same checkpoint picks up
+    # only the new file (restartability is part of the contract)
+    spark.createDataFrame(rows[3:], "doc_id LONG, text STRING").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    q2 = incremental_dedup_stream(
+        stream, store, out, str(tmp_path / "ckpt")
+    ).start()
+    q2.processAllAvailable()
+    q2.stop()
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    # 0 survives (lowest of its bucket), 1 dropped in-batch, 2 unique,
+    # 10 dropped against the store, 11 unique
+    assert got == [0, 2, 11], got
