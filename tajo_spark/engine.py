@@ -266,6 +266,14 @@ class Engine:
             # support (sources/hive_formats.py; RCFile.java:328 parity)
             from tajo_spark.sources import hive_formats
 
+            if options:
+                # the serde route has no reader-option surface; dropping
+                # WITH (...) silently would diverge from the datasource
+                # formats' behavior
+                raise NotImplementedError(
+                    f"WITH (...) options are not supported for Hive-serde "
+                    f"format {fmt}: {sorted(options)}"
+                )
             if hive_formats.hive_support_available(self.spark) and schema:
                 ddl = dialect.translate_column_defs(
                     dialect.convert_record_types(schema)

@@ -52,7 +52,10 @@ def register_hive_udf(
     if not re.fullmatch(r"[A-Za-z0-9_.$]+", class_name):
         raise ValueError(f"invalid class name: {class_name}")
     kw = "TEMPORARY FUNCTION" if temporary else "FUNCTION"
-    using = f" USING JAR '{jar}'" if jar else ""
+    # the neighboring args are regex-validated; the free-form jar path
+    # gets SQL-literal escaping so a quote in a path can't truncate or
+    # extend the statement
+    using = " USING JAR '" + jar.replace("'", "''") + "'" if jar else ""
     spark.sql(f"CREATE {kw} {name} AS '{class_name}'{using}")
 
 

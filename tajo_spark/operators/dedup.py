@@ -266,9 +266,16 @@ def write_signature_store(
     directories it touches; production would additionally bucket by
     ``bh`` so the probe join is exchange-free on the store side.
     """
-    banded_long(docs, text_col).write.partitionBy("band_id").mode(
-        mode
-    ).parquet(path)
+    write_banded_signatures(banded_long(docs, text_col), path, mode=mode)
+
+
+def write_banded_signatures(
+    banded: DataFrame, path: str, mode: str = "append"
+) -> None:
+    """Append already-computed (doc_id, band_id, bh) rows to the store —
+    the path callers holding signatures (incremental_dedup_apply's
+    ``return_signatures``) use so nothing is ever signed twice."""
+    banded.write.partitionBy("band_id").mode(mode).parquet(path)
 
 
 def read_signature_store(spark, path: str) -> DataFrame:
@@ -279,8 +286,8 @@ def incremental_dedup_apply(
     new_docs: DataFrame,
     store: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
+    return_signatures: bool = False,
+):
     """Survivors of ``new_docs`` against corpus ``store`` + themselves:
     a new document is dropped when it shares an LSH bucket with ANY
     stored document or with a lower-id new document — the greedy
@@ -294,7 +301,14 @@ def incremental_dedup_apply(
     Plan: sign the batch once (checkpointed — probed twice), ONE
     equi-join against the store on (band_id, bh) plus the in-batch
     bucket pair-gen, then an anti-join. Store text is never touched;
-    cost scales with |batch|, not |corpus|.
+    cost scales with |batch|, not |corpus|. Documents are identified
+    by ``doc_id`` (the banding pipeline's key column).
+
+    ``return_signatures=True`` additionally returns the SURVIVORS'
+    banded keys sliced from the already-computed batch signatures —
+    the store-append input for a caller honoring the "never re-signs"
+    contract (re-deriving them from survivor text would re-run the
+    whole minhash pipeline).
     """
     nb = banded_long(new_docs, text_col).localCheckpoint()
     vs_store = (
@@ -308,9 +322,13 @@ def incremental_dedup_apply(
     )
     vs_batch = _bucket_pairs(nb).select(F.col("doc_b").alias("doc_id"))
     dropped = vs_store.union(vs_batch).distinct()
-    return new_docs.join(
-        dropped.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
-    )
+    survivors = new_docs.join(dropped, "doc_id", "left_anti")
+    if return_signatures:
+        surv_sigs = nb.join(
+            survivors.select("doc_id"), "doc_id", "left_semi"
+        )
+        return survivors, surv_sigs
+    return survivors
 
 
 SIMHASH_BITS = 16

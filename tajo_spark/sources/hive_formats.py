@@ -63,8 +63,10 @@ def _ddl_cols(df_or_schema) -> str:
     return ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
 
 
-def _table_name(path: str, fmt: str) -> str:
-    digest = hashlib.md5(f"{fmt}:{path}".encode()).hexdigest()[:12]
+def _table_name(path: str, fmt: str, schema_ddl: str = "") -> str:
+    digest = hashlib.md5(
+        f"{fmt}:{path}:{schema_ddl}".encode()
+    ).hexdigest()[:12]
     return f"tajo_hive_{fmt.lower()}_{digest}"
 
 
@@ -105,10 +107,14 @@ def read_stored_as(
     schemas."""
     fmt = _check_fmt(fmt)
     _require_hive(spark, f"reading {fmt}")
-    name = _table_name(path, fmt)
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # the name hashes (path, fmt, schema): identical reads genuinely
+    # reuse one catalog entry, and IF NOT EXISTS (instead of the racy
+    # DROP+CREATE) means a concurrent reader can never yank the table
+    # out from under another's in-flight scan; a different schema over
+    # the same path simply hashes to a different entry
+    name = _table_name(path, fmt, schema_ddl)
     spark.sql(
-        f"CREATE EXTERNAL TABLE {name} ({schema_ddl}) "
+        f"CREATE EXTERNAL TABLE IF NOT EXISTS {name} ({schema_ddl}) "
         f"STORED AS {fmt} LOCATION '{path}'"
     )
     return spark.table(name)

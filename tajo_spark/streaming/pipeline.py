@@ -40,29 +40,44 @@ def events_schema_ddl(ts_type: str = "BIGINT") -> str:
     )
 
 
+def _stage_file_as_dir(sf_dir: str, filename: str, tag: str) -> str:
+    """The file source needs a directory; stage a symlink dir (no data
+    copy) under the engine's working directory. Re-entrant and
+    retarget-safe: a dangling or stale link (previous run's deleted or
+    different sf_dir with the same basename) is replaced, never
+    silently reused — ``os.path.exists`` follows symlinks, so the
+    naive 'if not exists: symlink' both crashes on dangling links and
+    streams the OLD corpus through live stale ones."""
+    path = os.path.join(sf_dir, filename)
+    if not os.path.isfile(path):
+        return path  # already a directory source
+    stage = os.path.join(
+        os.getcwd(), ".stream_staging",
+        os.path.basename(os.path.normpath(sf_dir)) + tag,
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, filename)
+    if os.path.lexists(link):
+        if os.path.realpath(link) == os.path.realpath(path):
+            return stage
+        os.unlink(link)
+    os.symlink(path, link)
+    return stage
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one-file micro-batch).
 
     In production this is ``spark.readStream.format("kafka")`` — the
     transformations below are source-agnostic.
     """
-    path = os.path.join(sf_dir, "events.parquet")
     # Probe the footer's ts type with a batch read (metadata-only): the
     # stream must declare its schema up front, and the rebuild applied
     # below depends on the physical type (see events_schema_ddl).
-    ts_type = dict(spark.read.parquet(path).dtypes).get("ts")
-    if os.path.isfile(path):
-        # The file source requires a directory; stage a symlink dir
-        # (no data copy) under the engine's working directory.
-        stage = os.path.join(
-            os.getcwd(), ".stream_staging",
-            os.path.basename(os.path.normpath(sf_dir)),
-        )
-        os.makedirs(stage, exist_ok=True)
-        link = os.path.join(stage, "events.parquet")
-        if not os.path.exists(link):
-            os.symlink(path, link)
-        path = stage
+    ts_type = dict(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes
+    ).get("ts")
+    path = _stage_file_as_dir(sf_dir, "events.parquet", "")
     if ts_type == "bigint":  # TIMESTAMP(NANOS) under nanosAsLong
         raw = spark.readStream.schema(events_schema_ddl("BIGINT")).parquet(path)
         return raw.withColumn(
@@ -322,17 +337,7 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest shape of a curation pipeline (new crawl shards arriving as
     files; production swaps in a Kafka source, transformations
     unchanged)."""
-    path = os.path.join(sf_dir, "documents.parquet")
-    if os.path.isfile(path):
-        stage = os.path.join(
-            os.getcwd(), ".stream_staging",
-            os.path.basename(os.path.normpath(sf_dir)) + "_docs",
-        )
-        os.makedirs(stage, exist_ok=True)
-        link = os.path.join(stage, "documents.parquet")
-        if not os.path.exists(link):
-            os.symlink(path, link)
-        path = stage
+    path = _stage_file_as_dir(sf_dir, "documents.parquet", "_docs")
     return spark.readStream.schema(
         "doc_id BIGINT, text STRING, lang STRING, source STRING, "
         "n_chars BIGINT"
@@ -378,10 +383,13 @@ def incremental_dedup_stream(
     plan is identical to the batch operator's — foreachBatch is the
     standard Structured-Streaming shape for sinks that need a
     read-modify-write the sink API can't express. Checkpointing makes
-    the whole pipeline restartable; batch ids make the store append
-    idempotent-enough for at-least-once delivery (a replayed batch
-    re-appends signatures, which cannot change any later dedup verdict
-    — duplicate store rows only re-confirm bucket membership).
+    the whole pipeline restartable, and replay is safe end to end:
+    survivors land in a ``__batch_id`` partition written with DYNAMIC
+    partition overwrite, so a replayed micro-batch overwrites its own
+    partition instead of appending duplicates; the store append reuses
+    the batch's already-computed signatures (never re-signs), and a
+    replayed signature append only re-confirms bucket membership — it
+    cannot change any later dedup verdict.
     """
     import os as _os
 
@@ -389,6 +397,9 @@ def incremental_dedup_stream(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        persisted_before = set(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet()
+        )
         if _os.path.isdir(store_path) and any(
             f.endswith(".parquet") or f.startswith("band_id=")
             for f in _os.listdir(store_path)
@@ -398,11 +409,25 @@ def incremental_dedup_stream(
             store = spark.createDataFrame(
                 [], "doc_id BIGINT, band_id INT, bh STRING"
             )
-        survivors = _dedup.incremental_dedup_apply(
-            batch_df, store
-        ).localCheckpoint()
-        survivors.write.mode("append").parquet(survivors_path)
-        _dedup.write_signature_store(survivors, store_path, mode="append")
+        survivors, surv_sigs = _dedup.incremental_dedup_apply(
+            batch_df, store, return_signatures=True
+        )
+        survivors = survivors.localCheckpoint()
+        (
+            survivors.withColumn("__batch_id", F.lit(batch_id))
+            .write.partitionBy("__batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(survivors_path)
+        )
+        _dedup.write_banded_signatures(surv_sigs, store_path)
+        # drop this batch's localCheckpoint blocks (batch signatures +
+        # survivors): an always-on stream would otherwise accumulate
+        # storage memory per micro-batch until the executors GC-thrash
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet()):
+            if rid not in persisted_before:
+                jmap.get(rid).unpersist()
 
     return (
         docs_stream.writeStream.foreachBatch(process_batch)

@@ -193,7 +193,7 @@ def test_curate_stream_equals_batch(spark):
         stream_documents,
     )
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF_DIR
     streamed = run_to_memory(
         curate_stream(stream_documents(spark, sf)),
         "curated_docs",
