@@ -1752,3 +1752,39 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_samples").cast("long").alias("total_samples"),
         F.sum("n_bytes").cast("long").alias("total_bytes"),
     )
+
+
+@query(
+    "embedding_cluster_stats",
+    "curation",
+    doc="Corpus embedding clustering (distributed KMeans via MLlib, the "
+    "partition-learning step under IVF and cluster-balanced curation): "
+    "per-corpus contract row. The learned partition is not SQL-"
+    "reproducible, so the exact leg (corpus size) is hash-checked and "
+    "the clustering contract rides as booleans: every vector assigned "
+    "exactly once, cluster count within k, and no cluster holding more "
+    "than half the corpus (balance bound loose enough to be seed-"
+    "stable).",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+               TRUE AS assigned_once_ok,
+               TRUE AS n_clusters_ok,
+               TRUE AS balance_ok
+        FROM embeddings
+    """,
+)
+def embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.similarity import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _model = ivf_assign(emb, n_centroids=8)
+    per_cluster = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = emb.count()
+    return per_cluster.agg(
+        F.sum("n").cast("long").alias("n_vectors"),
+        (F.sum("n") == F.lit(total)).alias("assigned_once_ok"),
+        (F.count(F.lit(1)).between(1, 8)).alias("n_clusters_ok"),
+        (F.max("n") <= F.lit(total) * 0.5 + 1).alias("balance_ok"),
+    )

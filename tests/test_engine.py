@@ -698,3 +698,27 @@ def test_recovery_failure_surfaces_original_error(engine, spark):
         engine.execute_sql("select a as n from lax_t6 where zz = 1")
     assert "UNRESOLVED_COLUMN" in str(ei.value)
     assert "zz" in str(ei.value)
+
+
+def test_pg_codec_rewrite_cases():
+    """encode/decode codec forms rewrite; charset forms pass through;
+    string literals containing the function names stay untouched."""
+    from tajo_spark.plans.dialect import _translate_pg_codec as tr
+
+    assert tr("SELECT encode('hi', 'base64')") == \
+        "SELECT base64(CAST('hi' AS BINARY))"
+    assert tr("SELECT decode(x, 'hex') FROM t") == \
+        "SELECT CAST(unhex(x) AS STRING) FROM t"
+    # nested: inner decode rewritten inside the outer encode
+    assert tr("SELECT encode(decode(x,'base64'), 'hex')") == (
+        "SELECT lower(hex(CAST(CAST(unbase64(x) AS STRING) AS BINARY)))"
+    )
+    # charset form (not a codec) passes through to Spark's builtin
+    s = "SELECT encode(x, 'utf-8') FROM t"
+    assert tr(s) == s
+    # the word inside a string literal is data, not a call
+    s2 = "SELECT 'please encode(x, ''base64'') later' FROM t"
+    assert tr(s2) == s2
+    # identifier suffix match must not fire (mydecode is not decode)
+    s3 = "SELECT mydecode(x, 'hex') FROM t"
+    assert tr(s3) == s3
