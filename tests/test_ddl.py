@@ -199,3 +199,18 @@ def test_create_index_on_managed_table(engine, spark):
     assert rows == [(1, "a"), (2, "b"), (3, "c")]
     engine.execute_sql("DROP INDEX mi_idx")
     engine.execute_sql("DROP TABLE ddl_t.mi")
+
+
+def test_create_table_like(engine, spark):
+    """CREATE TABLE ... LIKE copies the schema without data
+    (TestCreateTable.java:472 testCreateTableLike1 parity)."""
+    engine.execute_sql("CREATE TABLE ddl_t.like_base (a INT4, b TEXT)")
+    engine.execute_sql(
+        "INSERT INTO ddl_t.like_base VALUES (1, 'x')"
+    )
+    engine.execute_sql("CREATE TABLE ddl_t.like_copy LIKE ddl_t.like_base")
+    copy = spark.table("ddl_t.like_copy")
+    assert copy.schema.simpleString() == "struct<a:int,b:string>"
+    assert copy.count() == 0  # schema only, never data
+    engine.execute_sql("DROP TABLE ddl_t.like_copy")
+    engine.execute_sql("DROP TABLE ddl_t.like_base")
