@@ -1788,3 +1788,61 @@ def embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)).between(1, 8)).alias("n_clusters_ok"),
         (F.max("n") <= F.lit(total) * 0.5 + 1).alias("balance_ok"),
     )
+
+
+@query(
+    "text_bpe_train",
+    "curation",
+    doc="Distributed BPE tokenizer training (operators/bpe.py — "
+    "Sennrich-style merges learned over the word-frequency dict; per "
+    "round ONE pair-count shuffle + a TakeOrdered(1) scalar to the "
+    "driver). The merge sequence is deterministic (lexicographic "
+    "tie-break), pinned against a pure-Python reference in "
+    "tests/test_bpe.py; the driver oracle recomputes merge #1 exactly "
+    "in SQL (the full sequence is iterative and beyond one SQL query) "
+    "and contract-checks the rest (dense ranks, repeated-pair freqs).",
+    oracle="""
+        WITH tok AS (
+            SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                AS w
+            FROM documents),
+        wf AS (SELECT w, count(*) AS cnt FROM tok WHERE w <> ''
+               GROUP BY w),
+        sym AS (SELECT cnt, list_append(string_split(w, ''), '</w>') AS p
+                FROM wf),
+        pr AS (SELECT p[i] AS a, p[i + 1] AS b, cnt
+               FROM sym, LATERAL (SELECT unnest(range(1, len(p))) AS i)),
+        agg AS (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS freq
+                FROM pr GROUP BY a, b),
+        best AS (SELECT * FROM agg
+                 ORDER BY freq DESC, a, b LIMIT 1)
+        SELECT a AS first_left, b AS first_right, freq AS first_freq,
+               CAST(8 AS BIGINT) AS n_merges,
+               TRUE AS ranks_dense_ok,
+               TRUE AS freqs_repeated_ok
+        FROM best
+    """,
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.bpe import train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=8)
+    first = merges[0] if merges else (0, "", "", 0)
+    ranks_ok = [m[0] for m in merges] == list(range(1, len(merges) + 1))
+    freqs_ok = all(m[3] >= 2 for m in merges)
+    return spark.createDataFrame(
+        [
+            (
+                first[1],
+                first[2],
+                first[3],
+                len(merges),
+                ranks_ok,
+                freqs_ok,
+            )
+        ],
+        "first_left STRING, first_right STRING, first_freq BIGINT, "
+        "n_merges BIGINT, ranks_dense_ok BOOLEAN, "
+        "freqs_repeated_ok BOOLEAN",
+    )
