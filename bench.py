@@ -78,6 +78,7 @@ HEADLINE = [
     "dedup_span_ngrams",
     "sample_temperature_mixture",
     "pipeline_corpus_prep_v2",
+    "text_bpe_train",
 ]
 
 
