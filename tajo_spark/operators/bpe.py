@@ -139,3 +139,38 @@ def bpe_merge_table(
         train_bpe(docs, n_merges=n_merges),
         "rank INT, left STRING, right STRING, freq BIGINT",
     )
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize with a learned merge table: (doc_id, n_chars_tok,
+    n_bpe_tokens) — the encode stage of the tokenizer.
+
+    Each merge is one more pure-HOF fold over the per-word symbol
+    arrays (same left-to-right pass as training), applied in rank
+    order; the whole encode is a single zero-shuffle projection per
+    document, so at 100 TB it rides the scan. Token accounting comes
+    back aggregated per doc (words exploded once, map-side combine).
+    """
+    words = docs.select(
+        "doc_id", F.explode(_tokens(F.col(text_col))).alias("w")
+    ).filter(F.col("w") != "")
+    pieces = _initial_symbols()
+    n_chars = F.size(pieces)
+    for _rank, a, b, _freq in merges:
+        pieces = _merge_pair(pieces, a, b)
+    return (
+        words.select(
+            "doc_id",
+            n_chars.alias("nc"),
+            F.size(pieces).alias("nt"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("nc").cast("long").alias("n_chars_tok"),
+            F.sum("nt").cast("long").alias("n_bpe_tokens"),
+        )
+    )

@@ -1846,3 +1846,42 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_merges BIGINT, ranks_dense_ok BOOLEAN, "
         "freqs_repeated_ok BOOLEAN",
     )
+
+
+@query(
+    "text_bpe_encode",
+    "curation",
+    doc="BPE encode stage (operators/bpe.py::apply_bpe): tokenize the "
+    "corpus with the merge table just learned on it — per document, "
+    "pre-merge symbol count (chars + end marks; SQL-exact in the "
+    "oracle) and the post-merge BPE token count, which must never "
+    "exceed it (per-doc contract; the merge-sequence identity itself "
+    "is pinned against a pure-Python reference in tests/test_bpe.py). "
+    "The encode is a zero-shuffle projection — at 100 TB it rides the "
+    "scan.",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                       AS w
+            FROM documents),
+        wl AS (SELECT doc_id, length(w) + 1 AS nc FROM tok WHERE w <> '')
+        SELECT doc_id,
+               CAST(sum(nc) AS BIGINT) AS n_chars_tok,
+               TRUE AS compresses_ok
+        FROM wl GROUP BY doc_id
+    """,
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.bpe import apply_bpe, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=8)
+    enc = apply_bpe(docs, merges)
+    return enc.select(
+        "doc_id",
+        "n_chars_tok",
+        (F.col("n_bpe_tokens") <= F.col("n_chars_tok")).alias(
+            "compresses_ok"
+        ),
+    )

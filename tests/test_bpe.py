@@ -84,3 +84,40 @@ def test_bpe_early_stop_on_unique_text(spark):
     )
     # every adjacent pair occurs once → no merge reaches freq 2
     assert train_bpe(docs, n_merges=4) == []
+
+
+def test_bpe_apply_matches_reference_encode(spark):
+    from tajo_spark.operators.bpe import apply_bpe
+
+    docs = spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id INT, text STRING"
+    )
+    merges = train_bpe(docs, n_merges=6)
+    got = {
+        r.doc_id: (r.n_chars_tok, r.n_bpe_tokens)
+        for r in apply_bpe(docs, merges).collect()
+    }
+
+    def encode_len(word):
+        pieces = list(word) + [END_MARK]
+        for _r, a, b, _f in merges:
+            out, i = [], 0
+            while i < len(pieces):
+                if i + 1 < len(pieces) and pieces[i] == a and pieces[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(pieces[i])
+                    i += 1
+            pieces = out
+        return len(pieces)
+
+    for doc_id, text in enumerate(TEXTS):
+        ws = [w for w in text.strip().lower().split() if w]
+        want = (
+            sum(len(w) + 1 for w in ws),
+            sum(encode_len(w) for w in ws),
+        )
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+    # merging strictly compresses on this corpus
+    assert all(t < c for c, t in got.values())
