@@ -198,3 +198,30 @@ def test_dup_span_stats_invariants_random(spark, texts):
         # identical texts must flag each other completely
         if expected_spans and texts.count(t) > 1:
             assert r.n_dup_spans == r.n_spans
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(alphabet="abcd", min_size=1, max_size=5),
+            min_size=0,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    n_merges=st.sampled_from([1, 3, 5]),
+)
+def test_bpe_training_matches_reference_random(spark, texts, n_merges):
+    """Distributed BPE must reproduce the pure-Python reference merge
+    sequence on ARBITRARY corpora — tie-breaks, overlaps, early stop."""
+    from tajo_spark.operators.bpe import train_bpe
+    from tests.test_bpe import _reference_bpe
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id INT, text STRING"
+    )
+    assert train_bpe(docs, n_merges=n_merges) == _reference_bpe(
+        texts, n_merges
+    )
