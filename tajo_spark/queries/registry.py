@@ -90,6 +90,24 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "fn_string_basic", "fn_string_regex", "fn_math", "fn_datetime", "fn_json",
         "fn_conditional", "fn_cast", "fn_tajo_registry", "fn_similar_to_dialect",
         "fn_to_char_pg_formats", "fn_string_math_extended", "join_inner_hash",
+        # round 2 (CORRECTNESS_r02.json): 50/50 hash-green, including the 4
+        # former rows-only queries upgraded to hash-green
+        "pack_sequences", "agg_approx_distinct", "agg_approx_percentile",
+        "sim_ivf_topk", "join_left_outer", "join_right_outer", "join_full_outer",
+        "join_cross", "join_left_semi", "join_left_anti", "join_right_semi",
+        "join_right_anti", "join_non_equi", "join_skew_salted",
+        "agg_global", "agg_having", "agg_stats", "agg_string_agg",
+        "agg_percentiles", "agg_distinct_multi", "agg_cube", "agg_rollup",
+        "agg_grouping_sets", "micro_groupby1", "micro_groupby2",
+        "sort_global", "sort_nulls_topk",
+        "setop_union_all", "setop_union_distinct", "setop_intersect",
+        "setop_intersect_all", "setop_except", "setop_except_all",
+        "subq_in", "subq_not_in", "subq_exists_correlated", "subq_scalar",
+        "subq_from_derived", "subq_cte_chain",
+        "window_ranking", "window_lag_lead", "window_first_last",
+        "window_ntile_frames", "window_running_agg", "window_topk_per_group",
+        "nested_project", "nested_group_by", "nested_join_key",
+        "asof_join_events_orders", "range_join_event_burst",
     }
 )
 
