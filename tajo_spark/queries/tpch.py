@@ -7,9 +7,17 @@ l_shipmode/l_commitdate, no o_shippriority, no c_phone) — queries
 needing them are adapted; the adapted predicate is noted per query.
 
 All float aggregates rounded identically on both sides (see
-registry.py module doc). Dim tables (region/nation/supplier) are
-broadcast-hinted: at 100 TB the fact side never shuffles for these
-joins.
+registry.py module doc).
+
+Broadcast discipline (mirrors the reference's size-gated
+BroadcastJoinRule.java:44-65): region/nation (fixed 5/25 rows) and
+one-row aggregates carry unconditional ``F.broadcast`` hints — they
+cannot grow with scale.  Everything that grows with the corpus
+(part, supplier, per-part aggregates over lineitem) goes through
+``broadcast_if_dim`` (plans/hints.py), which hints only under a size
+bound and otherwise lets AQE pick the strategy from runtime sizes —
+so at 100 TB these joins degrade to shuffle instead of OOMing on a
+forced broadcast.
 """
 
 from __future__ import annotations
@@ -18,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tajo_spark.catalog import load_table
+from tajo_spark.plans.hints import broadcast_if_dim as bdim
 from tajo_spark.queries.registry import query
 
 
@@ -166,7 +175,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            bdim(supp),
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -239,7 +248,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     joined = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(bdim(supp), li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
@@ -352,7 +361,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
     )
     part = _t(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(bdim(part), li.l_partkey == part.p_partkey)
     promo = F.sum(
         F.when(F.col("p_type").like("PROMO%"), _disc_price()).otherwise(F.lit(0.0))
     )
@@ -457,7 +466,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(bdim(part), li.l_partkey == part.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#12")
          & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5))
@@ -674,7 +683,7 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
     eu = (
-        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        ps.join(bdim(supp), ps.ps_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .filter(F.col("r_name") == "EUROPE")
@@ -686,7 +695,7 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     mn = eu.groupBy("ps_partkey").agg(F.min("ps_supplycost").alias("min_cost"))
     flt = part.filter((F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY"))
     return (
-        eu.join(F.broadcast(mn.withColumnRenamed("ps_partkey", "mn_partkey")),
+        eu.join(bdim(mn.withColumnRenamed("ps_partkey", "mn_partkey")),
                 (F.col("ps_partkey") == F.col("mn_partkey"))
                 & (F.col("ps_supplycost") == F.col("min_cost")))
         .join(flt, F.col("ps_partkey") == F.col("p_partkey"))
@@ -738,8 +747,8 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(bdim(part), li.l_partkey == part.p_partkey)
+        .join(bdim(supp), li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
@@ -792,8 +801,8 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     nation = _t(spark, sf_dir, "nation")
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(bdim(part), li.l_partkey == part.p_partkey)
+        .join(bdim(supp), li.l_suppkey == supp.s_suppkey)
         .join(
             ps,
             (F.col("ps_partkey") == F.col("l_partkey"))
@@ -842,7 +851,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
     nat = (
-        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        ps.join(bdim(supp), ps.ps_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             "ps_partkey",
@@ -918,7 +927,7 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 9, 15, 20, 24, 30, 42, 49)
     )
     return (
-        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        ps.join(bdim(part), ps.ps_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("ps_suppkey")).alias("supplier_cnt"))
     )
@@ -946,8 +955,8 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(per_part_avg), F.col("l_partkey") == F.col("ap_partkey"))
+        li.join(bdim(part), li.l_partkey == part.p_partkey)
+        .join(bdim(per_part_avg), F.col("l_partkey") == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -987,7 +996,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg((F.lit(0.5) * F.sum("l_quantity")).alias("half_qty"))
     qualified = (
         ps.join(
-            F.broadcast(part.select("p_partkey")),
+            bdim(part.select("p_partkey")),
             ps.ps_partkey == F.col("p_partkey"),
             "left_semi",
         )
@@ -1063,7 +1072,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         sole_late.join(
-            F.broadcast(
+            bdim(
                 supp.join(
                     F.broadcast(nation),
                     F.col("s_nationkey") == F.col("n_nationkey"),

@@ -144,3 +144,50 @@ def test_approx_percentile_within_tolerance(spark):
     for r in rows:
         assert r.approx_ok
         assert r.exact_p50_cents <= r.exact_p90_cents
+
+
+def test_broadcast_if_dim_size_gate(spark):
+    # VERDICT r02 "What's wrong #1": a forced broadcast() hint on a
+    # scale-growing relation (part/supplier/per-part aggregates)
+    # overrides autoBroadcastJoinThreshold and cannot degrade at 100 TB.
+    # broadcast_if_dim must (a) hint small dims, (b) leave oversized
+    # build sides unhinted so the initial plan is a shuffle join.
+    from tajo_spark.plans.hints import broadcast_if_dim, plan_size_bytes
+
+    part = load_table(spark, SF_DIR, "part")
+    li = load_table(spark, SF_DIR, "lineitem")
+
+    size = plan_size_bytes(part)
+    assert size is not None and size > 0
+
+    # small side under the bound → hinted broadcast in the initial plan
+    hinted = li.join(broadcast_if_dim(part), li.l_partkey == part.p_partkey)
+    assert "BroadcastHashJoin" in plan_of(hinted)
+
+    # same relation over the bound (max_bytes=0 simulates the 100 TB
+    # part table) → NO hint; with auto-broadcast disabled the initial
+    # plan must be a shuffle join, proving nothing forces a broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        gated = li.join(
+            broadcast_if_dim(part, max_bytes=0), li.l_partkey == part.p_partkey
+        )
+        plan = plan_of(gated)
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+
+
+def test_tpch_no_unconditional_broadcast_of_growing_tables():
+    # source-level pin: part / supplier / per-part aggregates must never
+    # carry a bare F.broadcast hint in the TPC-H bodies (region/nation
+    # and one-row aggregates are the only legitimate unconditional hints)
+    import re
+
+    src = open("tajo_spark/queries/tpch.py").read()
+    for m in re.finditer(r"F\.broadcast\(\s*(\w+)", src):
+        assert m.group(1) in {
+            "nation", "region", "n1", "n2",     # fixed-cardinality dims
+            "max_rev", "avg_bal", "thresh", "n", # one-row aggregates
+        }, f"unconditional broadcast of scale-growing relation: {m.group(0)}"
