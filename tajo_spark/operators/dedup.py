@@ -273,7 +273,7 @@ def write_banded_signatures(
     banded: DataFrame, path: str, mode: str = "append"
 ) -> None:
     """Append already-computed (doc_id, band_id, bh) rows to the store —
-    the path callers holding signatures (incremental_dedup_apply's
+    the path callers holding batch signatures (incremental_dedup_apply's
     ``return_signatures``) use so nothing is ever signed twice."""
     banded.write.partitionBy("band_id").mode(mode).parquet(path)
 
@@ -304,11 +304,15 @@ def incremental_dedup_apply(
     cost scales with |batch|, not |corpus|. Documents are identified
     by ``doc_id`` (the banding pipeline's key column).
 
-    ``return_signatures=True`` additionally returns the SURVIVORS'
-    banded keys sliced from the already-computed batch signatures —
-    the store-append input for a caller honoring the "never re-signs"
-    contract (re-deriving them from survivor text would re-run the
-    whole minhash pipeline).
+    ``return_signatures=True`` additionally returns the checkpointed
+    BATCH signatures (every new doc's banded keys) — the caller slices
+    them to its survivors (a doc_id semi-join) for the store append,
+    honoring the "never re-signs" contract.  Returning the batch frame
+    rather than a survivor slice lets the caller semi-join against its
+    *own* (typically checkpointed) survivors, so the append job reuses
+    materialized blocks instead of re-running the store probe — which
+    would otherwise re-read the store in the same action that appends
+    to it.
     """
     nb = banded_long(new_docs, text_col).localCheckpoint()
     vs_store = (
@@ -324,10 +328,7 @@ def incremental_dedup_apply(
     dropped = vs_store.union(vs_batch).distinct()
     survivors = new_docs.join(dropped, "doc_id", "left_anti")
     if return_signatures:
-        surv_sigs = nb.join(
-            survivors.select("doc_id"), "doc_id", "left_semi"
-        )
-        return survivors, surv_sigs
+        return survivors, nb
     return survivors
 
 

@@ -104,6 +104,12 @@ def connected_components(
         if converged:
             break
     if not converged:
+        # the fused seed counts as round 1, so a loop that never ran
+        # (max_iter=1) or exhausted may still hold final labels — probe
+        # once before declaring failure
+        probe = _propagate_round(both, labels)
+        converged = probe.filter(F.col("__changed")).isEmpty()
+    if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "(label-propagation diameter exceeds max_iter); raise "
@@ -163,32 +169,40 @@ def connected_components_star(
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
             .distinct()
         )
-        # -- small-star on the large-star output: pairs toward smaller
+        # -- small-star on the large-star output: ONE join emits both
+        # orientations (v→m and u→m) via explode — the r02 version
+        # joined directed⋈mins2 twice
         directed = large.select(
             F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         ).filter(F.col("u") != F.col("v"))
         mins2 = _star_min(directed)
-        small = (
+        emit = (
             directed.join(mins2, "u")
-            .select(F.col("v").alias("a"), F.col("m").alias("b"))
-            .union(
-                directed.join(mins2, "u").select(
-                    F.col("u").alias("a"), F.col("m").alias("b")
-                )
+            .select(
+                F.explode(F.array("v", "u")).alias("a"),
+                F.col("m").alias("b"),
             )
             .filter(F.col("a") != F.col("b"))
-            .distinct()
+        )
+        # the edge-dedup shuffle doubles as the fixpoint probe: tag new
+        # vs old rows and group ONCE — __mx=0 marks a removed edge,
+        # __mn=1 an added one; a stable star forest has neither. The
+        # probe is then a filter-scan of the checkpointed blocks,
+        # replacing the r02 version's two exceptAll join jobs per round.
+        status = (
+            emit.select("a", "b", F.lit(1).alias("__new"))
+            .union(e.select("a", "b", F.lit(0).alias("__new")))
+            .groupBy("a", "b")
+            .agg(F.min("__new").alias("__mn"), F.max("__new").alias("__mx"))
             .localCheckpoint()
         )
-        # fixpoint: the edge set is a stable star forest when a round
-        # changes nothing (set equality via two anti-join probes over
-        # checkpointed blocks)
-        changed = (
-            small.exceptAll(e).limit(1).isEmpty()
-            and e.exceptAll(small).limit(1).isEmpty()
+        converged = (
+            status.filter((F.col("__mn") == 1) | (F.col("__mx") == 0))
+            .limit(1)
+            .isEmpty()
         )
-        e = small
-        if changed:
+        e = status.filter(F.col("__mx") == 1).select("a", "b")
+        if converged:
             break
     else:
         raise RuntimeError(

@@ -296,6 +296,27 @@ def translate_create_table(sql: str) -> str:
         cols_sql = "(" + translate_column_defs(
             convert_record_types(cols_body)
         ) + ")"
+    part_names: list[str] = []
+    if m.group("parts"):
+        # Tajo: PARTITION BY COLUMN (c TYPE, ...) declares partition
+        # columns OUTSIDE the main column list (CreateTableNode appends
+        # them to the table schema); Spark datasource tables want the
+        # defs in the schema and names-only in PARTITIONED BY — so fold
+        # typed defs into the column list
+        part_defs = [
+            c.strip()
+            for c in _split_top_level(m.group("parts"))
+            if c.strip()
+        ]
+        part_names = [d.split()[0] for d in part_defs]
+        typed = [d for d in part_defs if len(d.split(None, 1)) == 2]
+        if cols_sql and typed:
+            cols_sql = (
+                cols_sql[:-1]
+                + ", "
+                + translate_column_defs(", ".join(typed))
+                + ")"
+            )
     parts = [
         "CREATE TABLE",
         m.group(2) or "",
@@ -305,14 +326,8 @@ def translate_create_table(sql: str) -> str:
     ]
     if m.group("opts"):
         parts.append(f"OPTIONS ({_translate_options(m.group('opts'))})")
-    if m.group("parts"):
-        # Tajo: PARTITION BY COLUMN (c TYPE, ...) — Spark wants names only
-        cols = [
-            c.strip().split()[0]
-            for c in m.group("parts").split(",")
-            if c.strip()
-        ]
-        parts.append(f"PARTITIONED BY ({', '.join(cols)})")
+    if part_names:
+        parts.append(f"PARTITIONED BY ({', '.join(part_names)})")
     if m.group("loc"):
         parts.append(f"LOCATION '{m.group('loc')}'")
     if m.group("asq"):
@@ -514,6 +529,13 @@ _CODEC_REWRITE = {
     ("encode", "hex"): "lower(hex(CAST({0} AS BINARY)))",
     ("decode", "base64"): "CAST(unbase64({0}) AS STRING)",
     ("decode", "hex"): "CAST(unhex({0}) AS STRING)",
+    # 'escape' is DOCUMENTED in Encode.java/Decode.java but their
+    # implementations return NULL for it (the trailing else branch,
+    # Encode.java:92-93) — a typed NULL is exact reference parity, and
+    # beats falling through to Spark's charset builtin, which would
+    # error on the unknown charset 'escape'
+    ("encode", "escape"): "CAST(NULL AS STRING)",
+    ("decode", "escape"): "CAST(NULL AS STRING)",
 }
 
 

@@ -70,6 +70,11 @@ def _table_name(path: str, fmt: str, schema_ddl: str = "") -> str:
     return f"tajo_hive_{fmt.lower()}_{digest}"
 
 
+def _q(path: str) -> str:
+    # same single-quote escaping register_hive_udf applies to jar paths
+    return path.replace("'", "''")
+
+
 def _check_fmt(fmt: str) -> str:
     fmt = fmt.upper()
     if fmt not in _HIVE_FORMATS or not re.fullmatch(r"[A-Z]+", fmt):
@@ -89,7 +94,7 @@ def write_stored_as(df: DataFrame, path: str, fmt: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     spark.sql(
         f"CREATE EXTERNAL TABLE {name} ({_ddl_cols(df)}) "
-        f"STORED AS {fmt} LOCATION '{path}'"
+        f"STORED AS {fmt} LOCATION '{_q(path)}'"
     )
     try:
         spark.sql(f"INSERT OVERWRITE TABLE {name} SELECT * FROM {view}")
@@ -115,7 +120,7 @@ def read_stored_as(
     name = _table_name(path, fmt, schema_ddl)
     spark.sql(
         f"CREATE EXTERNAL TABLE IF NOT EXISTS {name} ({schema_ddl}) "
-        f"STORED AS {fmt} LOCATION '{path}'"
+        f"STORED AS {fmt} LOCATION '{_q(path)}'"
     )
     return spark.table(name)
 

@@ -409,7 +409,7 @@ def incremental_dedup_stream(
             store = spark.createDataFrame(
                 [], "doc_id BIGINT, band_id INT, bh STRING"
             )
-        survivors, surv_sigs = _dedup.incremental_dedup_apply(
+        survivors, batch_sigs = _dedup.incremental_dedup_apply(
             batch_df, store, return_signatures=True
         )
         survivors = survivors.localCheckpoint()
@@ -419,6 +419,14 @@ def incremental_dedup_stream(
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
             .parquet(survivors_path)
+        )
+        # slice the (checkpointed) batch signatures against the
+        # CHECKPOINTED survivors: the append job then reuses the
+        # materialized blocks instead of re-running the store probe —
+        # which would re-read store_path in the same action that
+        # appends to it
+        surv_sigs = batch_sigs.join(
+            survivors.select("doc_id"), "doc_id", "left_semi"
         )
         _dedup.write_banded_signatures(surv_sigs, store_path)
         # drop this batch's localCheckpoint blocks (batch signatures +

@@ -214,3 +214,54 @@ def test_create_table_like(engine, spark):
     assert copy.count() == 0  # schema only, never data
     engine.execute_sql("DROP TABLE ddl_t.like_copy")
     engine.execute_sql("DROP TABLE ddl_t.like_base")
+
+
+def test_alter_table_partition_mutation_and_repair(engine, spark, tmp_path):
+    # AlterTableNode ADD/DROP PARTITION + repair partition parity
+    # (SURVEY §2.11; reference executes these in DDLExecutor). Spark SQL
+    # supports the same forms natively on a catalog-partitioned table.
+    engine.execute_sql("DROP TABLE IF EXISTS ddl_t.pm")
+    # Tajo spelling: partition columns are declared OUTSIDE the column
+    # list (PARTITION BY COLUMN, SQLParser.g4 create-table rules); the
+    # dialect folds them into the Spark schema + PARTITIONED BY names
+    engine.execute_sql(
+        "CREATE TABLE ddl_t.pm (k INT4) USING PARQUET "
+        "PARTITION BY COLUMN (status TEXT)"
+    )
+    engine.execute_sql("INSERT INTO ddl_t.pm VALUES (1, 'A'), (2, 'B')")
+
+    # ADD PARTITION: registers an (empty) partition in the catalog
+    engine.execute_sql("ALTER TABLE ddl_t.pm ADD PARTITION (status='X')")
+    parts = [
+        r.partition for r in spark.sql("SHOW PARTITIONS ddl_t.pm").collect()
+    ]
+    assert "status=X" in parts
+
+    # repair partition: drop files in by hand, then MSCK REPAIR picks
+    # the directory up (the reference's "repair partition" form)
+    loc = (
+        spark.sql("DESCRIBE TABLE EXTENDED ddl_t.pm")
+        .filter("col_name = 'Location'")
+        .collect()[0]
+        .data_type
+    )
+    spark.createDataFrame([(9,)], "k INT").write.mode("overwrite").parquet(
+        loc + "/status=Z"
+    )
+    engine.execute_sql("MSCK REPAIR TABLE ddl_t.pm")
+    parts = [
+        r.partition for r in spark.sql("SHOW PARTITIONS ddl_t.pm").collect()
+    ]
+    assert "status=Z" in parts
+    got = engine.execute_sql(
+        "SELECT k FROM ddl_t.pm WHERE status = 'Z'"
+    ).collect()
+    assert [r.k for r in got] == [9]
+
+    # DROP PARTITION: data no longer visible through the table
+    engine.execute_sql("ALTER TABLE ddl_t.pm DROP PARTITION (status='B')")
+    rows = engine.execute_sql(
+        "SELECT k, status FROM ddl_t.pm ORDER BY k"
+    ).collect()
+    assert [(r.k, r.status) for r in rows] == [(1, "A"), (9, "Z")]
+    engine.execute_sql("DROP TABLE ddl_t.pm")
