@@ -91,10 +91,45 @@ def _merge_pair(pieces: F.Column, a: str, b: str) -> F.Column:
     )
 
 
+def _select_batch(
+    candidates, k: int
+) -> list[tuple[str, str, int]]:
+    """Greedy prefix of ``candidates`` (ordered by freq desc, a, b)
+    that is safe to apply in ONE round: admission stops at the first
+    candidate that *interacts* with an already-admitted merge — shares
+    a symbol with it, contains its produced symbol, or produces a
+    symbol it uses.
+
+    Why strict stop (not skip-and-continue): every pair that touches an
+    admitted symbol and has frequency ≥ the last admitted frequency
+    would appear EARLIER in the candidate order and end the batch
+    there. So at admission time, all interacting pairs — and therefore
+    every pair the batch's merges can newly create (freq(x, ab) ≤
+    freq(x, a)) — rank strictly below the batch, which is exactly the
+    condition under which applying the batch in one pass reproduces
+    the sequential algorithm's choices. The only residual divergence
+    is a frequency TIE straddling the batch boundary, where sequential
+    lexicographic recounting may prefer a newly-created pair — benign
+    (a different but equally-frequent merge) and pinned as such in
+    tests/test_bpe.py.
+    """
+    batch: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    for a, b, freq in candidates:
+        if len(batch) >= k:
+            break
+        if a in used or b in used or (a + b) in used:
+            break
+        batch.append((a, b, freq))
+        used.update((a, b, a + b))
+    return batch
+
+
 def train_bpe(
     docs: DataFrame,
     n_merges: int = 8,
     text_col: str = "text",
+    batch_k: int = 1,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns
     ``[(rank, left, right, freq), ...]`` in merge order.
@@ -103,6 +138,16 @@ def train_bpe(
     would memorize single occurrences). The returned list is the
     tokenizer's merge table — metadata-sized by construction (one row
     per merge), which is why collecting it to the driver is correct.
+
+    ``batch_k`` bounds how many *mutually non-interacting* merges one
+    round may admit (see :func:`_select_batch`). At 1 this is the
+    textbook sequential algorithm: one pair-count shuffle + one
+    TakeOrdered(1) scalar per merge — fine for a demo vocabulary but
+    ~2 jobs/merge, i.e. ~64k sequential jobs for a production 32k-merge
+    vocab. With ``batch_k=64`` a round still costs the same two jobs
+    but admits up to 64 merges, collapsing a 32k-vocab train to
+    ~hundreds of rounds; the collect stays metadata-sized (top ~4k
+    candidate rows, not data).
     """
     state = (
         word_freq(docs, text_col)
@@ -110,24 +155,29 @@ def train_bpe(
         .localCheckpoint()
     )
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
-        best = (
+    while len(merges) < n_merges:
+        k = min(batch_k, n_merges - len(merges))
+        top = (
             state.select(
                 "cnt", F.explode(_adjacent_pairs(F.col("pieces"))).alias("p")
             )
             .groupBy("p.a", "p.b")
             .agg(F.sum("cnt").alias("freq"))
+            .filter(F.col("freq") >= 2)
             .orderBy(F.desc("freq"), F.asc("a"), F.asc("b"))
-            .limit(1)
+            .limit(max(4 * k, 8))
             .collect()
         )
-        if not best or best[0].freq < 2:
+        batch = _select_batch(
+            [(r.a, r.b, int(r.freq)) for r in top], k
+        )
+        if not batch:
             break
-        a, b, freq = best[0].a, best[0].b, int(best[0].freq)
-        merges.append((rank, a, b, freq))
-        state = state.select(
-            "cnt", _merge_pair(F.col("pieces"), a, b).alias("pieces")
-        ).localCheckpoint()
+        pieces = F.col("pieces")
+        for a, b, freq in batch:
+            merges.append((len(merges) + 1, a, b, freq))
+            pieces = _merge_pair(pieces, a, b)
+        state = state.select("cnt", pieces.alias("pieces")).localCheckpoint()
     return merges
 
 
@@ -145,29 +195,42 @@ def apply_bpe(
     docs: DataFrame,
     merges: list[tuple[int, str, str, int]],
     text_col: str = "text",
+    fold_chunk: int = 64,
 ) -> DataFrame:
     """Tokenize with a learned merge table: (doc_id, n_chars_tok,
     n_bpe_tokens) — the encode stage of the tokenizer.
 
     Each merge is one more pure-HOF fold over the per-word symbol
     arrays (same left-to-right pass as training), applied in rank
-    order; the whole encode is a single zero-shuffle projection per
-    document, so at 100 TB it rides the scan. Token accounting comes
-    back aggregated per doc (words exploded once, map-side combine).
+    order. Up to ``fold_chunk`` folds compose into ONE zero-shuffle
+    projection; a production 32k-merge vocabulary would otherwise nest
+    32k folds into a single expression tree, which Catalyst's analyzer
+    and codegen cannot survive — so every ``fold_chunk`` merges the
+    lineage is truncated with a localCheckpoint (still shuffle-free:
+    each chunk is a map-only stage over the previous chunk's blocks).
+    Token accounting comes back aggregated per doc (words exploded
+    once, map-side combine).
     """
     words = docs.select(
         "doc_id", F.explode(_tokens(F.col(text_col))).alias("w")
     ).filter(F.col("w") != "")
-    pieces = _initial_symbols()
-    n_chars = F.size(pieces)
-    for _rank, a, b, _freq in merges:
-        pieces = _merge_pair(pieces, a, b)
+    staged = words.select(
+        "doc_id",
+        F.size(_initial_symbols()).alias("nc"),
+        _initial_symbols().alias("pieces"),
+    )
+    for start in range(0, len(merges), fold_chunk):
+        chunk = merges[start : start + fold_chunk]
+        if start > 0:
+            # cap expression depth between chunks (no-op for vocabs
+            # under fold_chunk — the common demo path stays one stage)
+            staged = staged.localCheckpoint()
+        pieces = F.col("pieces")
+        for _rank, a, b, _freq in chunk:
+            pieces = _merge_pair(pieces, a, b)
+        staged = staged.select("doc_id", "nc", pieces.alias("pieces"))
     return (
-        words.select(
-            "doc_id",
-            n_chars.alias("nc"),
-            F.size(pieces).alias("nt"),
-        )
+        staged.select("doc_id", "nc", F.size("pieces").alias("nt"))
         .groupBy("doc_id")
         .agg(
             F.sum("nc").cast("long").alias("n_chars_tok"),

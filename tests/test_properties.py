@@ -225,3 +225,33 @@ def test_bpe_training_matches_reference_random(spark, texts, n_merges):
     assert train_bpe(docs, n_merges=n_merges) == _reference_bpe(
         texts, n_merges
     )
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(alphabet="abcd", min_size=1, max_size=5),
+            min_size=0,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    batch_k=st.sampled_from([2, 4]),
+)
+def test_bpe_batched_training_tie_safe_random(spark, texts, batch_k):
+    """Batched training on ARBITRARY corpora either reproduces the
+    sequential reference exactly, or first diverges at a frequency tie
+    (the documented benign case) — never at unequal frequencies, which
+    would mean the strict-stop admission rule let interacting merges
+    corrupt the counts."""
+    from tajo_spark.operators.bpe import train_bpe
+    from tests.test_bpe import _first_divergence_is_freq_tie, _reference_bpe
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id INT, text STRING"
+    )
+    got = train_bpe(docs, n_merges=5, batch_k=batch_k)
+    want = _reference_bpe(texts, 5)
+    assert _first_divergence_is_freq_tie(got, want), (got, want)
