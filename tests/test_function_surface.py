@@ -181,3 +181,42 @@ def test_geoip_stub_surface(eng):
         "inet_ntoa(16909060)",
     ]:
         assert _run(eng, expr) is not None, expr
+
+
+def test_geoip_prefix_table_broadcast_join(spark):
+    # the documented production deployment shape behind the stubs
+    # (functions/geoip.py): CIDR table → /16-bucket broadcast equi-join
+    # with a range residual; fact side never shuffles
+    from tajo_spark.functions import geoip
+    from tajo_spark.plans.inspect import formatted_plan
+
+    lookup = geoip.cidr_lookup_table(
+        spark,
+        [
+            ("10.0.0.0/8", "AA"),       # wider than /16 → many buckets
+            ("192.168.1.0/24", "BB"),   # narrower → one bucket
+            ("192.168.2.128/25", "CC"),
+        ],
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "10.1.2.3"),
+            (2, "192.168.1.77"),
+            (3, "192.168.2.200"),
+            (4, "192.168.2.5"),    # outside the /25
+            (5, "8.8.8.8"),        # unmatched
+            (6, "not-an-ip"),      # malformed → NULL
+        ],
+        "k INT, ip STRING",
+    )
+    got = {
+        r.k: r.country_code
+        for r in geoip.attach_country_code(df, lookup).collect()
+    }
+    assert got == {1: "AA", 2: "BB", 3: "CC", 4: None, 5: None, 6: None}
+    plan = formatted_plan(geoip.attach_country_code(df, lookup))
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+
+    hits = geoip.in_country(df, lookup, "AA").collect()
+    assert [r.k for r in hits] == [1]
