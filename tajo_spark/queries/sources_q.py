@@ -235,3 +235,32 @@ def src_time_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # CAST TIME->STRING renders HH:mm:ss (fraction omitted at 0)
         F.col("t").cast("string").alias("t_str"),
     )
+
+
+@query(
+    "src_avro_roundtrip",
+    "scan",
+    doc="AVRO round-trip: supplier written as Avro object-container "
+    "files and read back — AvroScanner.java:53 / AvroAppender parity. "
+    "Runs the pure-Python container codec (sources/avro_py.py: "
+    "per-partition deflate-coded writes through pyarrow.fs, "
+    "binaryFile + Arrow mapInPandas decode) unless spark-avro is on "
+    "the classpath, in which case the JVM datasource serves the same "
+    "surface.",
+    oracle="""
+        SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+               CAST(round(s_acctbal, 2) AS DOUBLE) AS s_acctbal
+        FROM supplier
+    """,
+)
+def src_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.sources import formats
+
+    path = os.path.join(_tmp("avro"), "supplier_avro")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+        "s_name",
+        F.round("s_acctbal", 2).cast("double").alias("s_acctbal"),
+    )
+    formats.write_avro(supp, path)
+    return formats.read_avro(spark, path)

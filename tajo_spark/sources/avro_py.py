@@ -1,0 +1,619 @@
+"""AVRO object-container files without spark-avro on the classpath.
+
+Reference parity: the reference scans Avro natively
+(tajo-storage-hdfs/.../avro/AvroScanner.java:53, writer
+AvroAppender.java) as one of its catalog formats
+(BuiltinStorages.java). Spark's ``spark-avro`` module is a separate
+artifact that is not always deployable, so this module implements the
+Avro 1.x **object container file** format (a public, fully-specified
+binary format: magic ``Obj\\x01``, metadata map carrying the writer
+schema JSON + codec, sync-marker-delimited blocks of binary-encoded
+rows) in pure Python, executed distributed:
+
+* **read**: one driver-side header peek resolves the writer schema →
+  Spark schema; then ``binaryFile`` scan → Arrow ``mapInPandas``
+  decode, one task per file — the same per-fragment granularity as the
+  reference's scanner (Avro files split on sync markers; a production
+  extension would scan markers for sub-file splits, but fragment-per-
+  file matches AvroScanner's unit of work).
+* **write**: every partition encodes its Arrow batches into ONE
+  container file streamed through ``pyarrow.fs`` (so local, HDFS and
+  S3 URIs all work executor-side), emitting a manifest row per file —
+  no data ever moves through the driver.
+
+Codecs: ``null`` and ``deflate`` (raw DEFLATE, per the spec — both
+sides of the reference's io.compression defaults). Types: all Avro
+primitives, records, enums, fixed, arrays, maps, nullable unions, and
+the date / timestamp-micros / timestamp-millis logical types.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import uuid
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAGIC = b"Obj\x01"
+SYNC_SIZE = 16
+_DEFAULT_BLOCK_ROWS = 4096
+
+# ---------------------------------------------------------------------------
+# binary primitives (Avro spec: zigzag varint longs, little-endian IEEE)
+# ---------------------------------------------------------------------------
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _write_long(out: io.BytesIO, n: int) -> None:
+    n = _zigzag(n) & 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.write(bytes((b | 0x80,)))
+        else:
+            out.write(bytes((b,)))
+            return
+
+
+def _write_bytes(out: io.BytesIO, b: bytes) -> None:
+    _write_long(out, len(b))
+    out.write(b)
+
+
+def _write_str(out: io.BytesIO, s: str) -> None:
+    _write_bytes(out, s.encode("utf-8"))
+
+
+class _Decoder:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes, pos: int = 0) -> None:
+        self.buf = buf
+        self.pos = pos
+
+    def read_long(self) -> int:
+        n = shift = 0
+        while True:
+            b = self.buf[self.pos]
+            self.pos += 1
+            n |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return _unzigzag(n)
+            shift += 7
+
+    def read_bytes(self) -> bytes:
+        ln = self.read_long()
+        out = self.buf[self.pos : self.pos + ln]
+        self.pos += ln
+        return bytes(out)
+
+    def read_str(self) -> str:
+        return self.read_bytes().decode("utf-8")
+
+    def read_fixed(self, n: int) -> bytes:
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# schema mapping (Avro JSON <-> Spark types)
+# ---------------------------------------------------------------------------
+
+
+def avro_to_spark_type(schema) -> tuple[T.DataType, bool]:
+    """(spark type, nullable) for an Avro schema node."""
+    if isinstance(schema, str):
+        prim = {
+            "null": T.NullType(),
+            "boolean": T.BooleanType(),
+            "int": T.IntegerType(),
+            "long": T.LongType(),
+            "float": T.FloatType(),
+            "double": T.DoubleType(),
+            "bytes": T.BinaryType(),
+            "string": T.StringType(),
+        }
+        return prim[schema], schema == "null"
+    if isinstance(schema, list):  # union
+        branches = [b for b in schema if b != "null"]
+        if len(branches) != 1:
+            raise NotImplementedError(f"non-simple union: {schema}")
+        dt, _ = avro_to_spark_type(branches[0])
+        return dt, True
+    t = schema["type"]
+    logical = schema.get("logicalType")
+    if logical == "date":
+        return T.DateType(), False
+    if logical in ("timestamp-micros", "timestamp-millis"):
+        return T.TimestampType(), False
+    if logical in ("local-timestamp-micros", "local-timestamp-millis"):
+        return T.TimestampNTZType(), False
+    if t == "record":
+        fields = [
+            T.StructField(f["name"], *avro_to_spark_type(f["type"]))
+            for f in schema["fields"]
+        ]
+        return T.StructType(fields), False
+    if t == "array":
+        dt, nn = avro_to_spark_type(schema["items"])
+        return T.ArrayType(dt, containsNull=nn), False
+    if t == "map":
+        dt, nn = avro_to_spark_type(schema["values"])
+        return T.MapType(T.StringType(), dt, valueContainsNull=nn), False
+    if t == "enum":
+        return T.StringType(), False
+    if t == "fixed":
+        return T.BinaryType(), False
+    return avro_to_spark_type(t)  # {"type": "long", ...} wrapper
+
+
+def spark_to_avro_schema(schema: T.StructType, name: str = "topLevelRecord"):
+    def conv(dt: T.DataType, nullable: bool, path: str):
+        if isinstance(dt, T.BooleanType):
+            core = "boolean"
+        elif isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+            core = "int"
+        elif isinstance(dt, T.LongType):
+            core = "long"
+        elif isinstance(dt, T.FloatType):
+            core = "float"
+        elif isinstance(dt, T.DoubleType):
+            core = "double"
+        elif isinstance(dt, T.StringType):
+            core = "string"
+        elif isinstance(dt, T.BinaryType):
+            core = "bytes"
+        elif isinstance(dt, T.DateType):
+            core = {"type": "int", "logicalType": "date"}
+        elif isinstance(dt, T.TimestampNTZType):
+            core = {"type": "long", "logicalType": "local-timestamp-micros"}
+        elif isinstance(dt, T.TimestampType):
+            core = {"type": "long", "logicalType": "timestamp-micros"}
+        elif isinstance(dt, T.ArrayType):
+            core = {
+                "type": "array",
+                "items": conv(dt.elementType, dt.containsNull, path + "_i"),
+            }
+        elif isinstance(dt, T.StructType):
+            core = {
+                "type": "record",
+                "name": path,
+                "fields": [
+                    {
+                        "name": f.name,
+                        "type": conv(f.dataType, f.nullable, path + "_" + f.name),
+                    }
+                    for f in dt.fields
+                ],
+            }
+        elif isinstance(dt, T.MapType):
+            core = {
+                "type": "map",
+                "values": conv(dt.valueType, dt.valueContainsNull, path + "_v"),
+            }
+        else:
+            raise NotImplementedError(f"no Avro mapping for {dt}")
+        return ["null", core] if nullable else core
+
+    return {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {"name": f.name, "type": conv(f.dataType, f.nullable, f.name)}
+            for f in schema.fields
+        ],
+    }
+
+
+# ---------------------------------------------------------------------------
+# value codec
+# ---------------------------------------------------------------------------
+
+
+def _decode_value(schema, dec: _Decoder):
+    if isinstance(schema, str):
+        if schema == "null":
+            return None
+        if schema == "boolean":
+            b = dec.buf[dec.pos]
+            dec.pos += 1
+            return b == 1
+        if schema in ("int", "long"):
+            return dec.read_long()
+        if schema == "float":
+            v = struct.unpack_from("<f", dec.buf, dec.pos)[0]
+            dec.pos += 4
+            return v
+        if schema == "double":
+            v = struct.unpack_from("<d", dec.buf, dec.pos)[0]
+            dec.pos += 8
+            return v
+        if schema == "bytes":
+            return dec.read_bytes()
+        if schema == "string":
+            return dec.read_str()
+        raise NotImplementedError(schema)
+    if isinstance(schema, list):  # union: branch index then value
+        branch = schema[dec.read_long()]
+        return _decode_value(branch, dec)
+    t = schema["type"]
+    logical = schema.get("logicalType")
+    if logical == "date":
+        import datetime
+
+        return datetime.date(1970, 1, 1) + datetime.timedelta(
+            days=dec.read_long()
+        )
+    if logical in (
+        "timestamp-micros", "timestamp-millis",
+        "local-timestamp-micros", "local-timestamp-millis",
+    ):
+        import datetime
+
+        n = dec.read_long()
+        us = n if logical.endswith("micros") else n * 1000
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            microseconds=us
+        )
+    if t == "record":
+        # dicts, not tuples: Arrow converts dict cells to struct columns
+        # for nested records; the top level is unpacked by the caller
+        return {f["name"]: _decode_value(f["type"], dec) for f in schema["fields"]}
+    if t == "enum":
+        return schema["symbols"][dec.read_long()]
+    if t == "fixed":
+        return dec.read_fixed(schema["size"])
+    if t == "array":
+        out = []
+        while True:
+            count = dec.read_long()
+            if count == 0:
+                return out
+            if count < 0:
+                count = -count
+                dec.read_long()  # block byte size, unused
+            for _ in range(count):
+                out.append(_decode_value(schema["items"], dec))
+    if t == "map":
+        out = {}
+        while True:
+            count = dec.read_long()
+            if count == 0:
+                return out
+            if count < 0:
+                count = -count
+                dec.read_long()
+            for _ in range(count):
+                # bind the key BEFORE decoding the value: Python
+                # evaluates the assignment RHS first, which would consume
+                # the value bytes as the key string
+                k = dec.read_str()
+                out[k] = _decode_value(schema["values"], dec)
+    return _decode_value(t, dec)
+
+
+def _encode_value(schema, v, out: io.BytesIO) -> None:
+    if isinstance(schema, str):
+        if schema == "null":
+            return
+        if schema == "boolean":
+            out.write(b"\x01" if v else b"\x00")
+        elif schema in ("int", "long"):
+            _write_long(out, int(v))
+        elif schema == "float":
+            out.write(struct.pack("<f", float(v)))
+        elif schema == "double":
+            out.write(struct.pack("<d", float(v)))
+        elif schema == "bytes":
+            _write_bytes(out, bytes(v))
+        elif schema == "string":
+            _write_str(out, str(v))
+        else:
+            raise NotImplementedError(schema)
+        return
+    if isinstance(schema, list):  # union — pick null vs the value branch
+        if v is None:
+            idx = schema.index("null")
+            _write_long(out, idx)
+            return
+        idx = next(i for i, b in enumerate(schema) if b != "null")
+        _write_long(out, idx)
+        _encode_value(schema[idx], v, out)
+        return
+    t = schema["type"]
+    logical = schema.get("logicalType")
+    if logical == "date":
+        import datetime
+
+        _write_long(out, (v - datetime.date(1970, 1, 1)).days)
+        return
+    if logical in (
+        "timestamp-micros", "timestamp-millis",
+        "local-timestamp-micros", "local-timestamp-millis",
+    ):
+        import datetime
+
+        epoch = datetime.datetime(1970, 1, 1)
+        if getattr(v, "tzinfo", None) is not None:
+            v = v.replace(tzinfo=None)
+        if hasattr(v, "to_pydatetime"):
+            v = v.to_pydatetime()
+        delta = v - epoch
+        us = delta.days * 86400_000_000 + delta.seconds * 1_000_000 + delta.microseconds
+        _write_long(out, us if logical.endswith("micros") else us // 1000)
+        return
+    if t == "record":
+        if isinstance(v, dict):
+            for f in schema["fields"]:
+                _encode_value(f["type"], v[f["name"]], out)
+        else:
+            for f, item in zip(schema["fields"], v):
+                _encode_value(f["type"], item, out)
+        return
+    if t == "array":
+        items = list(v)
+        if items:
+            _write_long(out, len(items))
+            for item in items:
+                _encode_value(schema["items"], item, out)
+        _write_long(out, 0)
+        return
+    if t == "map":
+        entries = dict(v)
+        if entries:
+            _write_long(out, len(entries))
+            for k, item in entries.items():
+                _write_str(out, k)
+                _encode_value(schema["values"], item, out)
+        _write_long(out, 0)
+        return
+    if t == "enum":
+        _write_long(out, schema["symbols"].index(v))
+        return
+    if t == "fixed":
+        out.write(bytes(v))
+        return
+    _encode_value(t, v, out)
+
+
+# ---------------------------------------------------------------------------
+# container framing
+# ---------------------------------------------------------------------------
+
+
+def parse_header(buf: bytes):
+    """(schema, codec, sync_marker, position_after_header)."""
+    if buf[:4] != MAGIC:
+        raise ValueError("not an Avro object container file (bad magic)")
+    dec = _Decoder(buf, 4)
+    meta: dict[str, bytes] = {}
+    while True:
+        count = dec.read_long()
+        if count == 0:
+            break
+        if count < 0:
+            count = -count
+            dec.read_long()
+        for _ in range(count):
+            k = dec.read_str()
+            meta[k] = dec.read_bytes()
+    sync = dec.read_fixed(SYNC_SIZE)
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    return schema, codec, sync, dec.pos
+
+
+def decode_container(buf: bytes):
+    """Yield decoded row tuples from a full container file's bytes."""
+    schema, codec, sync, pos = parse_header(buf)
+    if schema.get("type") != "record":
+        raise NotImplementedError("top-level Avro schema must be a record")
+    dec = _Decoder(buf, pos)
+    n = len(buf)
+    while dec.pos < n:
+        rows = dec.read_long()
+        size = dec.read_long()
+        block = dec.read_fixed(size)
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        elif codec != "null":
+            raise NotImplementedError(f"Avro codec {codec!r}")
+        if dec.read_fixed(SYNC_SIZE) != sync:
+            raise ValueError("sync marker mismatch (corrupt block)")
+        bdec = _Decoder(block)
+        names = [f["name"] for f in schema["fields"]]
+        for _ in range(rows):
+            rec = _decode_value(schema, bdec)
+            yield tuple(rec[n] for n in names)
+
+
+def _encode_header(out, schema, codec: str, sync: bytes) -> None:
+    out.write(MAGIC)
+    _write_long(out, 2)
+    _write_str(out, "avro.schema")
+    _write_bytes(out, json.dumps(schema).encode("utf-8"))
+    _write_str(out, "avro.codec")
+    _write_bytes(out, codec.encode("utf-8"))
+    _write_long(out, 0)
+    out.write(sync)
+
+
+def encode_container(
+    rows, schema, codec: str = "deflate", block_rows: int = _DEFAULT_BLOCK_ROWS
+) -> bytes:
+    """Container bytes for an iterable of row tuples (test/driver-side
+    helper; the distributed writer streams the same framing)."""
+    out = io.BytesIO()
+    sync = uuid.uuid4().bytes
+    _encode_header(out, schema, codec, sync)
+    _write_blocks(out, rows, schema, codec, sync, block_rows)
+    return out.getvalue()
+
+
+def _write_blocks(out, rows, schema, codec, sync, block_rows) -> None:
+    it = iter(rows)
+    while True:
+        block = io.BytesIO()
+        n = 0
+        for v in it:
+            _encode_value(schema, v, block)
+            n += 1
+            if n >= block_rows:
+                break
+        if n == 0:
+            return
+        data = block.getvalue()
+        if codec == "deflate":
+            comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+            data = comp.compress(data) + comp.flush()
+        _write_long(out, n)
+        _write_long(out, len(data))
+        out.write(data)
+        out.write(sync)
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+# ---------------------------------------------------------------------------
+
+
+def _fs_for(path: str):
+    import pyarrow.fs as pafs
+
+    return pafs.FileSystem.from_uri(path)
+
+
+def _peek_schema(path: str):
+    """Driver-side header read of ONE file to resolve the schema —
+    SelfDescSchemaBuildPhase parity (the reference infers Avro schemas
+    from file metadata at plan time)."""
+    fs, p = _fs_for(path)
+    info = fs.get_file_info(p)
+    import pyarrow.fs as pafs
+
+    if info.type == pafs.FileType.Directory:
+        files = [
+            f.path
+            for f in fs.get_file_info(pafs.FileSelector(p, recursive=True))
+            if f.is_file and f.path.endswith(".avro")
+        ]
+        if not files:
+            raise FileNotFoundError(f"no .avro files under {path}")
+        p = sorted(files)[0]
+    with fs.open_input_file(p) as f:
+        head = f.read(1 << 20)  # header is tiny; 1 MiB is generous
+    schema, _codec, _sync, _pos = parse_header(head)
+    return schema
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed Avro scan: binaryFile source + Arrow decode, one
+    task per container file (AvroScanner.java:53 parity)."""
+    import pandas as pd
+
+    avro_schema = _peek_schema(path)
+    spark_schema = T.StructType(
+        [
+            T.StructField(f["name"], *avro_to_spark_type(f["type"]))
+            for f in avro_schema["fields"]
+        ]
+    )
+    cols = [f.name for f in spark_schema.fields]
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(path)
+        .select("content")
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            for blob in pdf["content"]:
+                rows = list(decode_container(bytes(blob)))
+                yield pd.DataFrame(rows, columns=cols)
+
+    return bf.mapInPandas(decode, schema=spark_schema)
+
+
+def write_avro(
+    df: DataFrame, path: str, codec: str = "deflate"
+) -> list[tuple[str, int]]:
+    """Distributed Avro write: each partition streams ONE container
+    file through pyarrow.fs (local/HDFS/S3 executor-side — data never
+    visits the driver); returns the [(file, rows)] manifest
+    (AvroAppender parity)."""
+    import pandas as pd
+
+    avro_schema = spark_to_avro_schema(df.schema)
+    schema_fields = df.schema.fields
+    fs, dirpath = _fs_for(path)
+    fs.create_dir(dirpath, recursive=True)
+
+    def to_py(v, dt):
+        if v is None or v is pd.NaT or (isinstance(v, float) and v != v):
+            return None
+        if isinstance(dt, T.BinaryType):
+            return bytes(v)
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return int(v)
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            return float(v)
+        if isinstance(dt, T.DateType):
+            # pandas hands DateType cells back as date objects, but a
+            # datetime64 column yields Timestamps — normalize
+            if hasattr(v, "to_pydatetime"):
+                return v.to_pydatetime().date()
+            import datetime
+
+            if isinstance(v, datetime.datetime):
+                return v.date()
+        return v
+
+    def write_part(batches):
+        fname = None
+        stream = None
+        sync = uuid.uuid4().bytes
+        n_total = 0
+        for pdf in batches:
+            if stream is None:
+                import os
+
+                fname = f"part-{uuid.uuid4().hex}.avro"
+                stream = fs.open_output_stream(
+                    os.path.join(dirpath, fname)
+                )
+                head = io.BytesIO()
+                _encode_header(head, avro_schema, codec, sync)
+                stream.write(head.getvalue())
+            rows = (
+                tuple(
+                    to_py(v, f.dataType)
+                    for v, f in zip(row, schema_fields)
+                )
+                for row in pdf.itertuples(index=False, name=None)
+            )
+            body = io.BytesIO()
+            _write_blocks(body, rows, avro_schema, codec, sync,
+                          _DEFAULT_BLOCK_ROWS)
+            stream.write(body.getvalue())
+            n_total += len(pdf)
+        if stream is not None:
+            stream.close()
+            yield pd.DataFrame({"file": [fname], "rows": [n_total]})
+
+    manifest = df.mapInPandas(write_part, schema="file STRING, rows LONG")
+    return [(r.file, r.rows) for r in manifest.collect()]

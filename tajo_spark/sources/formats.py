@@ -137,17 +137,33 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """AVRO needs the spark-avro package on the classpath; gated so the
-    engine works without it (AvroScanner.java parity when present)."""
+    """AVRO scan (AvroScanner.java:53 parity). Prefers the JVM
+    spark-avro datasource when on the classpath (full pushdown /
+    splittability); otherwise falls back to the pure-Python container
+    codec (sources/avro_py.py — binaryFile + Arrow decode, one task
+    per file), so the format works on a bare pyspark install."""
     try:
         return spark.read.format("avro").load(path)
     except Exception as e:
         if "Failed to find" in str(e) or "ClassNotFound" in str(e):
-            raise NotImplementedError(
-                "avro datasource not on classpath; add "
-                "org.apache.spark:spark-avro"
-            ) from e
+            from tajo_spark.sources import avro_py
+
+            return avro_py.read_avro(spark, path)
         raise  # real read errors must surface as themselves
+
+
+def write_avro(df: DataFrame, path: str) -> None:
+    """AVRO sink (AvroAppender parity); same classpath preference and
+    pure-Python fallback as :func:`read_avro`."""
+    try:
+        df.write.format("avro").mode("overwrite").save(path)
+    except Exception as e:
+        if "Failed to find" in str(e) or "ClassNotFound" in str(e):
+            from tajo_spark.sources import avro_py
+
+            avro_py.write_avro(df, path)
+            return
+        raise
 
 
 # --- SEQUENCEFILE ------------------------------------------------------------

@@ -1,0 +1,158 @@
+"""Pure-Python Avro object-container codec + distributed read/write
+(AvroScanner.java:53 / AvroAppender parity — closes the format gap the
+classpath-gated spark-avro reader left open)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from tajo_spark.catalog import load_table
+from tajo_spark.sources import avro_py
+from tests.conftest import SF_DIR
+
+
+def test_codec_roundtrip_primitives():
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "b", "type": "boolean"},
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "f", "type": "float"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "by", "type": "bytes"},
+            {"name": "n", "type": ["null", "long"]},
+        ],
+    }
+    rows = [
+        (True, -1, 2**40, 1.5, -2.25, "héllo", b"\x00\xff", None),
+        (False, 0, -(2**40), 0.0, 1e300, "", b"", 7),
+    ]
+    for codec in ("null", "deflate"):
+        buf = avro_py.encode_container(rows, schema, codec=codec)
+        assert buf[:4] == avro_py.MAGIC
+        back = list(avro_py.decode_container(buf))
+        assert back == rows, codec
+
+
+def test_codec_roundtrip_complex_types():
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {
+                "name": "e",
+                "type": {"type": "enum", "name": "col",
+                         "symbols": ["RED", "GREEN", "BLUE"]},
+            },
+            {
+                "name": "fx",
+                "type": {"type": "fixed", "name": "f4", "size": 4},
+            },
+            {
+                "name": "rec",
+                "type": {
+                    "type": "record",
+                    "name": "inner",
+                    "fields": [{"name": "x", "type": "int"}],
+                },
+            },
+            {"name": "dt", "type": {"type": "int", "logicalType": "date"}},
+            {
+                "name": "ts",
+                "type": {"type": "long", "logicalType": "timestamp-micros"},
+            },
+        ],
+    }
+    rows = [
+        (
+            [1, 2, 3],
+            {"a": "x", "b": "y"},
+            "GREEN",
+            b"\x01\x02\x03\x04",
+            {"x": 9},
+            datetime.date(2020, 2, 29),
+            datetime.datetime(2021, 6, 1, 12, 34, 56, 789012),
+        ),
+        ([], {}, "RED", b"\xff\xff\xff\xff", {"x": -1},
+         datetime.date(1969, 12, 31), datetime.datetime(1970, 1, 1)),
+    ]
+    buf = avro_py.encode_container(rows, schema)
+    assert list(avro_py.decode_container(buf)) == rows
+
+
+def test_codec_multi_block_and_sync_check():
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    rows = [(i,) for i in range(10_000)]
+    buf = avro_py.encode_container(rows, schema, block_rows=256)
+    assert list(avro_py.decode_container(buf)) == rows
+    # corrupting a sync marker must be detected, not silently misread
+    corrupted = bytearray(buf)
+    corrupted[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="sync"):
+        list(avro_py.decode_container(bytes(corrupted)))
+
+
+def test_spark_avro_roundtrip_lineitem(spark, tmp_path):
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select(
+            "l_orderkey", "l_partkey", "l_quantity",
+            "l_extendedprice", "l_returnflag", "l_shipdate",
+        )
+        .limit(500)
+    )
+    path = str(tmp_path / "li_avro")
+    manifest = avro_py.write_avro(li, path, codec="deflate")
+    assert manifest and all(n > 0 for _f, n in manifest)
+    assert sum(n for _f, n in manifest) == li.count()
+
+    back = avro_py.read_avro(spark, path)
+    assert back.schema == li.schema or [
+        (f.name, f.dataType) for f in back.schema.fields
+    ] == [(f.name, f.dataType) for f in li.schema.fields]
+    a = sorted(map(tuple, li.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_spark_avro_roundtrip_nulls_and_arrays(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            (1, "x", [1.0, 2.0], datetime.date(2024, 1, 2)),
+            (2, None, [], None),
+            (3, "z", [3.5], datetime.date(1999, 12, 31)),
+        ],
+        "k INT, s STRING, v ARRAY<DOUBLE>, d DATE",
+    )
+    path = str(tmp_path / "na_avro")
+    avro_py.write_avro(df, path)
+    back = avro_py.read_avro(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+
+
+def test_read_is_distributed_per_file(spark, tmp_path):
+    # one task per container file: writing from N partitions must
+    # produce N files and the read plan a Python-map over binaryFile
+    df = spark.range(0, 1000).repartition(4).select(
+        F.col("id").alias("x")
+    )
+    path = str(tmp_path / "many_avro")
+    manifest = avro_py.write_avro(df, path, codec="null")
+    assert len(manifest) == 4
+    back = avro_py.read_avro(spark, path)
+    assert back.rdd.getNumPartitions() >= 1
+    assert back.agg(F.sum("x")).collect()[0][0] == sum(range(1000))

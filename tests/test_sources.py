@@ -169,10 +169,24 @@ def test_kafka_offset_range_surface(spark):
         assert "value" in df.columns
 
 
-def test_avro_gated(spark, tmp_path):
-    try:
-        df = S.read_avro(spark, str(tmp_path))
-    except NotImplementedError:
-        pytest.skip("spark-avro not on classpath (gated as designed)")
-    except Exception:
-        pass  # datasource present; empty dir read errors are fine
+def test_avro_roundtrip(spark, tmp_path):
+    # executes on EVERY install: spark-avro when on the classpath,
+    # else the pure-Python container codec (sources/avro_py.py) — the
+    # former round-1/2 classpath skip is closed
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b", -1.0), (3, None, 0.0)],
+        "k INT, s STRING, v DOUBLE",
+    )
+    path = str(tmp_path / "avro_rt")
+    S.write_avro(df, path)
+    back = S.read_avro(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    # container files on disk carry the Avro magic
+    import glob
+
+    files = glob.glob(path + "/*.avro")
+    assert files
+    with open(files[0], "rb") as f:
+        assert f.read(4) == b"Obj\x01"
