@@ -79,6 +79,9 @@ HEADLINE = [
     "sample_temperature_mixture",
     "pipeline_corpus_prep_v2",
     "text_bpe_train",
+    # round-3 additions
+    "text_bpe_encode",
+    "src_avro_roundtrip",
 ]
 
 

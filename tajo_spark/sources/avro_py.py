@@ -520,33 +520,154 @@ def _peek_schema(path: str):
     return schema
 
 
-def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Distributed Avro scan: binaryFile source + Arrow decode, one
-    task per container file (AvroScanner.java:53 parity)."""
-    import pandas as pd
-
-    avro_schema = _peek_schema(path)
-    spark_schema = T.StructType(
+def _spark_schema_of(avro_schema) -> T.StructType:
+    return T.StructType(
         [
             T.StructField(f["name"], *avro_to_spark_type(f["type"]))
             for f in avro_schema["fields"]
         ]
     )
+
+
+def read_avro(
+    spark: SparkSession, path: str, split_bytes: int | None = None
+) -> DataFrame:
+    """Distributed Avro scan (AvroScanner.java:53 parity).
+
+    Default: binaryFile source + Arrow decode, one task per container
+    file — the reference scanner's fragment granularity. With
+    ``split_bytes`` set, large files split on SYNC MARKERS into
+    byte-range fragments (the Hadoop input-split shape): the driver
+    plans (file, start, end) ranges from file sizes only, and each task
+    seeks into its range, scans to the first block anchor it owns, and
+    decodes just those blocks — so one multi-GB container file fans out
+    across executors instead of serializing through one task.
+    """
+    import pandas as pd
+
+    avro_schema = _peek_schema(path)
+    spark_schema = _spark_schema_of(avro_schema)
     cols = [f.name for f in spark_schema.fields]
-    bf = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.avro")
-        .load(path)
-        .select("content")
-    )
 
-    def decode(batches):
+    if split_bytes is None:
+        bf = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.avro")
+            .load(path)
+            .select("content")
+        )
+
+        def decode(batches):
+            for pdf in batches:
+                for blob in pdf["content"]:
+                    rows = list(decode_container(bytes(blob)))
+                    yield pd.DataFrame(rows, columns=cols)
+
+        return bf.mapInPandas(decode, schema=spark_schema)
+
+    # --- split planning: metadata only, no data reads ----------------
+    import pyarrow.fs as pafs
+
+    fs, p = _fs_for(path)
+    info = fs.get_file_info(p)
+    if info.type == pafs.FileType.Directory:
+        files = [
+            (f.path, f.size)
+            for f in fs.get_file_info(pafs.FileSelector(p, recursive=True))
+            if f.is_file and f.path.endswith(".avro")
+        ]
+    else:
+        files = [(p, info.size)]
+    splits = []
+    for fpath, size in sorted(files):
+        start = 0
+        while start < size:
+            splits.append((fpath, start, min(start + split_bytes, size)))
+            start += split_bytes
+    plan = spark.createDataFrame(
+        splits, "fpath STRING, start LONG, end LONG"
+    ).repartition(max(len(splits), 1))
+
+    def decode_split(batches):
         for pdf in batches:
-            for blob in pdf["content"]:
-                rows = list(decode_container(bytes(blob)))
-                yield pd.DataFrame(rows, columns=cols)
+            for fpath, s0, e0 in pdf.itertuples(index=False, name=None):
+                rows = list(_decode_range(fs, fpath, int(s0), int(e0)))
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
 
-    return bf.mapInPandas(decode, schema=spark_schema)
+    return plan.mapInPandas(decode_split, schema=spark_schema)
+
+
+def _decode_range(fs, fpath: str, start: int, end: int):
+    """Rows of the blocks ANCHORED in [start, end).
+
+    A block's anchor is its first byte (the row-count varint): the
+    header end for the first block, the end of the preceding sync for
+    every other. Each split owns exactly the blocks whose anchor falls
+    inside it, so consecutive splits partition the file's rows with no
+    loss or duplication — the Hadoop sync-based split contract.
+    """
+    with fs.open_input_file(fpath) as f:
+        head = f.read(1 << 20)
+        schema, codec, sync, header_end = parse_header(head)
+        names = [fld["name"] for fld in schema["fields"]]
+        size = f.size()
+
+        class _Ranged:
+            """Grow-on-demand window over the file from ``base``."""
+
+            def __init__(self, base: int) -> None:
+                self.base = base
+                self.buf = b""
+
+            def ensure(self, upto: int) -> bytes:
+                want = upto - self.base
+                while len(self.buf) < want and self.base + len(self.buf) < size:
+                    f.seek(self.base + len(self.buf))
+                    self.buf += f.read(
+                        max(want - len(self.buf), 4 << 20)
+                    )
+                return self.buf
+
+        # locate the first owned anchor
+        if start <= header_end:
+            anchor = header_end
+        else:
+            # a sync ending in [start, end) starts in [start-16, end-16)
+            win = _Ranged(start - SYNC_SIZE)
+            probe = win.ensure(end)
+            idx = probe.find(sync)
+            if idx != -1 and (win.base + idx) >= end - SYNC_SIZE:
+                idx = -1  # first sync starts beyond the owned window
+            if idx == -1:
+                return  # no anchor in range: all rows owned by neighbors
+            anchor = win.base + idx + SYNC_SIZE
+        if anchor >= end:
+            return
+
+        win = _Ranged(anchor)
+        pos = anchor
+        while pos < end and pos < size:
+            # block header: two varints ≤ 20 bytes
+            win.ensure(pos + 20)
+            dec = _Decoder(win.buf, pos - win.base)
+            n_rows = dec.read_long()
+            blen = dec.read_long()
+            data_start = win.base + dec.pos
+            win.ensure(data_start + blen + SYNC_SIZE)
+            dec = _Decoder(win.buf, data_start - win.base)
+            block = dec.read_fixed(blen)
+            if codec == "deflate":
+                block = zlib.decompress(block, -15)
+            elif codec != "null":
+                raise NotImplementedError(f"Avro codec {codec!r}")
+            if dec.read_fixed(SYNC_SIZE) != sync:
+                raise ValueError("sync marker mismatch (corrupt block)")
+            bdec = _Decoder(block)
+            for _ in range(n_rows):
+                rec = _decode_value(schema, bdec)
+                yield tuple(rec[n] for n in names)
+            pos = win.base + dec.pos  # next anchor
 
 
 def write_avro(

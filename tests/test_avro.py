@@ -156,3 +156,40 @@ def test_read_is_distributed_per_file(spark, tmp_path):
     back = avro_py.read_avro(spark, path)
     assert back.rdd.getNumPartitions() >= 1
     assert back.agg(F.sum("x")).collect()[0][0] == sum(range(1000))
+
+
+def test_split_read_partitions_one_file(spark, tmp_path):
+    # sync-marker byte-range splits (the Hadoop input-split shape): a
+    # single container file read under a small split size must fan out
+    # into many fragments and still yield exactly the file's rows
+    import glob
+
+    df = spark.range(0, 20_000).coalesce(1).select(F.col("id").alias("x"))
+    path = str(tmp_path / "one_big_avro")
+    avro_py.write_avro(df, path, codec="deflate")
+    files = glob.glob(path + "/*.avro")
+    assert len(files) == 1
+    fsize = __import__("os").path.getsize(files[0])
+    split = max(fsize // 7, 1)
+    back = avro_py.read_avro(spark, path, split_bytes=split)
+    assert back.rdd.getNumPartitions() >= 7
+    got = sorted(r.x for r in back.collect())
+    assert got == list(range(20_000))
+    # a split size larger than the file degenerates to one fragment
+    whole = avro_py.read_avro(spark, path, split_bytes=fsize * 2)
+    assert whole.count() == 20_000
+
+
+def test_split_read_boundary_sweep(spark, tmp_path):
+    # no row lost or duplicated for ANY split size: sweep awkward sizes
+    # (prime, tiny, sync-straddling) over a multi-block file
+    df = spark.range(0, 5_000).coalesce(1).select(F.col("id").alias("x"))
+    path = str(tmp_path / "sweep_avro")
+    avro_py.write_avro(df, path, codec="null")
+    import glob, os
+
+    fsize = os.path.getsize(glob.glob(path + "/*.avro")[0])
+    for split in (977, 4096, fsize // 3 + 1):
+        back = avro_py.read_avro(spark, path, split_bytes=split)
+        got = sorted(r.x for r in back.collect())
+        assert got == list(range(5_000)), split
