@@ -287,6 +287,17 @@ class Engine:
                 f"format {fmt} unsupported on Spark without Hive support"
                 " (enableHiveSupport() + an explicit schema unlock it)"
             )
+        if spark_fmt == "avro" and not options and not schema:
+            # self-describing (schema rides in the container header);
+            # formats.read_avro prefers spark-avro and falls back to the
+            # pure-Python codec, so USING AVRO works on a bare install
+            from tajo_spark.sources import formats as _formats
+
+            _formats.read_avro(self.spark, path).createOrReplaceTempView(
+                name
+            )
+            self._external_paths[name] = (path, "avro")
+            return
         reader = self.spark.read.format(spark_fmt)
         for k, v in (options or {}).items():
             sk = dialect.OPTION_MAP.get(k.lower(), k)

@@ -193,3 +193,18 @@ def test_split_read_boundary_sweep(spark, tmp_path):
         back = avro_py.read_avro(spark, path, split_bytes=split)
         got = sorted(r.x for r in back.collect())
         assert got == list(range(5_000)), split
+
+
+def test_engine_external_table_using_avro(spark, tmp_path):
+    # the catalog surface: CREATE EXTERNAL TABLE ... USING AVRO works
+    # without spark-avro on the classpath (self-describing read)
+    from tajo_spark.engine import Engine
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k INT, s STRING")
+    path = str(tmp_path / "eng_avro")
+    avro_py.write_avro(df, path)
+    eng = Engine(spark)
+    eng.create_external_table("avro_t", path, fmt="AVRO")
+    got = eng.execute_sql("SELECT k, s FROM avro_t ORDER BY k").collect()
+    assert [(r.k, r.s) for r in got] == [(1, "a"), (2, "b")]
+    eng.drop_table("avro_t")
