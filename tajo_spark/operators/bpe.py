@@ -200,24 +200,33 @@ def apply_bpe(
     """Tokenize with a learned merge table: (doc_id, n_chars_tok,
     n_bpe_tokens) — the encode stage of the tokenizer.
 
+    Encode works on the DISTINCT-WORD dictionary, mirroring training:
+    the merge folds (the expensive per-symbol passes) run once per
+    distinct word — a Zipf-small relation — never once per occurrence,
+    so fold cost is O(|vocab| · merges) regardless of corpus size.
+    Per-doc token accounting is then an equi-join of the exploded
+    corpus against the encoded dictionary (AQE broadcasts the
+    dictionary side when it is small; ``broadcast_if_dim`` adds the
+    hint eagerly under the size gate) followed by one map-side-combine
+    aggregation to doc granularity — the only corpus-wide shuffle has
+    |docs| output rows.
+
     Each merge is one more pure-HOF fold over the per-word symbol
     arrays (same left-to-right pass as training), applied in rank
-    order. Up to ``fold_chunk`` folds compose into ONE zero-shuffle
-    projection; a production 32k-merge vocabulary would otherwise nest
-    32k folds into a single expression tree, which Catalyst's analyzer
-    and codegen cannot survive — so every ``fold_chunk`` merges the
-    lineage is truncated with a localCheckpoint (still shuffle-free:
-    each chunk is a map-only stage over the previous chunk's blocks).
-    Token accounting comes back aggregated per doc (words exploded
-    once, map-side combine).
+    order. Up to ``fold_chunk`` folds compose into ONE projection; a
+    production 32k-merge vocabulary would otherwise nest 32k folds
+    into a single expression tree, which Catalyst's analyzer and
+    codegen cannot survive — so every ``fold_chunk`` merges the
+    lineage is truncated with a localCheckpoint (cheap: the relation
+    being checkpointed is the dictionary, not the corpus).
     """
+    from tajo_spark.plans.hints import broadcast_if_dim
+
     words = docs.select(
         "doc_id", F.explode(_tokens(F.col(text_col))).alias("w")
     ).filter(F.col("w") != "")
-    staged = words.select(
-        "doc_id",
-        F.size(_initial_symbols()).alias("nc"),
-        _initial_symbols().alias("pieces"),
+    staged = words.select("w").distinct().select(
+        "w", _initial_symbols().alias("pieces")
     )
     for start in range(0, len(merges), fold_chunk):
         chunk = merges[start : start + fold_chunk]
@@ -228,9 +237,14 @@ def apply_bpe(
         pieces = F.col("pieces")
         for _rank, a, b, _freq in chunk:
             pieces = _merge_pair(pieces, a, b)
-        staged = staged.select("doc_id", "nc", pieces.alias("pieces"))
+        staged = staged.select("w", pieces.alias("pieces"))
+    word_tok = staged.select(
+        "w",
+        (F.length("w") + 1).alias("nc"),  # == size(_initial_symbols())
+        F.size("pieces").alias("nt"),
+    )
     return (
-        staged.select("doc_id", "nc", F.size("pieces").alias("nt"))
+        words.join(broadcast_if_dim(word_tok), "w")
         .groupBy("doc_id")
         .agg(
             F.sum("nc").cast("long").alias("n_chars_tok"),

@@ -1892,7 +1892,9 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tajo_spark.operators.bpe import apply_bpe, train_bpe
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = train_bpe(docs, n_merges=8)
+    # batched trainer: same merge table up to benign boundary ties
+    # (tests/test_bpe.py), ~1 pair-count round instead of 8
+    merges = train_bpe(docs, n_merges=8, batch_k=8)
     enc = apply_bpe(docs, merges)
     return enc.select(
         "doc_id",
