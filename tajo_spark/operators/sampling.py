@@ -259,3 +259,52 @@ def temperature_mixture_sample(
         .filter(F.col("__pfx") < F.col("__thr"))
         .drop("__pfx", "__thr")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    two_stage: bool = True,
+) -> DataFrame:
+    """Keep at most ``k`` rows per group, chosen by ``order_by`` — the
+    per-domain document cap of C4/RefinedWeb-style curation (no single
+    domain may dominate the training mix).  ``order_by`` must be a
+    deterministic total order (include a unique id as the last key) or
+    the kept set is not reproducible.
+
+    Scale design: a bare ``row_number() OVER (PARTITION BY domain)``
+    shuffles EVERY row of a hot domain into one task — the classic
+    skew killer when one domain holds 10% of a 100 TB corpus.  With
+    ``two_stage`` (default), a pre-stage first ranks rows within
+    (group, input-partition) and keeps only ``k`` per cell — correct
+    for ANY partitioning, because a row in the global top-k of its
+    group is in the top-k of every subset containing it.  Each
+    pre-stage window cell is at most one scan partition's share of the
+    group, so no task sees the whole hot domain; the exact final
+    window then ranks at most ``k × num_partitions`` survivors per
+    group — bounded, and in practice metadata-sized.
+    """
+    from pyspark.sql import Window as W
+
+    final = F.row_number().over(
+        W.partitionBy(*group_cols).orderBy(*order_by)
+    )
+    if two_stage:
+        # materialize the scan-partition id in a Project first: it is
+        # non-deterministic, which a window PARTITION BY spec rejects
+        pre = F.row_number().over(
+            W.partitionBy("__cell", *group_cols).orderBy(*order_by)
+        )
+        df = (
+            df.withColumn("__cell", F.spark_partition_id())
+            .withColumn("__pre_rn", pre)
+            .filter(F.col("__pre_rn") <= k)
+            .drop("__pre_rn", "__cell")
+        )
+    return (
+        df.withColumn("__rn", final)
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1767,6 +1767,62 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_video_frames",
+    "curation",
+    doc="Video frame-sampling stage (operators/multimodal.py::"
+    "sample_frames): one row per sampled frame, fan-out happening "
+    "executor-side inside the Arrow mapInPandas batch — frames never "
+    "explode through a shuffle. Deterministic stub codec (frame count "
+    "from payload size, frame key from the content hash + timestamp "
+    "offset); the oracle re-derives the full per-frame row set in "
+    "pure SQL, so batch shape, fan-out arithmetic, and hash identity "
+    "are all value-checked.",
+    oracle="""
+        WITH v AS (
+            SELECT doc_id,
+                   octet_length(CAST(text AS BLOB)) AS n_bytes,
+                   substr(md5(text), 1, 8) AS key
+            FROM documents),
+        f AS (
+            SELECT doc_id, key,
+                   CAST(least(8, 1 + n_bytes // 10) AS INT) AS n_frames
+            FROM v)
+        SELECT doc_id,
+               CAST(unnest(generate_series(0, n_frames - 1)) AS INT)
+                   AS frame_idx,
+               key AS k8, n_frames
+        FROM f
+    """,
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = multimodal.sample_frames(multimodal.attach_binary(docs))
+    # expose the hash and the per-doc fan-out explicitly so the oracle
+    # hash-checks the frame key's two components (md5 prefix + offset)
+    per_doc = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_frames")
+    )
+    return (
+        frames.join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.split(F.col("frame_key"), ":").getItem(0).alias("k8"),
+            "n_frames",
+        )
+        .filter(
+            # offset component must equal frame_idx * every_n — fold the
+            # invariant into the result so a key-arithmetic bug changes
+            # row counts, not just values
+            F.split(F.col("frame_key"), ":").getItem(1).cast("int")
+            == F.col("frame_idx") * 10
+        )
+    )
+
+
+@query(
     "embedding_cluster_stats",
     "curation",
     doc="Corpus embedding clustering (distributed KMeans via MLlib, the "
@@ -1902,4 +1958,42 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_bpe_tokens") <= F.col("n_chars_tok")).alias(
             "compresses_ok"
         ),
+    )
+
+
+@query(
+    "curation_source_cap",
+    "curation",
+    doc="Per-source document cap (operators/sampling.py::cap_per_group)"
+    " — the C4/RefinedWeb anti-domination rule: keep at most K docs "
+    "per source, best-first by length with doc_id as the total-order "
+    "tiebreak. Runs the two-stage form: a per-(scan-partition, source)"
+    " partial top-K bounds every window task to one partition's share "
+    "of a hot source before the exact final window ranks the <= "
+    "K*partitions survivors — the skew-safe shape at 100 TB. The "
+    "oracle is the textbook single window, so the hash check proves "
+    "the two-stage rewrite exact.",
+    oracle="""
+        WITH r AS (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) AS rn
+            FROM documents)
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+        FROM r WHERE rn <= 10
+    """,
+)
+def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.sampling import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    capped = cap_per_group(
+        docs,
+        ["source"],
+        [F.desc("n_chars"), F.asc("doc_id")],
+        k=10,
+    )
+    return capped.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
     )

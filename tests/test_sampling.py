@@ -179,3 +179,32 @@ def test_temperature_one_is_natural_proportions(spark):
     )
     out = sampling.temperature_mixture_sample(df, "k", "src", 1.0)
     assert out.count() == 300
+
+
+def test_cap_per_group_two_stage_matches_single_window(spark):
+    # skew-shaped input: one hot group, ties in the primary sort key
+    rows = [(i, "hot" if i % 10 != 0 else f"g{i % 7}", i % 13)
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "id LONG, grp STRING, score INT") \
+              .repartition(16)
+    order = [F.desc("score"), F.asc("id")]
+    fast = sampling.cap_per_group(df, ["grp"], order, k=25)
+    plain = sampling.cap_per_group(df, ["grp"], order, k=25,
+                                   two_stage=False)
+    assert sorted((r.grp, r.id) for r in fast.collect()) == \
+           sorted((r.grp, r.id) for r in plain.collect())
+    # the cap binds on the hot group
+    per = {r.grp: r.n for r in
+           fast.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert per["hot"] == 25 and all(v <= 25 for v in per.values())
+
+
+def test_cap_per_group_two_stage_plan_has_prestage_window(spark):
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", i) for i in range(100)],
+        "id LONG, grp STRING, score INT")
+    capped = sampling.cap_per_group(
+        df, ["grp"], [F.desc("score"), F.asc("id")], k=5)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    # two Window operators: the salted partial pass + the exact final
+    assert plan.count("Window") >= 2, plan
