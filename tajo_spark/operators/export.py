@@ -1,0 +1,127 @@
+"""Sharded training-data export: pack a corpus into size-bounded,
+deterministically shuffled shard files plus a manifest — the terminal
+sink of an LLM data pipeline (WebDataset/parquet-shard style loaders
+consume fixed-size shards in a reproducible order).
+
+Beyond-reference capability. Scale design:
+
+* Shard assignment needs each row's CUMULATIVE byte offset in a
+  deterministic global order.  A ``sum() OVER (ORDER BY ...)`` global
+  window is a single-partition sort — the same scale killer
+  ``global_shuffle_position`` (operators/sampling.py) avoids, and the
+  fix is identical: bucket rows by a hex prefix of the order key,
+  accumulate bytes inside each bucket in parallel, then
+  broadcast-join the (tiny) per-bucket byte offsets back.  No task
+  ever materializes more than one bucket (~1/4096 of the corpus).
+* The order key is ``md5(seed:id)`` — so shards come out *shuffled*
+  (a training-data requirement: each shard is an unbiased sample of
+  the corpus, not a time- or source-contiguous slice) and the whole
+  layout is reproducible across runs and engines from (seed, ids).
+* ``shard_id = floor(cum_bytes_before / shard_bytes)``: every row
+  lands in exactly one shard; a shard may overflow its target by at
+  most one document, so the bound ``total_bytes < shard_bytes +
+  max_doc_bytes`` holds without a second balancing pass and the rule
+  stays pure SQL (oracle-checkable) — the streaming-friendly
+  alternative to bin-packing heuristics whose output depends on
+  arrival order (operators/packing.py covers the within-partition
+  next-fit variant for token sequences).
+* The physical write is ``partitionBy(shard_id)`` — one directory per
+  shard, written by whichever tasks hold its rows; no repartition is
+  forced, because a loader reads a shard as a directory, not a file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def shard_assign(
+    df: DataFrame,
+    id_col: str,
+    bytes_col: str,
+    shard_bytes: int,
+    seed: int = 42,
+    bucket_chars: int = 3,
+) -> DataFrame:
+    """Add ``shard_id``: the row's shard under a deterministic
+    md5-shuffled order and a ``shard_bytes`` target size."""
+    key = F.md5(
+        F.concat(
+            F.lit(f"{seed}:"), F.col(id_col).cast("string")
+        ).cast("binary")
+    )
+    sentinel = "z" * bucket_chars  # NULL ids sort after every hex prefix
+    keyed = df.withColumn("__sk", key).withColumn(
+        "__bk",
+        F.coalesce(
+            F.substring(F.col("__sk"), 1, bucket_chars), F.lit(sentinel)
+        ),
+    )
+    in_bucket_before = F.coalesce(
+        F.sum(bytes_col).over(
+            W.partitionBy("__bk")
+            .orderBy("__sk", id_col)
+            .rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    offsets = (
+        keyed.groupBy("__bk")
+        .agg(F.sum(bytes_col).alias("__n"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__n").over(
+                    W.orderBy("__bk").rowsBetween(
+                        W.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("__n")
+    )
+    return (
+        keyed.join(F.broadcast(offsets), "__bk")
+        .withColumn(
+            "shard_id",
+            F.floor(
+                (F.col("__off") + in_bucket_before) / F.lit(shard_bytes)
+            ).cast("long"),
+        )
+        .drop("__sk", "__bk", "__off")
+    )
+
+
+def shard_manifest(sharded: DataFrame, bytes_col: str) -> DataFrame:
+    """Per-shard manifest: (shard_id, n_docs, total_bytes)."""
+    return sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(bytes_col).cast("long").alias("total_bytes"),
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    bytes_col: str,
+    shard_bytes: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Write ``df`` as shard directories under ``path`` plus a
+    ``_manifest`` dataset; returns the manifest DataFrame."""
+    sharded = shard_assign(df, id_col, bytes_col, shard_bytes, seed=seed)
+    sharded.write.partitionBy("shard_id").mode("overwrite").parquet(
+        f"{path}/shards"
+    )
+    spark = df.sparkSession
+    manifest = shard_manifest(
+        spark.read.parquet(f"{path}/shards"), bytes_col
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/_manifest"
+    )
+    return spark.read.parquet(f"{path}/_manifest")

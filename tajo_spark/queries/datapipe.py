@@ -1997,3 +1997,47 @@ def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped.select(
         "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+
+@query(
+    "export_shard_manifest",
+    "curation",
+    doc="Sharded-export manifest (operators/export.py::shard_assign): "
+    "documents packed into ~64 KiB shards in a deterministic "
+    "md5-shuffled order, shard boundary = cumulative-bytes // target. "
+    "The cumulative offsets come from the two-phase bucket scheme "
+    "(parallel per-bucket byte sums + a metadata-sized offset window, "
+    "broadcast back) — never a single-partition global window. The "
+    "oracle IS that single global window in SQL, so the hash check "
+    "proves the distributed cumsum exact; shard sizes and the "
+    "shuffled layout are reproducible across engines from (seed, "
+    "doc_id).",
+    oracle="""
+        WITH k AS (
+            SELECT doc_id,
+                   octet_length(CAST(text AS BLOB)) AS nb,
+                   md5('42:' || CAST(doc_id AS VARCHAR)) AS h
+            FROM documents),
+        c AS (
+            SELECT nb,
+                   COALESCE(SUM(nb) OVER (
+                       ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cb
+            FROM k)
+        SELECT CAST(cb // 65536 AS BIGINT) AS shard_id,
+               count(*) AS n_docs,
+               CAST(sum(nb) AS BIGINT) AS total_bytes
+        FROM c GROUP BY 1
+    """,
+)
+def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.export import shard_assign, shard_manifest
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.octet_length("text").cast("long").alias("nb")
+    )
+    sharded = shard_assign(
+        docs, "doc_id", "nb", shard_bytes=65536, seed=42
+    )
+    return shard_manifest(sharded, "nb")

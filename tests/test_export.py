@@ -1,0 +1,97 @@
+"""Sharded training-data export (operators/export.py)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from tajo_spark.operators import export
+
+
+def _docs(spark, n=800):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        # uneven doc sizes, 20..420 bytes
+        (20 + (F.col("id") * 37) % 400).cast("long").alias("nb"),
+    )
+
+
+def test_shard_assign_matches_global_window(spark):
+    docs = _docs(spark).repartition(16)
+    got = export.shard_assign(docs, "doc_id", "nb", shard_bytes=4096)
+    # reference: single global cumulative window in one partition
+    from pyspark.sql import Window as W
+
+    key = F.md5(
+        F.concat(F.lit("42:"), F.col("doc_id").cast("string")).cast(
+            "binary"
+        )
+    )
+    ref = (
+        docs.withColumn("__k", key)
+        .withColumn(
+            "cb",
+            F.coalesce(
+                F.sum("nb").over(
+                    W.orderBy("__k", "doc_id").rowsBetween(
+                        W.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("shard_id", F.floor(F.col("cb") / 4096).cast("long"))
+    )
+    assert {(r.doc_id, r.shard_id) for r in got.collect()} == {
+        (r.doc_id, r.shard_id) for r in ref.collect()
+    }
+
+
+def test_shard_sizes_bounded_and_ids_contiguous(spark):
+    docs = _docs(spark)
+    sharded = export.shard_assign(docs, "doc_id", "nb", shard_bytes=4096)
+    man = export.shard_manifest(sharded, "nb").collect()
+    max_doc = docs.agg(F.max("nb")).first()[0]
+    ids = sorted(r.shard_id for r in man)
+    assert ids == list(range(len(ids)))  # contiguous from 0
+    for r in man:
+        # overflow bounded by one document; every non-final shard full
+        assert r.total_bytes < 4096 + max_doc
+    assert sum(r.n_docs for r in man) == 800
+
+
+def test_write_shards_roundtrip(spark):
+    docs = _docs(spark, n=300)
+    path = tempfile.mkdtemp(prefix="tajo_spark_shards_")
+    manifest = export.write_shards(
+        docs, path, "doc_id", "nb", shard_bytes=2048
+    )
+    back = spark.read.parquet(f"{path}/shards")
+    # every doc present exactly once, with its shard directory key
+    assert back.count() == 300
+    assert back.select("doc_id").distinct().count() == 300
+    per_dir = {
+        r.shard_id: r.n
+        for r in back.groupBy("shard_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in manifest.collect():
+        assert per_dir[r.shard_id] == r.n_docs
+
+
+def test_shard_assign_no_global_single_partition_window(spark):
+    # the data-sized cumulative-bytes window must be PARTITIONED by the
+    # hash-prefix bucket; a regression to a naive global running sum
+    # would show a window spec ordering on __sk with no partition key
+    # (single-partition bottleneck at scale) — same pin as
+    # global_shuffle_position's
+    import re
+
+    docs = _docs(spark)
+    got = export.shard_assign(docs, "doc_id", "nb", shard_bytes=4096)
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition" in plan
+    assert not re.search(r"windowspecdefinition\(__sk#\d+ ASC", plan)
+    assert re.search(r"windowspecdefinition\(__bk#\d+, __sk#\d+ ASC", plan)
