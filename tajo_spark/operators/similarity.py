@@ -439,3 +439,46 @@ def semantic_dedup(
             F.coalesce(~F.col("__rm"), F.lit(True)).alias("is_kept"),
         )
     )
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Scalar int8 quantization: per-vector max-abs scale, symmetric
+    round-to-nearest — the standard 4x memory compression for ANN
+    indexes (a 100 TB float32 embedding store becomes 25 TB, and SIMD
+    int8 dot products beat float on modern CPUs; here the win modeled
+    is the storage/shuffle volume).  Cosine needs no dequantization:
+    the per-vector scale cancels in the ratio, so similarity error
+    comes only from rounding (bounded by ~1/127 per dimension)."""
+    v = _as_double(vec)
+    mx = F.array_max(F.transform(v, F.abs))
+    s = F.when(mx > 0, mx / F.lit(127.0)).otherwise(F.lit(1.0))
+    return F.transform(v, lambda x: F.round(x / s).cast("int"))
+
+
+def quantized_scores(
+    emb: DataFrame, query_vec_id: int, round_to: int = 4
+) -> DataFrame:
+    """One scan scoring every candidate against the query vector with
+    BOTH the exact float cosine and the int8-quantized cosine —
+    (vec_id, cos_sim, cos_sim_q).  Broadcast 1-row query side, zero
+    shuffle; the quantized index path and its accuracy contract come
+    from the same pass."""
+    with_q = emb.select(
+        "vec_id", "embedding", quantize_int8(F.col("embedding")).alias("qv8")
+    )
+    q = with_q.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb"), F.col("qv8").alias("q_q8")
+    )
+    return (
+        with_q.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                cosine(F.col("embedding"), F.col("q_emb")), round_to
+            ).alias("cos_sim"),
+            F.round(
+                cosine(F.col("qv8"), F.col("q_q8")), round_to
+            ).alias("cos_sim_q"),
+        )
+    )

@@ -27,6 +27,24 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("long")
 
 
+def word_ngrams(text: Column, n: int = 5) -> Column:
+    """All word ``n``-grams of the text (space-joined), as an array —
+    the unit of boilerplate/template detection: a phrase repeating
+    across many documents is scaffolding, not content.  Pure
+    higher-order-function projection (no UDF): token-linear cost, one
+    sliding ``slice`` per position, rides the scan at any corpus size.
+    """
+    t = F.filter(tokens(text), lambda x: x != "")
+    nn = F.size(t)
+    return F.when(
+        nn >= n,
+        F.transform(
+            F.sequence(F.lit(1), nn - F.lit(n) + 1),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def char_count(text: Column) -> Column:
     return F.length(text).cast("long")
 

@@ -2041,3 +2041,100 @@ def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "nb", shard_bytes=65536, seed=42
     )
     return shard_manifest(sharded, "nb")
+
+
+@query(
+    "text_ngram_topk",
+    "curation",
+    doc="Boilerplate phrase detection (operators/text.py::word_ngrams):"
+    " top-50 most frequent word 5-grams with document frequency — "
+    "phrases recurring across documents are template scaffolding a "
+    "curation pass strips. HOF sliding-window projection (no UDF), "
+    "one groupBy shuffle with map-side partial aggregation over the "
+    "exploded grams, TakeOrderedAndProject for the top-k (never a "
+    "global sort); deterministic tie-break on the gram text keeps the "
+    "cut line engine-stable.",
+    oracle=r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(
+                       string_split_regex(trim(lower(text)), '\s+'),
+                       x -> x <> '') AS ts
+            FROM documents),
+        g AS (
+            SELECT doc_id,
+                   unnest([array_to_string(ts[i:i+4], ' ')
+                           FOR i IN range(1, greatest(len(ts) - 3, 1))])
+                       AS gram
+            FROM tok)
+        SELECT gram, count(*) AS freq, count(DISTINCT doc_id) AS n_docs
+        FROM g GROUP BY gram ORDER BY freq DESC, gram LIMIT 50
+    """,
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.text import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), 5)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("freq"), F.asc("gram"))
+        .limit(50)
+    )
+
+
+@query(
+    "sim_quantized_topk",
+    "curation",
+    doc="Int8-quantized ANN (operators/similarity.py::quantize_int8): "
+    "per-vector max-abs symmetric quantization — 4x smaller index, "
+    "scale cancels inside cosine so error is rounding-only. One scan "
+    "scores every candidate with BOTH exact and quantized cosine "
+    "(broadcast 1-row query, zero shuffle); the exact top-10 is the "
+    "hash-checked leg and the quantized path rides as an in-query "
+    "contract: recall@10 >= 8/10 against the exact ranking and max "
+    "|cos_q - cos| <= 0.02 over ALL candidates.",
+    oracle="""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id = 0),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id <> 0)
+        SELECT vec_id,
+               round(list_dot_product(e, qv)
+                 / (sqrt(list_dot_product(e, e))
+                    * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim,
+               TRUE AS recall_ok,
+               TRUE AS quant_err_ok
+        FROM c, q
+        ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.similarity import quantized_scores
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = quantized_scores(emb, query_vec_id=0).localCheckpoint()
+    etop = scored.orderBy(F.desc("cos_sim"), "vec_id").limit(10)
+    qtop = scored.orderBy(F.desc("cos_sim_q"), "vec_id").limit(10)
+    overlap = etop.select("vec_id").join(
+        qtop.select("vec_id"), "vec_id"
+    ).agg(F.count(F.lit(1)).alias("__hits"))
+    maxerr = scored.agg(
+        F.max(F.abs(F.col("cos_sim_q") - F.col("cos_sim"))).alias("__err")
+    )
+    contract = (
+        overlap.crossJoin(maxerr)
+        .select(
+            (F.col("__hits") >= 8).alias("recall_ok"),
+            (F.col("__err") <= 0.02).alias("quant_err_ok"),
+        )
+    )
+    return etop.crossJoin(F.broadcast(contract)).select(
+        "vec_id", "cos_sim", "recall_ok", "quant_err_ok"
+    )

@@ -316,3 +316,23 @@ def test_ivf_persisted_index_prunes_partitions(spark, tmp_path_factory):
     for r in rows:
         if r.vec_id in mem_sims:
             assert abs(mem_sims[r.vec_id] - r.cos_sim) < 1e-9
+
+
+def test_quantize_int8_range_and_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(0, [0.5, -1.0, 0.25, 0.0]), (1, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    ).select("vec_id", sim.quantize_int8(F.col("embedding")).alias("q"))
+    rows = {r.vec_id: r.q for r in df.collect()}
+    assert rows[0] == [64, -127, 32, 0]  # max-abs 1.0 -> scale 1/127
+    assert rows[1] == [0, 0, 0, 0]  # zero vector stays zero, no NaN
+    assert all(-127 <= v <= 127 for q in rows.values() for v in q)
+
+
+def test_quantized_cosine_close_to_exact(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    scored = sim.quantized_scores(emb, query_vec_id=0)
+    err = scored.agg(
+        F.max(F.abs(F.col("cos_sim_q") - F.col("cos_sim")))
+    ).first()[0]
+    assert err is not None and err <= 0.02
