@@ -191,3 +191,47 @@ def test_tpch_no_unconditional_broadcast_of_growing_tables():
             "nation", "region", "n1", "n2",     # fixed-cardinality dims
             "max_rev", "avg_bal", "thresh", "n", # one-row aggregates
         }, f"unconditional broadcast of scale-growing relation: {m.group(0)}"
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    # session.py enables runtime bloom-filter join pruning: a selective
+    # filter on the dim side of a shuffle join must inject a
+    # might_contain() probe into the FACT side's scan, pruning rows
+    # before the shuffle — at 100 TB this is the difference between
+    # shuffling the whole fact table and shuffling the matching slice.
+    # Thresholds are lowered here because injection is size-gated
+    # (application side >= 10 GB by default — correct in production,
+    # never reached at test SF).
+    from tajo_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+        "100MB",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_DIR, "lineitem")
+        od = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
