@@ -82,6 +82,10 @@ HEADLINE = [
     # round-3 additions
     "text_bpe_encode",
     "src_avro_roundtrip",
+    "curation_source_cap",
+    "export_shard_manifest",
+    "text_ngram_topk",
+    "sim_quantized_topk",
 ]
 
 
