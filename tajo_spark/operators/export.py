@@ -44,9 +44,15 @@ def shard_assign(
     shard_bytes: int,
     seed: int = 42,
     bucket_chars: int = 3,
+    base_bytes: int = 0,
 ) -> DataFrame:
     """Add ``shard_id``: the row's shard under a deterministic
-    md5-shuffled order and a ``shard_bytes`` target size."""
+    md5-shuffled order and a ``shard_bytes`` target size.
+
+    ``base_bytes`` offsets the cumulative counter — the continuation
+    point for incremental export (streaming micro-batches keep filling
+    the last partial shard instead of opening a fresh one per batch;
+    see streaming/pipeline.py::shard_export_stream)."""
     key = F.md5(
         F.concat(
             F.lit(f"{seed}:"), F.col(id_col).cast("string")
@@ -88,7 +94,8 @@ def shard_assign(
         .withColumn(
             "shard_id",
             F.floor(
-                (F.col("__off") + in_bucket_before) / F.lit(shard_bytes)
+                (F.lit(base_bytes) + F.col("__off") + in_bucket_before)
+                / F.lit(shard_bytes)
             ).cast("long"),
         )
         .drop("__sk", "__bk", "__off")

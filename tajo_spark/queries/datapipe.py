@@ -2138,3 +2138,72 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return etop.crossJoin(F.broadcast(contract)).select(
         "vec_id", "cos_sim", "recall_ok", "quant_err_ok"
     )
+
+
+@query(
+    "pipeline_corpus_prep_v3",
+    "curation",
+    doc="End-to-end corpus assembly with the round-3 operators: "
+    "per-source cap (two-stage skew-safe top-K, K=15 by length) -> "
+    "exact dedup (md5 groups, min-doc_id survivor) -> sharded export "
+    "manifest (~32 KiB shards, md5-shuffled order, two-phase "
+    "distributed cumsum). Survivors localCheckpoint at the stage "
+    "boundary exactly where a production pipeline persists. The "
+    "oracle independently re-derives all three stages in SQL, so the "
+    "hash check covers the composition, not just the parts.",
+    oracle="""
+        WITH capped AS (
+            SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id) AS rn
+                FROM documents) WHERE rn <= 15),
+        keep AS (
+            SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (
+                           PARTITION BY md5(text)
+                           ORDER BY doc_id) AS rn
+                FROM capped) WHERE rn = 1),
+        k AS (
+            SELECT doc_id,
+                   octet_length(CAST(text AS BLOB)) AS nb,
+                   md5('42:' || CAST(doc_id AS VARCHAR)) AS h
+            FROM keep),
+        c AS (
+            SELECT nb,
+                   COALESCE(SUM(nb) OVER (
+                       ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cb
+            FROM k)
+        SELECT CAST(cb // 32768 AS BIGINT) AS shard_id,
+               count(*) AS n_docs,
+               CAST(sum(nb) AS BIGINT) AS total_bytes
+        FROM c GROUP BY 1
+    """,
+)
+def pipeline_corpus_prep_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.dedup import exact_dedup_groups
+    from tajo_spark.operators.export import shard_assign, shard_manifest
+    from tajo_spark.operators.sampling import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    capped = cap_per_group(
+        docs, ["source"], [F.desc("n_chars"), F.asc("doc_id")], k=15
+    )
+    keep_ids = exact_dedup_groups(capped).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    survivors = (
+        capped.join(keep_ids, "doc_id", "left_semi")
+        .select(
+            "doc_id", F.octet_length("text").cast("long").alias("nb")
+        )
+        .localCheckpoint()
+    )
+    sharded = shard_assign(
+        survivors, "doc_id", "nb", shard_bytes=32768, seed=42
+    )
+    return shard_manifest(sharded, "nb")

@@ -442,3 +442,89 @@ def incremental_dedup_stream(
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
     )
+
+
+def shard_export_stream(
+    docs_stream: DataFrame,
+    export_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    bytes_col: str = "nb",
+    shard_bytes: int = 32768,
+    seed: int = 42,
+):
+    """Continuous sharded export (operators/export.py twin): every
+    micro-batch packs its rows into shards CONTINUING from the global
+    byte offset accumulated so far, so the last partial shard keeps
+    filling across batches instead of each batch opening a fresh one.
+
+    State between batches is a metadata-sized ledger
+    (``_state``: one row per batch — base offset and the total after),
+    read at batch start and appended at batch end; the data write is
+    ``partitionBy(shard_id, __batch_id)`` with DYNAMIC overwrite, so a
+    replayed micro-batch deterministically regenerates the same
+    assignment from its ledger row and overwrites its own
+    sub-partitions — exactly-once layout without rewriting earlier
+    batches' files. Within a batch the assignment is the batch
+    operator's two-phase distributed cumsum (never a global window).
+    """
+    import os as _os
+
+    from tajo_spark.operators.export import shard_assign
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        persisted_before = set(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet()
+        )
+        state_path = f"{export_path}/_state"
+        base = 0
+        prior = None
+        if _os.path.isdir(state_path) and any(
+            f.endswith(".parquet") for f in _os.listdir(state_path)
+        ):
+            st = spark.read.parquet(state_path)
+            mine = st.filter(F.col("batch_id") == batch_id).collect()
+            if mine:  # replay: reuse the recorded base, rewrite in place
+                prior = mine[0]
+                base = prior.base_bytes
+            else:
+                base = st.agg(
+                    F.coalesce(F.max("total_bytes_after"), F.lit(0))
+                ).first()[0]
+        batch_df = batch_df.localCheckpoint()
+        sharded = shard_assign(
+            batch_df,
+            id_col,
+            bytes_col,
+            shard_bytes,
+            seed=seed,
+            base_bytes=base,
+        )
+        (
+            sharded.withColumn("__batch_id", F.lit(batch_id))
+            .write.partitionBy("shard_id", "__batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(f"{export_path}/shards")
+        )
+        if prior is None:
+            after = base + (
+                batch_df.agg(F.sum(bytes_col)).first()[0] or 0
+            )
+            spark.createDataFrame(
+                [(batch_id, base, after)],
+                "batch_id LONG, base_bytes LONG, total_bytes_after LONG",
+            ).write.mode("append").parquet(state_path)
+        # free this batch's localCheckpoint blocks (an always-on stream
+        # would otherwise accumulate storage memory per micro-batch)
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet()):
+            if rid not in persisted_before:
+                jmap.get(rid).unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+    )

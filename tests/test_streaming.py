@@ -263,3 +263,81 @@ def test_incremental_dedup_stream_matches_sequential_batches(spark, tmp_path):
     # 0 survives (lowest of its bucket), 1 dropped in-batch, 2 unique,
     # 10 dropped against the store, 11 unique
     assert got == [0, 2, 11], got
+
+
+def test_shard_export_stream_continuous_offsets(spark, tmp_path):
+    # 3 micro-batches (maxFilesPerTrigger=1 over 3 staged files) must
+    # produce ONE continuous shard layout: each batch's assignment
+    # equals the batch operator run with the ledger's base offset, and
+    # the bases chain batch-to-batch (the last partial shard keeps
+    # filling across batches).
+    from tajo_spark.operators.export import shard_assign
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.octet_length("text").cast("long").alias("nb")
+    )
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+    stream = spark.readStream.schema("doc_id BIGINT, nb BIGINT").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    export = str(tmp_path / "export")
+    q = P.shard_export_stream(
+        stream, export, str(tmp_path / "ckpt"), shard_bytes=16384
+    ).start()
+    q.awaitTermination(120)
+
+    shards = spark.read.parquet(f"{export}/shards")
+    n_docs = docs.count()
+    assert shards.count() == n_docs
+    assert shards.select("doc_id").distinct().count() == n_docs
+
+    ledger = {
+        r.batch_id: r
+        for r in spark.read.parquet(f"{export}/_state").collect()
+    }
+    assert sorted(ledger) == [0, 1, 2]
+    # bases chain: each batch starts where the previous ended
+    assert ledger[0].base_bytes == 0
+    for b in (1, 2):
+        assert ledger[b].base_bytes == ledger[b - 1].total_bytes_after
+    # per batch, the streamed assignment IS the batch operator's
+    for b, row in ledger.items():
+        got = {
+            (r.doc_id, r.shard_id)
+            for r in shards.filter(F.col("__batch_id") == b).collect()
+        }
+        batch_rows = shards.filter(F.col("__batch_id") == b).select(
+            "doc_id", "nb"
+        )
+        want = {
+            (r.doc_id, r.shard_id)
+            for r in shard_assign(
+                batch_rows, "doc_id", "nb", 16384,
+                base_bytes=row.base_bytes,
+            ).collect()
+        }
+        assert got == want, b
+
+    # restart with the same checkpoint: availableNow + no new files
+    # must be a no-op (exactly-once layout)
+    before = sorted(
+        (r.doc_id, r.shard_id, r["__batch_id"])
+        for r in shards.select("doc_id", "shard_id", "__batch_id").collect()
+    )
+    q2 = P.shard_export_stream(
+        spark.readStream.schema("doc_id BIGINT, nb BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        export,
+        str(tmp_path / "ckpt"),
+        shard_bytes=16384,
+    ).start()
+    q2.awaitTermination(120)
+    after = sorted(
+        (r.doc_id, r.shard_id, r["__batch_id"])
+        for r in spark.read.parquet(f"{export}/shards")
+        .select("doc_id", "shard_id", "__batch_id")
+        .collect()
+    )
+    assert before == after
