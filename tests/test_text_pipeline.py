@@ -361,3 +361,22 @@ def test_incremental_dedup_store_join_prunes_text(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_word_ngrams_values_and_edges(spark):
+    from tajo_spark.operators.text import word_ngrams
+
+    df = spark.createDataFrame(
+        [
+            (0, "A b  c d e f"),       # multi-space + case normalize
+            (1, "one two three four"),  # < n tokens -> no grams
+            (2, None),                  # NULL text
+            (3, "  x y z w v  "),       # leading/trailing whitespace
+        ],
+        "doc_id LONG, text STRING",
+    ).select("doc_id", word_ngrams(F.col("text"), 5).alias("g"))
+    got = {r.doc_id: r.g for r in df.collect()}
+    assert got[0] == ["a b c d e", "b c d e f"]
+    assert got[1] == []
+    assert got[2] is None or got[2] == []
+    assert got[3] == ["x y z w v"]

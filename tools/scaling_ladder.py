@@ -1,0 +1,121 @@
+"""Scaling-ladder measurement: run representative curation operators
+over 1x/4x/16x/64x multiplied copies of the sf0.1 documents corpus and
+record how wall-clock scales.  The point is evidence for the 100 TB
+argument — a plan that is linear (or top-k-sublinear) on this ladder
+and whose shuffle structure does not change with corpus size is the
+plan we claim survives the real scale-up.
+
+Replica texts get a replica tag spliced into EVERY 4th word, so with
+5-word shingles every shingle of every replica differs — the
+multiplied corpus has NO new exact/near duplicates and dedup operators
+see the worst case (signature + banding cost scales with the corpus,
+candidate sets stay proportional), not a degenerate k-fold-dup corpus.
+(A first version suffixed one tag at the END of the text; that leaves
+minhash signatures ~identical across replicas, so every band bucket
+holds all k replicas and candidate pairs grow O(k²) — a real
+megabucket corpus, but not a scaling measurement.)
+
+Usage: python tools/scaling_ladder.py [--mults 1,4,16,64]
+Prints one markdown table; paste/refresh into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_SF = "/root/testdata/sf0.1"
+QUERIES = [
+    # scan-bound projection (classifier): should be ~linear
+    "text_quality_classifier",
+    # explode + count shuffle + top-k: ~linear in corpus, k fixed
+    "text_ngram_topk",
+    # signature + banded candidate shuffle: ~linear, one shuffle
+    "dedup_minhash_pairs",
+    # two-stage skew-safe window: ~linear
+    "curation_source_cap",
+    # two-phase distributed cumsum + manifest agg: ~linear
+    "export_shard_manifest",
+]
+
+
+def stage(mult: int, root: str) -> str:
+    import duckdb
+
+    out = os.path.join(root, f"x{mult}")
+    os.makedirs(out, exist_ok=True)
+    for f in os.listdir(BASE_SF):
+        if f != "documents.parquet":
+            shutil.copy(os.path.join(BASE_SF, f), os.path.join(out, f))
+    con = duckdb.connect()
+    reps = ", ".join(str(i) for i in range(mult))
+    con.execute(
+        f"""
+        COPY (
+            SELECT d.doc_id + r.r * 1000000 AS doc_id,
+                   array_to_string(
+                       list_transform(
+                           string_split(d.text, ' '),
+                           (w, i) -> CASE WHEN i % 4 = 0
+                                     THEN w || 'x' || CAST(r.r AS VARCHAR)
+                                     ELSE w END),
+                       ' ') AS text,
+                   d.lang, d.source, d.n_chars
+            FROM read_parquet('{BASE_SF}/documents.parquet') d,
+                 (SELECT unnest([{reps}]) AS r) r
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mults", default="1,4,16,64")
+    args = ap.parse_args()
+    mults = [int(m) for m in args.mults.split(",")]
+
+    from tajo_spark.session import build_spark
+    from __spark_entry__ import queries
+
+    spark = build_spark(app_name="scaling_ladder")
+    qs = queries()
+    root = tempfile.mkdtemp(prefix="tajo_spark_ladder_")
+    results: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    try:
+        for mult in mults:
+            sf_dir = stage(mult, root)
+            for q in QUERIES:
+                fn = qs[q]
+                fn(spark, "/root/testdata/sf0.001").collect()  # warm
+                times = []
+                for _ in range(2):
+                    t0 = time.time()
+                    fn(spark, sf_dir).collect()
+                    times.append(time.time() - t0)
+                results[q][mult] = min(times)
+                print(f"x{mult:<3} {q:28s} {min(times):6.2f}s", flush=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+    header = "| query | " + " | ".join(f"{m}x" for m in mults) + " | ratio last/first vs data ratio |"
+    sep = "|---" * (len(mults) + 2) + "|"
+    print()
+    print(header)
+    print(sep)
+    span = mults[-1] / mults[0]
+    for q in QUERIES:
+        row = " | ".join(f"{results[q][m]:.2f} s" for m in mults)
+        ratio = results[q][mults[-1]] / results[q][mults[0]]
+        print(f"| `{q}` | {row} | {ratio:.1f}x vs {span:.0f}x |")
+
+
+if __name__ == "__main__":
+    main()
