@@ -2209,3 +2209,65 @@ def pipeline_corpus_prep_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         survivors, "doc_id", "nb", shard_bytes=32768, seed=42
     )
     return shard_manifest(sharded, "nb")
+
+
+@query(
+    "corpus_datacard",
+    "curation",
+    doc="Dataset-card summary panel: per-source, per-language, and "
+    "overall doc counts / byte volume / corpus share in ONE grouping-"
+    "sets pass (Expand + a single map-side-combined aggregation — "
+    "three rollup granularities never cost three scans). The share "
+    "denominator is the grouping-sets result's own 'overall' row, "
+    "broadcast back — one corpus scan total, no collected scalar. "
+    "The standard release artifact of a training-data pipeline.",
+    oracle="""
+        SELECT CASE WHEN GROUPING(source) = 0 THEN 'source'
+                    WHEN GROUPING(lang)   = 0 THEN 'lang'
+                    ELSE 'overall' END AS dim_type,
+               COALESCE(CASE WHEN GROUPING(source) = 0 THEN source END,
+                        CASE WHEN GROUPING(lang) = 0 THEN lang END,
+                        '*') AS dim_value,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               round(avg(n_chars), 2) AS avg_chars,
+               round(count(*) * 1.0
+                     / (SELECT count(*) FROM documents), 6) AS share
+        FROM documents
+        GROUP BY GROUPING SETS ((source), (lang), ())
+    """,
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sets = spark.sql(
+        """
+        SELECT CASE WHEN GROUPING(source) = 0 THEN 'source'
+                    WHEN GROUPING(lang)   = 0 THEN 'lang'
+                    ELSE 'overall' END AS dim_type,
+               COALESCE(CASE WHEN GROUPING(source) = 0 THEN source END,
+                        CASE WHEN GROUPING(lang) = 0 THEN lang END,
+                        '*') AS dim_value,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               round(avg(n_chars), 2) AS avg_chars,
+               count(*) AS __n
+        FROM {docs}
+        GROUP BY GROUPING SETS ((source), (lang), ())
+        """,
+        docs=docs,
+    )
+    sets = sets.localCheckpoint()
+    # corpus total = the grouping-sets result's own 'overall' row — no
+    # second scan of the corpus for the denominator
+    tot = (
+        sets.filter(F.col("dim_type") == "overall")
+        .select(F.col("__n").alias("__tot"))
+    )
+    return sets.join(F.broadcast(tot)).select(
+        "dim_type",
+        "dim_value",
+        "n_docs",
+        "total_chars",
+        "avg_chars",
+        F.round(F.col("__n") / F.col("__tot"), 6).alias("share"),
+    )
