@@ -255,3 +255,79 @@ def test_bpe_batched_training_tie_safe_random(spark, texts, batch_k):
     got = train_bpe(docs, n_merges=5, batch_k=batch_k)
     want = _reference_bpe(texts, 5)
     assert _first_divergence_is_freq_tie(got, want), (got, want)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),  # id
+            st.integers(min_value=0, max_value=500),     # bytes
+        ),
+        min_size=1,
+        max_size=120,
+        unique_by=lambda t: t[0],
+    ),
+    shard_bytes=st.sampled_from([64, 256, 1024]),
+)
+def test_shard_assign_invariants_random(spark, rows, shard_bytes):
+    """Conservation + boundedness + order-consistency of the two-phase
+    distributed shard assignment, for random sizes (including 0-byte
+    and oversize docs) and random shard targets."""
+    from tajo_spark.operators.export import shard_assign
+
+    df = spark.createDataFrame(rows, "doc_id LONG, nb LONG").repartition(7)
+    got = shard_assign(df, "doc_id", "nb", shard_bytes).collect()
+    assert len(got) == len(rows)                    # every row, exactly once
+    assert {r.doc_id for r in got} == {t[0] for t in rows}
+    # independent single-threaded reference: cumulative bytes in
+    # (md5(seed:id), id) order
+    import hashlib
+
+    def key(i):
+        return hashlib.md5(f"42:{i}".encode()).hexdigest()
+
+    order = sorted(rows, key=lambda t: (key(t[0]), t[0]))
+    cum, want = 0, {}
+    for i, nb in order:
+        want[i] = cum // shard_bytes
+        cum += nb
+    assert {r.doc_id: r.shard_id for r in got} == want
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3_000),   # id
+            st.sampled_from(["a", "b", "c", "hot"]),     # group
+            st.integers(min_value=0, max_value=5),       # score (ties!)
+        ),
+        min_size=1,
+        max_size=150,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.sampled_from([1, 3, 10]),
+)
+def test_cap_per_group_invariants_random(spark, rows, k):
+    """Two-stage cap == single-window cap on random tie-heavy data, for
+    every k; per-group counts never exceed k; kept rows are exactly the
+    per-group best under the total order."""
+    from tajo_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        rows, "id LONG, grp STRING, score LONG"
+    ).repartition(5)
+    order = [F.desc("score"), F.asc("id")]
+    fast = {(r.grp, r.id) for r in cap_per_group(df, ["grp"], order, k).collect()}
+    # single-threaded reference
+    from collections import defaultdict
+
+    by_grp = defaultdict(list)
+    for i, g, s in rows:
+        by_grp[g].append((i, s))
+    want = set()
+    for g, members in by_grp.items():
+        members.sort(key=lambda t: (-t[1], t[0]))
+        want |= {(g, i) for i, _ in members[:k]}
+    assert fast == want
