@@ -235,3 +235,20 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_quantized_scores_single_scan_broadcast(spark):
+    # the exact + int8 scoring pass: 1-row query side broadcasts (never
+    # SMJ), and both cosines come from ONE scan of the embeddings —
+    # a second FileScan would mean the quantized leg re-reads the corpus
+    from tajo_spark.catalog import load_table
+    from tajo_spark.operators.similarity import quantized_scores
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    scored = quantized_scores(emb, query_vec_id=0)
+    plan = plan_of(scored)
+    assert "SortMergeJoin" not in plan
+    # formatted plans print each node twice (tree + details): 2
+    # logical scans (candidates + 1-row query side) = 4 occurrences
+    assert plan.count("Scan parquet") <= 4
