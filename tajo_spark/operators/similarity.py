@@ -482,3 +482,107 @@ def quantized_scores(
             ).alias("cos_sim_q"),
         )
     )
+
+
+def ivf_persist_index_q8(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    seed: int = 42,
+):
+    """Materialize a QUANTIZED IVF index: (vec_id, q8) partitioned by
+    ``centroid_id`` — int8 rows are ~4x smaller than float32, so the
+    probe's pruned-partition scan moves a quarter of the bytes.  Full-
+    precision vectors stay in the base table; the probe reranks its
+    shortlist there (the IVF+refine layout).  Returns the fitted
+    KMeans model."""
+    assigned, model = ivf_assign(emb, n_centroids=n_centroids, seed=seed)
+    (
+        assigned.select(
+            "vec_id",
+            quantize_int8(F.col("embedding")).alias("q8"),
+            "centroid_id",
+        )
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+    return model
+
+
+def ivf_q8_shortlist(
+    spark,
+    path: str,
+    model,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    expand: int = 4,
+) -> DataFrame:
+    """Stage-1 candidate shortlist over the quantized index: scan only
+    the ``nprobe`` nearest centroid partitions (directory pruning —
+    plan-pinned), score int8 cosine, TakeOrdered ``k*expand``."""
+    import numpy as np
+
+    qv = np.asarray(query_vec, dtype="float64")
+    qn = qv / max(float(np.linalg.norm(qv)), 1e-12)
+    centers = model.clusterCenters()
+    order = np.argsort([float(np.linalg.norm(c - qn)) for c in centers])
+    probe = [int(i) for i in order[:nprobe]]
+    scale = max(float(np.max(np.abs(qv))), 1e-300) / 127.0
+    qq8 = [int(x) for x in np.round(qv / scale)]
+    qdf = spark.createDataFrame([(qq8,)], "qq8 ARRAY<INT>")
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("centroid_id").isin(probe))
+        .join(F.broadcast(qdf))
+        .select(
+            "vec_id",
+            cosine(F.col("q8"), F.col("qq8")).alias("__q8_cos"),
+        )
+        .orderBy(F.desc("__q8_cos"), "vec_id")
+        .limit(k * expand)
+    )
+
+
+def ivf_probe_persisted_q8(
+    spark,
+    path: str,
+    model,
+    query_vec: list[float],
+    emb: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    expand: int = 4,
+    round_to: int = 4,
+) -> DataFrame:
+    """Two-stage probe over the quantized index: (1) scan only the
+    ``nprobe`` nearest centroid partitions (directory pruning), score
+    int8 cosine, keep a ``k*expand`` shortlist; (2) rerank the
+    shortlist with exact float cosine against the base table and
+    return the top-k.  The shortlist id set is metadata-sized
+    (k*expand rows), so driver-side collection is correct — the base-
+    table fetch becomes an IN-filter that parquet row-group stats can
+    skip on (pair with the key-clustered CREATE INDEX layout for
+    point-lookup behavior at 100 TB)."""
+    import numpy as np
+
+    shortlist = ivf_q8_shortlist(
+        spark, path, model, query_vec, k=k, nprobe=nprobe, expand=expand
+    )
+    ids = [int(r.vec_id) for r in shortlist.collect()]  # metadata-sized
+    qfull = spark.createDataFrame(
+        [([float(x) for x in query_vec],)], "qv ARRAY<DOUBLE>"
+    )
+    return (
+        emb.filter(F.col("vec_id").isin(ids))
+        .join(F.broadcast(qfull))
+        .select(
+            "vec_id",
+            F.round(
+                cosine(F.col("embedding"), F.col("qv")), round_to
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(k)
+    )

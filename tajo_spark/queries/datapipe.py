@@ -2274,3 +2274,65 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_chars",
         F.round(F.col("__n") / F.col("__tot"), 6).alias("share"),
     )
+
+
+@query(
+    "sim_ivf_q8_topk",
+    "curation",
+    doc="Production ANN composition (operators/similarity.py::"
+    "ivf_persist_index_q8 / ivf_probe_persisted_q8): int8-quantized "
+    "IVF index persisted partitionBy(centroid_id) — 4x smaller probe "
+    "scans, directory-level pruning — probed in two stages: quantized "
+    "cosine shortlist over nprobe partitions, then exact float rerank "
+    "of the metadata-sized shortlist against the base table (the "
+    "IVF+refine layout). Like sim_ivf_topk the learned partition is "
+    "not SQL-reproducible, so the exact brute-force leg is the hash-"
+    "checked numbers and the probe rides as a recall contract "
+    "(>= 5 of the exact 10 at nprobe=2/8).",
+    oracle="""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        scored AS (
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding, q.qv), 4)
+                       AS cos_sim
+            FROM embeddings e, q WHERE e.vec_id <> 0
+        ),
+        topk AS (
+            SELECT vec_id, cos_sim FROM scored
+            ORDER BY cos_sim DESC, vec_id LIMIT 10
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_exact,
+               round(avg(cos_sim), 4)   AS exact_mean_cos,
+               TRUE                     AS q8_recall_ok
+        FROM topk
+    """,
+)
+def sim_ivf_q8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from tajo_spark.operators.similarity import (
+        cosine_topk,
+        ivf_persist_index_q8,
+        ivf_probe_persisted_q8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="tajo_spark_ivfq8_")
+    model = ivf_persist_index_q8(emb, path, n_centroids=8)
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    probe = ivf_probe_persisted_q8(
+        spark,
+        path,
+        model,
+        list(qrow.embedding),
+        emb.filter(F.col("vec_id") != 0),
+        k=10,
+        nprobe=2,
+    ).select(F.col("vec_id").alias("q8_id"))
+    exact = cosine_topk(emb, query_vec_id=0, k=10)
+    hits = exact.join(probe, exact["vec_id"] == probe["q8_id"], "left")
+    return hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.round(F.avg("cos_sim"), 4).alias("exact_mean_cos"),
+        (F.count("q8_id") >= 5).alias("q8_recall_ok"),
+    )

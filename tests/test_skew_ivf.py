@@ -336,3 +336,38 @@ def test_quantized_cosine_close_to_exact(spark):
         F.max(F.abs(F.col("cos_sim_q") - F.col("cos_sim")))
     ).first()[0]
     assert err is not None and err <= 0.02
+
+
+def test_ivf_q8_full_probe_big_expand_equals_exact(spark, tmp_path):
+    # with every centroid probed and an expand window covering the whole
+    # corpus, the quantized shortlist cannot lose a true neighbor and
+    # the exact rerank must reproduce brute force exactly
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivfq8")
+    model = sim.ivf_persist_index_q8(emb, path, n_centroids=4)
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    got = sim.ivf_probe_persisted_q8(
+        spark, path, model, list(qrow.embedding),
+        emb.filter(F.col("vec_id") != 0),
+        k=10, nprobe=4, expand=10_000,
+    ).collect()
+    want = sim.cosine_topk(emb, query_vec_id=0, k=10).collect()
+    assert [(r.vec_id, r.cos_sim) for r in got] == [
+        (r.vec_id, r.cos_sim) for r in want
+    ]
+
+
+def test_ivf_q8_probe_prunes_partitions(spark, tmp_path):
+    # the stage-1 shortlist must read only its nprobe centroid
+    # directories: PartitionFilters on centroid_id in the index scan
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivfq8p")
+    model = sim.ivf_persist_index_q8(emb, path, n_centroids=8)
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    shortlist = sim.ivf_q8_shortlist(
+        spark, path, model, list(qrow.embedding), k=10, nprobe=2
+    )
+    plan = shortlist._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "centroid_id" in pf, plan
