@@ -86,6 +86,9 @@ HEADLINE = [
     "export_shard_manifest",
     "text_ngram_topk",
     "sim_quantized_topk",
+    "pipeline_corpus_prep_v3",
+    "corpus_datacard",
+    "sim_ivf_q8_topk",
 ]
 
 
