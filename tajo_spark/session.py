@@ -97,3 +97,53 @@ def build_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def cluster_conf(
+    target_input_bytes: int,
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    executor_mem_gb: int = 16,
+    partition_target_mb: int = 192,
+) -> dict[str, str]:
+    """Spark-submit conf block for a real cluster run — the same code,
+    sized for the data instead of local[32].
+
+    The three numbers that actually matter at 100 TB, derived instead
+    of guessed:
+
+    * ``shuffle.partitions``: post-scan shuffle data / a per-partition
+      target that fits executor memory with headroom (AQE coalesces
+      DOWN from this, it never splits UP a too-coarse setting — so the
+      static value must be the upper bound of useful parallelism).
+    * ``files.maxPartitionBytes``: scan-split granularity; bigger
+      splits amortize task overhead once the cluster has enough tasks
+      to stay busy (3-4 waves over total cores).
+    * ``autoBroadcastJoinThreshold`` stays at the local profile's
+      64 MB: broadcast cost scales with executor count, the threshold
+      should NOT grow with the cluster.
+
+    Returns a plain dict usable as ``--conf k=v`` lines or
+    ``build_spark(extra_conf=...)``; everything else in
+    :func:`build_spark` is scale-independent.
+    """
+    total_cores = executors * cores_per_executor
+    # shuffle bytes ~ scan bytes for the worst corpus-wide shuffle;
+    # cap partition count at what 4 task-waves per core can drain and
+    # floor it at total cores so every core has work
+    by_size = target_input_bytes // (partition_target_mb * 1024 * 1024)
+    partitions = max(total_cores, min(int(by_size), total_cores * 4))
+    return {
+        "spark.executor.instances": str(executors),
+        "spark.executor.cores": str(cores_per_executor),
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.sql.shuffle.partitions": str(partitions),
+        "spark.sql.files.maxPartitionBytes": f"{partition_target_mb}m",
+        # partial-agg maps + window sorts spill past this fraction
+        "spark.memory.fraction": "0.6",
+        # one retry wave absorbs spot-node loss without failing the job
+        "spark.stage.maxConsecutiveAttempts": "8",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": (
+            f"{partition_target_mb}m"
+        ),
+    }

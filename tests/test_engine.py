@@ -722,3 +722,19 @@ def test_pg_codec_rewrite_cases():
     # identifier suffix match must not fire (mydecode is not decode)
     s3 = "SELECT mydecode(x, 'hex') FROM t"
     assert tr(s3) == s3
+
+
+def test_cluster_conf_sizing():
+    from tajo_spark.session import cluster_conf
+
+    # 100 TB over 1000 x 4-core executors
+    conf = cluster_conf(100 * 1024**4, executors=1000,
+                        cores_per_executor=4)
+    parts = int(conf["spark.sql.shuffle.partitions"])
+    # every core busy, but never more than 4 waves of tasks
+    assert 4000 <= parts <= 16000
+    # a small input never drops below one task per core
+    small = cluster_conf(1 * 1024**3, executors=10, cores_per_executor=4)
+    assert int(small["spark.sql.shuffle.partitions"]) == 40
+    # broadcast threshold intentionally absent: it must not scale up
+    assert "spark.sql.autoBroadcastJoinThreshold" not in conf
