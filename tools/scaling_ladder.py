@@ -78,8 +78,14 @@ def stage(mult: int, root: str) -> str:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,4,16,64")
+    ap.add_argument("--emb", action="store_true",
+                    help="ladder semantic_dedup over multiplied "
+                         "embeddings with corpus-scaled seed counts")
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
+    if args.emb:
+        emb_ladder(mults)
+        return
 
     from tajo_spark.session import build_spark
     from __spark_entry__ import queries
@@ -115,6 +121,74 @@ def main() -> None:
         row = " | ".join(f"{results[q][m]:.2f} s" for m in mults)
         ratio = results[q][mults[-1]] / results[q][mults[0]]
         print(f"| `{q}` | {row} | {ratio:.1f}x vs {span:.0f}x |")
+
+
+
+def stage_emb(mult: int, root: str) -> str:
+    """Multiplied embeddings: per-replica deterministic jitter keeps
+    replicas from being semantic near-dups of their source (what
+    matters for semantic_dedup's candidate density)."""
+    import duckdb
+
+    out = os.path.join(root, f"emb_x{mult}")
+    os.makedirs(out, exist_ok=True)
+    for f in os.listdir(BASE_SF):
+        if f != "embeddings.parquet":
+            shutil.copy(os.path.join(BASE_SF, f), os.path.join(out, f))
+    con = duckdb.connect()
+    reps = ", ".join(str(i) for i in range(mult))
+    con.execute(
+        f"""
+        COPY (
+            SELECT e.vec_id + r.r * 10000000 AS vec_id,
+                   list_transform(e.embedding,
+                       (x, i) -> CAST(x + 0.35 * sin(i * (r.r * 13 + 7))
+                                 AS FLOAT)) AS embedding,
+                   e.label
+            FROM read_parquet('{BASE_SF}/embeddings.parquet') e,
+                 (SELECT unnest([{reps}]) AS r) r
+        ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    return out
+
+
+def emb_ladder(mults: list[int]) -> None:
+    """Semantic dedup laddered in its DEPLOYMENT shape: seeds scale
+    with the corpus (|corpus| / target-cluster-size), which is what
+    bounds the per-cluster quadratic term — the registry query's fixed
+    n_seeds=16 is the sf0.1 demo configuration, not the scaling rule."""
+    from tajo_spark.catalog import load_table
+    from tajo_spark.operators.similarity import semantic_dedup
+    from tajo_spark.session import build_spark
+
+    spark = build_spark(app_name="scaling_ladder_emb")
+    root = tempfile.mkdtemp(prefix="tajo_spark_ladder_emb_")
+    rows = []
+    try:
+        for mult in mults:
+            sf_dir = stage_emb(mult, root)
+            emb = load_table(spark, sf_dir, "embeddings")
+            n_seeds = 16 * mult  # constant target cluster size
+            times = []
+            for _ in range(2):
+                t0 = time.time()
+                semantic_dedup(emb, n_seeds=n_seeds).count()
+                times.append(time.time() - t0)
+            rows.append((mult, n_seeds, min(times)))
+            print(
+                f"x{mult:<3} semantic_dedup seeds={n_seeds:<5}"
+                f" {min(times):6.2f}s",
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+    print()
+    print("| corpus | seeds | wall |")
+    print("|---|---|---|")
+    for mult, seeds, t in rows:
+        print(f"| {mult}x | {seeds} | {t:.2f} s |")
 
 
 if __name__ == "__main__":
