@@ -89,6 +89,7 @@ HEADLINE = [
     "pipeline_corpus_prep_v3",
     "corpus_datacard",
     "sim_ivf_q8_topk",
+    "dedup_semantic_coarse",
 ]
 
 

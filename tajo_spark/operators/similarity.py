@@ -360,12 +360,163 @@ def seeded_cluster_assign(
 # so the join shuffles on cluster_id instead.
 BROADCAST_MAX_CLUSTERS = 64
 
+# Flat assignment scores every seed per row: O(|corpus| * n_seeds)
+# cosines.  Production SemDeDup scales seeds WITH the corpus
+# (|corpus|/target_cluster_size), which turns flat assignment into the
+# pipeline's quadratic term — the measured scaling ladder
+# (tools/scaling_ladder.py --emb, SCALE.md) shows 16x corpus + 16x
+# seeds = ~126x wall-clock.  Above this seed count semantic_dedup
+# switches to the two-level coarse-quantized assignment (O(n * sqrt(k))).
+COARSE_MIN_SEEDS = 256
+
+# The two-level group join's build side holds ALL n_seeds vectors
+# (grouped into ~sqrt(k) rows).  Past this count that side is too big
+# to broadcast (1M x 768-dim doubles ~ 6 GB), so the group join
+# shuffles on coarse_id instead — same gate shape as the pair join.
+BROADCAST_MAX_SEED_VECTORS = 4096
+
+
+def seeded_cluster_assign_two_level(
+    emb: DataFrame,
+    n_seeds: int = 256,
+    id_col: str = "vec_id",
+    n_coarse: int | None = None,
+) -> DataFrame:
+    """Two-level (IVF-style) variant of :func:`seeded_cluster_assign`
+    for production seed counts.
+
+    The k seeds are themselves assigned to ``n_coarse`` (default
+    ceil(sqrt(k))) *coarse* seeds — the k lowest-id vectors quantized
+    against the ``n_coarse`` lowest-id vectors, with each coarse seed
+    forced into its OWN group so every group is non-empty.  A corpus
+    row then scores only the coarse seeds (one broadcast row, map-only)
+    and the seeds of its winning group (an equi-join on ``coarse_id``),
+    for O(sqrt(k) + k/sqrt(k)) cosines per row instead of O(k).
+
+    Approximation contract (standard IVF nprobe=1): the winning seed is
+    the argmax *within the chosen coarse group*, which can differ from
+    the global argmax near group boundaries.  Assignment is still fully
+    deterministic (round-6 cosine, ties to the lowest id at both
+    levels) so a SQL oracle reproduces it exactly.
+
+    Scale shape: coarse scoring is the same zero-shuffle broadcast-
+    scalar pattern as the flat path (sqrt(k) vectors broadcast —
+    ~10^3 rows even at 10^6 seeds); the group join broadcasts under
+    ``BROADCAST_MAX_SEED_VECTORS`` total seed vectors and otherwise
+    shuffles the corpus ONCE on ``coarse_id`` (AQE skew-join splits hot
+    groups).  Per-row and per-seed norms are computed once — the
+    per-pair score is one dot fold, arithmetically identical to
+    ``cosine`` (same sqrt(dot)*sqrt(dot) denominator values).
+    """
+    import math
+
+    c = n_coarse if n_coarse is not None else math.isqrt(max(n_seeds - 1, 0)) + 1
+    seeds = emb.filter(F.col(id_col) < n_seeds).select(
+        F.col(id_col).alias("seed_id"),
+        _as_double(F.col("embedding")).alias("sv"),
+    ).withColumn("sn", F.sqrt(dot(F.col("sv"), F.col("sv"))))
+    coarse_row = (
+        seeds.filter(F.col("seed_id") < c)
+        .select(
+            F.col("seed_id").alias("coarse_id"),
+            F.col("sv").alias("cv"),
+            F.col("sn").alias("cn"),
+        )
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("coarse_id", "cv", "cn"))
+            ).alias("__coarse")
+        )
+    )
+
+    def _best_coarse(vec: Column, vnorm: Column) -> Column:
+        # argmax over the broadcast coarse array: (round-6 cos, -id)
+        # structs, array_max → max cosine, ties to lowest coarse_id;
+        # zero-norm cosines (NULL) coalesce to -2 so they always lose
+        scores = F.transform(
+            F.col("__coarse"),
+            lambda s: F.struct(
+                F.coalesce(
+                    F.round(
+                        F.when(
+                            vnorm * s.cn != 0,
+                            dot(vec, s.cv) / (vnorm * s.cn),
+                        ),
+                        6,
+                    ),
+                    F.lit(-2.0),
+                ).alias("cos"),
+                (-s.coarse_id).alias("neg_id"),
+            ),
+        )
+        return (-F.array_max(scores).neg_id).cast("long")
+
+    # seed -> coarse group (k-row metadata-sized job); a coarse seed is
+    # ALWAYS its own group's member — without the forced self row a
+    # duplicate-vector tie could leave a group empty, and a corpus row
+    # whose coarse winner is that group would have no seeds to score
+    seed_groups = (
+        seeds.join(F.broadcast(coarse_row))
+        .withColumn(
+            "coarse_id",
+            F.when(F.col("seed_id") < c, F.col("seed_id")).otherwise(
+                _best_coarse(F.col("sv"), F.col("sn"))
+            ),
+        )
+        .groupBy("coarse_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("seed_id", "sv", "sn"))
+            ).alias("__grp")
+        )
+    )
+
+    v = _as_double(F.col("embedding"))
+    pts = (
+        emb.withColumn("__vn", F.sqrt(dot(v, v)))
+        .join(F.broadcast(coarse_row))
+        .withColumn("coarse_id", _best_coarse(v, F.col("__vn")))
+        .drop("__coarse")
+    )
+    grp = (
+        F.broadcast(seed_groups)
+        if n_seeds <= BROADCAST_MAX_SEED_VECTORS
+        else seed_groups.hint("shuffle_hash")
+    )
+    fine_scores = F.transform(
+        F.col("__grp"),
+        lambda s: F.struct(
+            F.coalesce(
+                F.round(
+                    F.when(
+                        F.col("__vn") * s.sn != 0,
+                        dot(v, s.sv) / (F.col("__vn") * s.sn),
+                    ),
+                    6,
+                ),
+                F.lit(-2.0),
+            ).alias("cos"),
+            (-s.seed_id).alias("neg_id"),
+        ),
+    )
+    return (
+        pts.join(grp, "coarse_id")
+        .withColumn("__best", F.array_max(fine_scores))
+        .select(
+            id_col,
+            "embedding",
+            (-F.col("__best.neg_id")).cast("long").alias("cluster_id"),
+            F.round(F.col("__best.cos"), 4).alias("seed_cos"),
+        )
+    )
+
 
 def semantic_dedup(
     emb: DataFrame,
     n_seeds: int = 16,
     threshold: float = 0.3,
     id_col: str = "vec_id",
+    two_level: bool | None = None,
 ) -> DataFrame:
     """SemDeDup: mark a vector removed when it is ≥``threshold`` cosine
     to any LOWER-id vector in its cluster (greedy keep-lowest-id, the
@@ -387,9 +538,21 @@ def semantic_dedup(
     the pair join shuffles on ``cluster_id`` (shuffle-hash hinted, same
     plan shape as the LSH bucket join; AQE skew-join splits oversized
     clusters).
+    Assignment branches on seed count too: at production seed counts
+    (``two_level`` defaults on from ``COARSE_MIN_SEEDS``) the flat
+    O(n*k) per-row argmax is replaced by the two-level coarse-quantized
+    assignment (:func:`seeded_cluster_assign_two_level`, O(n*sqrt(k))) —
+    the measured flat-assignment ladder is quadratic when seeds scale
+    with the corpus (SCALE.md).
+
     Output: (vec_id, cluster_id, is_kept).
     """
-    assigned = seeded_cluster_assign(emb, n_seeds=n_seeds, id_col=id_col)
+    if two_level is None:
+        two_level = n_seeds >= COARSE_MIN_SEEDS
+    assign = (
+        seeded_cluster_assign_two_level if two_level else seeded_cluster_assign
+    )
+    assigned = assign(emb, n_seeds=n_seeds, id_col=id_col)
     v = _as_double(F.col("embedding"))
     # materialize the assignment once: a self-join would otherwise
     # re-evaluate the whole seed-scoring pipeline on BOTH sides

@@ -304,6 +304,83 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup(emb, n_seeds=16, threshold=0.3)
 
 
+@query(
+    "dedup_semantic_coarse",
+    "datapipe",
+    doc="SemDeDup at production seed counts: two-level coarse-quantized "
+    "assignment (64 seeds quantized against 8 coarse seeds, forced "
+    "self-membership; a corpus row scores 8 coarse + its group's seeds "
+    "instead of all 64 — O(n*sqrt(k)) vs the flat path's measured "
+    "quadratic ladder, SCALE.md) then greedy keep-lowest-id removal "
+    "(operators/similarity.py::seeded_cluster_assign_two_level).",
+    oracle="""
+        WITH seeds AS (
+            SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv
+            FROM embeddings WHERE vec_id < 64),
+        coarse AS (
+            SELECT seed_id AS coarse_id, sv AS cv
+            FROM seeds WHERE seed_id < 8),
+        seed_grp AS (
+            SELECT seed_id, sv,
+                   CASE WHEN seed_id < 8 THEN seed_id
+                        ELSE coarse_id END AS coarse_id
+            FROM (
+                SELECT s.seed_id, s.sv, c.coarse_id,
+                       row_number() OVER (
+                           PARTITION BY s.seed_id
+                           ORDER BY round(list_dot_product(s.sv, c.cv)
+                                 / (sqrt(list_dot_product(s.sv, s.sv))
+                                    * sqrt(list_dot_product(c.cv, c.cv))), 6)
+                                 DESC, c.coarse_id) AS rn
+                FROM seeds s CROSS JOIN coarse c) t
+            WHERE rn = 1),
+        vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+        pt_coarse AS (
+            SELECT vec_id, v, coarse_id FROM (
+                SELECT e.vec_id, e.v, c.coarse_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(list_dot_product(e.v, c.cv)
+                                 / (sqrt(list_dot_product(e.v, e.v))
+                                    * sqrt(list_dot_product(c.cv, c.cv))), 6)
+                                 DESC, c.coarse_id) AS rn
+                FROM vecs e CROSS JOIN coarse c) t
+            WHERE rn = 1),
+        assigned AS (
+            SELECT vec_id, seed_id AS cluster_id FROM (
+                SELECT p.vec_id, g.seed_id,
+                       row_number() OVER (
+                           PARTITION BY p.vec_id
+                           ORDER BY round(list_dot_product(p.v, g.sv)
+                                 / (sqrt(list_dot_product(p.v, p.v))
+                                    * sqrt(list_dot_product(g.sv, g.sv))), 6)
+                                 DESC, g.seed_id) AS rn
+                FROM pt_coarse p JOIN seed_grp g USING (coarse_id)) t
+            WHERE rn = 1),
+        withv AS (
+            SELECT a.vec_id, a.cluster_id, v.v
+            FROM assigned a JOIN vecs v USING (vec_id)),
+        removed AS (
+            SELECT DISTINCT a.vec_id
+            FROM withv a JOIN withv b
+              ON a.cluster_id = b.cluster_id AND a.vec_id > b.vec_id
+            WHERE round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3)
+        SELECT a.vec_id, a.cluster_id,
+               (r.vec_id IS NULL) AS is_kept
+        FROM assigned a LEFT JOIN removed r ON a.vec_id = r.vec_id
+    """,
+)
+def dedup_semantic_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        emb, n_seeds=64, threshold=0.3, two_level=True
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------

@@ -371,3 +371,127 @@ def test_ivf_q8_probe_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters")[1].split("]")[0]
     assert "centroid_id" in pf, plan
+
+
+# ---------------------------------------------------------------------------
+# Two-level (coarse-quantized) seed assignment — the production-seed-count
+# path of semantic dedup (flat assignment is O(n*k); the measured ladder in
+# SCALE.md is quadratic when seeds scale with the corpus)
+# ---------------------------------------------------------------------------
+
+
+def test_two_level_equals_flat_at_full_coarse(spark):
+    # n_coarse == n_seeds puts every seed in its own singleton group, so
+    # the coarse argmax IS the global argmax: the two paths must agree
+    # bit-for-bit (this also pins that the precomputed-norm scoring is
+    # FP-identical to cosine()'s sqrt(dot)*sqrt(dot) denominator)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    flat = {
+        (r.vec_id, r.cluster_id, r.seed_cos)
+        for r in sim.seeded_cluster_assign(emb, n_seeds=32).collect()
+    }
+    two = {
+        (r.vec_id, r.cluster_id, r.seed_cos)
+        for r in sim.seeded_cluster_assign_two_level(
+            emb, n_seeds=32, n_coarse=32
+        ).collect()
+    }
+    assert flat == two
+
+
+def test_two_level_matches_numpy_reference(spark):
+    # independent single-threaded reference implementing the same
+    # two-level rule (round-6 cosine, ties to lowest id, forced
+    # self-membership for coarse seeds)
+    import numpy as np
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = emb.collect()
+    vec = {
+        r.vec_id: np.asarray(r.embedding, dtype="float64") for r in rows
+    }
+    k, c = 64, 8
+
+    def cos(a, b):
+        d = np.linalg.norm(a) * np.linalg.norm(b)
+        return -2.0 if d == 0 else float(a @ b / d)
+
+    def argmax(v, cands):  # cands: list[(id, vec)] sorted by id
+        return max(cands, key=lambda s: (round(cos(v, s[1]), 6), -s[0]))[0]
+
+    coarse = [(i, vec[i]) for i in sorted(vec) if i < c]
+    seed_of = {}
+    for i in sorted(vec):
+        if i >= k:
+            continue
+        seed_of[i] = i if i < c else argmax(vec[i], coarse)
+    groups: dict[int, list] = {}
+    for sid, g in seed_of.items():
+        groups.setdefault(g, []).append((sid, vec[sid]))
+    expect = {}
+    for i in sorted(vec):
+        g = argmax(vec[i], coarse)
+        expect[i] = argmax(vec[i], groups[g])
+
+    got = {
+        r.vec_id: r.cluster_id
+        for r in sim.seeded_cluster_assign_two_level(
+            emb, n_seeds=k, n_coarse=c
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_two_level_group_join_gate(spark):
+    # under the vector-count bound the group join broadcasts (no shuffle
+    # join anywhere in the assignment); above it the corpus shuffles
+    # ONCE on coarse_id — and both strategies agree exactly
+    import unittest.mock as mock
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan_bc = (
+        sim.seeded_cluster_assign_two_level(emb, n_seeds=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan_bc, plan_bc
+    assert "ShuffledHashJoin" not in plan_bc, plan_bc
+    assert "BroadcastHashJoin" in plan_bc, plan_bc
+    with mock.patch.object(sim, "BROADCAST_MAX_SEED_VECTORS", 4):
+        shuffled_plan = (
+            sim.seeded_cluster_assign_two_level(emb, n_seeds=64)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert (
+            "ShuffledHashJoin" in shuffled_plan
+            or "SortMergeJoin" in shuffled_plan
+        ), shuffled_plan
+        shuffled = {
+            (r.vec_id, r.cluster_id, r.seed_cos)
+            for r in sim.seeded_cluster_assign_two_level(
+                emb, n_seeds=64
+            ).collect()
+        }
+    broadcast = {
+        (r.vec_id, r.cluster_id, r.seed_cos)
+        for r in sim.seeded_cluster_assign_two_level(emb, n_seeds=64).collect()
+    }
+    assert shuffled == broadcast
+
+
+def test_semantic_dedup_auto_branches_to_two_level(spark):
+    # the auto policy engages the coarse path at COARSE_MIN_SEEDS; the
+    # verdict set stays sound (one verdict per vector, vec 0 kept)
+    import unittest.mock as mock
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    with mock.patch.object(sim, "COARSE_MIN_SEEDS", 8):
+        out = sim.semantic_dedup(emb, n_seeds=16).collect()
+    explicit = sim.semantic_dedup(emb, n_seeds=16, two_level=True).collect()
+    assert {tuple(r) for r in out} == {tuple(r) for r in explicit}
+    by_id = {r.vec_id: r for r in out}
+    assert len(out) == emb.count()
+    assert by_id[0].is_kept is True
