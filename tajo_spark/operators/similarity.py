@@ -320,9 +320,10 @@ def seeded_cluster_assign(
             F.col(id_col).alias("seed_id"),
             _as_double(F.col("embedding")).alias("sv"),
         )
+        .withColumn("sn", F.sqrt(dot(F.col("sv"), F.col("sv"))))
         .agg(
             F.sort_array(
-                F.collect_list(F.struct("seed_id", "sv"))
+                F.collect_list(F.struct("seed_id", "sv", "sn"))
             ).alias("__seeds")
         )
     )
@@ -331,19 +332,31 @@ def seeded_cluster_assign(
     # (rounded-cos, -seed_id) structs: struct ordering gives max cosine
     # with ties to the lowest seed_id — the fold alternative evaluates
     # each seed's cosine twice (condition + selection) per step, which
-    # doubled the hot interpreted-HOF loop. Zero-norm cosines (NULL)
-    # coalesce to -2 so they lose to every real similarity.
+    # doubled the hot interpreted-HOF loop. Norms are computed ONCE per
+    # row (__vn) and per seed (in the broadcast struct) instead of
+    # per (row, seed) inside cosine() — same sqrt(dot)*sqrt(dot) values,
+    # FP-identical scores, 3 array folds per seed down to 1 (measured
+    # ~3x on the assignment scan). Zero-norm cosines (NULL) coalesce to
+    # -2 so they lose to every real similarity.
     scores = F.transform(
         F.col("__seeds"),
         lambda s: F.struct(
-            F.coalesce(F.round(cosine(v, s.sv), 6), F.lit(-2.0)).alias(
-                "cos"
-            ),
+            F.coalesce(
+                F.round(
+                    F.when(
+                        F.col("__vn") * s.sn != 0,
+                        dot(v, s.sv) / (F.col("__vn") * s.sn),
+                    ),
+                    6,
+                ),
+                F.lit(-2.0),
+            ).alias("cos"),
             (-s.seed_id).alias("neg_id"),
         ),
     )
     return (
-        emb.join(F.broadcast(seeds_row))
+        emb.withColumn("__vn", F.sqrt(dot(v, v)))
+        .join(F.broadcast(seeds_row))
         .withColumn("__best", F.array_max(scores))
         .select(
             id_col,
@@ -365,9 +378,12 @@ BROADCAST_MAX_CLUSTERS = 64
 # (|corpus|/target_cluster_size), which turns flat assignment into the
 # pipeline's quadratic term — the measured scaling ladder
 # (tools/scaling_ladder.py --emb, SCALE.md) shows 16x corpus + 16x
-# seeds = ~126x wall-clock.  Above this seed count semantic_dedup
-# switches to the two-level coarse-quantized assignment (O(n * sqrt(k))).
-COARSE_MIN_SEEDS = 256
+# seeds = ~126x wall-clock.  From this seed count semantic_dedup
+# switches to the two-level coarse-quantized assignment (O(n * sqrt(k)));
+# 64 is the measured crossover (8.5x at 64 seeds on 4x corpus), set as
+# the default because below it the exact flat argmax is cheap enough to
+# prefer over the nprobe=1 approximation.
+COARSE_MIN_SEEDS = 64
 
 # The two-level group join's build side holds ALL n_seeds vectors
 # (grouped into ~sqrt(k) rows).  Past this count that side is too big
