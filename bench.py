@@ -90,6 +90,8 @@ HEADLINE = [
     "corpus_datacard",
     "sim_ivf_q8_topk",
     "dedup_semantic_coarse",
+    "sim_ann_join",
+    "sim_ann_join_ivf",
 ]
 
 

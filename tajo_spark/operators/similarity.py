@@ -620,6 +620,218 @@ def semantic_dedup(
     )
 
 
+# The batched ANN join broadcasts the query side (scored against one
+# corpus scan).  Past this many query vectors the broadcast no longer
+# fits an executor — both sides shuffle on centroid_id instead (the
+# IVF variant; the exact variant refuses, it has no join key).
+BROADCAST_MAX_QUERY_VECTORS = 100_000
+
+
+def ann_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id_col: str = "q_id",
+    id_col: str = "vec_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact batched top-k join: every query row gets its ``k``
+    max-cosine corpus rows — the retrieval / cross-dataset-dedup shape
+    (N queries at once, unlike the single-vector ``cosine_topk``).
+
+    Plan: the query side collapses to ONE broadcast row of (id, vec,
+    norm) structs; each corpus row computes one dot fold per query
+    (norms hoisted — same arithmetic as ``cosine``), explodes to
+    skinny (q_id, vec_id, cos) triples, and a single window shuffle on
+    ``query_id`` ranks them.  The corpus is scanned once and never
+    shuffled wide: the exchange carries |corpus| x |queries| x ~24-byte
+    rows, which bounds this exact variant to modest query batches —
+    production batches at 100 TB route through :func:`ann_join_ivf`,
+    which scores only nprobe buckets per query.
+
+    Ranking is deterministic: round-6 cosine desc, corpus id asc.
+    Output: (query_id, rank, vec_id-named id, cos).
+    """
+    qrow = (
+        queries.select(
+            F.col(query_id_col).alias("q_id"),
+            _as_double(F.col("embedding")).alias("qv"),
+        )
+        .withColumn("qn", F.sqrt(dot(F.col("qv"), F.col("qv"))))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("q_id", "qv", "qn"))
+            ).alias("__qs")
+        )
+    )
+    v = _as_double(F.col("embedding"))
+    scored = F.transform(
+        F.col("__qs"),
+        lambda q: F.struct(
+            q.q_id.alias("q_id"),
+            F.coalesce(
+                F.round(
+                    F.when(
+                        F.col("__vn") * q.qn != 0,
+                        dot(v, q.qv) / (F.col("__vn") * q.qn),
+                    ),
+                    6,
+                ),
+                F.lit(-2.0),
+            ).alias("cos"),
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cos"), F.col(id_col).asc()
+    )
+    return (
+        corpus.withColumn("__vn", F.sqrt(dot(v, v)))
+        .join(F.broadcast(qrow))
+        .select(id_col, F.explode(scored).alias("__s"))
+        .select(
+            F.col("__s.q_id").alias("q_id"),
+            id_col,
+            F.col("__s.cos").alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", id_col, F.round("cos", round_to).alias("cos"))
+    )
+
+
+def ann_join_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    query_id_col: str = "q_id",
+    id_col: str = "vec_id",
+    round_to: int = 4,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """IVF-bucketed batched ANN join — the 100 TB shape of
+    :func:`ann_join`.
+
+    ``broadcast_queries``: the query batch size is data-dependent, so
+    the caller declares the strategy — True (default) broadcasts the
+    exploded query side and the corpus scans once unshuffled; set
+    False past ~``BROADCAST_MAX_QUERY_VECTORS`` vectors, shuffling
+    both sides on ``centroid_id`` (AQE skew-join splits hot buckets).
+
+    Deterministic coarse quantizer (the ``n_centroids`` lowest-id
+    corpus vectors, same convention as the two-level seed assignment,
+    so a SQL oracle reproduces every step): the corpus assigns to ONE
+    centroid via a broadcast-scalar argmax (map-only, zero shuffle —
+    at scale this column is the persisted ``partitionBy`` layout);
+    each query explodes to its ``nprobe`` nearest centroids.  The
+    candidate join is then a plain equi-join on ``centroid_id`` —
+    query side broadcast under ``BROADCAST_MAX_QUERY_VECTORS``
+    (corpus scans once, unshuffled), shuffle-hash on ``centroid_id``
+    above it — and only |corpus| * nprobe/n_centroids pairs are scored
+    per query on average, not the whole corpus.  One window shuffle of
+    skinny (q_id, id, cos) rows ranks survivors; recall follows the
+    standard IVF nprobe dial (nprobe=n_centroids degrades to exact).
+
+    Output: (q_id, rank, <id_col>, cos).
+    """
+    cents_row = (
+        corpus.filter(F.col(id_col) < n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            _as_double(F.col("embedding")).alias("cv"),
+        )
+        .withColumn("cn", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("centroid_id", "cv", "cn"))
+            ).alias("__cents")
+        )
+    )
+
+    def _cent_scores(vec: Column, vnorm: Column) -> Column:
+        return F.transform(
+            F.col("__cents"),
+            lambda s: F.struct(
+                F.coalesce(
+                    F.round(
+                        F.when(
+                            vnorm * s.cn != 0,
+                            dot(vec, s.cv) / (vnorm * s.cn),
+                        ),
+                        6,
+                    ),
+                    F.lit(-2.0),
+                ).alias("cos"),
+                (-s.centroid_id).alias("neg_id"),
+            ),
+        )
+
+    v = _as_double(F.col("embedding"))
+    corp = (
+        corpus.withColumn("__vn", F.sqrt(dot(v, v)))
+        .join(F.broadcast(cents_row))
+        .withColumn(
+            "centroid_id",
+            (-F.array_max(_cent_scores(v, F.col("__vn"))).neg_id).cast(
+                "long"
+            ),
+        )
+        .drop("__cents")
+    )
+    # query -> nprobe nearest centroids: sort the scored structs desc
+    # ((cos, -id) structs sort ties to the LOWEST centroid first when
+    # reversed), slice nprobe, explode
+    qv = _as_double(F.col("embedding"))
+    probes = F.slice(
+        F.reverse(F.array_sort(_cent_scores(qv, F.col("__qn")))),
+        1,
+        nprobe,
+    )
+    q = (
+        queries.withColumn("__qn", F.sqrt(dot(qv, qv)))
+        .join(F.broadcast(cents_row))
+        .select(
+            F.col(query_id_col).alias("q_id"),
+            _as_double(F.col("embedding")).alias("qv"),
+            F.col("__qn").alias("qn"),
+            F.explode(probes).alias("__p"),
+        )
+        .select(
+            "q_id", "qv", "qn",
+            (-F.col("__p.neg_id")).cast("long").alias("centroid_id"),
+        )
+    )
+    qside = (
+        F.broadcast(q) if broadcast_queries else q.hint("shuffle_hash")
+    )
+    pair_cos = F.coalesce(
+        F.round(
+            F.when(
+                F.col("__vn") * F.col("qn") != 0,
+                dot(F.col("embedding"), F.col("qv"))
+                / (F.col("__vn") * F.col("qn")),
+            ),
+            6,
+        ),
+        F.lit(-2.0),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cos"), F.col(id_col).asc()
+    )
+    return (
+        corp.join(qside, "centroid_id")
+        .select("q_id", id_col, pair_cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", id_col, F.round("cos", round_to).alias("cos"))
+    )
+
+
 def quantize_int8(vec: Column) -> Column:
     """Scalar int8 quantization: per-vector max-abs scale, symmetric
     round-to-nearest — the standard 4x memory compression for ANN

@@ -2413,3 +2413,106 @@ def sim_ivf_q8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("cos_sim"), 4).alias("exact_mean_cos"),
         (F.count("q8_id") >= 5).alias("q8_recall_ok"),
     )
+
+
+@query(
+    "sim_ann_join",
+    "datapipe",
+    doc="Exact batched ANN join: every 50th vector is a query; each gets "
+    "its cosine top-3 corpus neighbors in ONE corpus scan (query side "
+    "collapses to a broadcast struct array, norms hoisted, one window "
+    "shuffle of skinny scored triples) — the N-queries-at-once "
+    "retrieval/cross-dataset-dedup shape "
+    "(operators/similarity.py::ann_join).",
+    oracle="""
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM vecs
+              WHERE vec_id % 50 = 0),
+        scored AS (
+            SELECT q.q_id, c.vec_id,
+                   round(list_dot_product(q.qv, c.v)
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(c.v, c.v))), 6) AS cos6
+            FROM q CROSS JOIN vecs c),
+        ranked AS (
+            SELECT q_id, vec_id, cos6,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id
+                       ORDER BY cos6 DESC, vec_id) AS INTEGER) AS rank
+            FROM scored)
+        SELECT q_id, rank, vec_id, round(cos6, 4) AS cos
+        FROM ranked WHERE rank <= 3
+    """,
+)
+def sim_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.ann_join(q, emb, k=3)
+
+
+@query(
+    "sim_ann_join_ivf",
+    "datapipe",
+    doc="IVF-bucketed batched ANN join — the 100 TB shape: corpus "
+    "assigns map-only to 16 deterministic centroids (lowest-id vectors; "
+    "at scale this is the persisted partitionBy layout), queries "
+    "explode to their nprobe=4 nearest centroids, candidates join on "
+    "centroid_id (corpus scans once, unshuffled), one window shuffle "
+    "ranks survivors (operators/similarity.py::ann_join_ivf; recall "
+    "dials with nprobe, nprobe=n_centroids degrades to exact).",
+    oracle="""
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+        cents AS (
+            SELECT vec_id AS centroid_id, v AS cv
+            FROM vecs WHERE vec_id < 16),
+        corp AS (
+            SELECT vec_id, v, centroid_id FROM (
+                SELECT e.vec_id, e.v, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(list_dot_product(e.v, c.cv)
+                                 / (sqrt(list_dot_product(e.v, e.v))
+                                    * sqrt(list_dot_product(c.cv, c.cv))), 6)
+                                 DESC, c.centroid_id) AS rn
+                FROM vecs e CROSS JOIN cents c) t
+            WHERE rn = 1),
+        q AS (
+            SELECT q_id, qv, centroid_id FROM (
+                SELECT e.vec_id AS q_id, e.v AS qv, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(list_dot_product(e.v, c.cv)
+                                 / (sqrt(list_dot_product(e.v, e.v))
+                                    * sqrt(list_dot_product(c.cv, c.cv))), 6)
+                                 DESC, c.centroid_id) AS rn
+                FROM vecs e CROSS JOIN cents c
+                WHERE e.vec_id % 50 = 0) t
+            WHERE rn <= 4),
+        scored AS (
+            SELECT q.q_id, s.vec_id,
+                   round(list_dot_product(q.qv, s.v)
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(s.v, s.v))), 6) AS cos6
+            FROM q JOIN corp s USING (centroid_id)),
+        ranked AS (
+            SELECT q_id, vec_id, cos6,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id
+                       ORDER BY cos6 DESC, vec_id) AS INTEGER) AS rank
+            FROM scored)
+        SELECT q_id, rank, vec_id, round(cos6, 4) AS cos
+        FROM ranked WHERE rank <= 3
+    """,
+)
+def sim_ann_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.ann_join_ivf(q, emb, k=3, n_centroids=16, nprobe=4)

@@ -495,3 +495,102 @@ def test_semantic_dedup_auto_branches_to_two_level(spark):
     by_id = {r.vec_id: r for r in out}
     assert len(out) == emb.count()
     assert by_id[0].is_kept is True
+
+
+# ---------------------------------------------------------------------------
+# Batched ANN join (N queries at once — retrieval / cross-dataset dedup)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ann_queries(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    return emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+
+
+def test_ann_join_exact_self_top1(spark, ann_queries):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = sim.ann_join(ann_queries, emb, k=3).collect()
+    n_q = ann_queries.count()
+    assert len(out) == 3 * n_q
+    top1 = {r.q_id: r for r in out if r.rank == 1}
+    # a query vector's nearest corpus vector is itself (cos 1.0; ties
+    # on duplicate vectors break to the lowest id, which IS the query
+    # here because q_ids are corpus ids)
+    for q_id, r in top1.items():
+        assert r.cos == 1.0
+        assert r.vec_id <= q_id
+
+
+def test_ann_join_ivf_full_probe_equals_exact(spark, ann_queries):
+    # nprobe = n_centroids scores every (query, corpus) pair exactly
+    # once (the corpus row's single centroid is always probed): the
+    # IVF join must degrade to the exact result bit-for-bit
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {tuple(r) for r in sim.ann_join(ann_queries, emb, k=3).collect()}
+    full = {
+        tuple(r)
+        for r in sim.ann_join_ivf(
+            ann_queries, emb, k=3, n_centroids=16, nprobe=16
+        ).collect()
+    }
+    assert full == exact
+
+
+def test_ann_join_ivf_recall_and_candidate_reduction(spark, ann_queries):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in sim.ann_join(ann_queries, emb, k=3).collect()
+    }
+    probed = {
+        (r.q_id, r.vec_id)
+        for r in sim.ann_join_ivf(
+            ann_queries, emb, k=3, n_centroids=16, nprobe=4
+        ).collect()
+    }
+    recall = len(exact & probed) / len(exact)
+    assert recall >= 0.5, recall  # nprobe=4/16 on real clusters
+
+
+def test_ann_join_plans(spark, ann_queries):
+    # exact: the corpus never shuffles wide before scoring — every
+    # non-broadcast exchange is either the query-side SinglePartition
+    # collapse or the skinny ranked-triples window exchange
+    import re
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = (
+        sim.ann_join(ann_queries, emb, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    # ivf with broadcast_queries=False: candidate join shuffles on
+    # centroid_id — the declared at-scale strategy — and agrees exactly
+    shuffled_plan = (
+        sim.ann_join_ivf(
+            ann_queries, emb, k=3, nprobe=4, broadcast_queries=False
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert (
+        "ShuffledHashJoin" in shuffled_plan
+        or "SortMergeJoin" in shuffled_plan
+    ), shuffled_plan
+    bc = {
+        tuple(r)
+        for r in sim.ann_join_ivf(ann_queries, emb, k=3, nprobe=4).collect()
+    }
+    sh = {
+        tuple(r)
+        for r in sim.ann_join_ivf(
+            ann_queries, emb, k=3, nprobe=4, broadcast_queries=False
+        ).collect()
+    }
+    assert bc == sh
