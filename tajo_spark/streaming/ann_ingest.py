@@ -1,0 +1,114 @@
+"""Continuous embedding ingest into a persisted quantized IVF index.
+
+The production ANN shape at 100 TB is not one-shot index builds: new
+embeddings arrive continuously (fresh crawl shards, nightly encoder
+runs) and must become searchable without re-reading the corpus.  The
+reference has no streaming at all (SURVEY §2.10 — this whole module is
+beyond-reference capability, same as streaming/pipeline.py); the
+design here extends the incremental-dedup signature-store pattern to
+the ANN index:
+
+* the coarse quantizer is **frozen at bootstrap** (the standard
+  IVF/FAISS deployment: centroids are fitted once on a sample and new
+  vectors are only *assigned*, never re-fitted — re-fitting would
+  invalidate every existing posting list);
+* each micro-batch assigns map-only against the frozen centroids
+  (model metadata broadcast by Spark ML, no shuffle), int8-quantizes,
+  and writes ``partitionBy(centroid_id, __batch_id)`` with dynamic
+  partition overwrite — a replayed batch rewrites exactly its own
+  ``(centroid, batch)`` directories, so crash/replay is idempotent
+  (same contract as the sharded-export and dedup-survivor streams);
+* probes keep directory-level pruning: ``centroid_id`` stays the
+  top-level partition key, so `ivf_q8_shortlist` scans only the
+  ``nprobe`` probed centroid directories regardless of how many
+  ingest batches have accumulated.  Small-file buildup from many
+  micro-batches is the same maintenance problem as any streaming
+  sink — `sources/compaction.py` compacts within ``centroid_id=…``
+  directories offline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tajo_spark.operators.similarity import (
+    ivf_assign,
+    l2_normalize,
+    quantize_int8,
+)
+
+
+def assign_with_frozen_centroids(batch: DataFrame, model) -> DataFrame:
+    """Map-only assignment of new vectors against an already-fitted
+    KMeans model — the ingest path never re-fits (centroid drift would
+    orphan every existing posting).  Same normalized feature space as
+    the index build (`ivf_assign`)."""
+    from pyspark.ml.functions import array_to_vector
+
+    feat = batch.select(
+        "vec_id",
+        "embedding",
+        array_to_vector(l2_normalize(F.col("embedding"))).alias("features"),
+    )
+    return (
+        model.transform(feat)
+        .withColumnRenamed("prediction", "centroid_id")
+        .drop("features")
+    )
+
+
+def ivf_append_batch(
+    batch: DataFrame, model, index_path: str, batch_id: int
+) -> None:
+    """Append one ingest batch to the quantized index, idempotently:
+    dynamic partition overwrite replaces exactly the
+    ``(centroid_id, __batch_id)`` directories this batch produces, so
+    a replay of the same ``batch_id`` rewrites rather than duplicates."""
+    (
+        assign_with_frozen_centroids(batch, model)
+        .select(
+            "vec_id",
+            quantize_int8(F.col("embedding")).alias("q8"),
+            "centroid_id",
+        )
+        .withColumn("__batch_id", F.lit(batch_id).cast("long"))
+        .write.partitionBy("centroid_id", "__batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(index_path)
+    )
+
+
+def ivf_ingest_init(
+    emb: DataFrame, index_path: str, n_centroids: int = 16, seed: int = 42
+):
+    """Bootstrap the ingestable index: fit the coarse quantizer ONCE on
+    the initial corpus and write it as batch ``-1`` in the same
+    ``(centroid_id, __batch_id)`` layout every later append uses
+    (`ivf_persist_index_q8`'s flat layout can't be mixed with batch
+    partitions in one directory tree).  Returns the frozen model."""
+    _, model = ivf_assign(emb, n_centroids=n_centroids, seed=seed)
+    ivf_append_batch(emb, model, index_path, batch_id=-1)
+    return model
+
+
+def ivf_ingest_stream(
+    stream_df: DataFrame, model, index_path: str, checkpoint: str
+):
+    """foreachBatch writer appending each micro-batch of (vec_id,
+    embedding) rows to the index.  Restartable: the checkpoint tracks
+    source progress, and replayed batch ids overwrite their own
+    partitions.  Returns the unstarted ``DataStreamWriter`` (caller
+    `.start()`s it — same convention as `incremental_dedup_stream`)."""
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        ivf_append_batch(batch, model, index_path, batch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -1,0 +1,118 @@
+"""Streaming IVF-index ingest: frozen-quantizer appends must equal the
+batch assignment over the full corpus, survive replay without
+duplicates, and keep the probe's directory pruning."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tajo_spark.catalog import load_table
+from tajo_spark.operators import similarity as sim
+from tajo_spark.streaming import ann_ingest as AI
+from tests.conftest import SF_DIR
+
+
+def _corpus(spark):
+    return load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+
+
+def test_stream_ingest_equals_frozen_batch_assignment(spark, tmp_path):
+    emb = _corpus(spark)
+    boot = emb.filter(F.col("vec_id") < 300)
+    rest = emb.filter(F.col("vec_id") >= 300)
+
+    index = str(tmp_path / "index")
+    model = AI.ivf_ingest_init(boot, index, n_centroids=8)
+
+    # late vectors arrive as two files → two micro-batches
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rest.filter(F.col("vec_id") < 400).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    rest.filter(F.col("vec_id") >= 400).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "vec_id BIGINT, embedding ARRAY<FLOAT>"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = AI.ivf_ingest_stream(
+        stream, model, index, str(tmp_path / "ckpt")
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.vec_id, r.centroid_id)
+        for r in spark.read.parquet(index).select(
+            "vec_id", "centroid_id"
+        ).collect()
+    }
+    want = {
+        (r.vec_id, r.centroid_id)
+        for r in AI.assign_with_frozen_centroids(emb, model).collect()
+    }
+    assert got == want  # every vector present once, frozen assignment
+    # quantized payload matches the batch quantizer bit-for-bit
+    got_q8 = {
+        r.vec_id: tuple(r.q8)
+        for r in spark.read.parquet(index).select("vec_id", "q8").collect()
+    }
+    want_q8 = {
+        r.vec_id: tuple(r.q8)
+        for r in emb.select(
+            "vec_id", sim.quantize_int8(F.col("embedding")).alias("q8")
+        ).collect()
+    }
+    assert got_q8 == want_q8
+
+
+def test_replayed_batch_id_overwrites_not_duplicates(spark, tmp_path):
+    emb = _corpus(spark)
+    boot = emb.filter(F.col("vec_id") < 100)
+    late = emb.filter(F.col("vec_id").between(100, 199))
+    index = str(tmp_path / "index")
+    model = AI.ivf_ingest_init(boot, index, n_centroids=4)
+
+    AI.ivf_append_batch(late, model, index, batch_id=7)
+    n1 = spark.read.parquet(index).count()
+    # crash-replay of the SAME batch id: dynamic overwrite must land on
+    # the same (centroid_id, __batch_id) partitions, not append
+    AI.ivf_append_batch(late, model, index, batch_id=7)
+    n2 = spark.read.parquet(index).count()
+    assert n1 == n2 == 200
+    assert (
+        spark.read.parquet(index)
+        .groupBy("vec_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .isEmpty()
+    )
+
+
+def test_probe_prunes_and_finds_streamed_vector(spark, tmp_path):
+    emb = _corpus(spark)
+    boot = emb.filter(F.col("vec_id") < 300)
+    late = emb.filter(F.col("vec_id") >= 300)
+    index = str(tmp_path / "index")
+    model = AI.ivf_ingest_init(boot, index, n_centroids=8)
+    AI.ivf_append_batch(late, model, index, batch_id=0)
+
+    qrow = emb.filter(F.col("vec_id") == 450).first()
+    shortlist = sim.ivf_q8_shortlist(
+        spark, index, model, list(qrow.embedding), k=5, nprobe=2
+    )
+    ids = [r.vec_id for r in shortlist.collect()]
+    assert 450 in ids  # a streamed vector is its own nearest neighbor
+    plan = shortlist._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "centroid_id" in pf, plan  # pruning survives the batch layout
