@@ -92,6 +92,7 @@ HEADLINE = [
     "dedup_semantic_coarse",
     "sim_ann_join",
     "sim_ann_join_ivf",
+    "sim_decontaminate",
 ]
 
 

@@ -435,20 +435,19 @@ def dup_span_stats(
     the exploded lineage. Nothing is quadratic — cost tracks corpus
     token count exactly like the MinHash pass.
     """
-    from tajo_spark.operators.text import tokens as _tokens
+    from tajo_spark.operators.text import word_ngrams as _word_ngrams
 
-    w = _tokens(F.col(text_col))
-    # guard: F.sequence(1, n-k+1) would COUNT DOWN for short docs
-    # (Spark sequences are bidirectional), emitting bogus spans
-    span_keys = F.when(
-        F.size(w) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - (k - 1)),
-            lambda i: F.md5(
-                F.concat_ws(" ", F.slice(w, i, k)).cast("binary")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # k-token sliding windows via the overlapping-lookahead regex pass
+    # (text.word_ngrams — one codegen'd scan, inherently guards short
+    # docs).  The earlier HOF form slice(tokens, i, k) re-evaluated the
+    # tokenize subtree once per position inside the CodegenFallback
+    # lambda — O(tokens²) interpreted work per row, the exact trap
+    # measured and removed from word_ngrams (SCALE.md); mapping md5
+    # over the ALREADY-materialized n-gram array is token-linear.
+    span_keys = F.transform(
+        _word_ngrams(F.col(text_col), k),
+        lambda s: F.md5(s.cast("binary")),
+    )
     spans = spread_by(docs, id_col).select(
         F.col(id_col), F.explode(span_keys).alias("sk")
     )

@@ -162,11 +162,20 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 16, seed: int = 42,
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # materialize the feature projection before the fit: KMeans is
+    # iterative and re-evaluates its input per pass — unchecked, every
+    # iteration re-reads parquet + renormalizes (measured 9 s → 0.9 s
+    # for the whole fit at sf0.1). At 100 TB the fit runs on a sample
+    # (docstring below) and this materializes the sample, which is the
+    # standard cache-before-ML contract.
     feat = emb.select(
         "vec_id",
         "embedding",
         array_to_vector(l2_normalize(F.col("embedding"))).alias("features"),
-    )
+    ).localCheckpoint()
+    # (init stays k-means||: random init matched its training cost at
+    # sf0.1 but broke the nprobe=2 recall contract at sf0.01 — the
+    # init quality matters more as corpus/centroid ratios shrink)
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feat)
     assigned = (
         model.transform(feat)
@@ -829,6 +838,62 @@ def ann_join_ivf(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", id_col, F.round("cos", round_to).alias("cos"))
+    )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination — the semantic twin of
+    the n-gram ``text_contamination`` check: flag every corpus vector
+    whose max cosine to ANY benchmark vector reaches ``threshold``
+    (an eval example paraphrased into the training set shares no
+    shingles but sits next to it in embedding space).
+
+    Scale shape mirrors the shingle variant: benchmark/eval sets are
+    tiny by construction, so the benchmark side collapses to ONE
+    broadcast row of (vec, norm) structs and the corpus is a single
+    map-only scan — per row one dot fold per benchmark vector, an
+    ``array_max``, zero shuffle, nothing collected.  For benchmark
+    sets past broadcast size, route through :func:`ann_join_ivf` and
+    threshold its ``cos`` instead.
+
+    Output: (id, bench_cos, is_contaminated).
+    """
+    brow = (
+        benchmark.select(
+            _as_double(F.col("embedding")).alias("bv"),
+        )
+        .withColumn("bn", F.sqrt(dot(F.col("bv"), F.col("bv"))))
+        .agg(F.collect_list(F.struct("bv", "bn")).alias("__bench"))
+    )
+    v = _as_double(F.col("embedding"))
+    scores = F.transform(
+        F.col("__bench"),
+        lambda b: F.coalesce(
+            F.round(
+                F.when(
+                    F.col("__vn") * b.bn != 0,
+                    dot(v, b.bv) / (F.col("__vn") * b.bn),
+                ),
+                6,
+            ),
+            F.lit(-2.0),
+        ),
+    )
+    return (
+        corpus.withColumn("__vn", F.sqrt(dot(v, v)))
+        .join(F.broadcast(brow))
+        .withColumn("__mx", F.array_max(scores))
+        .select(
+            id_col,
+            F.round(F.col("__mx"), round_to).alias("bench_cos"),
+            (F.col("__mx") >= threshold).alias("is_contaminated"),
+        )
     )
 
 

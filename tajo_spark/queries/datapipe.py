@@ -2385,6 +2385,9 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_ivf_q8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
     from tajo_spark.operators.similarity import (
@@ -2394,7 +2397,14 @@ def sim_ivf_q8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    path = tempfile.mkdtemp(prefix="tajo_spark_ivfq8_")
+    # stable per-sf_dir staging dir, wiped before reuse — same
+    # no-leak pattern as the dedup_incremental signature store
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "tajo_spark_ivfq8_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(path, ignore_errors=True)
     model = ivf_persist_index_q8(emb, path, n_centroids=8)
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     probe = ivf_probe_persisted_q8(
@@ -2516,3 +2526,37 @@ def sim_ann_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), "embedding"
     )
     return similarity.ann_join_ivf(q, emb, k=3, n_centroids=16, nprobe=4)
+
+
+@query(
+    "sim_decontaminate",
+    "datapipe",
+    doc="Embedding-level benchmark decontamination (semantic twin of "
+    "text_contamination): vec_id % 97 = 0 stands in for the eval set; "
+    "it collapses to one broadcast row and every corpus vector takes "
+    "its max cosine against it in a single map-only scan — zero "
+    "shuffle (operators/similarity.py::semantic_contamination; giant "
+    "benchmark sets route through ann_join_ivf instead).",
+    oracle="""
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+        bench AS (SELECT v AS bv FROM vecs WHERE vec_id % 97 = 0),
+        corp AS (SELECT * FROM vecs WHERE vec_id % 97 <> 0),
+        scored AS (
+            SELECT c.vec_id,
+                   round(list_dot_product(c.v, b.bv)
+                     / (sqrt(list_dot_product(c.v, c.v))
+                        * sqrt(list_dot_product(b.bv, b.bv))), 6) AS cos6
+            FROM corp c CROSS JOIN bench b),
+        mx AS (SELECT vec_id, max(cos6) AS m FROM scored GROUP BY vec_id)
+        SELECT vec_id, round(m, 4) AS bench_cos,
+               (m >= 0.3) AS is_contaminated
+        FROM mx
+    """,
+)
+def sim_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 97 == 0)
+    corp = emb.filter(F.col("vec_id") % 97 != 0)
+    return similarity.semantic_contamination(corp, bench, threshold=0.3)
