@@ -93,6 +93,7 @@ HEADLINE = [
     "sim_ann_join",
     "sim_ann_join_ivf",
     "sim_decontaminate",
+    "sim_ann_q8_persisted",
 ]
 
 

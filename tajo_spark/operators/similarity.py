@@ -112,11 +112,21 @@ def pairwise_similar(
     same sign-LSH bucket (the embedding-cosine near-dup operator).
     Plan: bucket equi-join (hash shuffle on small bucket keys) instead of
     a full cross join — the quadratic term only applies within buckets."""
+    # cast + norm ONCE per side before the join (the pair score is then
+    # a single dot fold with the same sqrt(dot)*sqrt(dot) denominator
+    # values cosine() would compute — FP-identical, 3 folds -> 1)
     with_bucket = emb.select(
-        "vec_id", "embedding", sign_bucket(F.col("embedding")).alias("bucket")
-    )
+        "vec_id",
+        _as_double(F.col("embedding")).alias("embedding"),
+        sign_bucket(F.col("embedding")).alias("bucket"),
+    ).withColumn("__n", F.sqrt(dot(F.col("embedding"), F.col("embedding"))))
     a = with_bucket.alias("a")
     b = with_bucket.alias("b")
+    denom = F.col("a.__n") * F.col("b.__n")
+    pair_cos = F.when(
+        denom != 0,
+        dot(F.col("a.embedding"), F.col("b.embedding")) / denom,
+    )
     return (
         a.join(
             b,
@@ -126,9 +136,7 @@ def pairwise_similar(
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(
-                cosine(F.col("a.embedding"), F.col("b.embedding")), round_to
-            ).alias("cos_sim"),
+            F.round(pair_cos, round_to).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -998,6 +1006,145 @@ def ivf_q8_shortlist(
         )
         .orderBy(F.desc("__q8_cos"), "vec_id")
         .limit(k * expand)
+    )
+
+
+def ann_join_q8_persisted(
+    spark,
+    path: str,
+    model,
+    queries: DataFrame,
+    base: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    expand: int = 4,
+    query_id_col: str = "q_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Batch retrieval against the PERSISTED quantized IVF index — the
+    production serving shape: N query vectors probe the
+    ``partitionBy(centroid_id)`` index built by
+    :func:`ivf_persist_index_q8`, touching only the union of their
+    ``nprobe`` nearest centroid directories.
+
+    Stages, all distributed (nothing per-query leaves the executors):
+
+    1. each query ranks the model's centroid metadata (c × dim floats,
+       shipped as one literal broadcast row) and explodes to its
+       ``nprobe`` probe targets;
+    2. the index scan is filtered to the UNION of probed centroids — a
+       driver-side list of at most ``n_centroids`` ints (metadata-
+       sized), so parquet directory pruning applies statically — and
+       equi-joins the broadcast probes on ``centroid_id``, scoring
+       int8 cosine only for (query, candidate) pairs that share a
+       probed bucket;
+    3. a window keeps ``k*expand`` candidates per query, the base
+       table semi-joins the shortlist ids (row-group-stat skippable),
+       and the exact float rerank + final top-k window run on the
+       joined (query, candidate) rows.
+
+    Output: (q_id, rank, vec_id, cos) — same contract as
+    :func:`ann_join`, with recall following the nprobe/expand dials.
+    """
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    centers = model.clusterCenters()
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "centroid_id INT, cv ARRAY<DOUBLE>",
+    ).agg(F.collect_list(F.struct("centroid_id", "cv")).alias("__cents"))
+
+    # rank centers by L2 distance to the NORMALIZED query — the same
+    # rule the single-query probes use (centers live on the unit
+    # sphere, so L2 order == cosine order)
+    d2 = lambda s: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("__qn"), s.cv, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probes_arr = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.transform(
+                    F.col("__cents"),
+                    lambda s: F.struct(
+                        (-F.round(d2(s), 9)).alias("negd"),
+                        (-s.centroid_id).alias("neg_id"),
+                    ),
+                )
+            )
+        ),
+        1,
+        nprobe,
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("q_id"),
+            _as_double(F.col("embedding")).alias("qv"),
+        )
+        .withColumn("__qn", F.transform(
+            F.col("qv"),
+            lambda x: x / F.greatest(
+                F.sqrt(dot(F.col("qv"), F.col("qv"))), F.lit(1e-12)
+            ),
+        ))
+        .join(F.broadcast(cents))
+        .select(
+            "q_id", "qv",
+            F.explode(probes_arr).alias("__p"),
+        )
+        .select(
+            "q_id", "qv",
+            (-F.col("__p.neg_id")).cast("int").alias("centroid_id"),
+        )
+        .localCheckpoint()  # probed twice below (partition list + join)
+    )
+    probed = [
+        int(r.centroid_id)
+        for r in q.select("centroid_id").distinct().collect()
+    ]  # metadata-sized: bounded by n_centroids
+    qq8 = q.select(
+        "q_id", "centroid_id", quantize_int8(F.col("qv")).alias("qq8")
+    )
+    w1 = Window.partitionBy("q_id").orderBy(
+        F.desc("__q8_cos"), F.col("vec_id").asc()
+    )
+    shortlist = (
+        spark.read.parquet(path)
+        .filter(F.col("centroid_id").isin(probed))
+        .join(F.broadcast(qq8), "centroid_id")
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(F.col("q8"), F.col("qq8")).alias("__q8_cos"),
+        )
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k * expand)
+        .select("q_id", "vec_id")
+    )
+    # exact rerank: base table restricted to shortlist ids (semi-join —
+    # distributed, unlike the single-query IN-list), re-joined with the
+    # full-precision query vectors
+    cand = base.join(
+        shortlist.select("vec_id").distinct(), "vec_id", "left_semi"
+    ).select("vec_id", _as_double(F.col("embedding")).alias("cv8"))
+    qfull = q.select("q_id", "qv").distinct()
+    w2 = Window.partitionBy("q_id").orderBy(
+        F.desc("cos"), F.col("vec_id").asc()
+    )
+    return (
+        shortlist.join(cand, "vec_id")
+        .join(F.broadcast(qfull), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine(F.col("cv8"), F.col("qv")), 6).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", F.round("cos", round_to).alias("cos"))
     )
 
 

@@ -2560,3 +2560,77 @@ def sim_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = emb.filter(F.col("vec_id") % 97 == 0)
     corp = emb.filter(F.col("vec_id") % 97 != 0)
     return similarity.semantic_contamination(corp, bench, threshold=0.3)
+
+
+@query(
+    "sim_ann_q8_persisted",
+    "datapipe",
+    doc="Production batch retrieval: 10 query vectors probe the "
+    "persisted int8 IVF index (operators/similarity.py::"
+    "ann_join_q8_persisted) — index scan statically pruned to the "
+    "union of probed centroid directories, quantized shortlist per "
+    "query, distributed exact rerank against the base table. The "
+    "KMeans partition is not SQL-reproducible, so the exact "
+    "brute-force leg is hash-checked and the probe rides as a recall "
+    "contract (>= 0.5 of the exact top-5 at nprobe=2/8).",
+    oracle="""
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM vecs
+              WHERE vec_id % 50 = 0),
+        scored AS (
+            SELECT q.q_id, c.vec_id,
+                   round(list_dot_product(q.qv, c.v)
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(c.v, c.v))), 6) AS cos6
+            FROM q CROSS JOIN vecs c),
+        ranked AS (
+            SELECT q_id, vec_id, cos6,
+                   row_number() OVER (
+                       PARTITION BY q_id
+                       ORDER BY cos6 DESC, vec_id) AS rnk
+            FROM scored)
+        SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+               round(avg(cos6), 4) AS exact_mean_cos,
+               TRUE AS recall_ok
+        FROM ranked WHERE rnk <= 5
+    """,
+)
+def sim_ann_q8_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from tajo_spark.operators.similarity import (
+        ann_join,
+        ann_join_q8_persisted,
+        ivf_persist_index_q8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "tajo_spark_annq8_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    model = ivf_persist_index_q8(emb, path, n_centroids=8)
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    probe = ann_join_q8_persisted(
+        spark, path, model, q, emb, k=5, nprobe=2
+    ).select("q_id", F.col("vec_id").alias("p_id"))
+    exact = ann_join(q, emb, k=5)
+    hits = exact.join(
+        probe,
+        (exact["q_id"] == probe["q_id"]) & (exact["vec_id"] == probe["p_id"]),
+        "left",
+    )
+    return hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_pairs"),
+        F.round(F.avg("cos"), 4).alias("exact_mean_cos"),
+        ((F.count("p_id") / F.count(F.lit(1))) >= 0.5).alias("recall_ok"),
+    )

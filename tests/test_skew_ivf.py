@@ -594,3 +594,43 @@ def test_ann_join_plans(spark, ann_queries):
         ).collect()
     }
     assert bc == sh
+
+
+def test_ann_q8_persisted_full_probe_equals_exact(spark, ann_queries, tmp_path):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "idx")
+    model = sim.ivf_persist_index_q8(emb, path, n_centroids=8)
+    # full probe + generous expand must reduce to the exact batched join
+    got = {
+        tuple(r)
+        for r in sim.ann_join_q8_persisted(
+            spark, path, model, ann_queries, emb, k=5, nprobe=8, expand=100
+        ).collect()
+    }
+    exact = {tuple(r) for r in sim.ann_join(ann_queries, emb, k=5).collect()}
+    assert got == exact
+
+
+def test_ann_q8_persisted_prunes_index_partitions(spark, ann_queries, tmp_path):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "idx")
+    model = sim.ivf_persist_index_q8(emb, path, n_centroids=8)
+    out = sim.ann_join_q8_persisted(
+        spark, path, model, ann_queries.limit(3), emb, k=5, nprobe=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "centroid_id" in pf, plan
+    # recall at partial probe stays useful
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in sim.ann_join(ann_queries, emb, k=5).collect()
+    }
+    got = {
+        (r.q_id, r.vec_id)
+        for r in sim.ann_join_q8_persisted(
+            spark, path, model, ann_queries, emb, k=5, nprobe=2
+        ).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.5

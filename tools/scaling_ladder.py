@@ -81,10 +81,16 @@ def main() -> None:
     ap.add_argument("--emb", action="store_true",
                     help="ladder semantic_dedup over multiplied "
                          "embeddings with corpus-scaled seed counts")
+    ap.add_argument("--ann", action="store_true",
+                    help="ladder the batched ANN join (fixed 64-query "
+                         "batch, growing corpus): exact vs IVF")
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
     if args.emb:
         emb_ladder(mults)
+        return
+    if args.ann:
+        ann_ladder(mults)
         return
 
     from tajo_spark.session import build_spark
@@ -190,6 +196,66 @@ def emb_ladder(mults: list[int]) -> None:
     for mult, seeds, t in rows:
         print(f"| {mult}x | {seeds} | {t:.2f} s |")
 
+
+
+
+def ann_ladder(mults: list[int]) -> None:
+    """Batched ANN join in its deployment shape: a FIXED query batch
+    (512 vectors — a retrieval/eval set doesn't grow with the corpus)
+    against a growing corpus.  Both are linear in the corpus; the
+    constant is the point: exact scores |Q| pairs per corpus row, IVF
+    scores c centroids + nprobe·|Q|/c candidates per row — the win
+    needs |Q| >> c + nprobe·|Q|/c (at |Q|=512, c=64, nprobe=8 that is
+    512 vs 128 per-row scores).  A 64-query batch against c=64
+    centroids measured SLOWER than exact (assignment alone equals the
+    exact scoring) — kept here as the negative result: one-shot IVF
+    only pays above that break-even, or when the assignment is a
+    persisted index column (ivf_persist_index*, where it amortizes to
+    zero)."""
+    from pyspark.sql import functions as F
+
+    from tajo_spark.catalog import load_table
+    from tajo_spark.operators.similarity import ann_join, ann_join_ivf
+    from tajo_spark.session import build_spark
+
+    spark = build_spark(app_name="scaling_ladder_ann")
+    root = tempfile.mkdtemp(prefix="tajo_spark_ladder_ann_")
+    rows = []
+    try:
+        for mult in mults:
+            sf_dir = stage_emb(mult, root)
+            emb = load_table(spark, sf_dir, "embeddings")
+            q = (
+                emb.filter(F.col("vec_id") < 512)  # fixed batch: base
+                # replica keeps original ids at every rung
+                .select(F.col("vec_id").alias("q_id"), "embedding")
+            )
+            walls = {}
+            for name, fn in (
+                ("exact", lambda: ann_join(q, emb, k=10)),
+                ("ivf", lambda: ann_join_ivf(
+                    q, emb, k=10, n_centroids=64, nprobe=8)),
+            ):
+                times = []
+                for _ in range(2):
+                    t0 = time.time()
+                    fn().count()
+                    times.append(time.time() - t0)
+                walls[name] = min(times)
+            rows.append((mult, walls["exact"], walls["ivf"]))
+            print(
+                f"x{mult:<3} ann exact {walls['exact']:6.2f}s   "
+                f"ivf {walls['ivf']:6.2f}s",
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+    print()
+    print("| corpus | exact | ivf (c=64, nprobe=8) |")
+    print("|---|---|---|")
+    for mult, ex, iv in rows:
+        print(f"| {mult}x | {ex:.2f} s | {iv:.2f} s |")
 
 if __name__ == "__main__":
     main()
