@@ -84,6 +84,9 @@ def main() -> None:
     ap.add_argument("--ann", action="store_true",
                     help="ladder the batched ANN join (fixed 64-query "
                          "batch, growing corpus): exact vs IVF")
+    ap.add_argument("--tpch", action="store_true",
+                    help="ladder TPC-H bodies over multiplied fact "
+                         "tables (lineitem/orders), catalog constant")
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
     if args.emb:
@@ -91,6 +94,9 @@ def main() -> None:
         return
     if args.ann:
         ann_ladder(mults)
+        return
+    if args.tpch:
+        tpch_ladder(mults)
         return
 
     from tajo_spark.session import build_spark
@@ -256,6 +262,89 @@ def ann_ladder(mults: list[int]) -> None:
     print("|---|---|---|")
     for mult, ex, iv in rows:
         print(f"| {mult}x | {ex:.2f} s | {iv:.2f} s |")
+
+
+
+def stage_tpch(mult: int, root: str) -> str:
+    """Multiplied FACT tables (lineitem + orders, order keys offset per
+    replica so join cardinalities stay 1:N), catalog dims untouched —
+    the realistic growth axis: more transactions against the same
+    part/supplier/customer catalog."""
+    import duckdb
+
+    out = os.path.join(root, f"tpch_x{mult}")
+    os.makedirs(out, exist_ok=True)
+    for f in os.listdir(BASE_SF):
+        if f not in ("lineitem.parquet", "orders.parquet"):
+            shutil.copy(os.path.join(BASE_SF, f), os.path.join(out, f))
+    con = duckdb.connect()
+    reps = ", ".join(str(i) for i in range(mult))
+    con.execute(
+        f"""
+        COPY (
+            SELECT l.* REPLACE (l.l_orderkey + r.r * 10000000
+                                AS l_orderkey)
+            FROM read_parquet('{BASE_SF}/lineitem.parquet') l,
+                 (SELECT unnest([{reps}]) AS r) r
+        ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+            SELECT o.* REPLACE (o.o_orderkey + r.r * 10000000
+                                AS o_orderkey)
+            FROM read_parquet('{BASE_SF}/orders.parquet') o,
+                 (SELECT unnest([{reps}]) AS r) r
+        ) TO '{out}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    return out
+
+
+TPCH_LADDER = ["tpch_q1", "tpch_q3", "tpch_q9", "tpch_q18", "tpch_q21"]
+
+
+def tpch_ladder(mults: list[int]) -> None:
+    """TPC-H bodies over growing facts: the claim under test is that
+    no plan changes shuffle structure or broadcasts a grown relation
+    as the fact side scales (broadcast_if_dim + AQE decide at
+    runtime) — wall-clock should track data ~linearly on fixed
+    cores."""
+    from __spark_entry__ import queries
+    from tajo_spark.session import build_spark
+
+    spark = build_spark(app_name="scaling_ladder_tpch")
+    qs = queries()
+    root = tempfile.mkdtemp(prefix="tajo_spark_ladder_tpch_")
+    results: dict[str, dict[int, float]] = {q: {} for q in TPCH_LADDER}
+    try:
+        for mult in mults:
+            sf_dir = stage_tpch(mult, root)
+            for q in TPCH_LADDER:
+                fn = qs[q]
+                fn(spark, "/root/testdata/sf0.001").collect()  # warm
+                times = []
+                for _ in range(2):
+                    t0 = time.time()
+                    fn(spark, sf_dir).collect()
+                    times.append(time.time() - t0)
+                results[q][mult] = min(times)
+                print(f"x{mult:<3} {q:10s} {min(times):6.2f}s", flush=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+    header = ("| query | " + " | ".join(f"{m}x" for m in mults)
+              + " | ratio last/first vs data ratio |")
+    print()
+    print(header)
+    print("|---" * (len(mults) + 2) + "|")
+    span = mults[-1] / mults[0]
+    for q in TPCH_LADDER:
+        row = " | ".join(f"{results[q][m]:.2f} s" for m in mults)
+        ratio = results[q][mults[-1]] / results[q][mults[0]]
+        print(f"| `{q}` | {row} | {ratio:.1f}x vs {span:.0f}x |")
+
 
 if __name__ == "__main__":
     main()
