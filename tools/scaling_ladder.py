@@ -185,7 +185,12 @@ def emb_ladder(mults: list[int]) -> None:
             times = []
             for _ in range(2):
                 t0 = time.time()
-                semantic_dedup(emb, n_seeds=n_seeds).count()
+                # noop write, NOT count(): Catalyst eliminates the
+                # cardinality-preserving verdict join (and the whole
+                # pair scan feeding it) under count() — measured
+                # 0.24 s counted vs 4.05 s executed at 4x
+                semantic_dedup(emb, n_seeds=n_seeds).write.format(
+                    "noop").mode("overwrite").save()
                 times.append(time.time() - t0)
             rows.append((mult, n_seeds, min(times)))
             print(
@@ -245,7 +250,7 @@ def ann_ladder(mults: list[int]) -> None:
                 times = []
                 for _ in range(2):
                     t0 = time.time()
-                    fn().count()
+                    fn().write.format("noop").mode("overwrite").save()
                     times.append(time.time() - t0)
                 walls[name] = min(times)
             rows.append((mult, walls["exact"], walls["ivf"]))
