@@ -397,9 +397,10 @@ BROADCAST_MAX_CLUSTERS = 64
 # (tools/scaling_ladder.py --emb, SCALE.md) shows 16x corpus + 16x
 # seeds = ~126x wall-clock.  From this seed count semantic_dedup
 # switches to the two-level coarse-quantized assignment (O(n * sqrt(k)));
-# 64 is the measured crossover (8.5x at 64 seeds on 4x corpus), set as
-# the default because below it the exact flat argmax is cheap enough to
-# prefer over the nprobe=1 approximation.
+# 64 is the measured crossover of the ASSIGNMENT term (8.5x at 64 seeds
+# on 4x corpus; the pair scan downstream is identical either way), set
+# as the default because below it the exact flat argmax is cheap enough
+# to prefer over the nprobe=1 approximation.
 COARSE_MIN_SEEDS = 64
 
 # The two-level group join's build side holds ALL n_seeds vectors
