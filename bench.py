@@ -94,6 +94,7 @@ HEADLINE = [
     "sim_ann_join_ivf",
     "sim_decontaminate",
     "sim_ann_q8_persisted",
+    "pipeline_corpus_prep_v4",
 ]
 
 

@@ -2640,3 +2640,72 @@ def sim_ann_q8_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("cos"), 4).alias("exact_mean_cos"),
         ((F.count("p_id") / F.count(F.lit(1))) >= 0.5).alias("recall_ok"),
     )
+
+
+@query(
+    "pipeline_corpus_prep_v4",
+    "curation",
+    doc="Cross-modal curation pipeline: documents joined to their "
+    "embeddings (doc_id = vec_id), learned quality filter (score >= "
+    "0.5), then embedding-level benchmark decontamination (drop docs "
+    "within 0.3 cosine of the vec_id % 97 = 0 eval set — the semantic "
+    "leakage the n-gram check misses), per-language token manifest. "
+    "Stage economics: one doc-emb equi-join, classifier projection, "
+    "one broadcast-benchmark map-only scan, one agg shuffle.",
+    oracle=f"""
+        WITH embv AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+        corpus AS (
+            SELECT d.doc_id, d.text, d.lang, e.v
+            FROM documents d JOIN embv e ON d.doc_id = e.vec_id),
+        q AS (
+            SELECT doc_id, text, lang, v,
+                   round(1.0 / (1.0 + exp(-{_clf_z_sql()})), 4) AS s
+            FROM corpus),
+        kept AS (SELECT doc_id, text, lang, v FROM q WHERE s >= 0.5),
+        bench AS (SELECT v AS bv FROM embv WHERE vec_id % 97 = 0),
+        scored AS (
+            SELECT k.doc_id,
+                   round(list_dot_product(k.v, b.bv)
+                     / (sqrt(list_dot_product(k.v, k.v))
+                        * sqrt(list_dot_product(b.bv, b.bv))), 6) AS cos6
+            FROM kept k CROSS JOIN bench b),
+        mx AS (SELECT doc_id, max(cos6) AS m FROM scored GROUP BY doc_id),
+        clean AS (
+            SELECT kept.doc_id, kept.text, kept.lang, round(mx.m, 4) AS bc
+            FROM kept JOIN mx USING (doc_id) WHERE mx.m < 0.3)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
+               round(avg(bc), 4) AS avg_bench_cos
+        FROM clean GROUP BY lang
+    """,
+)
+def pipeline_corpus_prep_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = docs.join(emb, docs["doc_id"] == emb["vec_id"]).select(
+        docs["doc_id"], "text", "lang", "embedding"
+    )
+    # one stage boundary: both the decontamination scan and the final
+    # survivor join read the classifier output
+    kept = corpus.filter(
+        text.quality_classifier_score(F.col("text")) >= 0.5
+    ).localCheckpoint()
+    bench = emb.filter(F.col("vec_id") % 97 == 0)
+    flags = similarity.semantic_contamination(
+        kept, bench, threshold=0.3, id_col="doc_id"
+    )
+    clean = kept.join(
+        flags.filter(~F.col("is_contaminated")).select(
+            "doc_id", "bench_cos"
+        ),
+        "doc_id",
+    )
+    return clean.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count(F.col("text"))).cast("long").alias(
+            "total_tokens"
+        ),
+        F.round(F.avg("bench_cos"), 4).alias("avg_bench_cos"),
+    )
