@@ -64,52 +64,60 @@ def query(
     return wrap
 
 
-# Names that already have a green hash-match row in a driver CORRECTNESS
+# Names that already have a green driver row in a CORRECTNESS_r{N}.json
 # artifact (round 1 truncated at the first 50 registry entries, so ordering
 # decides who gets driver-side evidence).  We rotate: queries WITHOUT a green
-# driver row yet are emitted first, verified ones last.  Update this set from
-# CORRECTNESS_r{N}.json each round.
-_DRIVER_VERIFIED: frozenset[str] = frozenset(
-    {
-        # round 1 (CORRECTNESS_r01.json): 46 hash-green + 4 rows-only
-        "events_funnel", "events_pivot_type_counts", "events_retention_cohorts",
-        "dedup_exact", "dedup_fingerprint", "dedup_minhash_pairs", "dedup_simhash",
-        "sim_cosine_topk", "sim_lsh_bucket_topk", "sim_near_dup_pairs",
-        "dedup_semantic", "text_metrics", "text_quality_langid", "text_pii_stats",
-        "text_repetition_signals", "text_contamination", "text_tfidf_topk",
-        "text_chunk_overlap", "multimodal_binary_meta", "events_sessionize",
-        "events_tumbling_window", "dedup_ngram_jaccard", "text_bpe_token_count",
-        # pack_sequences / agg_approx_distinct / agg_approx_percentile /
-        # sim_ivf_topk are deliberately NOT listed although r01 ran them:
-        # their r01 rows are "no_oracle" and they have real oracles now —
-        # re-queue them so the driver upgrades those rows to hash-green
-        "dedup_apply", "sample_hash_split",
-        "sample_deterministic_rows", "sample_mixture", "sample_global_shuffle",
-        "text_unigram_logprob", "text_term_topk", "dedup_components",
-        "dedup_apply_neardup", "pipeline_corpus_prep", "sample_stratified_topk",
-        "fn_string_basic", "fn_string_regex", "fn_math", "fn_datetime", "fn_json",
-        "fn_conditional", "fn_cast", "fn_tajo_registry", "fn_similar_to_dialect",
-        "fn_to_char_pg_formats", "fn_string_math_extended", "join_inner_hash",
-        # round 2 (CORRECTNESS_r02.json): 50/50 hash-green, including the 4
-        # former rows-only queries upgraded to hash-green
-        "pack_sequences", "agg_approx_distinct", "agg_approx_percentile",
-        "sim_ivf_topk", "join_left_outer", "join_right_outer", "join_full_outer",
-        "join_cross", "join_left_semi", "join_left_anti", "join_right_semi",
-        "join_right_anti", "join_non_equi", "join_skew_salted",
-        "agg_global", "agg_having", "agg_stats", "agg_string_agg",
-        "agg_percentiles", "agg_distinct_multi", "agg_cube", "agg_rollup",
-        "agg_grouping_sets", "micro_groupby1", "micro_groupby2",
-        "sort_global", "sort_nulls_topk",
-        "setop_union_all", "setop_union_distinct", "setop_intersect",
-        "setop_intersect_all", "setop_except", "setop_except_all",
-        "subq_in", "subq_not_in", "subq_exists_correlated", "subq_scalar",
-        "subq_from_derived", "subq_cte_chain",
-        "window_ranking", "window_lag_lead", "window_first_last",
-        "window_ntile_frames", "window_running_agg", "window_topk_per_group",
-        "nested_project", "nested_group_by", "nested_join_key",
-        "asof_join_events_orders", "range_join_event_burst",
-    }
-)
+# driver row yet are emitted first, verified ones last.
+#
+# The set is DERIVED from the checked-in artifacts at import time — the
+# round-2 and round-3 verdicts both flagged a hand-maintained frozenset going
+# stale, so hand-editing is retired (VERDICT.md r03 next-round #1).  A name
+# counts as driver-verified when:
+#   * any artifact shows ``hash_match: true`` (full value-hash green), or
+#   * an artifact shows a rows-only green (``err == "no_oracle"`` with a
+#     non-null ``spark_rows``) AND the registry entry still has no oracle —
+#     if the query has since gained an oracle, it is re-queued so the driver
+#     upgrades the row to hash-green (exactly what happened to
+#     pack_sequences & co between r01 and r02).
+_ARTIFACT_GLOB = "CORRECTNESS_r*.json"
+
+
+def _load_driver_rows() -> tuple[frozenset[str], frozenset[str]]:
+    """Scan repo-root CORRECTNESS artifacts → (hash_green, rows_only_green)."""
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    hash_green: set[str] = set()
+    rows_only: set[str] = set()
+    for path in sorted(root.glob(_ARTIFACT_GLOB)):
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True:
+                hash_green.add(name)
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                rows_only.add(name)
+    return frozenset(hash_green), frozenset(rows_only)
+
+
+_HASH_GREEN, _ROWS_ONLY_GREEN = _load_driver_rows()
+
+
+def driver_verified() -> frozenset[str]:
+    """Names with sufficient driver evidence (requires REGISTRY populated
+    to decide whether a rows-only green still lacks an oracle)."""
+    return _HASH_GREEN | frozenset(
+        n
+        for n in _ROWS_ONLY_GREEN
+        if n in REGISTRY and REGISTRY[n].oracle is None
+    )
 
 # Among the not-yet-verified queries, small categories first so they fit
 # inside the driver's per-round query cap (round 1 truncated at 50);
@@ -141,10 +149,11 @@ def all_queries() -> dict[str, QuerySpec]:
     )
 
     order = list(REGISTRY)
+    _verified = driver_verified()
     ranked = sorted(
         range(len(order)),
         key=lambda i: (
-            order[i] in _DRIVER_VERIFIED,
+            order[i] in _verified,
             _CATEGORY_RANK.get(REGISTRY[order[i]].category, 0),
             i,
         ),

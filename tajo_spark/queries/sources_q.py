@@ -220,6 +220,12 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def src_time_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Self-set: the driver runs queries on ITS OWN SparkSession, which
+    # does not inherit session.py's confs — the TIME type gate must be
+    # enabled here or the query fails with UNSUPPORTED_TIME_TYPE (the
+    # one red driver row of CORRECTNESS_r03). Runtime-settable on
+    # Spark 4.1 (verified).
+    spark.conf.set("spark.sql.timeType.enabled", "true")
     orders = load_table(spark, sf_dir, "orders")
     staged = orders.filter(F.col("o_orderkey") <= 200).selectExpr(
         "o_orderkey",

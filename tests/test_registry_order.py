@@ -1,18 +1,74 @@
 """Registry-order pins: the driver truncates CORRECTNESS at ~50 queries
 in registration order, so ordering IS the driver-evidence strategy —
 regressing it silently forfeits green rows for whole operator families.
+
+The verified set is DERIVED from the checked-in CORRECTNESS_r*.json
+artifacts (VERDICT.md r03 next-round #1: the hand-maintained frozenset
+went stale two rounds running).  These tests fail if the derivation
+drops a green driver row or breaks the unverified-first ordering.
 """
 
 from __future__ import annotations
 
-from tajo_spark.queries.registry import _DRIVER_VERIFIED, all_queries
+import json
+from pathlib import Path
+
+from tajo_spark.queries.registry import all_queries, driver_verified
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+
+
+def _artifact_rows() -> dict[str, list[dict]]:
+    rows: dict[str, list[dict]] = {}
+    for path in sorted(REPO_ROOT.glob("CORRECTNESS_r*.json")):
+        for name, row in json.loads(path.read_text()).items():
+            rows.setdefault(name, []).append(row)
+    return rows
+
+
+def test_every_hash_green_artifact_row_is_verified():
+    """Every hash-green name in any checked-in CORRECTNESS artifact must
+    be in the derived verified set — the exact staleness the r02/r03
+    verdicts flagged can no longer happen silently."""
+    all_queries()  # populate REGISTRY
+    verified = driver_verified()
+    greens = {
+        name
+        for name, rows in _artifact_rows().items()
+        if any(r.get("hash_match") is True for r in rows)
+    }
+    assert greens, "no CORRECTNESS artifacts found at repo root"
+    missing = greens - verified
+    assert not missing, f"hash-green driver rows not marked verified: {missing}"
+
+
+def test_rows_only_greens_requeue_once_they_gain_an_oracle():
+    """A rows-only green (err == 'no_oracle') whose query NOW has an
+    oracle must be re-queued (unverified) until a hash-green row lands —
+    the pack_sequences r01→r02 upgrade path, kept as a rule."""
+    q = all_queries()
+    verified = driver_verified()
+    for name, rows in _artifact_rows().items():
+        if name not in q:
+            continue
+        hash_green = any(r.get("hash_match") is True for r in rows)
+        rows_only = any(
+            r.get("err") == "no_oracle" and r.get("spark_rows") is not None
+            for r in rows
+        )
+        if rows_only and not hash_green and q[name].oracle is not None:
+            assert name not in verified, (
+                f"{name} has only a rows-only row but now has an oracle — "
+                "it must re-queue for a hash-green driver row"
+            )
 
 
 def test_unverified_queries_register_first():
     names = list(all_queries())
+    verified = driver_verified()
     seen_verified = False
     for n in names:
-        if n in _DRIVER_VERIFIED:
+        if n in verified:
             seen_verified = True
         else:
             assert not seen_verified, (
@@ -21,25 +77,16 @@ def test_unverified_queries_register_first():
             )
 
 
-def test_round1_backlog_outranks_new_curation_queries():
-    """§2.3–§2.7/TPC-H queries (round-1 backlog, VERDICT next-round #1)
-    must precede the round-2 'curation' category inside the unverified
-    block."""
-    q = all_queries()
-    names = list(q)
-    last_relational = max(
-        names.index(n)
-        for n in names
-        if n.startswith(("join_", "agg_", "sort_", "setop_", "subq_",
-                         "window_", "micro_"))
-        and n not in _DRIVER_VERIFIED
+def test_backlog_fits_driver_cap():
+    """The whole unverified block must fit inside the driver's ~50-query
+    window, or some names never get driver evidence this round."""
+    names = list(all_queries())
+    verified = driver_verified()
+    unverified = [n for n in names if n not in verified]
+    assert len(unverified) <= 50, (
+        f"{len(unverified)} unverified queries exceed the driver cap; "
+        "ordering within the block decides who gets evidence"
     )
-    first_curation = min(
-        names.index(n)
-        for n, spec in q.items()
-        if spec.category == "curation"
-    )
-    assert last_relational < first_curation
 
 
 def test_every_query_has_an_oracle():

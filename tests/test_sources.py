@@ -190,3 +190,26 @@ def test_avro_roundtrip(spark, tmp_path):
     assert files
     with open(files[0], "rb") as f:
         assert f.read(4) == b"Obj\x01"
+
+
+def test_conf_sensitive_queries_self_set_on_bare_session(spark):
+    """Driver contract: the driver runs queries on its OWN SparkSession,
+    which has none of session.py's confs (the r03 red row:
+    src_time_roundtrip died with UNSUPPORTED_TIME_TYPE because only our
+    factory enabled spark.sql.timeType.enabled).  Clone a session,
+    strip the gate conf, and require the query to self-set it."""
+    import os
+
+    from tajo_spark.queries.registry import REGISTRY, all_queries
+
+    all_queries()
+    sf = os.environ.get("TAJO_SPARK_TEST_SF", "/root/testdata/sf0.001")
+    bare = spark.newSession()
+    bare.conf.unset("spark.sql.timeType.enabled")
+    assert bare.conf.get("spark.sql.timeType.enabled", "false") == "false"
+    df = REGISTRY["src_time_roundtrip"].spark(bare, sf)
+    rows = df.collect()
+    assert len(rows) > 0
+    # and the clone really was isolated: the shared fixture session keeps
+    # its factory conf either way
+    assert spark.conf.get("spark.sql.timeType.enabled") == "true"
