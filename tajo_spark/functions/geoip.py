@@ -32,19 +32,71 @@ from pyspark.sql import functions as F
 _BUCKET_SHIFT = 16  # /16 buckets: 65k ranges cover all of IPv4
 
 
+def _flatten_nested_blocks(
+    blocks_int: list[tuple[int, int, str]]
+) -> list[tuple[int, int, str]]:
+    """Nested CIDR ranges → disjoint intervals, narrowest block wins.
+
+    GeoIP data routinely nests blocks (a /8 country default with /24
+    carve-outs); joining raw overlapping ranges duplicates fact rows
+    (ADVICE r03).  CIDR blocks are either disjoint or fully nested, so
+    a single O(n log n) stack sweep resolves most-specific-prefix
+    driver-side — the runtime join stays a zero-shuffle single-match
+    BroadcastHashJoin instead of needing a per-row dedup window over
+    the fact table.  Exact duplicate ranges: the last listed wins.
+    """
+    out: list[list] = []
+
+    def emit(lo: int, hi: int, cc: str) -> None:
+        if lo > hi:
+            return
+        if out and out[-1][2] == cc and out[-1][1] + 1 == lo:
+            out[-1][1] = hi  # merge adjacent same-country intervals
+        else:
+            out.append([lo, hi, cc])
+
+    # outer blocks sort before their inner carve-outs
+    ordered = sorted(blocks_int, key=lambda b: (b[0], -(b[1] - b[0])))
+    stack: list[tuple[int, int, str]] = []
+    cursor = 0
+    for s, e, cc in ordered:
+        while stack and stack[-1][1] < s:
+            ps, pe, pcc = stack.pop()
+            emit(max(cursor, ps), pe, pcc)
+            cursor = pe + 1
+        if stack:
+            ts, _te, tcc = stack[-1]
+            emit(max(cursor, ts), s - 1, tcc)
+        cursor = s
+        stack.append((s, e, cc))
+    while stack:
+        ps, pe, pcc = stack.pop()
+        emit(max(cursor, ps), pe, pcc)
+        cursor = pe + 1
+    return [tuple(iv) for iv in out]
+
+
 def cidr_lookup_table(
     spark: SparkSession, blocks: list[tuple[str, str]]
 ) -> DataFrame:
     """(bucket, net_start, net_end, cc) from [(cidr, country_code)].
 
-    Expansion to covered /16 buckets happens driver-side: the block
-    list is configuration (GeoIPUtil.java's database analogue), not
-    data, and the expanded table stays metadata-sized.
+    Overlapping (nested) CIDR blocks are flattened to disjoint
+    most-specific intervals first — see :func:`_flatten_nested_blocks`
+    — so every IP matches AT MOST ONE row and the fact join can never
+    duplicate rows.  Expansion to covered /16 buckets happens
+    driver-side: the block list is configuration (GeoIPUtil.java's
+    database analogue), not data, and the expanded table stays
+    metadata-sized.
     """
-    rows = []
+    blocks_int = []
     for cidr, cc in blocks:
         net = ipaddress.ip_network(cidr, strict=False)
-        start, end = int(net.network_address), int(net.broadcast_address)
+        blocks_int.append(
+            (int(net.network_address), int(net.broadcast_address), cc)
+        )
+    rows = []
+    for start, end, cc in _flatten_nested_blocks(blocks_int):
         for bucket in range(start >> _BUCKET_SHIFT, (end >> _BUCKET_SHIFT) + 1):
             rows.append((bucket, start, end, cc))
     return spark.createDataFrame(

@@ -310,6 +310,12 @@ def _encode_value(schema, v, out: io.BytesIO) -> None:
     if isinstance(schema, str):
         if schema == "null":
             return
+        if v is None:
+            raise ValueError(
+                f"null value for non-nullable Avro type {schema!r} — "
+                "declare the Spark column nullable (union with null) or "
+                "filter nulls before writing"
+            )
         if schema == "boolean":
             out.write(b"\x01" if v else b"\x00")
         elif schema in ("int", "long"):
@@ -349,7 +355,10 @@ def _encode_value(schema, v, out: io.BytesIO) -> None:
 
         epoch = datetime.datetime(1970, 1, 1)
         if getattr(v, "tzinfo", None) is not None:
-            v = v.replace(tzinfo=None)
+            # convert to the UTC instant, not the wall-clock reading —
+            # stripping tzinfo directly would shift the stored
+            # epoch-micros by the zone offset
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
         if hasattr(v, "to_pydatetime"):
             v = v.to_pydatetime()
         delta = v - epoch
@@ -529,6 +538,62 @@ def _spark_schema_of(avro_schema) -> T.StructType:
     )
 
 
+def _arrow_type_of(dt):
+    """Spark → Arrow type for the subset the Avro codec produces.
+    Used to build mapInArrow output batches explicitly, so null-vs-NaN
+    survives (a pandas hop would fold NaN into null)."""
+    import pyarrow as pa
+
+    if isinstance(dt, T.BooleanType):
+        return pa.bool_()
+    if isinstance(dt, T.IntegerType):
+        return pa.int32()
+    if isinstance(dt, T.LongType):
+        return pa.int64()
+    if isinstance(dt, T.FloatType):
+        return pa.float32()
+    if isinstance(dt, T.DoubleType):
+        return pa.float64()
+    if isinstance(dt, T.StringType):
+        return pa.string()
+    if isinstance(dt, T.BinaryType):
+        return pa.binary()
+    if isinstance(dt, T.DateType):
+        return pa.date32()
+    if isinstance(dt, T.TimestampType):
+        # session tz pinned UTC (session.py); decoded naive datetimes
+        # ARE the UTC reading
+        return pa.timestamp("us", tz="UTC")
+    if isinstance(dt, T.TimestampNTZType):
+        return pa.timestamp("us")
+    if isinstance(dt, T.DecimalType):
+        return pa.decimal128(dt.precision, dt.scale)
+    if isinstance(dt, T.ArrayType):
+        return pa.list_(_arrow_type_of(dt.elementType))
+    if isinstance(dt, T.MapType):
+        return pa.map_(_arrow_type_of(dt.keyType), _arrow_type_of(dt.valueType))
+    if isinstance(dt, T.StructType):
+        return pa.struct(
+            [pa.field(f.name, _arrow_type_of(f.dataType)) for f in dt.fields]
+        )
+    raise NotImplementedError(f"no Arrow mapping for {dt}")
+
+
+def _rows_to_batch(rows: list[tuple], spark_schema: T.StructType):
+    """Decoded row tuples → one Arrow RecordBatch with explicit types
+    (from_pandas=False default: None→null, NaN stays a value)."""
+    import pyarrow as pa
+
+    cols = list(zip(*rows)) if rows else [[] for _ in spark_schema.fields]
+    arrays = [
+        pa.array(list(col), type=_arrow_type_of(f.dataType))
+        for col, f in zip(cols, spark_schema.fields)
+    ]
+    return pa.RecordBatch.from_arrays(
+        arrays, names=[f.name for f in spark_schema.fields]
+    )
+
+
 def read_avro(
     spark: SparkSession, path: str, split_bytes: int | None = None
 ) -> DataFrame:
@@ -543,11 +608,8 @@ def read_avro(
     decodes just those blocks — so one multi-GB container file fans out
     across executors instead of serializing through one task.
     """
-    import pandas as pd
-
     avro_schema = _peek_schema(path)
     spark_schema = _spark_schema_of(avro_schema)
-    cols = [f.name for f in spark_schema.fields]
 
     if split_bytes is None:
         bf = (
@@ -558,12 +620,12 @@ def read_avro(
         )
 
         def decode(batches):
-            for pdf in batches:
-                for blob in pdf["content"]:
+            for batch in batches:
+                for blob in batch.column(0).to_pylist():
                     rows = list(decode_container(bytes(blob)))
-                    yield pd.DataFrame(rows, columns=cols)
+                    yield _rows_to_batch(rows, spark_schema)
 
-        return bf.mapInPandas(decode, schema=spark_schema)
+        return bf.mapInArrow(decode, schema=spark_schema)
 
     # --- split planning: metadata only, no data reads ----------------
     import pyarrow.fs as pafs
@@ -589,13 +651,17 @@ def read_avro(
     ).repartition(max(len(splits), 1))
 
     def decode_split(batches):
-        for pdf in batches:
-            for fpath, s0, e0 in pdf.itertuples(index=False, name=None):
-                rows = list(_decode_range(fs, fpath, int(s0), int(e0)))
+        for batch in batches:
+            for split in batch.to_pylist():
+                rows = list(
+                    _decode_range(
+                        fs, split["fpath"], int(split["start"]), int(split["end"])
+                    )
+                )
                 if rows:
-                    yield pd.DataFrame(rows, columns=cols)
+                    yield _rows_to_batch(rows, spark_schema)
 
-    return plan.mapInPandas(decode_split, schema=spark_schema)
+    return plan.mapInArrow(decode_split, schema=spark_schema)
 
 
 def _decode_range(fs, fpath: str, start: int, end: int):
@@ -676,43 +742,40 @@ def write_avro(
     """Distributed Avro write: each partition streams ONE container
     file through pyarrow.fs (local/HDFS/S3 executor-side — data never
     visits the driver); returns the [(file, rows)] manifest
-    (AvroAppender parity)."""
-    import pandas as pd
+    (AvroAppender parity).
+
+    Overwrite semantics match the JVM path's ``mode('overwrite')``:
+    existing directory contents are cleared first, so a rewrite never
+    accumulates stale part files alongside new ones.
+
+    Rows travel as Arrow record batches (``mapInArrow``), which keep
+    SQL NULL and floating-point NaN distinct — NaN in a double column
+    is written as the IEEE NaN bit pattern, NULL as the Avro null
+    branch.  (The earlier pandas path conflated the two because pandas
+    uses NaN as its missing-value sentinel.)"""
+    import pyarrow as pa
+    import pyarrow.fs as pafs
 
     avro_schema = spark_to_avro_schema(df.schema)
-    schema_fields = df.schema.fields
     fs, dirpath = _fs_for(path)
+    info = fs.get_file_info(dirpath)
+    if info.type == pafs.FileType.Directory:
+        fs.delete_dir_contents(dirpath)
+    elif info.type == pafs.FileType.File:
+        fs.delete_file(dirpath)
     fs.create_dir(dirpath, recursive=True)
 
-    def to_py(v, dt):
-        if v is None or v is pd.NaT or (isinstance(v, float) and v != v):
-            return None
-        if isinstance(dt, T.BinaryType):
-            return bytes(v)
-        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-            return int(v)
-        if isinstance(dt, (T.FloatType, T.DoubleType)):
-            return float(v)
-        if isinstance(dt, T.DateType):
-            # pandas hands DateType cells back as date objects, but a
-            # datetime64 column yields Timestamps — normalize
-            if hasattr(v, "to_pydatetime"):
-                return v.to_pydatetime().date()
-            import datetime
-
-            if isinstance(v, datetime.datetime):
-                return v.date()
-        return v
-
     def write_part(batches):
+        import os
+
         fname = None
         stream = None
         sync = uuid.uuid4().bytes
         n_total = 0
-        for pdf in batches:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
             if stream is None:
-                import os
-
                 fname = f"part-{uuid.uuid4().hex}.avro"
                 stream = fs.open_output_stream(
                     os.path.join(dirpath, fname)
@@ -720,21 +783,19 @@ def write_avro(
                 head = io.BytesIO()
                 _encode_header(head, avro_schema, codec, sync)
                 stream.write(head.getvalue())
-            rows = (
-                tuple(
-                    to_py(v, f.dataType)
-                    for v, f in zip(row, schema_fields)
-                )
-                for row in pdf.itertuples(index=False, name=None)
-            )
+            # to_pylist() preserves null-vs-NaN and yields native
+            # Python values (bytes, date, datetime) the encoder expects
+            cols = [c.to_pylist() for c in batch.columns]
             body = io.BytesIO()
-            _write_blocks(body, rows, avro_schema, codec, sync,
+            _write_blocks(body, zip(*cols), avro_schema, codec, sync,
                           _DEFAULT_BLOCK_ROWS)
             stream.write(body.getvalue())
-            n_total += len(pdf)
+            n_total += batch.num_rows
         if stream is not None:
             stream.close()
-            yield pd.DataFrame({"file": [fname], "rows": [n_total]})
+            yield pa.RecordBatch.from_pydict(
+                {"file": [fname], "rows": [n_total]}
+            )
 
-    manifest = df.mapInPandas(write_part, schema="file STRING, rows LONG")
+    manifest = df.mapInArrow(write_part, schema="file STRING, rows LONG")
     return [(r.file, r.rows) for r in manifest.collect()]

@@ -468,9 +468,23 @@ def shard_export_stream(
     batches' files. Within a batch the assignment is the batch
     operator's two-phase distributed cumsum (never a global window).
     """
-    import os as _os
-
     from tajo_spark.operators.export import shard_assign
+
+    def _ledger_exists(state_path: str) -> bool:
+        # Resolve through pyarrow.fs so hdfs:// / s3a:// export paths
+        # see their ledger too (ADVICE r03: a driver-local os.path probe
+        # silently restarted shard numbering at base=0 on remote FS).
+        import pyarrow.fs as pafs
+
+        from tajo_spark.sources.avro_py import _fs_for
+
+        fs, p = _fs_for(state_path)
+        if fs.get_file_info(p).type != pafs.FileType.Directory:
+            return False
+        return any(
+            f.is_file and f.path.endswith(".parquet")
+            for f in fs.get_file_info(pafs.FileSelector(p, recursive=False))
+        )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -480,9 +494,7 @@ def shard_export_stream(
         state_path = f"{export_path}/_state"
         base = 0
         prior = None
-        if _os.path.isdir(state_path) and any(
-            f.endswith(".parquet") for f in _os.listdir(state_path)
-        ):
+        if _ledger_exists(state_path):
             st = spark.read.parquet(state_path)
             mine = st.filter(F.col("batch_id") == batch_id).collect()
             if mine:  # replay: reuse the recorded base, rewrite in place

@@ -208,3 +208,63 @@ def test_engine_external_table_using_avro(spark, tmp_path):
     got = eng.execute_sql("SELECT k, s FROM avro_t ORDER BY k").collect()
     assert [(r.k, r.s) for r in got] == [(1, "a"), (2, "b")]
     eng.drop_table("avro_t")
+
+
+def test_write_avro_overwrite_replaces_contents(spark, tmp_path):
+    """mode('overwrite') parity for the pure-Python path (ADVICE r03):
+    rewriting an existing directory must NOT accumulate old part files."""
+    path = str(tmp_path / "ow_avro")
+    df5 = spark.range(5).selectExpr("id", "CAST(id AS STRING) AS s")
+    df3 = spark.range(3).selectExpr("id + 100 AS id", "CAST(id AS STRING) AS s")
+    avro_py.write_avro(df5, path)
+    assert avro_py.read_avro(spark, path).count() == 5
+    avro_py.write_avro(df3, path)
+    back = avro_py.read_avro(spark, path)
+    assert back.count() == 3
+    assert {r.id for r in back.collect()} == {100, 101, 102}
+
+
+def test_write_avro_null_vs_nan_doubles(spark, tmp_path):
+    """NaN in a nullable double column round-trips as NaN; NULL as NULL
+    (ADVICE r03: the pandas path wrote both as Avro null)."""
+    import math
+
+    path = str(tmp_path / "nan_avro")
+    df = spark.sql(
+        "SELECT * FROM VALUES "
+        "(1, CAST('NaN' AS DOUBLE)), (2, CAST(NULL AS DOUBLE)), (3, 1.5) "
+        "AS t(id, x)"
+    )
+    avro_py.write_avro(df, path)
+    rows = {r.id: r.x for r in avro_py.read_avro(spark, path).collect()}
+    assert math.isnan(rows[1])
+    assert rows[2] is None
+    assert rows[3] == 1.5
+
+
+def test_write_avro_tz_aware_timestamp_instant(spark, tmp_path):
+    """A timestamp encodes its UTC instant, not its wall-clock reading
+    (ADVICE r03: replace(tzinfo=None) shifted epoch-micros by the
+    offset).  Encode a +05:00-aware datetime directly through the codec
+    and check the stored epoch-micros."""
+    import io as _io
+
+    tz = datetime.timezone(datetime.timedelta(hours=5))
+    aware = datetime.datetime(2024, 1, 1, 5, 0, 0, tzinfo=tz)  # == 2024-01-01T00:00Z
+    out = _io.BytesIO()
+    avro_py._encode_value(
+        {"type": "long", "logicalType": "timestamp-micros"}, aware, out
+    )
+    dec = avro_py._Decoder(out.getvalue())
+    micros = dec.read_long()
+    expected = int(
+        (datetime.datetime(2024, 1, 1) - datetime.datetime(1970, 1, 1)).total_seconds()
+    ) * 1_000_000
+    assert micros == expected
+
+
+def test_encode_null_in_non_nullable_field_raises():
+    import io as _io
+
+    with pytest.raises(ValueError, match="non-nullable"):
+        avro_py._encode_value("double", None, _io.BytesIO())

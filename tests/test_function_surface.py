@@ -220,3 +220,44 @@ def test_geoip_prefix_table_broadcast_join(spark):
 
     hits = geoip.in_country(df, lookup, "AA").collect()
     assert [r.k for r in hits] == [1]
+
+
+def test_geoip_nested_cidr_most_specific_wins(spark):
+    """Overlapping blocks (a /8 default with a nested /24 carve-out —
+    normal GeoIP shape) must resolve to the NARROWEST block, once per
+    row (ADVICE r03: the raw join matched both and duplicated facts)."""
+    from tajo_spark.functions import geoip
+
+    lookup = geoip.cidr_lookup_table(
+        spark,
+        [
+            ("10.0.0.0/8", "US"),       # wide default
+            ("10.1.2.0/24", "CA"),      # nested carve-out
+            ("10.1.2.128/25", "MX"),    # doubly nested
+        ],
+    )
+    df = spark.createDataFrame(
+        [("10.9.9.9",), ("10.1.2.5",), ("10.1.2.200",), ("11.0.0.1",)],
+        "ip STRING",
+    )
+    out = geoip.attach_country_code(df, lookup).collect()
+    assert len(out) == 4, "overlap must not duplicate fact rows"
+    got = {r.ip: r.country_code for r in out}
+    assert got == {
+        "10.9.9.9": "US",
+        "10.1.2.5": "CA",
+        "10.1.2.200": "MX",
+        "11.0.0.1": None,
+    }
+
+
+def test_geoip_flatten_nested_blocks_unit():
+    from tajo_spark.functions.geoip import _flatten_nested_blocks
+
+    flat = _flatten_nested_blocks([(0, 255, "A"), (16, 31, "B")])
+    assert flat == [(0, 15, "A"), (16, 31, "B"), (32, 255, "A")]
+    # disjoint stay disjoint; duplicates: last wins
+    assert _flatten_nested_blocks([(0, 7, "A"), (8, 15, "B")]) == [
+        (0, 7, "A"), (8, 15, "B")
+    ]
+    assert _flatten_nested_blocks([(0, 7, "A"), (0, 7, "B")]) == [(0, 7, "B")]
