@@ -270,3 +270,64 @@ def src_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     formats.write_avro(supp, path)
     return formats.read_avro(spark, path)
+
+
+@query(
+    "src_kafka_offset_range",
+    "scan",
+    doc="Kafka batch fragment semantics executed brokerless "
+    "(KafkaTablespace.java:59 plans one fragment per (topic, "
+    "partition, startOffset, lastOffset); KafkaScanner.java reads "
+    "it): orders staged as a partitionBy(partition) mock log, then "
+    "read back through read_kafka_batch's offset-range path — the "
+    "same per-partition [start, end) slicing and wire schema the "
+    "spark-sql-kafka datasource serves when the jar + broker exist. "
+    "The (partition, offset) predicate prunes partition directories "
+    "and pushes into parquet row groups.",
+    oracle="""
+        WITH log AS (
+            SELECT CAST(o_orderkey % 4 AS INT) AS "partition",
+                   CAST(row_number() OVER (
+                       PARTITION BY o_orderkey % 4 ORDER BY o_orderkey
+                   ) - 1 AS BIGINT) AS "offset",
+                   o_orderpriority AS value_str
+            FROM orders WHERE o_orderkey <= 2000
+        )
+        SELECT "partition", "offset", value_str FROM log
+        WHERE ("partition" = 0 AND "offset" >= 10 AND "offset" < 50)
+           OR ("partition" = 2 AND "offset" >= 0 AND "offset" < 25)
+    """,
+)
+def src_kafka_offset_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from tajo_spark.sources import formats
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 2000
+    )
+    w = Window.partitionBy("partition").orderBy("o_orderkey")
+    staged = (
+        orders.withColumn("partition", (F.col("o_orderkey") % 4).cast("int"))
+        .withColumn("offset", (F.row_number().over(w) - 1).cast("long"))
+        .select(
+            "partition",
+            "offset",
+            F.encode(F.col("o_orderpriority"), "UTF-8").alias("value"),
+            F.col("o_orderdate").cast("timestamp").alias("timestamp"),
+        )
+    )
+    path = os.path.join(_tmp("kafkalog"), "topic_orders")
+    formats.write_kafka_mock_log(staged, path)
+    wire = formats.read_kafka_batch(
+        spark,
+        "unused:9092",
+        "orders",
+        offset_ranges={0: (10, 50), 2: (0, 25)},
+        mock_log_dir=path,
+    )
+    return wire.select(
+        "partition",
+        "offset",
+        F.decode(F.col("value"), "UTF-8").alias("value_str"),
+    )

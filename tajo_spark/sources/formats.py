@@ -234,6 +234,76 @@ def kafka_offset_ranges_json(
     return json.dumps({topic: start}), json.dumps({topic: end})
 
 
+# The exact output schema of Spark's kafka datasource — the mock
+# transport below serves the same columns so downstream code is
+# byte-compatible with the real source.
+KAFKA_WIRE_COLUMNS = (
+    "key", "value", "topic", "partition", "offset", "timestamp",
+    "timestampType",
+)
+
+
+def write_kafka_mock_log(df: DataFrame, path: str) -> None:
+    """Stage a brokerless 'topic': one parquet directory per Kafka
+    partition (``partitionBy("partition")``), rows carrying
+    (partition INT, offset LONG, key BINARY, value BINARY,
+    timestamp TIMESTAMP).  This is a TEST/CI transport — it lets the
+    offset-range fragment semantics of :func:`read_kafka_batch`
+    execute end-to-end without a broker or the spark-sql-kafka jar.
+    Production deployments ship the jar and never touch this path."""
+    cols = set(df.columns)
+    missing = {"partition", "offset", "value"} - cols
+    if missing:
+        raise ValueError(f"mock log requires columns {sorted(missing)}")
+    (
+        df.write.partitionBy("partition")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def read_kafka_mock_log(
+    spark: SparkSession,
+    path: str,
+    topic: str,
+    offset_ranges: dict[int, tuple[int, int]] | None = None,
+) -> DataFrame:
+    """Brokerless twin of the kafka batch scan: per-partition
+    ``[start, end)`` slices over a staged mock log, returning the
+    datasource's exact wire schema.  The (partition, offset) filter is
+    an OR of per-partition conjunctions — partition values prune
+    directories, offset predicates push into parquet row groups, so
+    each fragment reads only its own byte range (the reference's
+    KafkaScanner.java fragment granularity)."""
+    base = spark.read.parquet(path)
+    if offset_ranges is not None:
+        # validate through the same surface as the real path
+        kafka_offset_ranges_json(topic, offset_ranges)
+        cond = None
+        for p, (s, e) in offset_ranges.items():
+            leg = (
+                (F.col("partition") == p)
+                & (F.col("offset") >= s)
+                & (F.col("offset") < e)
+            )
+            cond = leg if cond is None else (cond | leg)
+        base = base.filter(cond)
+    if "key" not in base.columns:
+        base = base.withColumn("key", F.lit(None).cast("binary"))
+    if "timestamp" not in base.columns:
+        base = base.withColumn("timestamp", F.lit(None).cast("timestamp"))
+    return base.select(
+        F.col("key").cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+        F.lit(topic).alias("topic"),
+        F.col("partition").cast("int").alias("partition"),
+        F.col("offset").cast("long").alias("offset"),
+        F.col("timestamp"),
+        # 0 = CreateTime, matching the datasource default
+        F.lit(0).alias("timestampType"),
+    )
+
+
 def read_kafka_batch(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -241,13 +311,19 @@ def read_kafka_batch(
     starting_offsets: str = "earliest",
     ending_offsets: str = "latest",
     offset_ranges: dict[int, tuple[int, int]] | None = None,
+    mock_log_dir: str | None = None,
 ) -> DataFrame:
     """KafkaTablespace parity (KafkaScanner.java reads fixed offset
     ranges as batch fragments): Spark's kafka datasource does exactly
     this with ``startingOffsets``/``endingOffsets``. Pass
     ``offset_ranges`` ({partition: (start, end)}) to pin per-partition
-    ranges like the reference's fragments. Gated — needs
-    spark-sql-kafka on the classpath and a reachable broker."""
+    ranges like the reference's fragments. Needs spark-sql-kafka on
+    the classpath and a reachable broker; ``mock_log_dir`` serves the
+    same wire schema + range semantics from a staged local log
+    (:func:`write_kafka_mock_log`) so the fragment path executes
+    brokerless in CI."""
+    if mock_log_dir is not None:
+        return read_kafka_mock_log(spark, mock_log_dir, topic, offset_ranges)
     if offset_ranges is not None:
         starting_offsets, ending_offsets = kafka_offset_ranges_json(
             topic, offset_ranges

@@ -213,3 +213,48 @@ def test_conf_sensitive_queries_self_set_on_bare_session(spark):
     # and the clone really was isolated: the shared fixture session keeps
     # its factory conf either way
     assert spark.conf.get("spark.sql.timeType.enabled") == "true"
+
+
+def test_kafka_mock_log_executes_offset_range_fragments(spark, tmp_path):
+    """Brokerless EXECUTION of the Kafka batch fragment semantics
+    (VERDICT r03 #6): per-partition [start, end) slices over a staged
+    mock log, returning the spark-sql-kafka wire schema exactly."""
+    from tajo_spark.plans.inspect import formatted_plan
+
+    path = str(tmp_path / "mock_topic")
+    rows = [
+        (p, o, f"k{p}-{o}".encode(), f"v{p}-{o}".encode())
+        for p in range(3)
+        for o in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "partition INT, offset LONG, key BINARY, value BINARY"
+    )
+    S.write_kafka_mock_log(df, path)
+
+    out = S.read_kafka_batch(
+        spark, "unused:9092", "t",
+        offset_ranges={0: (5, 10), 2: (18, 20)},
+        mock_log_dir=path,
+    )
+    assert [f.name for f in out.schema.fields] == [
+        "key", "value", "topic", "partition", "offset", "timestamp",
+        "timestampType",
+    ]
+    got = {(r.partition, r.offset) for r in out.collect()}
+    assert got == {(0, o) for o in range(5, 10)} | {(2, 18), (2, 19)}
+    vals = {bytes(r.value).decode() for r in out.collect()}
+    assert "v0-5" in vals and "v2-19" in vals
+    # the offset predicate reaches the parquet scan; the partition
+    # column prunes directories (partition-pruned in the scan node)
+    plan = formatted_plan(out)
+    assert "PushedFilters" in plan and "offset" in plan
+
+    # invalid ranges rejected through the same validator as the real path
+    with pytest.raises(ValueError):
+        S.read_kafka_batch(
+            spark, "unused:9092", "t",
+            offset_ranges={0: (9, 3)}, mock_log_dir=path,
+        )
+    with pytest.raises(ValueError):
+        S.write_kafka_mock_log(df.drop("value"), path)
