@@ -95,6 +95,8 @@ HEADLINE = [
     "sim_decontaminate",
     "sim_ann_q8_persisted",
     "pipeline_corpus_prep_v4",
+    # round-4 additions
+    "sim_ann_pq_persisted",
 ]
 
 

@@ -1,0 +1,358 @@
+"""Product-quantization ANN index: IVF-PQ with ADC probing + exact rerank.
+
+Public-literature algorithm — Jégou, Douze & Schmid, "Product
+Quantization for Nearest Neighbor Search" (TPAMI 2011): the IVFADC
+layout, plus the "+R" exact-rerank refinement (Jégou et al. 2011,
+"Searching in one billion vectors").  Reference parity: apache/tajo has
+no vector indexes; this extends the engine's similarity family the same
+way the reference's BST index extends scans (an index = a storage
+layout + a pruned probe, tajo-storage/.../BSTIndex.java) — completing
+the float IVF → int8 IVF → PQ compression ladder in
+``operators/similarity.py``.
+
+Why this is THE 100 TB ANN shape:
+
+* **coarse IVF** — KMeans centroids partition the corpus; the index is
+  parquet ``partitionBy(centroid_id)``, so an ``nprobe``-probe lists
+  only its probe directories (static pruning, plan-pinned).
+* **residual PQ** — each vector's residual (unit-normalized vector
+  minus its centroid) is split into ``M`` subvectors, each quantized
+  to one of ``KSUB`` codebook entries: ``M`` bytes per vector.  At
+  dim=64 / M=8 that is 256 float-bytes → 8 bytes (**32×** smaller than
+  float, 8× smaller than the int8 index), so the probe scan moves 1/32
+  of the bytes.  Residual (not raw) quantization is what makes 8 bytes
+  usable: the coarse term carries the vector's position, PQ only
+  encodes the delta.
+* **ADC probing** — per query, a lookup table of subvector dot
+  products (``M × KSUB`` doubles) is computed JVM-side from the
+  literal codebook; scoring a candidate is ``M`` array lookups + adds
+  (``zip_with``/``element_at`` — whole-stage-codegen'd, no Python, no
+  float vector touched).  score ≈ q̂·v̂ = q̂·c + Σₘ LUT[m][code_m].
+* **exact rerank** — the approximate stage only SELECTS candidates;
+  returned scores are exact float cosine over the semi-joined
+  shortlist, so recall (not correctness) is what nprobe/expand dial.
+
+Cost model at 1000 executors: index build is one KMeans fit on a
+driver-bounded sample + one map-only encode pass (Arrow-vectorized
+numpy, amortized); a batch probe reads nprobe/n_centroids of an
+already-32×-smaller index, one window shuffle of skinny
+(q_id, vec_id, score) triples, one semi-join rerank.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from tajo_spark.operators.similarity import _as_double, cosine, dot
+
+# PQ geometry defaults for the dim=64 corpus: 8 subvectors of 8 dims,
+# 16 centroids each → 8 bytes/vector, codes fit in 4 bits (stored as
+# bytes; nibble-packing would halve again at the cost of decode ops).
+DEFAULT_M = 8
+DEFAULT_KSUB = 16
+# PQ codebooks train on a driver-side sample: k-means quality saturates
+# at a few hundred points per centroid, so the sample is O(M·KSUB·c),
+# independent of corpus size (the FAISS train_size rule of thumb).
+DEFAULT_TRAIN_SAMPLE = 4096
+
+
+def _np_kmeans(x: np.ndarray, k: int, seed: int, iters: int = 12) -> np.ndarray:
+    """Tiny deterministic Lloyd k-means (numpy, driver-side) for the
+    per-subspace codebooks.  Input is a bounded training sample
+    (DEFAULT_TRAIN_SAMPLE rows of dsub floats) — milliseconds of work;
+    Spark ML would cost a job per subspace for no quality gain."""
+    rng = np.random.default_rng(seed)
+    n = x.shape[0]
+    if n == 0:
+        return np.zeros((k, x.shape[1]))
+    # k-means++ style greedy init, deterministic under the seed
+    centers = [x[int(rng.integers(n))]]
+    for _ in range(1, k):
+        d2 = np.min(
+            ((x[:, None, :] - np.asarray(centers)[None, :, :]) ** 2).sum(-1),
+            axis=1,
+        )
+        tot = float(d2.sum())
+        if tot <= 0:
+            centers.append(x[int(rng.integers(n))])
+            continue
+        centers.append(x[int(np.searchsorted(np.cumsum(d2 / tot), rng.random()))])
+    c = np.asarray(centers, dtype="float64")
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            pts = x[assign == j]
+            if len(pts):
+                c[j] = pts.mean(axis=0)
+    return c
+
+
+def pq_train(
+    residuals: np.ndarray, m: int = DEFAULT_M, ksub: int = DEFAULT_KSUB,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train the PQ codebooks on a residual sample → (m, ksub, dsub)."""
+    n, dim = residuals.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return np.stack(
+        [
+            _np_kmeans(
+                residuals[:, i * dsub : (i + 1) * dsub], ksub, seed + i
+            )
+            for i in range(m)
+        ]
+    )
+
+
+def pq_encode_codes(
+    assigned: DataFrame,
+    centers: list,
+    codebooks: np.ndarray,
+) -> DataFrame:
+    """Distributed PQ encode: (vec_id, embedding, centroid_id) →
+    (vec_id, codes ARRAY<TINYINT>, centroid_id).  Arrow-vectorized
+    numpy per batch (index-BUILD cost, amortized; the probe path is
+    pure JVM expressions) — argmin over ksub codebook entries per
+    subspace of the normalized-vector residual."""
+    from pyspark.sql.functions import pandas_udf
+
+    cb = np.ascontiguousarray(codebooks, dtype="float64")
+    cents = np.ascontiguousarray(np.asarray(centers, dtype="float64"))
+    m, ksub, dsub = cb.shape
+
+    @pandas_udf("array<tinyint>")
+    def encode(emb: pd.Series, cid: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        v = np.stack(emb.to_numpy())
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        r = v - cents[cid.to_numpy()]
+        out = np.empty((len(r), m), dtype="int8")
+        for i in range(m):
+            sub = r[:, i * dsub : (i + 1) * dsub]
+            # ||sub - c||² argmin == (c·c - 2 sub·c) argmin
+            d = (cb[i] ** 2).sum(1)[None, :] - 2.0 * sub @ cb[i].T
+            out[:, i] = d.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return assigned.select(
+        "vec_id",
+        encode(_as_double(F.col("embedding")), F.col("centroid_id")).alias(
+            "codes"
+        ),
+        "centroid_id",
+    )
+
+
+def ivf_pq_persist_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    m: int = DEFAULT_M,
+    ksub: int = DEFAULT_KSUB,
+    seed: int = 42,
+    train_sample: int = DEFAULT_TRAIN_SAMPLE,
+):
+    """Build + persist the IVF-PQ index: coarse KMeans partition,
+    residual-PQ codes, parquet ``partitionBy(centroid_id)`` of
+    (vec_id, codes).  Returns (model, codebooks) — the only state a
+    prober needs besides the path.
+
+    Train-sample collect is bounded by ``train_sample`` rows
+    (annotated driver-side: codebook k-means needs O(ksub·100)
+    points per subspace, independent of corpus size)."""
+    from tajo_spark.operators.similarity import ivf_assign, l2_normalize
+
+    assigned, model = ivf_assign(emb, n_centroids=n_centroids, seed=seed)
+    centers = [np.asarray(c, dtype="float64") for c in model.clusterCenters()]
+    sample = (
+        assigned.select(
+            l2_normalize(F.col("embedding")).alias("vn"), "centroid_id"
+        )
+        .limit(train_sample)
+        .collect()
+    )  # bounded: train_sample rows — PQ training set, not the corpus
+    res = np.stack(
+        [np.asarray(r.vn) - centers[r.centroid_id] for r in sample]
+    )
+    codebooks = pq_train(res, m=m, ksub=ksub, seed=seed)
+    (
+        pq_encode_codes(assigned, centers, codebooks)
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+    return model, codebooks
+
+
+def _adc_score(codes: Column, luts: Column, coarse: Column) -> Column:
+    """ADC: score = q̂·c + Σₘ LUT[m][code_m].  zip_with pairs each code
+    byte with its subspace LUT; element_at is 1-based.  Pure JVM —
+    whole-stage codegen, M lookups+adds per candidate."""
+    return coarse + F.aggregate(
+        F.zip_with(
+            codes, luts, lambda c, l: F.element_at(l, c.cast("int") + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ann_join_pq_persisted(
+    spark,
+    path: str,
+    model,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    base: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    expand: int = 4,
+    query_id_col: str = "q_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Batch retrieval against the persisted IVF-PQ index — the
+    billion-scale serving shape (IVFADC+R):
+
+    1. each query ranks the centroid metadata (broadcast literal) and
+       explodes to its ``nprobe`` probe targets, carrying the coarse
+       term q̂·c per probed centroid;
+    2. the query side computes its ADC lookup table JVM-side from the
+       literal codebook: LUT[m][j] = q̂_sub(m)·codebook[m][j]
+       (M × KSUB doubles per query — metadata-sized broadcast);
+    3. the index scan is statically pruned to the union of probed
+       centroid directories (bounded driver-side int list), equi-joins
+       the broadcast query probes on ``centroid_id``, and scores each
+       candidate with M lookups+adds — the scan reads 8-byte codes,
+       never float vectors;
+    4. per-query ``k*expand`` shortlist window → distributed exact
+       float rerank (semi-join on the base table) → final top-k.
+
+    Output: (q_id, rank, vec_id, cos) — identical contract to
+    ``similarity.ann_join`` / ``ann_join_q8_persisted``; returned
+    ``cos`` is EXACT (the PQ stage only selects candidates).
+    """
+    centers = model.clusterCenters()
+    m, ksub, dsub = codebooks.shape
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "centroid_id INT, cv ARRAY<DOUBLE>",
+    ).agg(F.collect_list(F.struct("centroid_id", "cv")).alias("__cents"))
+    cb_lit = F.lit(
+        [[[float(x) for x in cent] for cent in sub] for sub in codebooks]
+    )
+
+    # rank centers by L2 distance to the normalized query (centers live
+    # on the unit sphere → L2 order == cosine order), keep nprobe,
+    # carry the coarse dot q̂·c for the ADC additive term
+    d2 = lambda s: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("__qn"), s.cv, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probes_arr = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.transform(
+                    F.col("__cents"),
+                    lambda s: F.struct(
+                        (-F.round(d2(s), 9)).alias("negd"),
+                        (-s.centroid_id).alias("neg_id"),
+                        dot(F.col("__qn"), s.cv).alias("qc"),
+                    ),
+                )
+            )
+        ),
+        1,
+        nprobe,
+    )
+    luts_expr = F.transform(
+        cb_lit,
+        lambda sub, mi: F.transform(
+            sub,
+            lambda cent: dot(
+                F.slice(F.col("__qn"), mi * dsub + 1, dsub), cent
+            ),
+        ),
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("q_id"),
+            _as_double(F.col("embedding")).alias("qv"),
+        )
+        .withColumn(
+            "__qn",
+            F.transform(
+                F.col("qv"),
+                lambda x: x
+                / F.greatest(
+                    F.sqrt(dot(F.col("qv"), F.col("qv"))), F.lit(1e-12)
+                ),
+            ),
+        )
+        .join(F.broadcast(cents))
+        .select(
+            "q_id",
+            "qv",
+            luts_expr.alias("luts"),
+            F.explode(probes_arr).alias("__p"),
+        )
+        .select(
+            "q_id",
+            "qv",
+            "luts",
+            (-F.col("__p.neg_id")).cast("int").alias("centroid_id"),
+            F.col("__p.qc").alias("qc"),
+        )
+        .localCheckpoint()  # probed twice (partition list + join)
+    )
+    probed = [
+        int(r.centroid_id)
+        for r in q.select("centroid_id").distinct().collect()
+    ]  # metadata-sized: bounded by n_centroids
+    qside = q.select("q_id", "centroid_id", "luts", "qc")
+    w1 = Window.partitionBy("q_id").orderBy(
+        F.desc("__adc"), F.col("vec_id").asc()
+    )
+    shortlist = (
+        spark.read.parquet(path)
+        .filter(F.col("centroid_id").isin(probed))
+        .join(F.broadcast(qside), "centroid_id")
+        .select(
+            "q_id",
+            "vec_id",
+            _adc_score(F.col("codes"), F.col("luts"), F.col("qc")).alias(
+                "__adc"
+            ),
+        )
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k * expand)
+        .select("q_id", "vec_id")
+    )
+    cand = base.join(
+        shortlist.select("vec_id").distinct(), "vec_id", "left_semi"
+    ).select("vec_id", _as_double(F.col("embedding")).alias("cv8"))
+    qfull = q.select("q_id", "qv").distinct()
+    w2 = Window.partitionBy("q_id").orderBy(
+        F.desc("cos"), F.col("vec_id").asc()
+    )
+    return (
+        shortlist.join(cand, "vec_id")
+        .join(F.broadcast(qfull), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine(F.col("cv8"), F.col("qv")), 6).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id", "rank", "vec_id", F.round("cos", round_to).alias("cos")
+        )
+    )
