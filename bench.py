@@ -97,6 +97,7 @@ HEADLINE = [
     "pipeline_corpus_prep_v4",
     # round-4 additions
     "sim_ann_pq_persisted",
+    "multimodal_phash_neardup",
 ]
 
 

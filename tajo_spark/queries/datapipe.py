@@ -1900,6 +1900,78 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_phash_neardup",
+    "curation",
+    doc="Perceptual-hash image near-dup detection (operators/phash.py): "
+    "64-bit block-mean hash as 4x16-bit bands (one Arrow map pass, "
+    "integer-exact bit rule), banded Hamming-LSH candidate join (ONE "
+    "shuffle on (band_idx, band_val); pigeonhole makes banding "
+    "LOSSLESS at hamming <= 3), exact popcount verify. Demonstration "
+    "corpus: each doc unioned with a first/last-char-swapped twin — "
+    "the swap preserves the total so only the two affected blocks can "
+    "flip (twin hamming <= 2 by construction), giving a deterministic "
+    "nonzero pair set the O(n^2) oracle reproduces bit-for-bit. The "
+    "corpus is ASCII (verified all SFs) so byte values == ord() "
+    "code points across engines.",
+    oracle="""
+        WITH twins AS (
+            SELECT doc_id, text FROM documents WHERE length(text) >= 64
+            UNION ALL
+            SELECT doc_id + 1000000,
+                   substring(text, length(text), 1)
+                     || substring(text, 2, length(text) - 2)
+                     || substring(text, 1, 1)
+            FROM documents WHERE length(text) >= 64),
+        codes AS (
+            SELECT doc_id,
+                   [ord(substring(text, i, 1))
+                    for i in range(1, length(text) + 1)] AS cs
+            FROM twins),
+        sized AS (
+            SELECT doc_id, cs, len(cs) AS n,
+                   CAST(list_sum(cs) AS BIGINT) AS tot
+            FROM codes),
+        bands AS (
+            SELECT doc_id,
+              [ CAST(list_sum([(CASE WHEN
+                  CAST(list_sum(list_slice(cs, (b*n)//64 + 1,
+                                           ((b+1)*n)//64)) AS BIGINT) * n
+                    > tot * (((b+1)*n)//64 - (b*n)//64)
+                  THEN 1 ELSE 0 END) * (1 << (15 - (b % 16)))
+                  for b in range(g*16, (g+1)*16)]) AS INTEGER)
+                for g in range(0, 4)] AS bv
+            FROM sized),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(bit_count(xor(a.bv[1]::BIGINT, b.bv[1]::BIGINT))
+                 + bit_count(xor(a.bv[2]::BIGINT, b.bv[2]::BIGINT))
+                 + bit_count(xor(a.bv[3]::BIGINT, b.bv[3]::BIGINT))
+                 + bit_count(xor(a.bv[4]::BIGINT, b.bv[4]::BIGINT))
+                AS INTEGER) AS hamming
+            FROM bands a JOIN bands b ON a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+    """,
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators import multimodal, phash
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 64
+    )
+    twins = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr(
+            "concat(substring(text, length(text), 1), "
+            "substring(text, 2, length(text) - 2), "
+            "substring(text, 1, 1))"
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(twins)
+    hashes = phash.image_blockhash(multimodal.attach_binary(corpus))
+    return phash.phash_neardup_pairs(hashes, max_hamming=3)
+
+
+@query(
     "embedding_cluster_stats",
     "curation",
     doc="Corpus embedding clustering (distributed KMeans via MLlib, the "
