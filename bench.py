@@ -98,6 +98,7 @@ HEADLINE = [
     # round-4 additions
     "sim_ann_pq_persisted",
     "multimodal_phash_neardup",
+    "dedup_paragraphs",
 ]
 
 

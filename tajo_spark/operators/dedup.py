@@ -478,3 +478,76 @@ def dup_span_stats(
             ).alias("dup_span_ratio"),
         )
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    chunk_tokens: int = 25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide paragraph-level dedup with document REASSEMBLY — the
+    curation stage between document dedup and span statistics: repeated
+    paragraphs (boilerplate headers, license blocks, syndicated
+    passages) are dropped from every occurrence but the first, and each
+    document is rebuilt from its surviving paragraphs in order (the
+    repetition-removal step of Gopher/RefinedWeb-style pipelines —
+    ``dup_span_stats`` only SCORES duplication; this one edits it out).
+
+    Paragraph = fixed non-overlapping ``chunk_tokens`` token window
+    (text.chunk_documents with stride == chunk size — this corpus has
+    no newlines; on a real corpus pass paragraphs pre-split on
+    ``\\n\\n`` through the same hash/keep/reassemble shape).  First
+    occurrence is the globally smallest (doc_id, chunk_id) per content
+    hash — deterministic under any partitioning.
+
+    Output: (doc_id, n_chunks, n_dropped, dedup_text) where
+    ``dedup_text`` is the surviving chunks re-joined in chunk order
+    (token-normalized, as chunking tokenizes).
+
+    Scale shape (100 TB): chunking is a zero-shuffle projection +
+    explode; first-occurrence ranking is ONE window shuffle keyed on
+    the content hash (md5 keys are uniform — no skew); reassembly is
+    one groupBy(doc_id) whose payload is the kept chunks only.  Nothing
+    is pairwise; cost tracks corpus token count like the MinHash pass.
+    """
+    from pyspark.sql import Window
+
+    from tajo_spark.operators.text import chunk_documents
+
+    chunks = chunk_documents(
+        docs,
+        chunk_tokens=chunk_tokens,
+        stride=chunk_tokens,
+        doc_col=text_col,
+        id_col=id_col,
+    )
+    w = Window.partitionBy("__h").orderBy(id_col, "chunk_id")
+    ranked = (
+        chunks.withColumn("__h", F.md5("chunk_text"))
+        .withColumn("__rn", F.row_number().over(w))
+    )
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum((F.col("__rn") > 1).cast("long"))
+            .cast("long")
+            .alias("n_dropped"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rn") == 1,
+                                F.struct("chunk_id", "chunk_text"),
+                            )
+                        )
+                    ),
+                    lambda s: s.chunk_text,
+                ),
+            ).alias("dedup_text"),
+        )
+        .select(id_col, "n_chunks", "n_dropped", "dedup_text")
+    )

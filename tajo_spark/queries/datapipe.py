@@ -1952,6 +1952,54 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
     """,
 )
+@query(
+    "dedup_paragraphs",
+    "curation",
+    doc="Paragraph-level dedup with document reassembly "
+    "(operators/dedup.py::paragraph_dedup): 25-token non-overlapping "
+    "chunks, corpus-wide first-occurrence keep (ONE window shuffle on "
+    "the md5 chunk hash — uniform keys, no skew), documents rebuilt "
+    "from surviving chunks in order. The Gopher/RefinedWeb "
+    "repetition-REMOVAL stage — dup_span_stats scores duplication, "
+    "this edits it out. Zero pairwise work; cost tracks corpus token "
+    "count.",
+    oracle="""
+        WITH toked AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS w
+            FROM documents WHERE text IS NOT NULL),
+        starts AS (
+            SELECT doc_id, w,
+                   unnest(range(0, greatest(len(w), 1), 25)) AS start
+            FROM toked),
+        chunks AS (
+            SELECT doc_id,
+                   CAST(start / 25 AS BIGINT) AS chunk_id,
+                   array_to_string(list_slice(w, start + 1, start + 25),
+                                   ' ') AS chunk_text
+            FROM starts),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY md5(chunk_text)
+                       ORDER BY doc_id, chunk_id) AS rn
+            FROM chunks)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped,
+               coalesce(array_to_string(
+                   list(chunk_text ORDER BY chunk_id)
+                       FILTER (WHERE rn = 1), ' '), '') AS dedup_text
+        FROM ranked GROUP BY doc_id
+    """,
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.dedup import paragraph_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return paragraph_dedup(docs, chunk_tokens=25)
+
+
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tajo_spark.operators import multimodal, phash
 

@@ -380,3 +380,48 @@ def test_word_ngrams_values_and_edges(spark):
     assert got[1] == []
     assert got[2] is None or got[2] == []
     assert got[3] == ["x y z w v"]
+
+
+def test_paragraph_dedup_drops_later_occurrences_and_reassembles(spark):
+    from tajo_spark.operators.dedup import paragraph_dedup
+
+    para_a = " ".join(f"a{i}" for i in range(5))
+    para_b = " ".join(f"b{i}" for i in range(5))
+    para_c = " ".join(f"c{i}" for i in range(5))
+    docs = spark.createDataFrame(
+        [
+            # doc 0 owns paras (a, b) — first occurrence of both
+            (0, f"{para_a} {para_b}"),
+            # doc 1 repeats a (dropped), contributes c, repeats b (dropped)
+            (1, f"{para_a} {para_c} {para_b}"),
+            # doc 2 is entirely boilerplate — reassembles to empty
+            (2, f"{para_a} {para_b}"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r.doc_id: r
+        for r in paragraph_dedup(docs, chunk_tokens=5).collect()
+    }
+    assert out[0].n_dropped == 0
+    assert out[0].dedup_text == f"{para_a} {para_b}"
+    # doc 1 keeps only its novel middle paragraph, order preserved
+    assert out[1].n_dropped == 2
+    assert out[1].dedup_text == para_c
+    assert out[2].n_dropped == 2
+    assert out[2].dedup_text == ""
+
+
+def test_paragraph_dedup_first_occurrence_is_deterministic(spark):
+    # first occurrence = globally smallest (doc_id, chunk_id), not
+    # partition luck: repartition wildly, result must not change.
+    from tajo_spark.operators.dedup import paragraph_dedup
+
+    body = " ".join(f"w{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(i, body) for i in range(40)], "doc_id LONG, text STRING"
+    ).repartition(17)
+    out = paragraph_dedup(docs, chunk_tokens=25).collect()
+    keepers = [r.doc_id for r in out if r.n_dropped == 0]
+    assert keepers == [0]
+    assert all(r.dedup_text == "" for r in out if r.doc_id != 0)
