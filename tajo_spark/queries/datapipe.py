@@ -1952,6 +1952,25 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
     """,
 )
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators import multimodal, phash
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 64
+    )
+    twins = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr(
+            "concat(substring(text, length(text), 1), "
+            "substring(text, 2, length(text) - 2), "
+            "substring(text, 1, 1))"
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(twins)
+    hashes = phash.image_blockhash(multimodal.attach_binary(corpus))
+    return phash.phash_neardup_pairs(hashes, max_hamming=3)
+
+
 @query(
     "dedup_paragraphs",
     "curation",
@@ -1998,25 +2017,6 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return paragraph_dedup(docs, chunk_tokens=25)
-
-
-def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tajo_spark.operators import multimodal, phash
-
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.length("text") >= 64
-    )
-    twins = docs.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.expr(
-            "concat(substring(text, length(text), 1), "
-            "substring(text, 2, length(text) - 2), "
-            "substring(text, 1, 1))"
-        ).alias("text"),
-    )
-    corpus = docs.select("doc_id", "text").unionByName(twins)
-    hashes = phash.image_blockhash(multimodal.attach_binary(corpus))
-    return phash.phash_neardup_pairs(hashes, max_hamming=3)
 
 
 @query(

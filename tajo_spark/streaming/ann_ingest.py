@@ -112,3 +112,88 @@ def ivf_ingest_stream(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ ingest: same frozen-quantizer contract, one level deeper — the
+# PQ codebooks are fitted once at bootstrap alongside the coarse
+# centroids and new vectors are only ENCODED (assignment + residual
+# code lookup, both map-only).  Re-fitting either layer would invalidate
+# every persisted code, so the freeze is structural, not an option.
+
+
+def pq_append_batch(
+    batch: DataFrame, model, codebooks, index_path: str, batch_id: int
+) -> None:
+    """Append one micro-batch of (vec_id, embedding) rows to the
+    persisted IVF-PQ index: map-only frozen-centroid assignment, then
+    the Arrow-vectorized residual encode (operators/pq.py), written
+    ``partitionBy(centroid_id, __batch_id)`` with dynamic overwrite —
+    replayed batch ids rewrite exactly their own directories."""
+    from tajo_spark.operators.pq import pq_encode_codes
+
+    centers = [list(c) for c in model.clusterCenters()]
+    assigned = assign_with_frozen_centroids(batch, model)
+    (
+        pq_encode_codes(assigned, centers, codebooks)
+        .withColumn("__batch_id", F.lit(batch_id).cast("long"))
+        .write.partitionBy("centroid_id", "__batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(index_path)
+    )
+
+
+def pq_ingest_init(
+    emb: DataFrame,
+    index_path: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+):
+    """Bootstrap the ingestable IVF-PQ index: fit coarse centroids AND
+    PQ codebooks once on the initial corpus (driver-bounded residual
+    sample, operators/pq.py::pq_train), write the corpus as batch
+    ``-1``.  Returns (model, codebooks) — the frozen state every later
+    append and probe shares."""
+    import numpy as np
+
+    from tajo_spark.operators.pq import pq_train
+
+    assigned, model = ivf_assign(emb, n_centroids=n_centroids, seed=seed)
+    centers = [
+        np.asarray(c, dtype="float64") for c in model.clusterCenters()
+    ]
+    sample = (
+        assigned.select(
+            l2_normalize(F.col("embedding")).alias("vn"), "centroid_id"
+        )
+        .limit(4096)
+        .collect()
+    )  # bounded: PQ training sample, independent of corpus size
+    res = np.stack(
+        [np.asarray(r.vn) - centers[r.centroid_id] for r in sample]
+    )
+    codebooks = pq_train(res, m=m, ksub=ksub, seed=seed)
+    pq_append_batch(emb, model, codebooks, index_path, batch_id=-1)
+    return model, codebooks
+
+
+def pq_ingest_stream(
+    stream_df: DataFrame, model, codebooks, index_path: str, checkpoint: str
+):
+    """foreachBatch writer appending micro-batches to the IVF-PQ index
+    under the frozen (centroids, codebooks) pair.  Same restart/replay
+    contract as `ivf_ingest_stream`."""
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        pq_append_batch(batch, model, codebooks, index_path, batch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -116,3 +116,95 @@ def test_probe_prunes_and_finds_streamed_vector(spark, tmp_path):
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters")[1].split("]")[0]
     assert "centroid_id" in pf, plan  # pruning survives the batch layout
+
+
+def test_pq_stream_ingest_equals_frozen_batch_encode(spark, tmp_path):
+    # streamed PQ appends under frozen (centroids, codebooks) must
+    # produce byte-identical codes to a one-shot encode of the full
+    # corpus with the same frozen state.
+    from tajo_spark.operators.pq import pq_encode_codes
+
+    emb = _corpus(spark)
+    boot = emb.filter(F.col("vec_id") < 300)
+    rest = emb.filter(F.col("vec_id") >= 300)
+
+    index = str(tmp_path / "pq_index")
+    model, codebooks = AI.pq_ingest_init(boot, index, n_centroids=4)
+
+    src = str(tmp_path / "pq_src")
+    os.makedirs(src)
+    rest.filter(F.col("vec_id") < 400).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    rest.filter(F.col("vec_id") >= 400).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = AI.pq_ingest_stream(
+        stream, model, codebooks, index, str(tmp_path / "pq_ckpt")
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.vec_id, r.centroid_id, tuple(r.codes))
+        for r in spark.read.parquet(index)
+        .select("vec_id", "centroid_id", "codes")
+        .collect()
+    }
+    centers = [list(c) for c in model.clusterCenters()]
+    want = {
+        (r.vec_id, r.centroid_id, tuple(r.codes))
+        for r in pq_encode_codes(
+            AI.assign_with_frozen_centroids(emb, model), centers, codebooks
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == emb.count()
+
+
+def test_pq_ingest_replay_is_idempotent(spark, tmp_path):
+    emb = _corpus(spark)
+    boot = emb.filter(F.col("vec_id") < 300)
+    late = emb.filter(F.col("vec_id") >= 300)
+    index = str(tmp_path / "pq_index2")
+    model, codebooks = AI.pq_ingest_init(boot, index, n_centroids=4)
+    AI.pq_append_batch(late, model, codebooks, index, batch_id=7)
+    before = spark.read.parquet(index).count()
+    AI.pq_append_batch(late, model, codebooks, index, batch_id=7)  # replay
+    after = spark.read.parquet(index).count()
+    assert before == after == emb.count()
+
+
+def test_pq_probe_prunes_across_ingest_batches(spark, tmp_path):
+    # the accumulated (centroid_id, __batch_id) tree must still prune
+    # on centroid_id at the top level, and batch probes over the
+    # ingested index must serve correct exact-reranked results.
+    from tajo_spark.operators.pq import ann_join_pq_persisted
+    from tajo_spark.operators.similarity import ann_join
+
+    emb = _corpus(spark)
+    boot = emb.filter(F.col("vec_id") < 300)
+    late = emb.filter(F.col("vec_id") >= 300)
+    index = str(tmp_path / "pq_index3")
+    model, codebooks = AI.pq_ingest_init(boot, index, n_centroids=4)
+    AI.pq_append_batch(late, model, codebooks, index, batch_id=0)
+
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    df = ann_join_pq_persisted(
+        spark, index, model, codebooks, q, emb,
+        k=5, nprobe=4, expand=1000,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    got = sorted((r.q_id, r.rank, r.vec_id) for r in df.collect())
+    want = sorted(
+        (r.q_id, r.rank, r.vec_id) for r in ann_join(q, emb, k=5).collect()
+    )
+    assert got == want

@@ -91,3 +91,23 @@ def test_backlog_fits_driver_cap():
 
 def test_every_query_has_an_oracle():
     assert [n for n, s in all_queries().items() if s.oracle is None] == []
+
+
+def test_registry_names_bind_to_their_own_functions():
+    # Guard against the stacked-decorator hazard: an @query block
+    # accidentally inserted between another query's decorator and its
+    # def makes BOTH names register the same body (caught live in
+    # round 4 — multimodal_phash_neardup silently served
+    # dedup_paragraphs' output). Function names must track query names
+    # (one legacy exception predating the rule), and no two names may
+    # share a body.
+    from tajo_spark.queries.registry import all_queries
+
+    qs = all_queries()
+    legacy = {"pack_sequences": "pack_sequences_q"}
+    for name, spec in qs.items():
+        assert spec.spark.__name__ == legacy.get(name, name), (
+            name, spec.spark.__name__
+        )
+    bodies = [id(spec.spark) for spec in qs.values()]
+    assert len(bodies) == len(set(bodies))

@@ -42,6 +42,13 @@ QUERIES = [
     "curation_source_cap",
     # two-phase distributed cumsum + manifest agg: ~linear
     "export_shard_manifest",
+    # chunk explode + window-on-hash + reassembly groupBy: ~linear
+    "dedup_paragraphs",
+    # Arrow hash pass + banded Hamming LSH: candidate pairs grow
+    # O(n²/2^16) per band on hash-uniform corpora (this replica corpus
+    # is the worst case; real perceptual hashes cluster) — measured to
+    # find where the verify join starts to dominate
+    "multimodal_phash_neardup",
 ]
 
 
@@ -87,6 +94,13 @@ def main() -> None:
     ap.add_argument("--tpch", action="store_true",
                     help="ladder TPC-H bodies over multiplied fact "
                          "tables (lineitem/orders), catalog constant")
+    ap.add_argument("--pq", action="store_true",
+                    help="ladder persisted-index batch probes (int8 "
+                         "IVF vs IVF-PQ) — fixed 512-query batch, "
+                         "growing corpus, build amortized per rung")
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated subset of the default "
+                         "document-corpus ladder queries")
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
     if args.emb:
@@ -98,6 +112,12 @@ def main() -> None:
     if args.tpch:
         tpch_ladder(mults)
         return
+    if args.pq:
+        pq_ladder(mults)
+        return
+    if args.queries:
+        keep = set(args.queries.split(","))
+        QUERIES[:] = [q for q in QUERIES if q in keep]
 
     from tajo_spark.session import build_spark
     from __spark_entry__ import queries
@@ -353,3 +373,67 @@ def tpch_ladder(mults: list[int]) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def pq_ladder(mults: list[int]) -> None:
+    """Persisted-index batch retrieval at growing corpus: int8 IVF vs
+    IVF-PQ, same coarse geometry (c=16, nprobe=4), fixed 512-query
+    batch, k=10.  Index build runs once per rung (amortized in
+    production; build wall reported separately) — the measured quantity
+    is the steady-state PROBE, where PQ's 32x-smaller scan and
+    LUT-lookup scoring should hold the line as the corpus grows."""
+    from pyspark.sql import functions as F
+
+    from tajo_spark.catalog import load_table
+    from tajo_spark.operators.pq import ann_join_pq_persisted, ivf_pq_persist_index
+    from tajo_spark.operators.similarity import (
+        ann_join_q8_persisted,
+        ivf_persist_index_q8,
+    )
+    from tajo_spark.session import build_spark
+
+    spark = build_spark(app_name="scaling_ladder_pq")
+    root = tempfile.mkdtemp(prefix="tajo_spark_ladder_pq_")
+    rows = []
+    try:
+        for mult in mults:
+            sf_dir = stage_emb(mult, root)
+            emb = load_table(spark, sf_dir, "embeddings")
+            q = emb.filter(F.col("vec_id") < 512).select(
+                F.col("vec_id").alias("q_id"), "embedding"
+            )
+            p8 = os.path.join(root, f"idx_q8_x{mult}")
+            ppq = os.path.join(root, f"idx_pq_x{mult}")
+            t0 = time.time()
+            model8 = ivf_persist_index_q8(emb, p8, n_centroids=16)
+            b8 = time.time() - t0
+            t0 = time.time()
+            modelp, cb = ivf_pq_persist_index(emb, ppq, n_centroids=16)
+            bpq = time.time() - t0
+            walls = {}
+            for name, fn in (
+                ("q8", lambda: ann_join_q8_persisted(
+                    spark, p8, model8, q, emb, k=10, nprobe=4)),
+                ("pq", lambda: ann_join_pq_persisted(
+                    spark, ppq, modelp, cb, q, emb, k=10, nprobe=4)),
+            ):
+                times = []
+                for _ in range(2):
+                    t0 = time.time()
+                    fn().write.format("noop").mode("overwrite").save()
+                    times.append(time.time() - t0)
+                walls[name] = min(times)
+            rows.append((mult, b8, bpq, walls["q8"], walls["pq"]))
+            print(
+                f"x{mult:<3} build q8 {b8:6.2f}s pq {bpq:6.2f}s   "
+                f"probe q8 {walls['q8']:6.2f}s pq {walls['pq']:6.2f}s",
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+    print()
+    print("| corpus | build q8 | build pq | probe q8 | probe pq |")
+    print("|---|---|---|---|---|")
+    for mult, b8, bpq, w8, wpq in rows:
+        print(f"| {mult}x | {b8:.2f} s | {bpq:.2f} s | {w8:.2f} s | {wpq:.2f} s |")
