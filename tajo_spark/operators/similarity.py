@@ -995,15 +995,33 @@ def ivf_q8_shortlist(
     order = np.argsort([float(np.linalg.norm(c - qn)) for c in centers])
     probe = [int(i) for i in order[:nprobe]]
     scale = max(float(np.max(np.abs(qv))), 1e-300) / 127.0
-    qq8 = [int(x) for x in np.round(qv / scale)]
-    qdf = spark.createDataFrame([(qq8,)], "qq8 ARRAY<INT>")
-    return (
+    qq8 = [float(round(x / scale)) for x in qv]
+    # sequential sum matches the Spark-side fold order bit-for-bit
+    # (numpy's pairwise summation can differ in the last ulp)
+    acc = 0.0
+    for x in qq8:
+        acc += x * x
+    qn8 = float(acc) ** 0.5
+    qdf = spark.createDataFrame([(qq8, qn8)], "qq8 ARRAY<DOUBLE>, qn8 DOUBLE")
+    # norm-hoisted scoring (the semantic_dedup lesson, measured in the
+    # --pq ladder): cast + candidate norm are computed ONCE per index
+    # row before the join — cosine() inline would re-fold both norms
+    # per (candidate, query) pair, tripling the per-pair work.
+    idx = (
         spark.read.parquet(path)
         .filter(F.col("centroid_id").isin(probe))
-        .join(F.broadcast(qdf))
+        .select("vec_id", _as_double(F.col("q8")).alias("__cv"))
+        .withColumn("__cn", F.sqrt(dot(F.col("__cv"), F.col("__cv"))))
+    )
+    return (
+        idx.join(F.broadcast(qdf))
         .select(
             "vec_id",
-            cosine(F.col("q8"), F.col("qq8")).alias("__q8_cos"),
+            F.when(
+                F.col("__cn") * F.col("qn8") != 0,
+                dot(F.col("__cv"), F.col("qq8"))
+                / (F.col("__cn") * F.col("qn8")),
+            ).alias("__q8_cos"),
         )
         .orderBy(F.desc("__q8_cos"), "vec_id")
         .limit(k * expand)
@@ -1106,20 +1124,38 @@ def ann_join_q8_persisted(
         int(r.centroid_id)
         for r in q.select("centroid_id").distinct().collect()
     ]  # metadata-sized: bounded by n_centroids
+    # norm-hoisted quantized scoring (measured in the --pq ladder:
+    # cosine() inline re-folds BOTH norms per (candidate, query) pair —
+    # 3 array folds where 1 suffices; at 16x corpus the un-hoisted
+    # probe measured 97.7 s vs the PQ probe's 9.2 s): cast + norm run
+    # once per index row and once per query row, the pair join folds
+    # only the dot.
     qq8 = q.select(
-        "q_id", "centroid_id", quantize_int8(F.col("qv")).alias("qq8")
+        "q_id",
+        "centroid_id",
+        _as_double(quantize_int8(F.col("qv"))).alias("__qv8"),
+    ).withColumn("__qn8", F.sqrt(dot(F.col("__qv8"), F.col("__qv8"))))
+    idx = (
+        spark.read.parquet(path)
+        .filter(F.col("centroid_id").isin(probed))
+        .select(
+            "centroid_id", "vec_id", _as_double(F.col("q8")).alias("__cv")
+        )
+        .withColumn("__cn", F.sqrt(dot(F.col("__cv"), F.col("__cv"))))
     )
     w1 = Window.partitionBy("q_id").orderBy(
         F.desc("__q8_cos"), F.col("vec_id").asc()
     )
     shortlist = (
-        spark.read.parquet(path)
-        .filter(F.col("centroid_id").isin(probed))
-        .join(F.broadcast(qq8), "centroid_id")
+        idx.join(F.broadcast(qq8), "centroid_id")
         .select(
             "q_id",
             "vec_id",
-            cosine(F.col("q8"), F.col("qq8")).alias("__q8_cos"),
+            F.when(
+                F.col("__cn") * F.col("__qn8") != 0,
+                dot(F.col("__cv"), F.col("__qv8"))
+                / (F.col("__cn") * F.col("__qn8")),
+            ).alias("__q8_cos"),
         )
         .withColumn("__rn", F.row_number().over(w1))
         .filter(F.col("__rn") <= k * expand)

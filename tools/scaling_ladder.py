@@ -371,8 +371,6 @@ def tpch_ladder(mults: list[int]) -> None:
         print(f"| `{q}` | {row} | {ratio:.1f}x vs {span:.0f}x |")
 
 
-if __name__ == "__main__":
-    main()
 
 
 def pq_ladder(mults: list[int]) -> None:
@@ -437,3 +435,7 @@ def pq_ladder(mults: list[int]) -> None:
     print("|---|---|---|---|---|")
     for mult, b8, bpq, w8, wpq in rows:
         print(f"| {mult}x | {b8:.2f} s | {bpq:.2f} s | {w8:.2f} s | {wpq:.2f} s |")
+
+
+if __name__ == "__main__":
+    main()
