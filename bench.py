@@ -99,6 +99,7 @@ HEADLINE = [
     "sim_ann_pq_persisted",
     "multimodal_phash_neardup",
     "dedup_paragraphs",
+    "text_gopher_rules",
 ]
 
 

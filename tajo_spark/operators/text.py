@@ -290,3 +290,65 @@ def tfidf_topk(docs, k: int = 3, doc_col: str = "text",
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", table A1 — public
+# paper): the named per-rule document filter bundle web-scale pipelines
+# apply before model-based scoring.  quality_score above is a composite
+# heuristic; this is the auditable rule-by-rule variant (each flag
+# surfaces independently so curation can report WHICH rule rejected a
+# document — the datacard-friendly shape).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_flags(text: Column) -> dict[str, Column]:
+    """Per-rule Gopher filters as named boolean columns.  Pure per-row
+    projections (split once, fold over the token array) — zero shuffle,
+    whole-stage codegen, identical cost profile at 100 TB to any other
+    scan-bound filter.  Rules needing line structure (bullet/ellipsis
+    line ratios) are inapplicable to this single-line corpus and fold
+    into the symbol-ratio rule."""
+    toks = tokens(text)
+    n = F.size(toks).cast("long")
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+    mean_len = total_len / F.greatest(n, F.lit(1))
+    alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    symbolish = F.size(
+        F.filter(toks, lambda w: w.contains("#") | w.contains("..."))
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    return {
+        "n_words": n,
+        "mean_word_len": F.round(mean_len, 4),
+        "rule_word_count": (n >= 50) & (n <= 100_000),
+        "rule_mean_len": (mean_len >= 3) & (mean_len <= 10),
+        # cross-multiplied integer ratios: 0.8*n in floating point puts
+        # the exact 80% boundary on the wrong side of a ulp, and every
+        # engine would have to agree on it
+        "rule_alpha": alpha * 10 >= n * 8,
+        "rule_symbol": symbolish * 10 < n,
+        "rule_stopwords": F.lit(2) <= stop_hits,
+    }
+
+
+def gopher_quality(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, n_words, mean_word_len, rule_*, passes_gopher) — the
+    full rule audit per document."""
+    flags = gopher_flags(F.col(text_col))
+    rules = [k for k in flags if k.startswith("rule_")]
+    passes = None
+    for r in rules:
+        passes = flags[r] if passes is None else (passes & flags[r])
+    return docs.select(
+        id_col,
+        *[flags[k].alias(k) for k in flags],
+        passes.alias("passes_gopher"),
+    )

@@ -1972,6 +1972,65 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_gopher_rules",
+    "curation",
+    doc="Gopher quality-rule audit (Rae et al. 2021 table A1, public "
+    "paper; operators/text.py::gopher_quality): per-document named "
+    "rule flags — word count, mean word length, alphabetic-word "
+    "ratio, symbol ratio, stopword presence — plus the conjunction. "
+    "Pure per-row projection (split once, fold the token array), "
+    "zero shuffle; ratio rules are cross-multiplied integers so "
+    "every engine agrees at the exact boundary. The synthetic "
+    "word-soup corpus fails the stopword-presence test wholesale — "
+    "that IS the rule working (it exists to reject non-prose); the "
+    "per-rule flags carry the signal (223/500 also fail word count "
+    "at sf0.01), and tests/test_text_pipeline.py pins rule-by-rule "
+    "discrimination on adversarial docs.",
+    oracle="""
+        WITH toked AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS w
+            FROM documents),
+        m AS (
+            SELECT doc_id, w,
+                   CAST(len(w) AS BIGINT) AS n,
+                   CAST(list_sum(list_transform(w, x -> length(x)))
+                        AS BIGINT) AS total_len,
+                   CAST(len(list_filter(w,
+                        x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
+                       AS alpha,
+                   CAST(len(list_filter(w,
+                        x -> contains(x, '#') OR contains(x, '...')))
+                        AS BIGINT) AS symbolish,
+                   CAST(len(list_intersect(list_distinct(w),
+                        ['the','be','to','of','and','that','have','with']))
+                        AS BIGINT) AS stop_hits
+            FROM toked)
+        SELECT doc_id,
+               n AS n_words,
+               round(total_len / n, 4) AS mean_word_len,
+               (n >= 50 AND n <= 100000) AS rule_word_count,
+               (total_len / n >= 3 AND total_len / n <= 10)
+                   AS rule_mean_len,
+               alpha * 10 >= n * 8 AS rule_alpha,
+               symbolish * 10 < n AS rule_symbol,
+               stop_hits >= 2 AS rule_stopwords,
+               ((n >= 50 AND n <= 100000)
+                AND (total_len / n >= 3 AND total_len / n <= 10)
+                AND alpha * 10 >= n * 8
+                AND symbolish * 10 < n
+                AND stop_hits >= 2) AS passes_gopher
+        FROM m
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.text import gopher_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_quality(docs)
+
+
+@query(
     "dedup_paragraphs",
     "curation",
     doc="Paragraph-level dedup with document reassembly "

@@ -197,3 +197,67 @@ def pq_ingest_stream(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def compact_index_batches(
+    spark, index_path: str, upto_batch_id: int
+) -> dict:
+    """Fold committed ingest batches into the base partition — the
+    maintenance pass that keeps the ``(centroid_id, __batch_id)`` tree
+    from accumulating one directory level per micro-batch (file-count
+    growth is the streaming-sink small-files problem;
+    sources/compaction.py handles within-directory fragmentation, this
+    handles the BATCH DIMENSION).
+
+    Works on both index flavors (int8 ``q8`` and PQ ``codes`` columns
+    pass through untouched).  Rows with ``__batch_id <= upto_batch_id``
+    are rewritten as batch ``-1`` (the base) and their old batch
+    directories removed, so probes scan one directory per probed
+    centroid again.
+
+    Safety contract (same offline posture as sources/compaction.py):
+    only compact batches BELOW the stream checkpoint's committed
+    horizon — foreachBatch never replays a committed batch id, so the
+    folded rows can no longer be re-appended; a replay of the one
+    in-flight batch (id > ``upto_batch_id``) still overwrites only its
+    own directories.  Crash window: the rewrite lands the new base
+    before old batch directories are removed, so a crash mid-removal
+    leaves duplicates readable until the compaction is re-run (re-run
+    is idempotent: the filter keys on ``__batch_id``, and leftover old
+    directories are simply removed again).
+    """
+    import os
+    import shutil
+
+    df = (
+        spark.read.parquet(index_path)
+        .filter(F.col("__batch_id") <= upto_batch_id)
+        .withColumn("__batch_id", F.lit(-1).cast("long"))
+    )
+    before = df.count()
+    (
+        df.write.partitionBy("centroid_id", "__batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(index_path)
+    )
+    removed = 0
+    for cent_dir in os.listdir(index_path):
+        full = os.path.join(index_path, cent_dir)
+        if not (os.path.isdir(full) and cent_dir.startswith("centroid_id=")):
+            continue
+        for batch_dir in os.listdir(full):
+            if not batch_dir.startswith("__batch_id="):
+                continue
+            bid = int(batch_dir.split("=", 1)[1])
+            if -1 < bid <= upto_batch_id:
+                shutil.rmtree(os.path.join(full, batch_dir))
+                removed += 1
+    after = spark.read.parquet(index_path).filter(
+        F.col("__batch_id") <= upto_batch_id
+    ).count()
+    return {
+        "rows_folded": before,
+        "rows_after": after,
+        "batch_dirs_removed": removed,
+    }

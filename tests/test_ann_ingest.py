@@ -208,3 +208,65 @@ def test_pq_probe_prunes_across_ingest_batches(spark, tmp_path):
         (r.q_id, r.rank, r.vec_id) for r in ann_join(q, emb, k=5).collect()
     )
     assert got == want
+
+
+def test_compact_index_batches_folds_and_preserves_probes(spark, tmp_path):
+    # three ingest batches -> one base partition per centroid after
+    # compaction; row set byte-identical, probe results unchanged,
+    # batch directories actually gone.
+    from tajo_spark.operators.pq import ann_join_pq_persisted
+
+    emb = _corpus(spark)
+    index = str(tmp_path / "pq_compact")
+    model, codebooks = AI.pq_ingest_init(
+        emb.filter(F.col("vec_id") < 200), index, n_centroids=4
+    )
+    AI.pq_append_batch(
+        emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 350)),
+        model, codebooks, index, batch_id=0,
+    )
+    AI.pq_append_batch(
+        emb.filter(F.col("vec_id") >= 350), model, codebooks, index,
+        batch_id=1,
+    )
+    rows_before = {
+        (r.vec_id, r.centroid_id, tuple(r.codes))
+        for r in spark.read.parquet(index).collect()
+    }
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    probe_before = sorted(
+        (r.q_id, r.rank, r.vec_id)
+        for r in ann_join_pq_persisted(
+            spark, index, model, codebooks, q, emb, k=5, nprobe=4,
+            expand=1000,
+        ).collect()
+    )
+
+    stats = AI.compact_index_batches(spark, index, upto_batch_id=1)
+    assert stats["batch_dirs_removed"] > 0
+    assert stats["rows_folded"] == stats["rows_after"] == len(rows_before)
+
+    rows_after = {
+        (r.vec_id, r.centroid_id, tuple(r.codes))
+        for r in spark.read.parquet(index).collect()
+    }
+    assert rows_after == rows_before
+    import os
+    batch_dirs = [
+        b
+        for c in os.listdir(index)
+        if c.startswith("centroid_id=")
+        for b in os.listdir(os.path.join(index, c))
+        if b.startswith("__batch_id=") and b != "__batch_id=-1"
+    ]
+    assert batch_dirs == []
+    probe_after = sorted(
+        (r.q_id, r.rank, r.vec_id)
+        for r in ann_join_pq_persisted(
+            spark, index, model, codebooks, q, emb, k=5, nprobe=4,
+            expand=1000,
+        ).collect()
+    )
+    assert probe_after == probe_before

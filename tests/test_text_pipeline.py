@@ -425,3 +425,25 @@ def test_paragraph_dedup_first_occurrence_is_deterministic(spark):
     keepers = [r.doc_id for r in out if r.n_dropped == 0]
     assert keepers == [0]
     assert all(r.dedup_text == "" for r in out if r.doc_id != 0)
+
+
+def test_gopher_rules_flag_adversarial_docs(spark):
+    from tajo_spark.operators.text import gopher_quality
+
+    fifty = " ".join(["the word and of list"] * 10)  # 50 words, stops ok
+    docs = spark.createDataFrame(
+        [
+            (0, fifty),                                   # passes all
+            (1, "too short to pass the word count rule"),  # word count
+            (2, " ".join(["x"] * 60)),                     # mean len + stopwords
+            (3, " ".join(["####"] * 30 + ["the of and be supercalifragilistic"] * 4)),  # symbols
+            (4, " ".join(["the", "of"] * 30)),             # passes (stops, len 2.5?) -> mean len rule fails
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in gopher_quality(docs).collect()}
+    assert out[0].passes_gopher
+    assert not out[1].rule_word_count and not out[1].passes_gopher
+    assert not out[2].rule_mean_len and not out[2].rule_stopwords
+    assert not out[3].rule_symbol
+    assert not out[4].rule_mean_len  # mean word length 2.5 < 3
