@@ -100,6 +100,7 @@ HEADLINE = [
     "multimodal_phash_neardup",
     "dedup_paragraphs",
     "text_gopher_rules",
+    "dedup_cdc_chunks",
 ]
 
 

@@ -551,3 +551,97 @@ def paragraph_dedup(
         )
         .select(id_col, "n_chunks", "n_dropped", "dedup_text")
     )
+
+
+def cdc_chunk_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined-chunking dedup with reassembly — the edit-STABLE
+    upgrade of :func:`paragraph_dedup`.
+
+    Fixed-window chunking has a failure mode the public dedup
+    literature (CDC storage dedup; Dolma-style passage dedup) solves:
+    one token inserted at the head of a document SHIFTS every
+    downstream window, so none of the repeated material hashes
+    identically and nothing is deduped.  CDC draws chunk boundaries
+    from the CONTENT instead: a token ends a chunk iff the first hex
+    digit of its md5 is '0' (p = 1/16 → mean chunk ≈ 16 tokens, same
+    rule expressible in any engine).  After an edit, boundaries
+    re-synchronize at the next boundary token, so shared passages
+    re-hash identically regardless of offset — pinned in tests against
+    the fixed-window variant on a head-insert corpus.
+
+    Same keep/reassemble contract as paragraph_dedup: corpus-wide
+    first occurrence per chunk hash at the globally smallest
+    (doc_id, chunk_id), documents rebuilt from surviving chunks in
+    order.  No max-chunk cap (boundary gaps have a geometric tail; a
+    production variant caps at e.g. 4x the mean — the cap only adds
+    one more integer column to the running sum).
+
+    Scale shape (100 TB): tokens posexplode (projection); the running
+    boundary count is ONE window partitioned by doc_id — the document
+    is the natural parallel unit, so no global coordination; chunk
+    assembly and the dedup window/reassembly mirror paragraph_dedup.
+    Everything is token-linear; nothing pairwise.
+    """
+    from pyspark.sql import Window
+
+    from tajo_spark.operators.text import tokens
+
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        id_col, F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    # boundary AFTER a boundary token: chunk id = count of boundary
+    # tokens strictly before this position
+    wpos = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = toks.withColumn(
+        "__b",
+        (F.substring(F.md5(F.col("tok").cast("binary")), 1, 1) == "0")
+        .cast("long"),
+    ).withColumn("chunk_id", F.coalesce(F.sum("__b").over(wpos), F.lit(0)))
+    chunks = flagged.groupBy(id_col, "chunk_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "tok"))
+                ),
+                lambda s: s.tok,
+            ),
+        ).alias("chunk_text")
+    )
+    wh = Window.partitionBy("__h").orderBy(id_col, "chunk_id")
+    ranked = (
+        chunks.withColumn("__h", F.md5("chunk_text"))
+        .withColumn("__rn", F.row_number().over(wh))
+    )
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum((F.col("__rn") > 1).cast("long"))
+            .cast("long")
+            .alias("n_dropped"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rn") == 1,
+                                F.struct("chunk_id", "chunk_text"),
+                            )
+                        )
+                    ),
+                    lambda s: s.chunk_text,
+                ),
+            ).alias("dedup_text"),
+        )
+        .select(id_col, "n_chunks", "n_dropped", "dedup_text")
+    )

@@ -2979,3 +2979,62 @@ def pipeline_corpus_prep_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.avg("bench_cos"), 4).alias("avg_bench_cos"),
     )
+
+
+@query(
+    "dedup_cdc_chunks",
+    "curation",
+    doc="Content-defined-chunking dedup with reassembly "
+    "(operators/dedup.py::cdc_chunk_dedup): boundaries drawn from "
+    "token content (md5 first hex digit == '0', mean chunk ~16 "
+    "tokens), so chunk hashes survive insertions/deletions that shift "
+    "every fixed window — the edit-stable upgrade of "
+    "dedup_paragraphs, pinned against it on a head-insert corpus. "
+    "One doc-partitioned running-sum window + the same "
+    "hash/keep/reassemble shape; token-linear, nothing pairwise.",
+    oracle="""
+        WITH toked AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS w
+            FROM documents WHERE text IS NOT NULL),
+        toks AS (
+            SELECT doc_id,
+                   unnest(w) AS tok,
+                   generate_subscripts(w, 1) AS pos
+            FROM toked),
+        flagged AS (
+            SELECT doc_id, pos, tok,
+                   CASE WHEN substring(md5(tok), 1, 1) = '0'
+                        THEN 1 ELSE 0 END AS b
+            FROM toks),
+        cids AS (
+            SELECT doc_id, pos, tok,
+                   CAST(coalesce(sum(b) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS BIGINT) AS chunk_id
+            FROM flagged),
+        chunks AS (
+            SELECT doc_id, chunk_id,
+                   string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+            FROM cids GROUP BY doc_id, chunk_id),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY md5(chunk_text)
+                       ORDER BY doc_id, chunk_id) AS rn
+            FROM chunks)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped,
+               coalesce(array_to_string(
+                   list(chunk_text ORDER BY chunk_id)
+                       FILTER (WHERE rn = 1), ' '), '') AS dedup_text
+        FROM ranked GROUP BY doc_id
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.dedup import cdc_chunk_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_chunk_dedup(docs)

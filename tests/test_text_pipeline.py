@@ -447,3 +447,48 @@ def test_gopher_rules_flag_adversarial_docs(spark):
     assert not out[2].rule_mean_len and not out[2].rule_stopwords
     assert not out[3].rule_symbol
     assert not out[4].rule_mean_len  # mean word length 2.5 < 3
+
+
+def test_cdc_dedup_survives_head_insert_where_fixed_windows_fail(spark):
+    # THE reason CDC exists: doc 1 = one novel token + doc 0's full
+    # body. Fixed 25-token windows all shift by one -> zero duplicate
+    # chunks detected; CDC boundaries re-synchronize at the first
+    # content boundary, so nearly the whole shared body dedups.
+    import numpy as np
+
+    from tajo_spark.operators.dedup import cdc_chunk_dedup, paragraph_dedup
+
+    rng = np.random.default_rng(21)
+    body = " ".join(
+        "w%03d" % int(x) for x in rng.integers(0, 400, size=400)
+    )
+    docs = spark.createDataFrame(
+        [(0, body), (1, "NOVEL " + body)], "doc_id LONG, text STRING"
+    )
+    fixed = {r.doc_id: r for r in paragraph_dedup(docs, chunk_tokens=25).collect()}
+    cdc = {r.doc_id: r for r in cdc_chunk_dedup(docs).collect()}
+    # fixed windows: the one-token shift destroys every chunk hash
+    assert fixed[1].n_dropped == 0
+    # CDC: boundaries re-sync after the first boundary token, so the
+    # bulk of doc 1's chunks are recognized as duplicates of doc 0's
+    assert cdc[1].n_dropped >= cdc[1].n_chunks - 3
+    assert cdc[1].n_chunks > 10  # the body actually chunked
+    # doc 0 is first-occurrence everywhere in both schemes
+    assert fixed[0].n_dropped == 0 and cdc[0].n_dropped == 0
+
+
+def test_cdc_chunk_ids_are_content_stable(spark):
+    # same text under different doc ids chunks identically, and chunk
+    # ids are dense 0..n-1 in document order
+    from tajo_spark.operators.dedup import cdc_chunk_dedup
+
+    body = " ".join(f"tok{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(5, body), (9, body)], "doc_id LONG, text STRING"
+    )
+    out = {r.doc_id: r for r in cdc_chunk_dedup(docs).collect()}
+    assert out[5].n_chunks == out[9].n_chunks
+    assert out[5].n_dropped == 0
+    assert out[9].n_dropped == out[9].n_chunks  # full duplicate
+    assert out[9].dedup_text == ""
+    assert out[5].dedup_text == body.lower()
