@@ -142,7 +142,10 @@ def phash_neardup_pairs(
             f"banding is lossless only up to hamming {N_BANDS - 1}; "
             f"got {max_hamming} (raise N_BANDS or use all-pairs)"
         )
-    h = hashes.select("doc_id", "b0", "b1", "b2", "b3")
+    # the hash table feeds three subtrees (band explode + both verify
+    # sides); without materialization the Arrow hashing pass over the
+    # corpus would execute 3x per action
+    h = hashes.select("doc_id", "b0", "b1", "b2", "b3").localCheckpoint()
     bands = h.select(
         "doc_id",
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
@@ -170,14 +173,14 @@ def phash_neardup_pairs(
         F.col("doc_id").alias("doc_b"),
         *[F.col(f"b{i}").alias(f"b_b{i}") for i in range(N_BANDS)],
     )
-    ham = sum(
-        F.bit_count(F.col(f"a_b{i}").bitwiseXOR(F.col(f"b_b{i}")))
-        for i in range(N_BANDS)
-    )
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
-        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .select(
+            "doc_a",
+            "doc_b",
+            _hamming("a_", "b_").cast("int").alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
     )
 
@@ -198,8 +201,16 @@ def dct_phash64(signal: np.ndarray, side: int = 32, keep: int = 8) -> int:
     sig = np.asarray(signal, dtype=np.float64)
     if len(sig) == 0:
         return 0
-    reps = int(np.ceil(n / len(sig)))
-    grid = np.tile(sig, reps)[:n].reshape(side, side)
+    if len(sig) < n:
+        sig = np.tile(sig, int(np.ceil(n / len(sig))))[:n]
+    # true block-mean downsample over the WHOLE signal (floor-boundary
+    # blocks, same rule as blockhash_bits) — a prefix `[:n]` here would
+    # make the hash blind to everything past the first n samples
+    bounds = (np.arange(n + 1) * len(sig)) // n
+    csum = np.concatenate([[0.0], np.cumsum(sig)])
+    grid = (
+        (csum[bounds[1:]] - csum[bounds[:-1]]) / (bounds[1:] - bounds[:-1])
+    ).reshape(side, side)
     # orthonormal DCT-II via the explicit cosine basis (no scipy here)
     k = np.arange(side)
     basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * side))

@@ -79,7 +79,12 @@ def _np_kmeans(x: np.ndarray, k: int, seed: int, iters: int = 12) -> np.ndarray:
         if tot <= 0:
             centers.append(x[int(rng.integers(n))])
             continue
-        centers.append(x[int(np.searchsorted(np.cumsum(d2 / tot), rng.random()))])
+        # clamp: float rounding can leave cumsum[-1] < 1.0, and a draw
+        # above it would index one past the end
+        idx = min(
+            int(np.searchsorted(np.cumsum(d2 / tot), rng.random())), n - 1
+        )
+        centers.append(x[idx])
     c = np.asarray(centers, dtype="float64")
     for _ in range(iters):
         d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
@@ -99,6 +104,12 @@ def pq_train(
     n, dim = residuals.shape
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
+    if not 0 < ksub <= 127:
+        # codes persist as TINYINT: ksub=256 (the other textbook
+        # setting) would wrap argmin results negative in int8 and
+        # element_at would silently read the LUT from the END at probe
+        # time — widen the code dtype before raising this cap
+        raise ValueError(f"ksub must be in [1, 127] for int8 codes, got {ksub}")
     dsub = dim // m
     return np.stack(
         [
@@ -125,6 +136,10 @@ def pq_encode_codes(
     cb = np.ascontiguousarray(codebooks, dtype="float64")
     cents = np.ascontiguousarray(np.asarray(centers, dtype="float64"))
     m, ksub, dsub = cb.shape
+    if ksub > 127:
+        raise ValueError(
+            f"ksub={ksub} overflows the int8 code column (see pq_train)"
+        )
 
     @pandas_udf("array<tinyint>")
     def encode(emb: pd.Series, cid: pd.Series) -> pd.Series:
@@ -173,8 +188,16 @@ def ivf_pq_persist_index(
     centers = [np.asarray(c, dtype="float64") for c in model.clusterCenters()]
     sample = (
         assigned.select(
-            l2_normalize(F.col("embedding")).alias("vn"), "centroid_id"
+            "vec_id",
+            l2_normalize(F.col("embedding")).alias("vn"),
+            "centroid_id",
         )
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        # deterministic AND unbiased: hash order decorrelates the
+        # sample from ingest/shard order (a vec_id-prefix sample would
+        # train codebooks on one region of a sharded corpus); bare
+        # limit() would be partition-order-dependent. TakeOrdered,
+        # one-time build cost.
         .limit(train_sample)
         .collect()
     )  # bounded: train_sample rows — PQ training set, not the corpus

@@ -341,7 +341,11 @@ def gopher_flags(text: Column) -> dict[str, Column]:
 
 def gopher_quality(docs, text_col: str = "text", id_col: str = "doc_id"):
     """(doc_id, n_words, mean_word_len, rule_*, passes_gopher) — the
-    full rule audit per document."""
+    full rule audit per document.  NULL text is filtered (with ANSI
+    off, ``size(NULL)`` is -1, which would silently yield
+    n_words=-1/false flags where a SQL engine yields NULL — the same
+    hazard chunk_documents guards)."""
+    docs = docs.filter(F.col(text_col).isNotNull())
     flags = gopher_flags(F.col(text_col))
     rules = [k for k in flags if k.startswith("rule_")]
     passes = None

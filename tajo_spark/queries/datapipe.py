@@ -1990,7 +1990,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH toked AS (
             SELECT doc_id,
                    string_split_regex(trim(lower(text)), '\\s+') AS w
-            FROM documents),
+            FROM documents WHERE text IS NOT NULL),
         m AS (
             SELECT doc_id, w,
                    CAST(len(w) AS BIGINT) AS n,

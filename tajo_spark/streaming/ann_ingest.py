@@ -167,8 +167,13 @@ def pq_ingest_init(
     ]
     sample = (
         assigned.select(
-            l2_normalize(F.col("embedding")).alias("vn"), "centroid_id"
+            "vec_id",
+            l2_normalize(F.col("embedding")).alias("vn"),
+            "centroid_id",
         )
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        # deterministic + shard-order-unbiased sample (see
+        # operators/pq.py::ivf_pq_persist_index), TakeOrdered
         .limit(4096)
         .collect()
     )  # bounded: PQ training sample, independent of corpus size
@@ -222,9 +227,13 @@ def compact_index_batches(
     in-flight batch (id > ``upto_batch_id``) still overwrites only its
     own directories.  Crash window: the rewrite lands the new base
     before old batch directories are removed, so a crash mid-removal
-    leaves duplicates readable until the compaction is re-run (re-run
-    is idempotent: the filter keys on ``__batch_id``, and leftover old
-    directories are simply removed again).
+    leaves duplicates readable until the compaction is re-run.  Re-run
+    IS idempotent because the fold deduplicates on ``vec_id`` (unique
+    in the index by construction): a re-run that reads the
+    already-folded base PLUS leftover batch directories collapses each
+    vector back to one row before rewriting — without the dropDuplicates
+    the crash-rerun would bake every leftover batch's rows into the
+    base twice, permanently.
     """
     import os
     import shutil
@@ -232,6 +241,7 @@ def compact_index_batches(
     df = (
         spark.read.parquet(index_path)
         .filter(F.col("__batch_id") <= upto_batch_id)
+        .dropDuplicates(["vec_id"])
         .withColumn("__batch_id", F.lit(-1).cast("long"))
     )
     before = df.count()

@@ -270,3 +270,28 @@ def test_compact_index_batches_folds_and_preserves_probes(spark, tmp_path):
         ).collect()
     )
     assert probe_after == probe_before
+
+
+def test_compact_rerun_after_simulated_crash_does_not_duplicate(spark, tmp_path):
+    # crash window: new base written but old batch dirs not yet removed
+    # -> a re-run must collapse each vector back to ONE row, not bake
+    # the leftovers in twice.
+    emb = _corpus(spark)
+    index = str(tmp_path / "pq_crash")
+    model, codebooks = AI.pq_ingest_init(
+        emb.filter(F.col("vec_id") < 300), index, n_centroids=4
+    )
+    late = emb.filter(F.col("vec_id") >= 300)
+    AI.pq_append_batch(late, model, codebooks, index, batch_id=3)
+    AI.compact_index_batches(spark, index, upto_batch_id=3)
+    # simulate the crash leftovers: the same batch's directories
+    # reappear alongside the already-folded base
+    AI.pq_append_batch(late, model, codebooks, index, batch_id=3)
+    stats = AI.compact_index_batches(spark, index, upto_batch_id=3)
+    assert stats["rows_after"] == emb.count()
+    assert spark.read.parquet(index).count() == emb.count()
+    assert (
+        spark.read.parquet(index)
+        .groupBy("vec_id").count().filter(F.col("count") > 1).count()
+        == 0
+    )

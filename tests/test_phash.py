@@ -101,3 +101,18 @@ def test_dct_phash_locality_and_determinism():
     assert d_near < d_far  # perceptual: small edit << unrelated image
     assert d_far > 10
     assert 0 <= h0 < (1 << 63)  # sign-safe 63-bit payload
+
+
+def test_dct_phash_sees_past_the_first_grid():
+    # regression: a prefix-truncating resample ignored everything past
+    # the first side*side samples — edits in the tail must change the
+    # hash, and a long signal must not collide with its own prefix
+    # padded by unrelated data.
+    rng = np.random.default_rng(17)
+    sig = rng.integers(0, 256, 8192).astype(np.float64)
+    tail_edit = sig.copy()
+    tail_edit[4096:] = rng.integers(0, 256, 4096).astype(np.float64)
+    h0 = phash.dct_phash64(sig)
+    h1 = phash.dct_phash64(tail_edit)
+    assert h0 != h1
+    assert bin(h0 ^ h1).count("1") > 5

@@ -158,3 +158,9 @@ def test_pq_residual_reconstruction_beats_zero(spark, pq_index):
         err += float(((res - rec) ** 2).sum())
         base += float((res**2).sum())
     assert err < 0.75 * base
+
+
+def test_pq_train_rejects_int8_overflowing_ksub():
+    rng = np.random.default_rng(1)
+    with pytest.raises(ValueError, match="ksub"):
+        P.pq_train(rng.normal(size=(64, 64)), m=8, ksub=256)
