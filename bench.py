@@ -101,6 +101,7 @@ HEADLINE = [
     "dedup_paragraphs",
     "text_gopher_rules",
     "dedup_cdc_chunks",
+    "text_bm25_topk",
 ]
 
 

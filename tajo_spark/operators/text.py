@@ -356,3 +356,87 @@ def gopher_quality(docs, text_col: str = "text", id_col: str = "doc_id"):
         *[flags[k].alias(k) for k in flags],
         passes.alias("passes_gopher"),
     )
+
+
+def bm25_topk(
+    docs,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    doc_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """BM25 lexical retrieval: corpus-wide top-k documents for a term
+    query (Robertson-Spärck Jones probabilistic ranking — the standard
+    sparse-retrieval baseline next to the dense ANN family; curation
+    uses it for hard-negative mining and eval-set triage).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avg|d|)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Plan shape (100 TB): ONE corpus scan computes doc length and the
+    per-query-term tf in the same pass (the query is a broadcast
+    literal array; tf via a filtered explode, never a full token
+    shuffle since only query-term hits leave the row); df/N/avg-len are
+    broadcast scalars aggregated from that lineage; the final global
+    top-k is a TakeOrdered, no full sort.  Scores round to 4 dp before
+    ranking so ordering reproduces across engines (ln may differ by an
+    ulp); doc id breaks residual ties.
+    """
+    from tajo_spark.operators.dedup import spread_by
+
+    terms = [t.lower() for t in query_terms]
+    toks = spread_by(docs, id_col).select(
+        id_col,
+        F.split(normalize_for_fingerprint(F.col(doc_col)), " ").alias("__w"),
+    )
+    lens = toks.select(
+        id_col, F.size("__w").cast("long").alias("dl"), "__w"
+    ).localCheckpoint()  # one corpus scan feeds tf, df, N and avg-len
+    tf = (
+        lens.select(
+            id_col,
+            "dl",
+            F.explode(
+                F.filter(F.col("__w"), lambda w: w.isin(*terms))
+            ).alias("tok"),
+        )
+        .groupBy(id_col, "dl", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avg_dl"),
+    )
+    dfreq = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1)
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avg_dl"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("w"), 4).alias("bm25"))
+    )
+    return (
+        scored.orderBy(F.desc("bm25"), id_col)
+        .limit(k)
+        .select(id_col, "bm25")
+    )

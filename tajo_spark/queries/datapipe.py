@@ -3038,3 +3038,55 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return cdc_chunk_dedup(docs)
+
+
+@query(
+    "text_bm25_topk",
+    "curation",
+    doc="BM25 lexical retrieval (Robertson-Sparck Jones; "
+    "operators/text.py::bm25_topk): corpus-wide top-10 documents for "
+    "a 3-term query — the sparse-retrieval baseline next to the dense "
+    "ANN family (hard-negative mining / eval triage in curation). One "
+    "corpus scan (query terms broadcast as literals, tf via filtered "
+    "explode so only hits leave the row), df/N/avg-len as broadcast "
+    "scalars, global top-k as TakeOrdered. Scores rounded to 4 dp "
+    "before ranking (ln ulp discipline, as text_tfidf_topk).",
+    oracle=f"""
+        WITH toked AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS w
+            FROM documents),
+        lens AS (
+            SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM toked),
+        hits AS (
+            SELECT doc_id, dl,
+                   unnest(list_filter(w,
+                       x -> x IN ('spark', 'join', 'window'))) AS tok
+            FROM lens),
+        tfc AS (
+            SELECT doc_id, dl, tok, CAST(count(*) AS DOUBLE) AS tf
+            FROM hits GROUP BY doc_id, dl, tok),
+        stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avg_dl
+            FROM lens),
+        dfreq AS (
+            SELECT tok, CAST(count(*) AS DOUBLE) AS df
+            FROM tfc GROUP BY tok),
+        scored AS (
+            SELECT t.doc_id,
+                   round(sum(
+                       ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * t.tf * (1.2 + 1)
+                       / (t.tf + 1.2 * (1 - 0.75
+                                        + 0.75 * t.dl / s.avg_dl))
+                   ), 4) AS bm25
+            FROM tfc t JOIN dfreq d USING (tok) CROSS JOIN stats s
+            GROUP BY t.doc_id)
+        SELECT doc_id, bm25 FROM scored
+        ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "join", "window"], k=10)

@@ -492,3 +492,25 @@ def test_cdc_chunk_ids_are_content_stable(spark):
     assert out[9].n_dropped == out[9].n_chunks  # full duplicate
     assert out[9].dedup_text == ""
     assert out[5].dedup_text == body.lower()
+
+
+def test_bm25_ranking_properties(spark):
+    from tajo_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark spark spark join filler " + "pad " * 20),
+            (1, "spark join filler " + "pad " * 20),
+            (2, "filler only here " + "pad " * 20),
+            (3, "spark " + "pad " * 200),   # long doc: length-normalized down
+            (4, "spark pad"),               # short doc: boosted by dl norm
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = bm25_topk(docs, ["spark", "join"], k=5).collect()
+    ranked = [r.doc_id for r in out]
+    scores = {r.doc_id: r.bm25 for r in out}
+    assert 2 not in scores            # no query term -> no score row
+    assert ranked[0] == 0             # highest tf on both terms
+    assert scores[0] > scores[1] > 0
+    assert scores[4] > scores[3]      # same tf=1, shorter doc wins (b>0)
