@@ -645,3 +645,140 @@ def cdc_chunk_dedup(
         )
         .select(id_col, "n_chunks", "n_dropped", "dedup_text")
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership prefilter (Bloom 1970) — the constant-memory
+# "have we ingested this before?" gate for incremental pipelines.
+# --------------------------------------------------------------------------
+
+BLOOM_BITS = 16384     # m: filter size in bits (power of two)
+BLOOM_HASHES = 4       # k: md5 gives 4 independent 32-bit slices
+
+
+def _bloom_positions(fp: Column, m_bits: int) -> list[Column]:
+    """k bit positions from disjoint 8-hex-char (32-bit) slices of an
+    md5 fingerprint — the same one-digest-many-subhashes trick as
+    :func:`minhash_signatures`, and exactly reproducible in any SQL
+    engine (DuckDB: ``('0x'||substr(fp,o,8))::BIGINT % m``)."""
+    return [
+        (
+            F.conv(F.substring(fp, 1 + 8 * j, 8), 16, 10).cast("long")
+            % F.lit(m_bits)
+        ).alias(f"p{j}")
+        for j in range(BLOOM_HASHES)
+    ]
+
+
+def bloom_build(
+    corpus: DataFrame, text_col: str = "text", m_bits: int = BLOOM_BITS
+) -> DataFrame:
+    """Distributed Bloom-filter build over ``md5(text_col)`` →
+    ``(word_idx, bits)`` packed 32-bit words (``m_bits/32`` rows).
+
+    Scale shape (100 TB): position computation is a pure projection;
+    the ONLY shuffle is the ``groupBy(word_idx)`` bit_or, whose
+    map-side partial aggregation collapses each task's contribution to
+    at most ``m_bits/32`` words before anything moves — shuffle volume
+    is O(m), independent of corpus size. The packed table is tiny
+    (16 Ki bits here → 512 rows; even a 2^33-bit filter for 10^9 keys
+    is ~1 GiB spread over executors) and broadcasts to the probe side.
+    Beyond broadcast size, production partitions the filter by
+    ``word_idx`` ranges and the probe becomes an equi-join on the same
+    key — the plan shape below is unchanged.
+
+    Packing uses 32-bit words so every mask stays a positive int64 in
+    both engines (a 64-bit word needs ``1<<63``, which overflows
+    signed arithmetic differently across engines).
+    """
+    fps = corpus.select(F.md5(F.col(text_col).cast("binary")).alias("fp"))
+    pos = fps.select(
+        F.explode(F.array(*_bloom_positions(F.col("fp"), m_bits))).alias("pos")
+    )
+    return pos.groupBy(
+        F.expr("pos div 32").alias("word_idx")
+    ).agg(
+        F.expr("bit_or(shiftleft(1L, cast(pos % 32 as int)))").alias("bits")
+    )
+
+
+def bloom_probe(
+    batch: DataFrame,
+    bloom_words: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """Probe a batch against a built filter → ``(id_col, fp,
+    bloom_maybe)``.
+
+    ``bloom_maybe = false`` is a GUARANTEE the key was never inserted
+    (no false negatives — the property the whole pattern rests on);
+    ``true`` means "maybe seen", to be confirmed by an exact check
+    that now only touches the maybe-subset. Probe is a map-only pass
+    over the batch plus one broadcast join against the packed words
+    (left join: a word with no bits set is absent → miss).
+    """
+    fps = batch.select(
+        id_col, F.md5(F.col(text_col).cast("binary")).alias("fp")
+    )
+    pos = fps.select(
+        id_col,
+        "fp",
+        F.explode(F.array(*_bloom_positions(F.col("fp"), m_bits))).alias("pos"),
+    ).withColumn("word_idx", F.expr("pos div 32"))
+    from pyspark.sql.functions import broadcast
+
+    probed = pos.join(broadcast(bloom_words), "word_idx", "left").withColumn(
+        "hit",
+        F.coalesce(
+            F.expr("(bits & shiftleft(1L, cast(pos % 32 as int))) != 0"),
+            F.lit(False),
+        ),
+    )
+    return probed.groupBy(id_col, "fp").agg(
+        F.bool_and("hit").alias("bloom_maybe")
+    )
+
+
+def bloom_prefilter_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """Incremental-ingest dedup gate: Bloom prefilter + exact confirm.
+
+    Returns one row per batch document: ``(id_col, bloom_maybe,
+    is_dup)``. The exact confirm (semi-join against corpus
+    fingerprints) runs ONLY over the maybe-subset — at 100 TB that is
+    the entire point: the definite-new majority never joins anything,
+    and the expensive exact membership check is sized by the true-dup
+    rate plus the filter's false-positive rate (m/k tune), not by the
+    batch. Complements the signature-store incremental dedup
+    (:func:`incremental_dedup_apply`), which answers NEAR-dup; this
+    answers exact-seen-before with O(m) memory and zero store reads
+    for definite-new rows.
+    """
+    words = bloom_build(corpus, text_col=text_col, m_bits=m_bits)
+    probed = bloom_probe(
+        batch, words, id_col=id_col, text_col=text_col, m_bits=m_bits
+    )
+    corpus_fps = corpus.select(
+        F.md5(F.col(text_col).cast("binary")).alias("fp")
+    ).distinct()
+    confirmed = (
+        probed.filter(F.col("bloom_maybe"))
+        .join(corpus_fps, "fp", "left_semi")
+        .select(id_col)
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        probed.join(confirmed, id_col, "left")
+        .select(
+            id_col,
+            "bloom_maybe",
+            F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+        )
+    )

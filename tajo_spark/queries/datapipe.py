@@ -3090,3 +3090,55 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, ["spark", "join", "window"], k=10)
+
+
+@query(
+    "dedup_bloom_prefilter",
+    "curation",
+    doc="Bloom-filter ingest gate (Bloom 1970; "
+    "operators/dedup.py::bloom_prefilter_dedup): constant-memory "
+    "'seen before?' prefilter for incremental ingest. Corpus = even "
+    "doc_ids (the store), batch = doc_id%7==0 (a partial re-crawl — "
+    "%14 rows genuinely repeat). Build packs md5-slice bit positions "
+    "into 32-bit words via ONE O(m)-volume bit_or groupBy; probe is "
+    "map-only + a broadcast join of the 512-row packed filter; the "
+    "exact confirm semi-join runs ONLY over the maybe-subset, so "
+    "definite-new rows never touch the store. No false negatives by "
+    "construction (pinned in tests/test_bloom.py); false positives "
+    "surface as bloom_maybe=true/is_dup=false rows.",
+    oracle="""
+        WITH corpus AS (
+            SELECT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
+        cpos AS (
+            SELECT ('0x' || substr(fp, 1 + 8*j, 8))::BIGINT % 16384 AS pos
+            FROM corpus, (VALUES (0),(1),(2),(3)) s(j)),
+        words AS (
+            SELECT pos // 32 AS word_idx,
+                   bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+            FROM cpos GROUP BY 1),
+        batch AS (
+            SELECT doc_id, md5(text) AS fp
+            FROM documents WHERE doc_id % 7 = 0),
+        bpos AS (
+            SELECT doc_id, fp,
+                   ('0x' || substr(fp, 1 + 8*j, 8))::BIGINT % 16384 AS pos
+            FROM batch, (VALUES (0),(1),(2),(3)) s(j)),
+        probed AS (
+            SELECT b.doc_id, b.fp,
+                   bool_and(coalesce(
+                       (w.bits & (1::BIGINT << CAST(b.pos % 32 AS INT)))
+                           != 0, false)) AS bloom_maybe
+            FROM bpos b LEFT JOIN words w ON w.word_idx = b.pos // 32
+            GROUP BY b.doc_id, b.fp)
+        SELECT doc_id, bloom_maybe,
+               bloom_maybe AND fp IN (SELECT fp FROM corpus) AS is_dup
+        FROM probed
+    """,
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.dedup import bloom_prefilter_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 7 == 0)
+    return bloom_prefilter_dedup(corpus, batch)
