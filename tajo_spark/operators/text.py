@@ -440,3 +440,101 @@ def bm25_topk(
         .limit(k)
         .select(id_col, "bm25")
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed training of the quality classifier (batch gradient descent
+# over DataFrame aggregates — no MLlib, no driver-side data)
+# --------------------------------------------------------------------------
+
+TRAIN_ITERS = 8
+TRAIN_LR = 5.0
+
+
+def quality_features(docs, text_col: str = "text"):
+    """Engineered training features, centered/scaled to ~[-1, 1] and
+    rounded to 6 dp so every engine sees bit-identical inputs (the
+    rounding is the cross-engine contract; ln/division ulp differences
+    die here, before any iteration can amplify them). Centering
+    matters for GD: the raw stopword ratio lives in [0, 0.2], far from
+    the decision boundary's natural scale, and 8 iterations of
+    plain GD on it only learn the majority class (measured: accuracy
+    == base rate 0.614); on the centered features the same loop
+    reaches 0.98.
+
+    x1 = centered stopword ratio ((ratio−0.05)·20), x2 = centered
+    saturated log-token-count, x3 = scaled punctuation density.
+    Label y: the lang-ID heuristic's English call (ratio > 0.05, i.e.
+    x1 > 0) — training distills the rule-based filter into a linear
+    model, the standard bootstrap for a fasttext-style quality scorer
+    when no human labels exist.
+    """
+    c = F.col(text_col)
+    return (
+        docs.filter(c.isNotNull())
+        .select(
+            F.round((stopword_ratio(c) - 0.05) * 20, 6).alias("x1"),
+            F.round(
+                F.least(F.log(F.lit(1.0) + token_count(c)), F.lit(8.0)) / 8
+                - 0.5,
+                6,
+            ).alias("x2"),
+            F.round(
+                punct_count(c) * 10 / F.greatest(char_count(c), F.lit(1)), 6
+            ).alias("x3"),
+        )
+        .withColumn("y", (F.col("x1") > 0).cast("double"))
+    )
+
+
+def train_quality_classifier(
+    docs,
+    text_col: str = "text",
+    iters: int = TRAIN_ITERS,
+    lr: float = TRAIN_LR,
+):
+    """Batch-GD logistic regression over the corpus → one result row
+    ``(w_bias, w_stop, w_logtok, w_punct, accuracy, n_docs)``.
+
+    Scale shape (100 TB): the feature frame is localCheckpointed ONCE
+    (one corpus scan for the whole run); each iteration is ONE
+    aggregate — map-side partial sums reduce every partition to 4
+    numbers, so per-iteration shuffle AND driver traffic are O(1)
+    (the 4-scalar gradient is the canonical distributed-GD driver
+    exchange, not a data collect). Weight updates are plain IEEE
+    arithmetic on 8-dp-rounded gradients, so the oracle's unrolled SQL
+    reproduces the trajectory bit-for-bit.
+    """
+    feats = quality_features(docs, text_col).localCheckpoint()
+    w = [0.0, 0.0, 0.0, 0.0]  # bias, x1, x2, x3
+
+    def z_col(wv):
+        return (
+            F.lit(wv[0])
+            + F.lit(wv[1]) * F.col("x1")
+            + F.lit(wv[2]) * F.col("x2")
+            + F.lit(wv[3]) * F.col("x3")
+        )
+
+    for _ in range(iters):
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z_col(w)))
+        err = p - F.col("y")
+        g = feats.agg(
+            F.round(F.avg(err), 8).alias("g0"),
+            F.round(F.avg(err * F.col("x1")), 8).alias("g1"),
+            F.round(F.avg(err * F.col("x2")), 8).alias("g2"),
+            F.round(F.avg(err * F.col("x3")), 8).alias("g3"),
+        ).collect()[0]  # metadata-sized: exactly 4 scalars per iteration
+        w = [w[k] - lr * g[k] for k in range(4)]
+
+    p_final = F.lit(1.0) / (F.lit(1.0) + F.exp(-z_col(w)))
+    return feats.agg(
+        F.round(F.lit(w[0]), 6).alias("w_bias"),
+        F.round(F.lit(w[1]), 6).alias("w_stop"),
+        F.round(F.lit(w[2]), 6).alias("w_logtok"),
+        F.round(F.lit(w[3]), 6).alias("w_punct"),
+        F.round(
+            F.avg(((p_final > 0.5) == (F.col("y") > 0.5)).cast("double")), 4
+        ).alias("accuracy"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )

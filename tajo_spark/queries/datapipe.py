@@ -3142,3 +3142,75 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 7 == 0)
     return bloom_prefilter_dedup(corpus, batch)
+
+
+def _gd_train_oracle(iters: int, lr: float) -> str:
+    """Unrolled batch-GD CTE chain mirroring text.train_quality_classifier:
+    same 6-dp feature rounding, same 8-dp gradient rounding, same IEEE
+    weight updates — the iteration count is small and fixed, so the
+    oracle is the trajectory written out longhand."""
+    feats = f"""
+        toked AS (
+            SELECT text, {_TOKS} AS w FROM documents
+            WHERE text IS NOT NULL),
+        lab AS (
+            SELECT x1, x2, x3,
+                   CASE WHEN x1 > 0 THEN 1.0 ELSE 0.0 END AS y
+            FROM (SELECT
+                round((len(list_filter(w, x -> x IN ({_STOPS})))
+                       / greatest(len(w), 1) - 0.05) * 20, 6) AS x1,
+                round(least(ln(1.0 + len(w)), 8.0) / 8 - 0.5, 6) AS x2,
+                round((length(text)
+                       - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                      * 10.0 / greatest(length(text), 1), 6) AS x3
+                FROM toked)),
+        w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+    z = "(w.w0 + w.w1*l.x1 + w.w2*l.x2 + w.w3*l.x3)"
+    p = f"1.0 / (1.0 + exp(-{z}))"
+    ctes = [feats]
+    for i in range(1, iters + 1):
+        ctes.append(f"""
+        g{i} AS (
+            SELECT round(avg(p - y), 8) AS g0,
+                   round(avg((p - y) * x1), 8) AS g1,
+                   round(avg((p - y) * x2), 8) AS g2,
+                   round(avg((p - y) * x3), 8) AS g3
+            FROM (SELECT l.*, {p} AS p
+                  FROM lab l CROSS JOIN w{i - 1} w)),
+        w{i} AS (
+            SELECT w.w0 - {lr} * g.g0 AS w0, w.w1 - {lr} * g.g1 AS w1,
+                   w.w2 - {lr} * g.g2 AS w2, w.w3 - {lr} * g.g3 AS w3
+            FROM w{i - 1} w CROSS JOIN g{i} g)""")
+    return f"""
+        WITH {",".join(ctes)}
+        SELECT round(w.w0, 6) AS w_bias, round(w.w1, 6) AS w_stop,
+               round(w.w2, 6) AS w_logtok, round(w.w3, 6) AS w_punct,
+               round(avg(CASE WHEN (l.p > 0.5) = (l.y > 0.5)
+                              THEN 1.0 ELSE 0.0 END), 4) AS accuracy,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM (SELECT l.*, {p} AS p
+              FROM lab l CROSS JOIN w{iters} w) l
+        CROSS JOIN w{iters} w
+        GROUP BY w.w0, w.w1, w.w2, w.w3
+    """
+
+
+@query(
+    "text_quality_train",
+    "curation",
+    doc="Distributed TRAINING of the quality classifier (batch "
+    "gradient descent via DataFrame aggregates, no MLlib; "
+    "operators/text.py::train_quality_classifier): 8 GD iterations of "
+    "logistic regression over centered 6-dp-rounded features, "
+    "distilling the lang-ID rule into a linear model (accuracy 0.98 "
+    "vs 0.61 base rate at sf0.01). Each iteration "
+    "is ONE aggregate — map-side partial sums reduce every partition "
+    "to 4 numbers, so per-iteration shuffle and driver traffic are "
+    "O(1); features localCheckpointed once (one corpus scan total). "
+    "The oracle unrolls the identical trajectory in SQL (8-dp "
+    "gradient rounding makes it cross-engine exact).",
+    oracle=_gd_train_oracle(text.TRAIN_ITERS, text.TRAIN_LR),
+)
+def text_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.train_quality_classifier(docs)
