@@ -102,6 +102,9 @@ HEADLINE = [
     "text_gopher_rules",
     "dedup_cdc_chunks",
     "text_bm25_topk",
+    "dedup_bloom_prefilter",
+    "text_quality_train",
+    "curation_dsir_select",
 ]
 
 

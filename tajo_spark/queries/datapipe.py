@@ -3214,3 +3214,75 @@ def _gd_train_oracle(iters: int, lr: float) -> str:
 def text_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.train_quality_classifier(docs)
+
+
+_DSIR_TGT = "'src0','src1','src2','src3'"
+
+
+@query(
+    "curation_dsir_select",
+    "curation",
+    doc="DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169; "
+    "operators/dsir.py): select the 100 raw-corpus docs most like a "
+    "curated target domain (sources src0-3) under hashed unigram+bigram "
+    "bag-of-ngram models, via Gumbel top-k on the log importance "
+    "weight. One explode + ONE (doc,bucket) groupBy featurizes the "
+    "corpus (localCheckpointed — single scan feeds both model fits and "
+    "scoring); each model is a 1024-row broadcast table; scoring is a "
+    "map-side-combinable per-doc sum; selection is TakeOrdered, never "
+    "a global sort. Gumbel noise derives from md5(seed:doc_id), so "
+    "the draw is a pure function of (corpus, seed) and the oracle "
+    "reproduces it bit-for-bit.",
+    oracle=rf"""
+        WITH tok AS (
+            SELECT doc_id, source IN ({_DSIR_TGT}) AS is_target,
+                   list_filter(
+                       string_split_regex(trim(lower(text)), '\s+'),
+                       x -> x <> '') AS ts
+            FROM documents WHERE text IS NOT NULL),
+        grams AS (
+            SELECT doc_id, is_target, unnest(
+                list_concat(
+                    ts,
+                    [array_to_string(ts[i:i+1], ' ')
+                     FOR i IN range(1, greatest(len(ts), 1))])) AS gram
+            FROM tok),
+        dcb AS (
+            SELECT doc_id, is_target,
+                   ('0x' || substr(md5(gram), 1, 8))::BIGINT % 1024
+                       AS bucket,
+                   count(*) AS c
+            FROM grams GROUP BY 1, 2, 3),
+        counts AS (
+            SELECT s.bucket,
+                   coalesce(t.ct, 0) AS ct, coalesce(r.cr, 0) AS cr
+            FROM (SELECT unnest(range(1024)) AS bucket) s
+            LEFT JOIN (SELECT bucket, sum(c) AS ct FROM dcb
+                       WHERE is_target GROUP BY 1) t USING (bucket)
+            LEFT JOIN (SELECT bucket, sum(c) AS cr FROM dcb
+                       GROUP BY 1) r USING (bucket)),
+        tots AS (SELECT sum(ct) AS t_tot, sum(cr) AS r_tot FROM counts),
+        lam AS (
+            SELECT bucket,
+                   round(ln((ct + 1.0) / (t_tot + 1024))
+                         - ln((cr + 1.0) / (r_tot + 1024)), 8) AS lam
+            FROM counts CROSS JOIN tots),
+        scored AS (
+            SELECT dcb.doc_id, round(sum(c * lam), 4) AS logw
+            FROM dcb JOIN lam USING (bucket)
+            WHERE NOT is_target GROUP BY dcb.doc_id)
+        SELECT doc_id, logw,
+               round(logw + (-ln(-ln(
+                   (('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+                                    1, 6))::BIGINT + 0.5)
+                   / 16777216.0))), 4) AS score
+        FROM scored
+        ORDER BY score DESC, doc_id LIMIT 100
+    """,
+)
+def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators import dsir
+
+    docs = load_table(spark, sf_dir, "documents")
+    tgt = F.col("source").isin("src0", "src1", "src2", "src3")
+    return dsir.dsir_select(docs, tgt, k=100)

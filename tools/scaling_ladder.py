@@ -49,6 +49,22 @@ QUERIES = [
     # is the worst case; real perceptual hashes cluster) — measured to
     # find where the verify join starts to dominate
     "multimodal_phash_neardup",
+    # CDC: posexplode + doc-partitioned running-sum window + chunk
+    # hash/keep/reassemble — token-linear, one more window than
+    # dedup_paragraphs
+    "dedup_cdc_chunks",
+    # one scan checkpointed (tf+df+N+avglen), filtered explode, top-k
+    "text_bm25_topk",
+    # bloom build word-groupBy (m/64 rows) + broadcast probe +
+    # maybe-subset-sized exact confirm: both scans linear, join sized
+    # by dup rate not batch
+    "dedup_bloom_prefilter",
+    # 1 feature scan + 8 x 4-scalar aggregates over the checkpointed
+    # frame: per-iteration cost linear in corpus, constant shuffle
+    "text_quality_train",
+    # explode + (doc,bucket) groupBy + broadcast 1024-row models +
+    # per-doc scoring groupBy + TakeOrdered: gram-linear
+    "curation_dsir_select",
 ]
 
 
@@ -131,12 +147,25 @@ def main() -> None:
             sf_dir = stage(mult, root)
             for q in QUERIES:
                 fn = qs[q]
-                fn(spark, "/root/testdata/sf0.001").collect()  # warm
+                # noop sink, NOT collect(): collect adds driver-side
+                # result transfer proportional to output size (row-heavy
+                # ops like dedup_paragraphs would measure the transfer,
+                # not the plan) and count() lets Catalyst elide work —
+                # same methodology as bench.py and the other ladders.
+                fn(spark, "/root/testdata/sf0.001").write.format(
+                    "noop"
+                ).mode("overwrite").save()  # warm
                 times = []
                 for _ in range(2):
                     t0 = time.time()
-                    fn(spark, sf_dir).collect()
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
                     times.append(time.time() - t0)
+                for rdd in list(
+                    spark.sparkContext._jsc.getPersistentRDDs().values()
+                ):
+                    rdd.unpersist()
                 results[q][mult] = min(times)
                 print(f"x{mult:<3} {q:28s} {min(times):6.2f}s", flush=True)
     finally:
