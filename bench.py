@@ -105,6 +105,7 @@ HEADLINE = [
     "dedup_bloom_prefilter",
     "text_quality_train",
     "curation_dsir_select",
+    "text_ppl_buckets",
 ]
 
 

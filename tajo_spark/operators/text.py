@@ -538,3 +538,105 @@ def train_quality_classifier(
         ).alias("accuracy"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
     )
+
+
+# --------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (Wenzek et al. 2020, CCNet:
+# "Extracting High Quality Monolingual Datasets from Web Crawl Data")
+# --------------------------------------------------------------------------
+
+
+def unigram_logprob(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document average token log-probability under the corpus
+    unigram distribution — ``(id_col, avg_logp, n_tokens)`` with
+    avg_logp rounded to 3 dp (the cross-engine contract).
+
+    One corpus scan: per-doc term counts, corpus term frequencies
+    aggregated FROM that lineage (never a re-scan), corpus total as a
+    broadcast 1-row aggregate; the scoring join shuffles
+    |distinct (doc, term)| rows, not |tokens|."""
+    from tajo_spark.operators.dedup import spread_by
+
+    toks = (
+        spread_by(docs, id_col)
+        .select(id_col, F.explode(tokens(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    dtf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("c"))
+    tf = dtf.groupBy("term").agg(F.sum("c").alias("tf"))
+    tot = tf.agg(F.sum("tf").alias("n"))
+    return (
+        dtf.join(tf, "term")
+        .join(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.col("c") * F.log(F.col("tf") * 1.0 / F.col("n")))
+                / F.sum("c"),
+                3,
+            ).alias("avg_logp"),
+            F.sum("c").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+PPL_SAMPLE_SEED = 17
+
+
+def ppl_buckets(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    sample_prefix_lt: str = "8",
+    seed: int = PPL_SAMPLE_SEED,
+):
+    """CCNet head/middle/tail perplexity terciles per language.
+
+    Production shape, not the textbook one: a per-language ``ntile(3)``
+    is a per-language GLOBAL SORT — with English at 80 % of a web
+    corpus that is the canonical skew killer.  CCNet itself computes
+    perplexity cutoffs once on a sample and then buckets by threshold;
+    this mirrors that: tercile boundaries are exact percentiles over a
+    deterministic md5-prefix sample (here 1/2 of docs; at 100 TB dial
+    ``sample_prefix_lt`` down — the sample only has to pin two
+    quantiles per language), yielding a LANGUAGES-row broadcast
+    threshold table, and the full-corpus pass is a map-only comparison.
+    No stage sorts anything corpus-sized.
+
+    Returns ``(id_col, lang, avg_logp, ppl_bucket)``; ``head`` = the
+    highest-avg_logp (lowest-perplexity) tercile of the sample, the
+    split CCNet keeps for LM training.  Thresholds compare on the
+    3-dp-rounded avg_logp, so bucket membership is engine-stable.
+    """
+    lp = unigram_logprob(docs, text_col, id_col).join(
+        docs.select(id_col, lang_col), id_col
+    )
+    sample = lp.filter(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{seed}:"), F.col(id_col).cast("string")
+                ).cast("binary")
+            ),
+            1,
+            1,
+        )
+        < sample_prefix_lt
+    )
+    thr = sample.groupBy(lang_col).agg(
+        F.round(F.percentile(F.col("avg_logp"), F.lit(1.0 / 3)), 6).alias("t1"),
+        F.round(F.percentile(F.col("avg_logp"), F.lit(2.0 / 3)), 6).alias("t2"),
+    )
+    return (
+        lp.join(F.broadcast(thr), lang_col)
+        .select(
+            id_col,
+            lang_col,
+            "avg_logp",
+            F.when(F.col("avg_logp") >= F.col("t2"), F.lit("head"))
+            .when(F.col("avg_logp") >= F.col("t1"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("ppl_bucket"),
+        )
+    )

@@ -3286,3 +3286,53 @@ def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tgt = F.col("source").isin("src0", "src1", "src2", "src3")
     return dsir.dsir_select(docs, tgt, k=100)
+
+
+@query(
+    "text_ppl_buckets",
+    "curation",
+    doc="CCNet perplexity bucketing (Wenzek et al. 2020; "
+    "operators/text.py::ppl_buckets): per-language head/middle/tail "
+    "terciles of the unigram-LM score. Production shape — tercile "
+    "cutoffs are exact percentiles over a deterministic md5-prefix "
+    "sample (a LANGUAGES-row broadcast table), full corpus bucketed by "
+    "map-only threshold comparison; NEVER a per-language ntile, whose "
+    "partition sort serializes on the dominant language at web scale. "
+    "Spark exact percentile and DuckDB quantile_cont interpolate "
+    "identically (probed bit-equal), and comparisons run on the "
+    "3-dp-rounded score, so membership is engine-stable.",
+    oracle=r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+            FROM documents),
+        dtf AS (SELECT doc_id, term, count(*) AS c
+                FROM tok WHERE term <> '' GROUP BY doc_id, term),
+        tf AS (SELECT term, sum(c) AS tf FROM dtf GROUP BY term),
+        tot AS (SELECT sum(tf) AS n FROM tf),
+        lp AS (
+            SELECT dtf.doc_id,
+                   round(sum(dtf.c * ln(tf.tf * 1.0 / tot.n)) / sum(dtf.c), 3)
+                       AS avg_logp
+            FROM dtf JOIN tf USING (term) CROSS JOIN tot
+            GROUP BY dtf.doc_id),
+        lpl AS (
+            SELECT lp.doc_id, d.lang, lp.avg_logp
+            FROM lp JOIN documents d ON lp.doc_id = d.doc_id),
+        thr AS (
+            SELECT lang,
+                   round(quantile_cont(avg_logp, 1.0/3), 6) AS t1,
+                   round(quantile_cont(avg_logp, 2.0/3), 6) AS t2
+            FROM lpl
+            WHERE substr(md5('17:' || CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+            GROUP BY lang)
+        SELECT lpl.doc_id, lpl.lang, lpl.avg_logp,
+               CASE WHEN lpl.avg_logp >= thr.t2 THEN 'head'
+                    WHEN lpl.avg_logp >= thr.t1 THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM lpl JOIN thr USING (lang)
+    """,
+)
+def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.ppl_buckets(docs)

@@ -514,3 +514,55 @@ def test_bm25_ranking_properties(spark):
     assert ranked[0] == 0             # highest tf on both terms
     assert scores[0] > scores[1] > 0
     assert scores[4] > scores[3]      # same tf=1, shorter doc wins (b>0)
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity bucketing (text.ppl_buckets)
+# ---------------------------------------------------------------------------
+
+
+def _ppl_corpus(spark):
+    rows = []
+    # common-vocabulary docs (high avg_logp) vs rare-token soup (low)
+    for i in range(40):
+        rows.append((i, "the the the and and of of to in is", "en"))
+    for i in range(40, 80):
+        rows.append((i, f"qzx{i} vbn{i} wfg{i} plm{i} kjh{i}", "en"))
+    for i in range(80, 100):
+        rows.append((i, "der die das und zu in ist", "de"))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_ppl_buckets_threshold_ordering(spark):
+    """head/middle/tail must be score-ordered within every language —
+    guaranteed by the threshold rule, so a violation means the join or
+    comparison broke."""
+    out = text.ppl_buckets(_ppl_corpus(spark)).toPandas()
+    assert set(out.ppl_bucket) <= {"head", "middle", "tail"}
+    for lang, grp in out.groupby("lang"):
+        by = {b: g.avg_logp for b, g in grp.groupby("ppl_bucket")}
+        if "head" in by and "middle" in by:
+            assert by["head"].min() >= by["middle"].max()
+        if "middle" in by and "tail" in by:
+            assert by["middle"].min() > by["tail"].max()
+
+
+def test_ppl_buckets_separates_common_from_rare(spark):
+    """Common-vocab docs are the low-perplexity split CCNet keeps;
+    rare-token soup must land strictly below them."""
+    out = text.ppl_buckets(_ppl_corpus(spark)).toPandas()
+    en = out[out.lang == "en"].set_index("doc_id")
+    common = en.loc[range(40)]
+    rare = en.loc[range(40, 80)]
+    assert (common.ppl_bucket == "head").all()
+    assert (rare.ppl_bucket.isin(["middle", "tail"])).all()
+
+
+def test_ppl_buckets_plan_has_no_window_sort(spark):
+    """The scale contract: bucketing is threshold comparison against a
+    broadcast LANGUAGES-row table — never a per-language ntile/window,
+    whose partition sort serializes on the dominant language."""
+    out = text.ppl_buckets(_ppl_corpus(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
