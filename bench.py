@@ -106,6 +106,7 @@ HEADLINE = [
     "text_quality_train",
     "curation_dsir_select",
     "text_ppl_buckets",
+    "dedup_split_leakage",
 ]
 
 

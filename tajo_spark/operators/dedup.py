@@ -782,3 +782,40 @@ def bloom_prefilter_dedup(
             F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
         )
     )
+
+
+def split_leakage_audit(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Train/val/test contamination audit: verified near-duplicate
+    pairs that CROSS a split boundary — the in-corpus leakage that
+    silently inflates eval metrics when dedup runs before (or without
+    awareness of) the split.
+
+    Output: ``(doc_a, doc_b, jaccard, split_a, split_b)`` with
+    ``split_a != split_b`` and exact 3-gram Jaccard >= ``threshold``.
+
+    Cost shape: exactly the two-stage near-dup pipeline
+    (:func:`ngram_jaccard_pairs` — banding proposes, exact Jaccard
+    disposes) plus ZERO extra joins: the split label is a pure column
+    function of the id (:func:`tajo_spark.operators.sampling.split_column`),
+    so labeling the pair endpoints is a projection. The audit costs the
+    same as the dedup pass a pipeline already runs.
+    """
+    from tajo_spark.operators.sampling import split_column
+
+    return (
+        ngram_jaccard_pairs(docs, text_col)
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            split_column(F.col("doc_a")).alias("split_a"),
+            split_column(F.col("doc_b")).alias("split_b"),
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+    )

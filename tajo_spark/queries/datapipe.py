@@ -3336,3 +3336,51 @@ def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.ppl_buckets(docs)
+
+
+@query(
+    "dedup_split_leakage",
+    "curation",
+    doc="Train/val/test leakage audit "
+    "(operators/dedup.py::split_leakage_audit): verified near-duplicate "
+    "pairs whose endpoints land in DIFFERENT splits of the deterministic "
+    "md5 80/10/10 split — the in-corpus contamination that inflates eval "
+    "metrics when near-dups straddle the boundary. Exactly the two-stage "
+    "near-dup pipeline (banding proposes, exact 3-gram Jaccard >= 0.5 "
+    "disposes) plus a pure-projection split labeling: the label is a "
+    "column function of doc_id, so the audit adds ZERO joins to the "
+    "dedup pass a pipeline already runs.",
+    oracle=f"""
+        WITH norm AS (SELECT doc_id, {{_NORM}} AS t FROM documents),
+        tk AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(w) >= 3
+                           THEN list_distinct(list_transform(
+                                range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                           ELSE [array_to_string(w, ' ')] END AS s
+               FROM tk),
+        {{_MINHASH_PAIRS_CTE}},
+        jac AS (
+            SELECT p.doc_a, p.doc_b,
+                   round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(a.s || b.s)), 4) AS jaccard
+            FROM pairs p, sh a, sh b
+            WHERE a.doc_id = p.doc_a AND b.doc_id = p.doc_b),
+        lab AS (
+            SELECT doc_a, doc_b, jaccard,
+                   CASE WHEN substr(md5(CAST(doc_a AS VARCHAR)), 1, 2) < 'cc'
+                        THEN 'train'
+                        WHEN substr(md5(CAST(doc_a AS VARCHAR)), 1, 2) < 'e6'
+                        THEN 'val' ELSE 'test' END AS split_a,
+                   CASE WHEN substr(md5(CAST(doc_b AS VARCHAR)), 1, 2) < 'cc'
+                        THEN 'train'
+                        WHEN substr(md5(CAST(doc_b AS VARCHAR)), 1, 2) < 'e6'
+                        THEN 'val' ELSE 'test' END AS split_b
+            FROM jac WHERE jaccard >= 0.5)
+        SELECT * FROM lab WHERE split_a <> split_b
+    """.format(_NORM=_NORM, _MINHASH_PAIRS_CTE=_MINHASH_PAIRS_CTE),
+)
+def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.split_leakage_audit(docs)

@@ -566,3 +566,42 @@ def test_ppl_buckets_plan_has_no_window_sort(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage audit (dedup.split_leakage_audit)
+# ---------------------------------------------------------------------------
+
+
+def _split_of(doc_id: int) -> str:
+    import hashlib
+
+    p = hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+    return "train" if p < "cc" else ("val" if p < "e6" else "test")
+
+
+def test_split_leakage_finds_cross_split_neardups_only(spark):
+    from tajo_spark.operators import dedup as D
+
+    train_ids = [i for i in range(200) if _split_of(i) == "train"]
+    test_ids = [i for i in range(200) if _split_of(i) == "test"]
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the green field beyond the old wooden fence") * 2
+    rows = [
+        # cross-split near-dup pair (one word changed)
+        (train_ids[0], base + " ending one"),
+        (test_ids[0], base + " ending two"),
+        # same-split near-dup pair — must NOT be reported
+        (train_ids[1], base + " tail alpha"),
+        (train_ids[2], base + " tail beta"),
+        # unrelated doc
+        (test_ids[1], "completely different content about ships and "
+                      "harbors with nothing shared at all " * 4),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.split_leakage_audit(docs).toPandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(out.doc_a, out.doc_b)}
+    assert (min(train_ids[0], test_ids[0]), max(train_ids[0], test_ids[0])) in got
+    assert (min(train_ids[1], train_ids[2]), max(train_ids[1], train_ids[2])) not in got
+    assert (out.split_a != out.split_b).all()
+    assert (out.jaccard >= 0.5).all()
