@@ -540,3 +540,119 @@ def shard_export_stream(
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
     )
+
+
+def bloom_gate_stream(
+    docs_stream: DataFrame,
+    filter_path: str,
+    fps_path: str,
+    admitted_path: str,
+    checkpoint_path: str,
+    m_bits: int | None = None,
+):
+    """Continuous exact-seen-before gate: every micro-batch probes the
+    persisted Bloom filter (operators/dedup.py::bloom_probe — map-only
+    + one broadcast join against the packed words), exact-confirms ONLY
+    the maybe-subset against the persisted fingerprint store, admits
+    the rest, and folds the admitted fingerprints' bits back into the
+    filter.  The streaming twin of ``bloom_prefilter_dedup``: per-batch
+    cost is O(|batch| + m) regardless of how much has ever been
+    admitted, because definite-new rows never touch the store.
+
+    Replay safety: admitted rows and their fingerprints land in
+    ``__batch_id`` partitions written with DYNAMIC overwrite, and the
+    exact confirm excludes the store's own ``__batch_id == batch_id``
+    partition — so a replayed batch sees exactly the pre-batch store
+    (its own half-written state is partition-pruned away), recomputes
+    the same verdicts, and overwrites its own partitions.  The filter
+    update is a monotone bit_or: re-OR-ing a replayed batch's bits is
+    a no-op by algebra, no coordination needed.
+    """
+    import os as _os
+
+    from tajo_spark.operators import dedup as _dedup
+
+    bits = m_bits if m_bits is not None else _dedup.BLOOM_BITS
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        persisted_before = set(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet()
+        )
+        if _os.path.isdir(filter_path) and any(
+            f.endswith(".parquet") for f in _os.listdir(filter_path)
+        ):
+            # tiny (m/32 rows) — checkpoint so the overwrite below
+            # never reads the path it is replacing
+            words = spark.read.parquet(filter_path).localCheckpoint()
+        else:
+            words = spark.createDataFrame([], "word_idx BIGINT, bits BIGINT")
+        probed = _dedup.bloom_probe(
+            batch_df, words, m_bits=bits
+        ).localCheckpoint()
+        if _os.path.isdir(fps_path) and any(
+            f.startswith("__batch_id=") for f in _os.listdir(fps_path)
+        ):
+            store_fps = spark.read.parquet(fps_path).filter(
+                F.col("__batch_id") != batch_id
+            )
+        else:
+            store_fps = spark.createDataFrame([], "fp STRING")
+        dup_ids = (
+            probed.filter("bloom_maybe")
+            .join(store_fps.select("fp"), "fp", "left_semi")
+            .select("doc_id")
+        )
+        # first-in-batch wins when a batch repeats a fingerprint
+        admitted = (
+            probed.join(dup_ids, "doc_id", "left_anti")
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .localCheckpoint()
+        )
+        (
+            batch_df.join(admitted.select("doc_id"), "doc_id", "left_semi")
+            .withColumn("__batch_id", F.lit(batch_id))
+            .write.partitionBy("__batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(admitted_path)
+        )
+        (
+            admitted.select("fp")
+            .withColumn("__batch_id", F.lit(batch_id))
+            .write.partitionBy("__batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(fps_path)
+        )
+        new_bits = (
+            admitted.select(
+                F.explode(
+                    F.array(*_dedup._bloom_positions(F.col("fp"), bits))
+                ).alias("pos")
+            )
+            .groupBy(F.expr("pos div 32").alias("word_idx"))
+            .agg(
+                F.expr(
+                    "bit_or(shiftleft(1L, cast(pos % 32 as int)))"
+                ).alias("bits")
+            )
+        )
+        merged = (
+            words.unionByName(new_bits)
+            .groupBy("word_idx")
+            .agg(F.expr("bit_or(bits)").alias("bits"))
+            .localCheckpoint()  # materialize before overwriting the path
+        )
+        merged.write.mode("overwrite").parquet(filter_path)
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet()):
+            if rid not in persisted_before:
+                jmap.get(rid).unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+    )

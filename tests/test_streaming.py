@@ -341,3 +341,89 @@ def test_shard_export_stream_continuous_offsets(spark, tmp_path):
         .collect()
     )
     assert before == after
+
+
+def test_bloom_gate_stream_admits_once_across_batches(spark, tmp_path):
+    """Streaming Bloom gate: exact-seen-before across micro-batches
+    with first-in-batch dedup, O(batch) per batch."""
+    import os
+
+    from tajo_spark.streaming.pipeline import bloom_gate_stream
+
+    rows1 = [
+        (0, "alpha doc body one"),
+        (1, "alpha doc body one"),      # in-batch exact dup of 0
+        (2, "beta doc body two"),
+    ]
+    rows2 = [
+        (10, "alpha doc body one"),     # dup of batch-1 admit
+        (11, "gamma doc body three"),
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(rows1, "doc_id LONG, text STRING").coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    paths = [str(tmp_path / p) for p in ("filter", "fps", "admitted", "ckpt")]
+    q = bloom_gate_stream(stream, *paths).start()
+    q.processAllAvailable(); q.stop()
+    # second wave through the SAME checkpoint (restartable contract)
+    spark.createDataFrame(rows2, "doc_id LONG, text STRING").coalesce(1) \
+        .write.mode("append").parquet(src)
+    q2 = bloom_gate_stream(stream, *paths).start()
+    q2.processAllAvailable(); q2.stop()
+
+    got = sorted(
+        r.doc_id
+        for r in spark.read.parquet(paths[2]).select("doc_id").collect()
+    )
+    # 0 admitted (min of the in-batch pair), 1 deduped in-batch,
+    # 2 admitted, 10 rejected against the store, 11 admitted
+    assert got == [0, 2, 11], got
+    # filter persisted and non-empty; fingerprints one per admit
+    assert spark.read.parquet(paths[0]).count() > 0
+    assert spark.read.parquet(paths[1]).select("fp").distinct().count() == 3
+
+
+def test_bloom_gate_stream_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay contract: wiping the checkpoint and re-running the
+    same source must reproduce the identical admitted set — each batch
+    excludes its own fps partition when confirming, overwrites its own
+    partitions, and the filter bit_or is monotone."""
+    import os
+    import shutil
+
+    from tajo_spark.streaming.pipeline import bloom_gate_stream
+
+    rows = [(i, f"doc body {i % 4}") for i in range(8)]  # 4 distinct texts
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(rows[:4], "doc_id LONG, text STRING").coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    spark.createDataFrame(rows[4:], "doc_id LONG, text STRING").coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    paths = [str(tmp_path / p) for p in ("filter", "fps", "admitted", "ckpt")]
+    q = bloom_gate_stream(stream, *paths).start()
+    q.processAllAvailable(); q.stop()
+    first = sorted(
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(paths[2]).select("doc_id", "text").collect()
+    )
+    shutil.rmtree(paths[3])  # lose the checkpoint → full replay
+    q2 = bloom_gate_stream(stream, *paths).start()
+    q2.processAllAvailable(); q2.stop()
+    replayed = sorted(
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(paths[2]).select("doc_id", "text").collect()
+    )
+    assert replayed == first
+    assert len({t for _, t in first}) == len(first)  # one admit per text
