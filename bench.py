@@ -107,6 +107,7 @@ HEADLINE = [
     "curation_dsir_select",
     "text_ppl_buckets",
     "dedup_split_leakage",
+    "pipeline_corpus_prep_v5",
 ]
 
 

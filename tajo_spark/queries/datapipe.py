@@ -3384,3 +3384,136 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.split_leakage_audit(docs)
+
+
+@query(
+    "pipeline_corpus_prep_v5",
+    "curation",
+    doc="Corpus-prep v5 — quality-first refresh: structural Gopher "
+    "rules (word count / mean word length / alpha ratio / symbol "
+    "ratio; the stopword-presence rule is an audit flag only here — "
+    "the synthetic corpus is word soup and it rejects wholesale, see "
+    "text_gopher_rules) -> CCNet perplexity bucketing over the "
+    "FILTERED corpus (sample-percentile thresholds, map-only "
+    "bucketing) -> keep head+middle -> per-(lang, bucket) manifest "
+    "with doc/token counts and corpus share. Every stage is the "
+    "already-pinned operator; the composition costs the sum of its "
+    "stages (no stage re-scans another's input thanks to the "
+    "filter pushdown into the LM lineage).",
+    oracle=r"""
+        WITH toked AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS w
+            FROM documents WHERE text IS NOT NULL),
+        keepids AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       CAST(len(w) AS BIGINT) AS n,
+                       CAST(list_sum(list_transform(w, x -> length(x)))
+                            AS BIGINT) AS tl,
+                       CAST(len(list_filter(w,
+                            x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
+                           AS alpha,
+                       CAST(len(list_filter(w,
+                            x -> contains(x, '#') OR contains(x, '...')))
+                            AS BIGINT) AS sym
+                FROM toked)
+            WHERE n BETWEEN 50 AND 100000 AND tl / n BETWEEN 3 AND 10
+              AND alpha * 10 >= n * 8 AND sym * 10 < n),
+        tok AS (
+            SELECT t.doc_id, unnest(t.w) AS term
+            FROM toked t JOIN keepids USING (doc_id)),
+        dtf AS (SELECT doc_id, term, count(*) AS c
+                FROM tok WHERE term <> '' GROUP BY doc_id, term),
+        tf AS (SELECT term, sum(c) AS tf FROM dtf GROUP BY term),
+        tot AS (SELECT sum(tf) AS n FROM tf),
+        lp AS (
+            SELECT dtf.doc_id,
+                   round(sum(dtf.c * ln(tf.tf * 1.0 / tot.n)) / sum(dtf.c), 3)
+                       AS avg_logp,
+                   CAST(sum(dtf.c) AS BIGINT) AS n_tokens
+            FROM dtf JOIN tf USING (term) CROSS JOIN tot
+            GROUP BY dtf.doc_id),
+        lpl AS (
+            SELECT lp.doc_id, d.lang, lp.avg_logp, lp.n_tokens
+            FROM lp JOIN documents d ON lp.doc_id = d.doc_id),
+        thr AS (
+            SELECT lang,
+                   round(quantile_cont(avg_logp, 1.0/3), 6) AS t1,
+                   round(quantile_cont(avg_logp, 2.0/3), 6) AS t2
+            FROM lpl
+            WHERE substr(md5('17:' || CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+            GROUP BY lang),
+        kept AS (
+            SELECT lpl.doc_id, lpl.lang, lpl.n_tokens,
+                   CASE WHEN lpl.avg_logp >= thr.t2 THEN 'head'
+                        WHEN lpl.avg_logp >= thr.t1 THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM lpl JOIN thr USING (lang)),
+        final AS (SELECT * FROM kept WHERE ppl_bucket <> 'tail'),
+        total AS (SELECT count(*) AS n_all FROM final)
+        SELECT lang, ppl_bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               round(count(*) * 1.0 / n_all, 4) AS share
+        FROM final CROSS JOIN total
+        GROUP BY lang, ppl_bucket, n_all
+    """,
+)
+def pipeline_corpus_prep_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    flags = text.gopher_quality(docs)
+    keep = flags.filter(
+        F.col("rule_word_count")
+        & F.col("rule_mean_len")
+        & F.col("rule_alpha")
+        & F.col("rule_symbol")
+    ).select("doc_id")
+    filtered = docs.join(keep, "doc_id", "left_semi")
+    lp = text.unigram_logprob(filtered)
+    lpl = lp.join(filtered.select("doc_id", "lang"), "doc_id")
+    sample = lpl.filter(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("17:"), F.col("doc_id").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            1,
+        )
+        < "8"
+    )
+    thr = sample.groupBy("lang").agg(
+        F.round(F.percentile(F.col("avg_logp"), F.lit(1.0 / 3)), 6).alias("t1"),
+        F.round(F.percentile(F.col("avg_logp"), F.lit(2.0 / 3)), 6).alias("t2"),
+    )
+    kept = (
+        lpl.join(F.broadcast(thr), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.when(F.col("avg_logp") >= F.col("t2"), F.lit("head"))
+            .when(F.col("avg_logp") >= F.col("t1"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("ppl_bucket"),
+        )
+        .filter(F.col("ppl_bucket") != "tail")
+    )
+    total = kept.agg(F.count(F.lit(1)).alias("n_all"))
+    return (
+        kept.join(F.broadcast(total))
+        .groupBy("lang", "ppl_bucket", "n_all")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "ppl_bucket",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_docs") * 1.0 / F.col("n_all"), 4).alias("share"),
+        )
+    )
