@@ -108,6 +108,8 @@ HEADLINE = [
     "text_ppl_buckets",
     "dedup_split_leakage",
     "pipeline_corpus_prep_v5",
+    "sample_token_budget_plan",
+    "dedup_best_of_cluster",
 ]
 
 

@@ -819,3 +819,57 @@ def split_leakage_audit(
         )
         .filter(F.col("split_a") != F.col("split_b"))
     )
+
+
+def best_of_cluster_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Quality-aware near-dup dedup: keep the BEST member of each
+    duplicate cluster, not the first-seen one (the RefinedWeb refinement
+    over min-id survivorship — duplicates often differ by boilerplate,
+    truncation, or OCR noise, and min-id keeps an arbitrary variant).
+
+    Survivor per connected component of verified near-dup pairs =
+    argmax quality-classifier score, ties to the LOWER doc_id (a total
+    order, so survivorship is deterministic under any partitioning).
+
+    Cost shape: the stages a near-dup pipeline already runs (banding →
+    exact-Jaccard verify → components) plus one quality projection and
+    ONE groupBy(component) max — the argmax is a single struct-max
+    aggregate with map-side partials, never a per-cluster window sort.
+    Returns the surviving corpus as ``(doc_id, qscore)``.
+    """
+    from tajo_spark.operators import text as T
+    from tajo_spark.operators.graph import connected_components
+
+    verified = (
+        ngram_jaccard_pairs(docs, text_col)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(verified, assume_distinct=True)
+    q = docs.select(
+        F.col(id_col),
+        T.quality_classifier_score(F.col(text_col)).alias("qscore"),
+    )
+    members = comp.join(q, comp.node == q[id_col]).select(
+        "component", F.col(id_col), "qscore"
+    )
+    # argmax(qscore), tie -> min doc_id: max of (qscore, -doc_id)
+    keepers = (
+        members.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("qscore").alias("q"),
+                    (-F.col(id_col)).alias("negid"),
+                )
+            ).alias("s")
+        )
+        .select((-F.col("s.negid")).alias(id_col))
+    )
+    drops = members.select(id_col).join(keepers, id_col, "left_anti")
+    return q.join(drops, id_col, "left_anti")

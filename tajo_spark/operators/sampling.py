@@ -308,3 +308,69 @@ def cap_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def mixture_token_plan(
+    docs: DataFrame,
+    shares: dict[str, float],
+    token_budget: int,
+    max_epochs: float = 4.0,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget mixture planner: turn target mixture ``shares`` and
+    a total ``token_budget`` into a per-language data recipe, honoring
+    the data-constrained repetition cap (epochs <= ``max_epochs`` —
+    past ~4 epochs repeated data stops helping, Muennighoff et al.
+    2023, arXiv:2305.16264).
+
+    Returns one row per corpus language:
+    ``(lang, available_tokens, target_tokens, epochs, realized_tokens,
+    deficit)`` where ``epochs`` is the capped repetition factor the
+    loader should use and ``deficit`` is what the cap leaves unfilled
+    (to be re-allocated or accepted by the caller — re-allocation is a
+    policy choice, not computed here).
+
+    Cost shape: ONE corpus scan into a LANGUAGES-row aggregate
+    (map-side partial sums), then pure projections — the plan is a
+    broadcast-sized table no matter the corpus size.  Languages outside
+    ``shares`` get share 0 (available but unbudgeted), so the output
+    always accounts for the whole corpus.
+    """
+    from tajo_spark.operators import text as T
+
+    share_expr = None
+    for lang, s in shares.items():
+        cond = F.col(lang_col) == lang
+        share_expr = (
+            F.when(cond, float(s))
+            if share_expr is None
+            else share_expr.when(cond, float(s))
+        )
+    share_expr = share_expr.otherwise(F.lit(0.0))
+    avail = (
+        docs.filter(F.col(text_col).isNotNull())
+        .groupBy(lang_col)
+        .agg(F.sum(T.token_count(F.col(text_col))).alias("available_tokens"))
+    )
+    target = F.round(F.lit(float(token_budget)) * share_expr, 0).cast("long")
+    capped = F.round(
+        F.least(
+            target.cast("double"),
+            F.col("available_tokens") * F.lit(float(max_epochs)),
+        ),
+        0,
+    ).cast("long")
+    return avail.select(
+        lang_col,
+        "available_tokens",
+        target.alias("target_tokens"),
+        F.round(
+            F.least(
+                target / F.col("available_tokens"), F.lit(float(max_epochs))
+            ),
+            4,
+        ).alias("epochs"),
+        capped.alias("realized_tokens"),
+        (target - capped).alias("deficit"),
+    )

@@ -608,6 +608,13 @@ def ppl_buckets(
     highest-avg_logp (lowest-perplexity) tercile of the sample, the
     split CCNet keeps for LM training.  Thresholds compare on the
     3-dp-rounded avg_logp, so bucket membership is engine-stable.
+
+    Caveat (deliberate): a language with docs in the corpus but NONE in
+    the sample has no cutoff information, and the inner threshold join
+    excludes it from the output.  At any realistic scale a 1/2 sample
+    missing every doc of a language is 2^-|lang| improbable; if
+    long-tail languages matter, raise ``sample_prefix_lt`` or stratify
+    the sample — don't default unbucketable docs into a keep bucket.
     """
     lp = unigram_logprob(docs, text_col, id_col).join(
         docs.select(id_col, lang_col), id_col

@@ -3517,3 +3517,116 @@ def pipeline_corpus_prep_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_docs") * 1.0 / F.col("n_all"), 4).alias("share"),
         )
     )
+
+
+@query(
+    "sample_token_budget_plan",
+    "curation",
+    doc="Token-budget mixture planning under the data-constrained "
+    "repetition cap (Muennighoff et al. 2023: repeating data beyond "
+    "~4 epochs stops helping; "
+    "operators/sampling.py::mixture_token_plan): per-language "
+    "available vs target tokens for a 2M-token budget at "
+    "en .5 / de .15 / fr .15 / es .1 / zh .1, capped epochs, realized "
+    "tokens and the unfilled deficit the cap leaves. ONE corpus scan "
+    "into a LANGUAGES-row aggregate (map-side partial sums), then "
+    "pure projections — broadcast-sized output at any corpus size.",
+    oracle=r"""
+        WITH avail AS (
+            SELECT lang,
+                   CAST(sum(len(string_split_regex(trim(lower(text)),
+                                                   '\s+'))) AS BIGINT)
+                       AS available_tokens
+            FROM documents WHERE text IS NOT NULL GROUP BY lang),
+        plan AS (
+            SELECT lang, available_tokens,
+                   CAST(round(2000000.0 * CASE lang
+                        WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.15
+                        WHEN 'fr' THEN 0.15 WHEN 'es' THEN 0.1
+                        WHEN 'zh' THEN 0.1 ELSE 0.0 END, 0) AS BIGINT)
+                       AS target_tokens
+            FROM avail)
+        SELECT lang, available_tokens, target_tokens,
+               round(least(target_tokens * 1.0 / available_tokens, 4.0), 4)
+                   AS epochs,
+               CAST(round(least(target_tokens * 1.0,
+                                available_tokens * 4.0), 0) AS BIGINT)
+                   AS realized_tokens,
+               target_tokens
+                   - CAST(round(least(target_tokens * 1.0,
+                                      available_tokens * 4.0), 0) AS BIGINT)
+                   AS deficit
+        FROM plan
+    """,
+)
+def sample_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    shares = {"en": 0.5, "de": 0.15, "fr": 0.15, "es": 0.1, "zh": 0.1}
+    return sampling.mixture_token_plan(docs, shares, token_budget=2_000_000)
+
+
+@query(
+    "dedup_best_of_cluster",
+    "curation",
+    doc="Quality-aware near-dup survivorship "
+    "(operators/dedup.py::best_of_cluster_dedup): keep the "
+    "HIGHEST-quality member of each verified near-dup cluster (ties to "
+    "the lower doc_id) instead of the first-seen one — the RefinedWeb "
+    "refinement; duplicates differ by boilerplate/truncation and min-id "
+    "keeps an arbitrary variant. Same stages as dedup_apply_neardup "
+    "plus one quality projection and ONE struct-max aggregate per "
+    "component (map-side partials, never a per-cluster window sort).",
+    oracle=f"""
+        WITH RECURSIVE {{_MINHASH_PAIRS_CTE}},
+        vnorm AS (SELECT doc_id, {{_NORM}} AS t FROM documents),
+        vtk AS (SELECT doc_id, string_split(t, ' ') AS w FROM vnorm),
+        vsh AS (SELECT doc_id,
+                      CASE WHEN len(w) >= 3
+                           THEN list_distinct(list_transform(
+                                range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                           ELSE [array_to_string(w, ' ')] END AS s
+               FROM vtk),
+        vpairs AS (
+            SELECT p.doc_a, p.doc_b
+            FROM pairs p, vsh a, vsh b
+            WHERE a.doc_id = p.doc_a AND b.doc_id = p.doc_b
+              AND round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                        / len(list_distinct(a.s || b.s)), 4) >= 0.8),
+        q AS (SELECT doc_id, clf_score AS qscore FROM ({{_CLF_SCORED}})),
+        cc_edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM vpairs
+            UNION
+            SELECT doc_b AS a, doc_a AS b FROM vpairs),
+        reach(node, label) AS (
+            SELECT a, a FROM cc_edges
+            UNION
+            SELECT e.b, r.label FROM reach r JOIN cc_edges e ON e.a = r.node),
+        comp AS (
+            SELECT node AS doc_id, min(label) AS component
+            FROM reach GROUP BY node),
+        keepers AS (
+            SELECT component,
+                   -(max({{{{'q': q.qscore, 'negid': -c.doc_id}}}})).negid
+                       AS doc_id
+            FROM comp c JOIN q ON q.doc_id = c.doc_id
+            GROUP BY component),
+        drops AS (
+            SELECT c.doc_id FROM comp c
+            WHERE c.doc_id NOT IN (SELECT doc_id FROM keepers))
+        SELECT q.doc_id, q.qscore FROM q
+        WHERE q.doc_id NOT IN (SELECT doc_id FROM drops)
+    """.format(
+        _MINHASH_PAIRS_CTE=_MINHASH_PAIRS_CTE,
+        _NORM=_NORM,
+        _CLF_SCORED="SELECT doc_id, clf_score FROM ("
+        + _clf_oracle().replace("SELECT doc_id, source, clf_score,",
+                                "SELECT doc_id, clf_score,")
+        + ")",
+    ),
+)
+def dedup_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.best_of_cluster_dedup(docs)

@@ -208,3 +208,38 @@ def test_cap_per_group_two_stage_plan_has_prestage_window(spark):
     plan = capped._jdf.queryExecution().executedPlan().toString()
     # two Window operators: the salted partial pass + the exact final
     assert plan.count("Window") >= 2, plan
+
+
+def test_mixture_token_plan_caps_epochs_and_reports_deficit(spark):
+    """The data-constrained cap: a language whose target exceeds
+    4 epochs of its supply realizes exactly 4x available and reports
+    the rest as deficit; an amply-supplied language repeats <1 epoch
+    with zero deficit; unbudgeted languages get share 0."""
+    from pyspark.sql import Row
+
+    from tajo_spark.operators import sampling
+
+    rows = (
+        # 'big': 1000 tokens available
+        [Row(doc_id=i, lang="big", text=" ".join(["w"] * 100)) for i in range(10)]
+        # 'scarce': 40 tokens available
+        + [Row(doc_id=100 + i, lang="scarce", text=" ".join(["w"] * 10)) for i in range(4)]
+        # 'extra': present but unbudgeted
+        + [Row(doc_id=200, lang="extra", text="a b c")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    plan = {
+        r.lang: r
+        for r in sampling.mixture_token_plan(
+            docs, {"big": 0.5, "scarce": 0.5}, token_budget=1000
+        ).collect()
+    }
+    big, scarce, extra = plan["big"], plan["scarce"], plan["extra"]
+    assert big.available_tokens == 1000 and big.target_tokens == 500
+    assert big.epochs == 0.5 and big.realized_tokens == 500 and big.deficit == 0
+    assert scarce.available_tokens == 40 and scarce.target_tokens == 500
+    assert scarce.epochs == 4.0          # capped, not 12.5
+    assert scarce.realized_tokens == 160  # 4 x 40
+    assert scarce.deficit == 340
+    assert extra.target_tokens == 0 and extra.realized_tokens == 0
+    assert extra.available_tokens == 3

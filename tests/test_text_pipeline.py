@@ -605,3 +605,35 @@ def test_split_leakage_finds_cross_split_neardups_only(spark):
     assert (min(train_ids[1], train_ids[2]), max(train_ids[1], train_ids[2])) not in got
     assert (out.split_a != out.split_b).all()
     assert (out.jaccard >= 0.5).all()
+
+
+def test_best_of_cluster_keeps_highest_quality_not_first(spark):
+    """Quality-aware survivorship: within a near-dup cluster the
+    highest classifier score wins even when it has the HIGHER doc_id
+    (min-id survivorship would pick the other one)."""
+    from tajo_spark.operators import dedup as D
+    from tajo_spark.operators import text as T
+    from pyspark.sql import functions as F
+
+    prose = ("the cat sat on the mat and it was a fine day for walking "
+             "in the park with friends and a good book to read ") * 3
+    rows = [
+        # near-dup pair: doc 0 is degraded by digit noise (lower
+        # quality score), doc 1 is the clean variant
+        (0, prose + " 111 222 333 444 555 666 777 888 999 000"),
+        (1, prose + " see you there"),
+        # singleton — must pass through untouched
+        (2, "totally unrelated content about ships and harbors docking "
+            "at dawn with cargo from distant ports " * 3),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qs = {
+        r.doc_id: r.q
+        for r in docs.select(
+            "doc_id", T.quality_classifier_score(F.col("text")).alias("q")
+        ).collect()
+    }
+    assert qs[1] > qs[0], qs  # precondition: clean variant scores higher
+    out = D.best_of_cluster_dedup(docs, jaccard_threshold=0.6).toPandas()
+    kept = sorted(out.doc_id)
+    assert kept == [1, 2], kept  # 1 beats 0 despite the higher id
