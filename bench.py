@@ -110,6 +110,7 @@ HEADLINE = [
     "pipeline_corpus_prep_v5",
     "sample_token_budget_plan",
     "dedup_best_of_cluster",
+    "sample_epoch_materialize",
 ]
 
 

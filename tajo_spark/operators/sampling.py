@@ -374,3 +374,65 @@ def mixture_token_plan(
         capped.alias("realized_tokens"),
         (target - capped).alias("deficit"),
     )
+
+
+EPOCH_SEED = 99
+
+
+def materialize_epochs(
+    docs: DataFrame,
+    plan: DataFrame,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = EPOCH_SEED,
+) -> DataFrame:
+    """Turn a mixture plan's fractional ``epochs`` into the actual
+    repeated training sample: each doc appears ``floor(epochs)`` times
+    plus one more with probability ``epochs - floor(epochs)`` — so the
+    expected per-language token count matches the plan exactly, and
+    ``epochs < 1`` degrades to plain downsampling.  The extra-copy coin
+    is ``md5(seed:doc_id)``, so membership is a pure function of
+    (plan, seed): reproducible across engines, restarts, and workers.
+
+    Returns ``(id_col, lang, epoch)`` — one row per materialized copy,
+    ``epoch`` in ``0..copies-1`` so an epoch-aware loader can interleave
+    repeats instead of concatenating them.
+
+    Cost shape: ``plan`` is a LANGUAGES-row broadcast; everything else
+    is a per-row projection + explode whose fan-out IS the requested
+    repetition (output tokens ≈ realized plan tokens, the floor of any
+    materialization).  No shuffle at all.
+    """
+    n_full = F.floor(F.col("epochs")).cast("int")
+    frac = F.round(F.col("epochs") - n_full, 4)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{seed}:"), F.col(id_col).cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(16**6))
+    copies = (n_full + (u < frac).cast("int")).alias("copies")
+    return (
+        docs.join(F.broadcast(plan.select(lang_col, "epochs")), lang_col)
+        .select(id_col, lang_col, copies)
+        .select(
+            id_col,
+            lang_col,
+            F.explode(
+                F.when(
+                    F.col("copies") > 0,
+                    F.sequence(F.lit(0), F.col("copies") - 1),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("epoch"),
+        )
+    )

@@ -3630,3 +3630,54 @@ def sample_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.best_of_cluster_dedup(docs)
+
+
+@query(
+    "sample_epoch_materialize",
+    "curation",
+    doc="Epoch materialization of the token-budget plan "
+    "(operators/sampling.py::materialize_epochs): each doc repeats "
+    "floor(epochs) times plus one more when md5(99:doc_id) < the "
+    "fractional part — expected per-language tokens match the plan, "
+    "epochs<1 degrades to plain downsampling (zh at this budget), and "
+    "membership is a pure function of (plan, seed). LANGUAGES-row "
+    "broadcast plan + per-row projection + explode; ZERO shuffles. "
+    "Budget 40k at en .5 / de .15 / fr .15 / es .1 / zh .1 exercises "
+    "both fractional repetition (en 1.70 epochs) and sub-epoch "
+    "sampling (zh 0.97).",
+    oracle=r"""
+        WITH avail AS (
+            SELECT lang,
+                   CAST(sum(len(string_split_regex(trim(lower(text)),
+                                                   '\s+'))) AS BIGINT)
+                       AS available_tokens
+            FROM documents WHERE text IS NOT NULL GROUP BY lang),
+        plan AS (
+            SELECT lang,
+                   round(least(
+                       CAST(round(40000.0 * CASE lang
+                            WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.15
+                            WHEN 'fr' THEN 0.15 WHEN 'es' THEN 0.1
+                            WHEN 'zh' THEN 0.1 ELSE 0.0 END, 0) AS BIGINT)
+                       * 1.0 / available_tokens, 4.0), 4) AS epochs
+            FROM avail),
+        c AS (
+            SELECT d.doc_id, d.lang,
+                   CAST(floor(p.epochs) AS INT)
+                   + CASE WHEN (('0x' || substr(
+                           md5('99:' || CAST(d.doc_id AS VARCHAR)),
+                           1, 6))::BIGINT + 0.5) / 16777216.0
+                          < round(p.epochs - floor(p.epochs), 4)
+                          THEN 1 ELSE 0 END AS copies
+            FROM documents d JOIN plan p USING (lang))
+        SELECT doc_id, lang, CAST(unnest(range(copies)) AS INT) AS epoch
+        FROM c WHERE copies > 0
+    """,
+)
+def sample_epoch_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    shares = {"en": 0.5, "de": 0.15, "fr": 0.15, "es": 0.1, "zh": 0.1}
+    plan = sampling.mixture_token_plan(docs, shares, token_budget=40_000)
+    return sampling.materialize_epochs(docs, plan)

@@ -243,3 +243,36 @@ def test_mixture_token_plan_caps_epochs_and_reports_deficit(spark):
     assert scarce.deficit == 340
     assert extra.target_tokens == 0 and extra.realized_tokens == 0
     assert extra.available_tokens == 3
+
+
+def test_materialize_epochs_repeats_and_downsamples(spark):
+    """Epoch materialization: 2.5 epochs -> every doc twice plus ~half
+    a third time; 0.5 epochs -> ~half the docs once; per-doc copy count
+    is exactly floor+coin and deterministic across runs."""
+    from pyspark.sql import Row
+
+    from tajo_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang="rep" if i < 400 else "down", text="x")
+         for i in range(800)],
+        "doc_id long, lang string, text string",
+    )
+    plan = spark.createDataFrame(
+        [("rep", 2.5), ("down", 0.5)], "lang string, epochs double"
+    )
+    out = sampling.materialize_epochs(docs, plan).toPandas()
+    rep = out[out.lang == "rep"].groupby("doc_id").size()
+    down = out[out.lang == "down"].groupby("doc_id").size()
+    assert set(rep.unique()) == {2, 3}          # floor 2 + coin
+    assert len(rep) == 400                      # every rep doc present
+    assert set(down.unique()) == {1}            # 0 epochs floor + coin
+    assert 120 <= len(down) <= 280              # ~half of 400, md5 coin
+    # expected-volume contract: mean copies tracks epochs
+    assert abs(rep.mean() - 2.5) < 0.15
+    # epoch indices are 0..copies-1 per doc
+    first = out[out.doc_id == out.doc_id.iloc[0]]
+    assert sorted(first.epoch) == list(range(len(first)))
+    # determinism
+    again = sampling.materialize_epochs(docs, plan).toPandas()
+    assert len(again) == len(out)
