@@ -787,7 +787,6 @@ def bloom_prefilter_dedup(
 def split_leakage_audit(
     docs: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     threshold: float = 0.5,
 ) -> DataFrame:
     """Train/val/test contamination audit: verified near-duplicate
@@ -824,7 +823,6 @@ def split_leakage_audit(
 def best_of_cluster_dedup(
     docs: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     jaccard_threshold: float = 0.8,
 ) -> DataFrame:
     """Quality-aware near-dup dedup: keep the BEST member of each
@@ -841,6 +839,11 @@ def best_of_cluster_dedup(
     ONE groupBy(component) max — the argmax is a single struct-max
     aggregate with map-side partials, never a per-cluster window sort.
     Returns the surviving corpus as ``(doc_id, qscore)``.
+
+    Like the rest of the near-dup pipeline (signatures, banding,
+    components), the corpus key is the ``doc_id`` column — a
+    differently-keyed frame should alias its key first rather than
+    this function taking an id_col it could only honor halfway.
     """
     from tajo_spark.operators import text as T
     from tajo_spark.operators.graph import connected_components
@@ -852,11 +855,11 @@ def best_of_cluster_dedup(
     )
     comp = connected_components(verified, assume_distinct=True)
     q = docs.select(
-        F.col(id_col),
+        F.col("doc_id"),
         T.quality_classifier_score(F.col(text_col)).alias("qscore"),
     )
-    members = comp.join(q, comp.node == q[id_col]).select(
-        "component", F.col(id_col), "qscore"
+    members = comp.join(q, comp.node == q.doc_id).select(
+        "component", "doc_id", "qscore"
     )
     # argmax(qscore), tie -> min doc_id: max of (qscore, -doc_id)
     keepers = (
@@ -865,11 +868,11 @@ def best_of_cluster_dedup(
             F.max(
                 F.struct(
                     F.col("qscore").alias("q"),
-                    (-F.col(id_col)).alias("negid"),
+                    (-F.col("doc_id")).alias("negid"),
                 )
             ).alias("s")
         )
-        .select((-F.col("s.negid")).alias(id_col))
+        .select((-F.col("s.negid")).alias("doc_id"))
     )
-    drops = members.select(id_col).join(keepers, id_col, "left_anti")
-    return q.join(drops, id_col, "left_anti")
+    drops = members.select("doc_id").join(keepers, "doc_id", "left_anti")
+    return q.join(drops, "doc_id", "left_anti")

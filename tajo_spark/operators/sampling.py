@@ -334,24 +334,34 @@ def mixture_token_plan(
     Cost shape: ONE corpus scan into a LANGUAGES-row aggregate
     (map-side partial sums), then pure projections — the plan is a
     broadcast-sized table no matter the corpus size.  Languages outside
-    ``shares`` get share 0 (available but unbudgeted), so the output
-    always accounts for the whole corpus.
+    ``shares`` get share 0 (available but unbudgeted), and budgeted
+    languages with NO corpus documents still get a row (available 0,
+    epochs 0, full deficit) — dropping them would silently lose their
+    slice of the budget, which is exactly the signal ``deficit`` exists
+    to surface.
     """
     from tajo_spark.operators import text as T
 
-    share_expr = None
+    share_expr = F.lit(0.0)
     for lang, s in shares.items():
-        cond = F.col(lang_col) == lang
-        share_expr = (
-            F.when(cond, float(s))
-            if share_expr is None
-            else share_expr.when(cond, float(s))
+        share_expr = F.when(F.col(lang_col) == lang, float(s)).otherwise(
+            share_expr
         )
-    share_expr = share_expr.otherwise(F.lit(0.0))
+    spark = docs.sparkSession
+    spine = spark.createDataFrame(
+        [(lang,) for lang in shares], f"{lang_col} string"
+    )
     avail = (
         docs.filter(F.col(text_col).isNotNull())
         .groupBy(lang_col)
         .agg(F.sum(T.token_count(F.col(text_col))).alias("available_tokens"))
+        .join(spine, lang_col, "full_outer")
+        .select(
+            lang_col,
+            F.coalesce("available_tokens", F.lit(0)).alias(
+                "available_tokens"
+            ),
+        )
     )
     target = F.round(F.lit(float(token_budget)) * share_expr, 0).cast("long")
     capped = F.round(
@@ -365,12 +375,17 @@ def mixture_token_plan(
         lang_col,
         "available_tokens",
         target.alias("target_tokens"),
-        F.round(
-            F.least(
-                target / F.col("available_tokens"), F.lit(float(max_epochs))
-            ),
-            4,
-        ).alias("epochs"),
+        F.when(F.col("available_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.least(
+                    target / F.col("available_tokens"),
+                    F.lit(float(max_epochs)),
+                ),
+                4,
+            )
+        )
+        .alias("epochs"),
         capped.alias("realized_tokens"),
         (target - capped).alias("deficit"),
     )

@@ -562,7 +562,16 @@ def unigram_logprob(docs, text_col: str = "text", id_col: str = "doc_id"):
         .select(id_col, F.explode(tokens(F.col(text_col))).alias("term"))
         .filter(F.col("term") != "")
     )
-    dtf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("c"))
+    # dtf feeds THREE consumers (tf, tot-via-tf, and the scoring join
+    # against its own aggregate); checkpoint so the token explode +
+    # (doc,term) groupBy run once — the two join sides canonicalize
+    # differently, so Catalyst cannot reuse the exchange (same failure
+    # class bm25_topk/phash fixed; see minhash_candidate_pairs doc)
+    dtf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
     tf = dtf.groupBy("term").agg(F.sum("c").alias("tf"))
     tot = tf.agg(F.sum("tf").alias("n"))
     return (
@@ -616,9 +625,25 @@ def ppl_buckets(
     long-tail languages matter, raise ``sample_prefix_lt`` or stratify
     the sample — don't default unbucketable docs into a keep bucket.
     """
-    lp = unigram_logprob(docs, text_col, id_col).join(
-        docs.select(id_col, lang_col), id_col
+    if not (
+        sample_prefix_lt
+        and all(c in "0123456789abcdef" for c in sample_prefix_lt)
+    ):
+        raise ValueError(
+            "sample_prefix_lt must be a non-empty lowercase hex string; "
+            f"got {sample_prefix_lt!r}"
+        )
+    # lp feeds the threshold sample AND the final bucket join —
+    # checkpoint the per-doc scored table so the LM lineage runs once
+    lp = (
+        unigram_logprob(docs, text_col, id_col)
+        .join(docs.select(id_col, lang_col), id_col)
+        .localCheckpoint()
     )
+    # compare a prefix of the SAME length as the bound: fixed-width hex
+    # compares lexicographically == numerically, so '04' over 2 chars is
+    # a 4/256 sample — with a hardcoded 1-char substring it would have
+    # silently meant '0' (1/16)
     sample = lp.filter(
         F.substring(
             F.md5(
@@ -627,7 +652,7 @@ def ppl_buckets(
                 ).cast("binary")
             ),
             1,
-            1,
+            len(sample_prefix_lt),
         )
         < sample_prefix_lt
     )

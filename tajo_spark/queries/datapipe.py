@@ -3471,7 +3471,10 @@ def pipeline_corpus_prep_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
     filtered = docs.join(keep, "doc_id", "left_semi")
     lp = text.unigram_logprob(filtered)
-    lpl = lp.join(filtered.select("doc_id", "lang"), "doc_id")
+    # lpl feeds the threshold sample AND the bucket join — checkpoint
+    # so the filtered LM lineage executes once (operator-level note in
+    # text.unigram_logprob)
+    lpl = lp.join(filtered.select("doc_id", "lang"), "doc_id").localCheckpoint()
     sample = lpl.filter(
         F.substring(
             F.md5(
@@ -3532,12 +3535,18 @@ def pipeline_corpus_prep_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "into a LANGUAGES-row aggregate (map-side partial sums), then "
     "pure projections — broadcast-sized output at any corpus size.",
     oracle=r"""
-        WITH avail AS (
+        WITH corpus_avail AS (
             SELECT lang,
                    CAST(sum(len(string_split_regex(trim(lower(text)),
                                                    '\s+'))) AS BIGINT)
                        AS available_tokens
             FROM documents WHERE text IS NOT NULL GROUP BY lang),
+        avail AS (
+            SELECT coalesce(c.lang, s.lang) AS lang,
+                   coalesce(c.available_tokens, 0) AS available_tokens
+            FROM corpus_avail c
+            FULL JOIN (SELECT unnest(['en','de','fr','es','zh']) AS lang) s
+              ON c.lang = s.lang),
         plan AS (
             SELECT lang, available_tokens,
                    CAST(round(2000000.0 * CASE lang
@@ -3547,7 +3556,9 @@ def pipeline_corpus_prep_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS target_tokens
             FROM avail)
         SELECT lang, available_tokens, target_tokens,
-               round(least(target_tokens * 1.0 / available_tokens, 4.0), 4)
+               CASE WHEN available_tokens = 0 THEN 0.0
+                    ELSE round(least(target_tokens * 1.0
+                                     / available_tokens, 4.0), 4) END
                    AS epochs,
                CAST(round(least(target_tokens * 1.0,
                                 available_tokens * 4.0), 0) AS BIGINT)

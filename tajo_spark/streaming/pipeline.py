@@ -567,24 +567,51 @@ def bloom_gate_stream(
     the same verdicts, and overwrites its own partitions.  The filter
     update is a monotone bit_or: re-OR-ing a replayed batch's bits is
     a no-op by algebra, no coordination needed.
+
+    The filter itself is VERSIONED, never overwritten in place: batch N
+    writes ``filter_path/v=N`` and readers pick the highest version with
+    a ``_SUCCESS`` marker.  A plain ``mode("overwrite")`` deletes the
+    old files before the job commits, so a crash mid-write would lose
+    bits for everything previously admitted — and a lost bit breaks the
+    no-false-negative guarantee SILENTLY (definite-new rows skip the
+    exact confirm by design, so duplicates would flow in forever).
+    Reading a version that already includes the replayed batch's own
+    bits is safe: extra maybes only route through the exact confirm,
+    which partition-prunes the batch's own fingerprints.  Stale
+    versions below the latest are pruned after a successful write.
     """
     import os as _os
+    import re as _re
+    import shutil as _shutil
 
     from tajo_spark.operators import dedup as _dedup
 
     bits = m_bits if m_bits is not None else _dedup.BLOOM_BITS
+
+    def _committed_versions() -> list[int]:
+        if not _os.path.isdir(filter_path):
+            return []
+        out = []
+        for d in _os.listdir(filter_path):
+            m = _re.fullmatch(r"v=(\d+)", d)
+            if m and _os.path.exists(
+                _os.path.join(filter_path, d, "_SUCCESS")
+            ):
+                out.append(int(m.group(1)))
+        return sorted(out)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         persisted_before = set(
             spark.sparkContext._jsc.getPersistentRDDs().keySet()
         )
-        if _os.path.isdir(filter_path) and any(
-            f.endswith(".parquet") for f in _os.listdir(filter_path)
-        ):
-            # tiny (m/32 rows) — checkpoint so the overwrite below
-            # never reads the path it is replacing
-            words = spark.read.parquet(filter_path).localCheckpoint()
+        versions = _committed_versions()
+        if versions:
+            # tiny (m/32 rows) — checkpoint so nothing later re-reads
+            # a directory the version pruning below may remove
+            words = spark.read.parquet(
+                _os.path.join(filter_path, f"v={versions[-1]}")
+            ).localCheckpoint()
         else:
             words = spark.createDataFrame([], "word_idx BIGINT, bits BIGINT")
         probed = _dedup.bloom_probe(
@@ -643,9 +670,19 @@ def bloom_gate_stream(
             words.unionByName(new_bits)
             .groupBy("word_idx")
             .agg(F.expr("bit_or(bits)").alias("bits"))
-            .localCheckpoint()  # materialize before overwriting the path
         )
-        merged.write.mode("overwrite").parquet(filter_path)
+        # versioned commit: the old filter stays intact until v=N has
+        # its _SUCCESS marker; overwrite only ever targets THIS batch's
+        # own (possibly half-written, uncommitted) version directory
+        merged.write.mode("overwrite").parquet(
+            _os.path.join(filter_path, f"v={batch_id}")
+        )
+        for v in _committed_versions():
+            if v < batch_id:
+                _shutil.rmtree(
+                    _os.path.join(filter_path, f"v={v}"),
+                    ignore_errors=True,
+                )
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         for rid in list(jmap.keySet()):
             if rid not in persisted_before:

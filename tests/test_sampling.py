@@ -276,3 +276,26 @@ def test_materialize_epochs_repeats_and_downsamples(spark):
     # determinism
     again = sampling.materialize_epochs(docs, plan).toPandas()
     assert len(again) == len(out)
+
+
+def test_mixture_token_plan_reports_absent_budgeted_language(spark):
+    """A language with a budget share but NO corpus docs must still get
+    a row (available 0, epochs 0, full deficit) — silently dropping it
+    would hide exactly the signal deficit exists to surface."""
+    from pyspark.sql import Row
+
+    from tajo_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, lang="en", text="a b c d")],
+        "doc_id long, lang string, text string",
+    )
+    plan = {
+        r.lang: r
+        for r in sampling.mixture_token_plan(
+            docs, {"en": 0.5, "ja": 0.5}, token_budget=100
+        ).collect()
+    }
+    ja = plan["ja"]
+    assert ja.available_tokens == 0 and ja.target_tokens == 50
+    assert ja.epochs == 0.0 and ja.realized_tokens == 0 and ja.deficit == 50

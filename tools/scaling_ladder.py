@@ -55,7 +55,7 @@ QUERIES = [
     "dedup_cdc_chunks",
     # one scan checkpointed (tf+df+N+avglen), filtered explode, top-k
     "text_bm25_topk",
-    # bloom build word-groupBy (m/64 rows) + broadcast probe +
+    # bloom build word-groupBy (m/32 rows) + broadcast probe +
     # maybe-subset-sized exact confirm: both scans linear, join sized
     # by dup rate not batch
     "dedup_bloom_prefilter",
@@ -65,6 +65,16 @@ QUERIES = [
     # explode + (doc,bucket) groupBy + broadcast 1024-row models +
     # per-doc scoring groupBy + TakeOrdered: gram-linear
     "curation_dsir_select",
+    # LM lineage + sample percentiles + map-only threshold compare
+    "text_ppl_buckets",
+    # two-stage near-dup pipeline + projection-only split labels
+    "dedup_split_leakage",
+    # gopher filter -> LM bucketing -> manifest composition
+    "pipeline_corpus_prep_v5",
+    # near-dup pipeline + quality projection + struct-max/component
+    "dedup_best_of_cluster",
+    # planner aggregate + broadcast plan + zero-shuffle repeat explode
+    "sample_epoch_materialize",
 ]
 
 
