@@ -111,6 +111,7 @@ HEADLINE = [
     "sample_token_budget_plan",
     "dedup_best_of_cluster",
     "sample_epoch_materialize",
+    "multimodal_audio_neardup",
 ]
 
 

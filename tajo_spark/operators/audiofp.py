@@ -1,0 +1,115 @@
+"""Audio fingerprint near-duplicate detection (the audio twin of the
+pHash image path, with a genuinely different kernel).
+
+Construction: the Haitsma–Kalker robust-hash bit rule ("A Highly
+Robust Audio Fingerprinting System", ISMIR 2002) in its time-domain
+single-band form — frame the waveform into 65 floor-boundary frames,
+per-frame ENERGY E(i) = sum of squared samples, fingerprint bit i =
+``E(i+1) > E(i)``.  Encoding energy *differences* rather than levels
+makes the fingerprint GAIN-INVARIANT: scaling every sample by c scales
+every energy by c², which cancels in the comparison — the property
+that makes audio fingerprints survive volume normalization, and which
+a block-mean hash does not need (pinned in tests).  The full
+Haitsma–Kalker system computes the same rule over 33 spectral subbands
+per frame; a deployment swaps the energy vector for subband energies
+(FFT in the Arrow kernel) and everything downstream is unchanged.
+
+Decode stubbing follows operators/phash.py: codecs aren't in this
+container, so with ``fake=True`` the waveform is the payload's byte
+sequence — deterministic AND locality-preserving, so perceptual
+proximity is exercised honestly.  A deployment replaces only the
+decode line (soundfile/ffmpeg → PCM samples).
+
+Scale shape: identical to phash — one Arrow map pass to 4×16-bit band
+ints (8 bytes/clip of index state), then the SAME banded-LSH machinery
+(`phash.phash_neardup_pairs`): pigeonhole-lossless at Hamming ≤ 3, one
+shuffle on (band_idx, band_val), exact popcount verify on colliding
+candidates only.  All arithmetic is integer (int64 energy sums), so
+Spark, numpy, and the DuckDB oracle agree bit-for-bit.
+
+Reference parity: apache/tajo has no media operators; this extends the
+dedup family the same way phash.py does for images.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from tajo_spark.operators.phash import (
+    BLOCKHASH_DDL,
+    N_BITS,
+    _bits_to_bands,
+    phash_neardup_pairs,
+)
+
+N_FRAMES = N_BITS + 1  # 65 frames -> 64 energy-difference bits
+
+
+def _fake_waveform(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for decode→PCM: payload bytes as a 1-D
+    amplitude signal (locality-preserving, same convention as
+    phash._fake_gray_signal).  Real kernel: soundfile.read(...)[0]."""
+    return np.frombuffer(payload, dtype=np.uint8)
+
+
+def energy_diff_bits(samples: np.ndarray) -> np.ndarray:
+    """64 Haitsma–Kalker bits from a waveform (integer-exact).
+
+    65 floor-boundary frames; E(i) = sum of squared samples in frame i
+    (int64 — exact for any realistic clip); bit i = E(i+1) > E(i).
+    Strictly-greater keeps ties at 0 in every engine.  Gain-invariant:
+    ``energy_diff_bits(c * s) == energy_diff_bits(s)`` for any c > 0.
+    """
+    sq = samples.astype(np.int64) ** 2
+    csum = np.concatenate([[0], np.cumsum(sq)])
+    bounds = (np.arange(N_FRAMES + 1) * len(samples)) // N_FRAMES
+    e = csum[bounds[1:]] - csum[bounds[:-1]]
+    return (e[1:] > e[:-1]).astype(np.int64)
+
+
+def audio_fingerprint(
+    binary_df: DataFrame, fake: bool = True, min_len: int = N_FRAMES
+) -> DataFrame:
+    """(doc_id, content) → (doc_id, b0..b3): the 64-bit
+    energy-difference fingerprint as four 16-bit band ints.  One Arrow
+    map pass; clips shorter than ``min_len`` samples are dropped (no
+    meaningful frames).  Output schema matches ``image_blockhash``, so
+    the banded pair join is shared verbatim."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["content"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "audio codecs unavailable; deploy with "
+                        "soundfile/ffmpeg and replace the decode line"
+                    )
+                sig = _fake_waveform(bytes(payload))
+                if len(sig) < min_len:
+                    continue
+                rows.append(
+                    [doc_id, *_bits_to_bands(energy_diff_bits(sig))]
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return binary_df.select("doc_id", "content").mapInPandas(
+        run, schema=BLOCKHASH_DDL
+    )
+
+
+def audio_neardup_pairs(
+    binary_df: DataFrame, fake: bool = True, max_hamming: int = 3
+) -> DataFrame:
+    """End-to-end audio near-dup pairs: fingerprint → banded-LSH
+    candidate join → exact popcount verify — the phash pipeline on the
+    audio kernel."""
+    return phash_neardup_pairs(
+        audio_fingerprint(binary_df, fake=fake), max_hamming=max_hamming
+    )

@@ -3692,3 +3692,77 @@ def sample_epoch_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares = {"en": 0.5, "de": 0.15, "fr": 0.15, "es": 0.1, "zh": 0.1}
     plan = sampling.mixture_token_plan(docs, shares, token_budget=40_000)
     return sampling.materialize_epochs(docs, plan)
+
+
+@query(
+    "multimodal_audio_neardup",
+    "curation",
+    doc="Audio fingerprint near-dup detection "
+    "(operators/audiofp.py): 64-bit Haitsma-Kalker energy-difference "
+    "fingerprint (bit i = frame-energy(i+1) > frame-energy(i) over 65 "
+    "floor-boundary frames; integer sums of squares, gain-invariant by "
+    "construction — pinned) as 4x16-bit bands, then the SHARED "
+    "phash banded-LSH machinery: one (band_idx, band_val) shuffle, "
+    "pigeonhole-lossless at hamming <= 3, exact popcount verify. "
+    "Demonstration corpus: each doc unioned with a "
+    "first/last-char-swapped twin — the swap perturbs only the first "
+    "and last frame energies, so twin hamming <= 2 by construction, "
+    "giving a deterministic nonzero pair set the O(n^2) oracle "
+    "reproduces bit-for-bit. ASCII corpus => byte values == ord() "
+    "code points across engines.",
+    oracle="""
+        WITH twins AS (
+            SELECT doc_id, text FROM documents WHERE length(text) >= 65
+            UNION ALL
+            SELECT doc_id + 1000000,
+                   substring(text, length(text), 1)
+                     || substring(text, 2, length(text) - 2)
+                     || substring(text, 1, 1)
+            FROM documents WHERE length(text) >= 65),
+        codes AS (
+            SELECT doc_id,
+                   [ord(substring(text, i, 1))
+                    for i in range(1, length(text) + 1)] AS cs
+            FROM twins),
+        sized AS (SELECT doc_id, cs, len(cs) AS n FROM codes),
+        energies AS (
+            SELECT doc_id,
+                   [CAST(list_sum(list_transform(
+                        list_slice(cs, (f*n)//65 + 1, ((f+1)*n)//65),
+                        x -> x * x)) AS BIGINT)
+                    for f in range(0, 65)] AS e
+            FROM sized),
+        bands AS (
+            SELECT doc_id,
+              [ CAST(list_sum([(CASE WHEN e[b + 2] > e[b + 1]
+                  THEN 1 ELSE 0 END) * (1 << (15 - (b % 16)))
+                  for b in range(g*16, (g+1)*16)]) AS INTEGER)
+                for g in range(0, 4)] AS bv
+            FROM energies),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(bit_count(xor(a.bv[1]::BIGINT, b.bv[1]::BIGINT))
+                 + bit_count(xor(a.bv[2]::BIGINT, b.bv[2]::BIGINT))
+                 + bit_count(xor(a.bv[3]::BIGINT, b.bv[3]::BIGINT))
+                 + bit_count(xor(a.bv[4]::BIGINT, b.bv[4]::BIGINT))
+                AS INTEGER) AS hamming
+            FROM bands a JOIN bands b ON a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+    """,
+)
+def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators import audiofp, multimodal
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 65
+    )
+    twins = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr(
+            "concat(substring(text, length(text), 1), "
+            "substring(text, 2, length(text) - 2), "
+            "substring(text, 1, 1))"
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(twins)
+    return audiofp.audio_neardup_pairs(multimodal.attach_binary(corpus))

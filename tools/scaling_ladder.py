@@ -75,6 +75,8 @@ QUERIES = [
     "dedup_best_of_cluster",
     # planner aggregate + broadcast plan + zero-shuffle repeat explode
     "sample_epoch_materialize",
+    # Arrow fingerprint pass + shared banded-LSH join (phash shape)
+    "multimodal_audio_neardup",
 ]
 
 
