@@ -112,6 +112,7 @@ HEADLINE = [
     "dedup_best_of_cluster",
     "sample_epoch_materialize",
     "multimodal_audio_neardup",
+    "events_conversation_assembly",
 ]
 
 

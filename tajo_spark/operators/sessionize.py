@@ -80,3 +80,62 @@ def tumbling_window_agg(events: DataFrame, unit: str = "hour") -> DataFrame:
             ).alias("avg_value"),
         )
     )
+
+
+MIN_TURNS = 3
+
+
+def conversation_assembly(
+    events: DataFrame,
+    gap_ms: int = SESSION_GAP_MS,
+    min_turns: int = MIN_TURNS,
+) -> DataFrame:
+    """Assemble per-session ordered event transcripts — the
+    trajectory-assembly step of turning interaction logs into training
+    sequences (multi-turn examples need the turns of one episode
+    gathered, ordered, and length-filtered before tokenization).
+
+    Returns ``(user_id, session_id, n_turns, transcript)`` for sessions
+    with at least ``min_turns`` events; ``transcript`` is the ordered
+    ``event_type`` sequence joined with ``" -> "``.
+
+    Scale shape: the session windows and the assembly groupBy share the
+    ``user_id`` partitioning (one shuffle + one sort total);
+    ``array_sort(collect_list(struct(ts, event_id, type)))`` keeps
+    in-session ordering deterministic under any partitioning, and a
+    session's turn count is bounded by the gap rule, so the aggregation
+    buffer is episode-sized, never corpus-sized.
+    """
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    with_session = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(
+            F.when(ms - F.lag(ms, 1).over(w) > gap_ms, 1)
+            .when(F.lag(ms, 1).over(w).isNull(), 1)
+            .otherwise(0)
+        )
+        .over(w)
+        .alias("session_id"),
+    )
+    return (
+        with_session.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.concat_ws(
+                " -> ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s.event_type,
+                ),
+            ).alias("transcript"),
+        )
+        .filter(F.col("n_turns") >= min_turns)
+    )

@@ -3766,3 +3766,46 @@ def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.select("doc_id", "text").unionByName(twins)
     return audiofp.audio_neardup_pairs(multimodal.attach_binary(corpus))
+
+
+@query(
+    "events_conversation_assembly",
+    "curation",
+    doc="Trajectory assembly from interaction logs "
+    "(operators/sessionize.py::conversation_assembly): per-session "
+    "ordered event transcripts, min 3 turns — the multi-turn-example "
+    "construction step between raw logs and tokenization. The session "
+    "windows and the assembly groupBy share the user_id partitioning "
+    "(ONE shuffle + one sort); in-session order is deterministic via "
+    "array_sort over (ts, event_id, type) structs; aggregation buffers "
+    "are episode-sized (bounded by the session gap), never "
+    "corpus-sized.",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, event_type,
+                   CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL THEN 1
+                        WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w
+                             > 1800000 THEN 1
+                        ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+            SELECT user_id, event_id, ts, event_type,
+                   CAST(sum(is_new) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                        AS BIGINT) AS session_id
+            FROM flagged)
+        SELECT user_id, session_id,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               string_agg(event_type, ' -> ' ORDER BY ts, event_id)
+                   AS transcript
+        FROM sess
+        GROUP BY user_id, session_id
+        HAVING count(*) >= 3
+    """,
+)
+def events_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.sessionize import conversation_assembly
+
+    events = load_table(spark, sf_dir, "events")
+    return conversation_assembly(events)

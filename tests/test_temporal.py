@@ -156,3 +156,38 @@ def test_bucketed_range_join_boundary_end_excluded(spark):
         left, right, F.col("p"), F.col("s"), F.col("e"), bucket_width=50
     )
     assert out.count() == 0  # p=100 not in [0,100)
+
+
+def test_conversation_assembly_orders_and_filters(spark):
+    """Trajectory assembly: in-session order is (ts, event_id), short
+    sessions are dropped, gap splits episodes."""
+    import datetime as dt
+
+    from tajo_spark.operators.sessionize import conversation_assembly
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1, episode A: 3 turns in-gap; then a 40-min gap; then 2
+        # turns (dropped: < 3)
+        (0, t0, 1, "view"),
+        (1, t0 + m, 1, "click"),
+        (2, t0 + 2 * m, 1, "purchase"),
+        (3, t0 + 50 * m, 1, "view"),
+        (4, t0 + 51 * m, 1, "error"),
+        # user 2: same-timestamp tie broken by event_id
+        (10, t0, 2, "a"),
+        (11, t0, 2, "b"),
+        (12, t0 + m, 2, "c"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        (r.user_id, r.session_id): r
+        for r in conversation_assembly(events).collect()
+    }
+    assert out[(1, 1)].transcript == "view -> click -> purchase"
+    assert (1, 2) not in out          # 2-turn episode dropped
+    assert out[(2, 1)].transcript == "a -> b -> c"
+    assert out[(2, 1)].n_turns == 3
