@@ -113,6 +113,7 @@ HEADLINE = [
     "sample_epoch_materialize",
     "multimodal_audio_neardup",
     "events_conversation_assembly",
+    "text_cms_heavy_hitters",
 ]
 
 

@@ -1,0 +1,152 @@
+"""Count-min sketch (Cormode & Muthukrishnan 2005) for heavy-hitter
+term estimation — the constant-memory, MERGEABLE frequency summary.
+
+Why it earns a place next to the exact top-k (`text_term_topk`): exact
+per-term counts shuffle |distinct terms| keys — fine for one batch, but
+a continuously-ingested 100 TB corpus tracking term drift across days
+wants a summary that is (a) fixed-size regardless of vocabulary,
+(b) mergeable across partitions/batches by plain addition (the same
+property Spark exploits for HLL in approx_count_distinct), and
+(c) one-sided: estimates NEVER undercount, and overcount is bounded by
+``e/width * N`` with probability ``1 - e^-depth`` per query.
+
+DataFrame shape: the sketch IS a DataFrame of ``depth × width``
+counters — build = one explode (depth rows per token) + ONE
+groupBy((row, bucket)) whose key space is bounded at depth*width
+(8K cells here) no matter the corpus; map-side partial aggregation
+collapses every task to at most the cell count before the shuffle.
+Merging two sketches = unionByName + the same groupBy.  Estimation
+joins the probe terms' cells against the BROADCAST sketch and takes
+the per-term min across rows.
+
+Hashing is the repo's cross-engine idiom: row j's bucket for term t is
+``int(md5('j:' || t)[:8], 16) % width`` — DuckDB reproduces it
+bit-for-bit, so the whole sketch (not just a contract) is
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CMS_DEPTH = 4
+CMS_WIDTH = 2048
+
+
+def _cms_bucket(term: Column, row: int, width: int) -> Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{row}:"), term).cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def cms_build(
+    terms: DataFrame,
+    term_col: str = "term",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """One-column frame of term occurrences → ``(row, bucket, c)``
+    sketch counters (≤ depth×width rows)."""
+    cells = terms.select(
+        F.posexplode(
+            F.array(
+                *[
+                    _cms_bucket(F.col(term_col), j, width)
+                    for j in range(depth)
+                ]
+            )
+        ).alias("row", "bucket")
+    )
+    return cells.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Sketch merge = cell-wise addition — the property that makes the
+    summary work across batches/streams/days."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def cms_estimate(
+    probe_terms: DataFrame,
+    sketch: DataFrame,
+    term_col: str = "term",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """``(term, cms_est)`` — min over the term's depth cells.  The
+    sketch is broadcast (≤ depth×width rows by construction); probing
+    is one explode + broadcast join + per-term min."""
+    probes = probe_terms.select(
+        term_col,
+        F.posexplode(
+            F.array(
+                *[
+                    _cms_bucket(F.col(term_col), j, width)
+                    for j in range(depth)
+                ]
+            )
+        ).alias("row", "bucket"),
+    )
+    # LEFT join + coalesce 0: an absent cell means "never incremented",
+    # and a probe term all of whose cells are empty (count 0, no
+    # collisions) must estimate 0, not vanish from the output
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(term_col)
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("cms_est"))
+    )
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Exact top-k terms side-by-side with their count-min estimates:
+    ``(term, true_count, cms_est, overcount)`` — ``overcount =
+    cms_est - true_count >= 0`` ALWAYS (one-sidedness is structural:
+    every cell a term hashes to counts at least all of that term's own
+    occurrences).  The exact leg is the verification harness; at
+    streaming scale only the sketch survives and the exact leg is the
+    one-off audit you run on a sample.
+    """
+    from tajo_spark.operators import text as T
+    from tajo_spark.operators.dedup import spread_by
+
+    terms = (
+        spread_by(docs, "doc_id")
+        .select(F.explode(T.tokens(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .localCheckpoint()  # feeds both the sketch and the exact counts
+    )
+    sketch = cms_build(terms, depth=depth, width=width)
+    topk = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), "term")
+        .limit(k)
+    )
+    return (
+        cms_estimate(topk, sketch, depth=depth, width=width)
+        .join(topk, "term")
+        .select(
+            "term",
+            "true_count",
+            "cms_est",
+            (F.col("cms_est") - F.col("true_count")).alias("overcount"),
+        )
+    )

@@ -3809,3 +3809,56 @@ def events_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return conversation_assembly(events)
+
+
+@query(
+    "text_cms_heavy_hitters",
+    "curation",
+    doc="Count-min sketch heavy hitters (Cormode-Muthukrishnan 2005; "
+    "operators/sketch.py): exact top-20 terms side-by-side with their "
+    "4x2048 count-min estimates and overcounts. The sketch is the "
+    "constant-memory MERGEABLE path for tracking term drift over a "
+    "continuously-ingested corpus: build is one explode + ONE groupBy "
+    "whose key space is bounded at depth*width (8K cells) no matter "
+    "the corpus; merge is cell-wise addition; estimates never "
+    "undercount (structural — pinned). md5 bucket hashing makes the "
+    "entire sketch oracle-checkable bit-for-bit, not just a contract.",
+    oracle=r"""
+        WITH terms AS (
+            SELECT unnest(list_filter(
+                string_split_regex(trim(lower(text)), '\s+'),
+                x -> x <> '')) AS term
+            FROM documents WHERE text IS NOT NULL),
+        cells AS (
+            SELECT ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || term),
+                                   1, 8))::BIGINT % 2048 AS bucket,
+                   j AS row
+            FROM terms, (SELECT unnest([0,1,2,3]) AS j)),
+        sketch AS (
+            SELECT row, bucket, count(*) AS c
+            FROM cells GROUP BY row, bucket),
+        topk AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS true_count
+            FROM terms GROUP BY term
+            ORDER BY true_count DESC, term LIMIT 20),
+        est AS (
+            SELECT t.term,
+                   CAST(min(s.c) AS BIGINT) AS cms_est
+            FROM topk t,
+                 (SELECT unnest([0,1,2,3]) AS j) r
+            JOIN sketch s
+              ON s.row = r.j
+            WHERE s.bucket = ('0x' || substr(
+                    md5(CAST(r.j AS VARCHAR) || ':' || t.term),
+                    1, 8))::BIGINT % 2048
+            GROUP BY t.term)
+        SELECT t.term, t.true_count, e.cms_est,
+               e.cms_est - t.true_count AS overcount
+        FROM topk t JOIN est e USING (term)
+    """,
+)
+def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators import sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sketch.cms_heavy_hitters(docs)

@@ -77,6 +77,8 @@ QUERIES = [
     "sample_epoch_materialize",
     # Arrow fingerprint pass + shared banded-LSH join (phash shape)
     "multimodal_audio_neardup",
+    # checkpointed token explode -> bounded 8K-cell groupBy + exact leg
+    "text_cms_heavy_hitters",
 ]
 
 
