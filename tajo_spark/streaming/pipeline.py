@@ -693,3 +693,84 @@ def bloom_gate_stream(
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
     )
+
+
+def cms_ingest_stream(
+    docs_stream: DataFrame,
+    sketch_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+):
+    """Continuous count-min maintenance: each micro-batch builds its own
+    bounded sketch (operators/sketch.py::cms_build — one groupBy over
+    ≤ depth×width cells regardless of batch size) and merges it into
+    the persisted sketch by cell-wise addition.  THE streaming shape
+    mergeability buys: state is fixed-size forever, each batch costs
+    O(|batch| + cells), and term-drift queries probe the persisted
+    sketch without touching any raw data.
+
+    Durability follows the Bloom gate's versioned-commit pattern
+    (``sketch_path/v=N`` + ``_SUCCESS``, read-latest, prune-old): the
+    previous sketch stays intact until the new version commits.
+    NOTE one semantic difference from the Bloom gate: bit_or is
+    idempotent, cell ADDITION is not — so replay safety here comes
+    entirely from the version directory being named by batch_id (a
+    replayed batch re-reads the version it wrote FROM, i.e. v<batch_id
+    is gone only after success, and re-writes its own v=batch_id
+    deterministically).  A replayed batch must therefore merge from the
+    latest version STRICTLY OLDER than itself, which the read below
+    enforces — merging from its own half-committed version would
+    double-count the batch.
+    """
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+
+    from tajo_spark.operators import sketch as _sketch
+    from tajo_spark.operators import text as _text
+
+    def _versions_below(limit: int) -> list[int]:
+        if not _os.path.isdir(sketch_path):
+            return []
+        out = []
+        for d in _os.listdir(sketch_path):
+            m = _re.fullmatch(r"v=(\d+)", d)
+            if (
+                m
+                and int(m.group(1)) < limit
+                and _os.path.exists(
+                    _os.path.join(sketch_path, d, "_SUCCESS")
+                )
+            ):
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        terms = batch_df.filter(F.col(text_col).isNotNull()).select(
+            F.explode(_text.tokens(F.col(text_col))).alias("term")
+        ).filter(F.col("term") != "")
+        batch_sketch = _sketch.cms_build(terms)
+        prior = _versions_below(batch_id)
+        if prior:
+            old = spark.read.parquet(
+                _os.path.join(sketch_path, f"v={prior[-1]}")
+            ).localCheckpoint()
+            merged = _sketch.cms_merge(old, batch_sketch)
+        else:
+            merged = batch_sketch
+        merged.write.mode("overwrite").parquet(
+            _os.path.join(sketch_path, f"v={batch_id}")
+        )
+        for v in prior:
+            if v < batch_id - 1:
+                _shutil.rmtree(
+                    _os.path.join(sketch_path, f"v={v}"),
+                    ignore_errors=True,
+                )
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+    )

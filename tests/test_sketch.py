@@ -64,3 +64,68 @@ def test_heavy_hitters_exact_leg_and_overcount(spark):
     # 252 tokens over 2048*4 cells: collisions are rare; the bound
     # eps*N = (e/2048)*252 < 1 rounds to tiny overcounts
     assert (out.overcount <= 3).all()
+
+
+def test_cms_ingest_stream_equals_batch_build(spark, tmp_path):
+    """Streamed sketch maintenance: after draining N micro-batches the
+    persisted latest version must equal one batch build over the full
+    corpus — mergeability is the whole point. Also pins replay: wiping
+    the checkpoint and re-running converges to the same cells."""
+    import os
+    import re
+
+    from tajo_spark.operators import sketch as SK
+    from tajo_spark.operators import text as T
+    from tajo_spark.streaming.pipeline import cms_ingest_stream
+
+    rows1 = [(0, "alpha beta beta gamma"), (1, "alpha delta")]
+    rows2 = [(10, "beta beta epsilon"), (11, "alpha")]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(rows1, "doc_id LONG, text STRING").coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    spark.createDataFrame(rows2, "doc_id LONG, text STRING").coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sk_path, ck = str(tmp_path / "sketch"), str(tmp_path / "ckpt")
+    q = cms_ingest_stream(stream, sk_path, ck)
+    sq = q.start(); sq.processAllAvailable(); sq.stop()
+
+    latest = max(
+        int(m.group(1))
+        for d in os.listdir(sk_path)
+        if (m := re.fullmatch(r"v=(\d+)", d))
+        and os.path.exists(os.path.join(sk_path, d, "_SUCCESS"))
+    )
+    streamed = {
+        (r.row, r.bucket): r.c
+        for r in spark.read.parquet(os.path.join(sk_path, f"v={latest}")).collect()
+    }
+    full = spark.createDataFrame(rows1 + rows2, "doc_id LONG, text STRING")
+    terms = full.select(
+        __import__("pyspark.sql.functions", fromlist=["explode"]).explode(
+            T.tokens(__import__("pyspark.sql.functions", fromlist=["col"]).col("text"))
+        ).alias("term")
+    )
+    batch = {(r.row, r.bucket): r.c for r in SK.cms_build(terms).collect()}
+    assert streamed == batch
+
+    import shutil
+    shutil.rmtree(ck)
+    q2 = cms_ingest_stream(stream, sk_path, ck)
+    sq2 = q2.start(); sq2.processAllAvailable(); sq2.stop()
+    latest2 = max(
+        int(m.group(1))
+        for d in os.listdir(sk_path)
+        if (m := re.fullmatch(r"v=(\d+)", d))
+        and os.path.exists(os.path.join(sk_path, d, "_SUCCESS"))
+    )
+    replayed = {
+        (r.row, r.bucket): r.c
+        for r in spark.read.parquet(os.path.join(sk_path, f"v={latest2}")).collect()
+    }
+    assert replayed == batch
