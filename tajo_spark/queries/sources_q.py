@@ -362,3 +362,33 @@ def src_hbase_rowkey_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hbase_sim.scan(
         spark, path, start_key="00000100", stop_key="00000300"
     )
+
+
+@query(
+    "src_orc_roundtrip",
+    "scan",
+    doc="ORC round-trip: customer written as ORC and read back "
+    "(ORCScanner/ORCAppender parity — the reference's other columnar "
+    "format besides parquet). Spark's native orc datasource serves "
+    "both directions; predicate pushdown and column pruning apply as "
+    "with parquet (pinned for the format family in tests/test_sources).",
+    oracle="""
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+               c_mktsegment,
+               CAST(round(c_acctbal, 2) AS DOUBLE) AS c_acctbal
+        FROM customer
+        WHERE c_custkey <= 500
+    """,
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(_tmp("orc"), "customer_orc")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        "c_name",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).cast("double").alias("c_acctbal"),
+    )
+    from tajo_spark.sources import formats
+
+    cust.write.mode("overwrite").orc(path)
+    return formats.read_orc(spark, path).filter(F.col("c_custkey") <= 500)
