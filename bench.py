@@ -114,6 +114,7 @@ HEADLINE = [
     "multimodal_audio_neardup",
     "events_conversation_assembly",
     "text_cms_heavy_hitters",
+    "corpus_drift_report",
 ]
 
 

@@ -3862,3 +3862,79 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return sketch.cms_heavy_hitters(docs)
+
+
+@query(
+    "corpus_drift_report",
+    "curation",
+    doc="Snapshot-over-snapshot drift report "
+    "(operators/rollup.py::corpus_drift_report): per-language doc "
+    "counts, corpus shares, share deltas, average token lengths and "
+    "null rates across two corpus snapshots — the data-validation gate "
+    "before promoting a new ingest (parser/crawler regressions surface "
+    "as distribution shifts). Each snapshot is ONE scan into a "
+    "LANGUAGES-row aggregate; the comparison is a full-outer join of "
+    "broadcast-sized tables. Demonstration snapshots: doc_id%3!=0 "
+    "(old) vs doc_id%2!=0 (new).",
+    oracle=r"""
+        WITH o AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS old_docs,
+                   CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS old_nulls,
+                   CAST(sum(CASE WHEN text IS NOT NULL THEN
+                        len(string_split_regex(trim(lower(text)), '\s+'))
+                        ELSE 0 END) AS BIGINT) AS old_tokens
+            FROM documents WHERE doc_id % 3 <> 0 GROUP BY lang),
+        n AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS new_docs,
+                   CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS new_nulls,
+                   CAST(sum(CASE WHEN text IS NOT NULL THEN
+                        len(string_split_regex(trim(lower(text)), '\s+'))
+                        ELSE 0 END) AS BIGINT) AS new_tokens
+            FROM documents WHERE doc_id % 2 <> 0 GROUP BY lang),
+        ot AS (SELECT sum(old_docs) AS old_total FROM o),
+        nt AS (SELECT sum(new_docs) AS new_total FROM n),
+        j AS (
+            SELECT coalesce(o.lang, n.lang) AS lang,
+                   coalesce(o.old_docs, 0) AS old_docs,
+                   coalesce(n.new_docs, 0) AS new_docs,
+                   coalesce(o.old_nulls, 0) AS old_nulls,
+                   coalesce(n.new_nulls, 0) AS new_nulls,
+                   coalesce(o.old_tokens, 0) AS old_tokens,
+                   coalesce(n.new_tokens, 0) AS new_tokens
+            FROM o FULL JOIN n ON o.lang = n.lang),
+        calc AS (
+            SELECT lang, old_docs, new_docs,
+                   round(old_docs * 1.0 / coalesce(old_total, 1), 4)
+                       AS old_share,
+                   round(new_docs * 1.0 / coalesce(new_total, 1), 4)
+                       AS new_share,
+                   round(old_tokens * 1.0
+                         / greatest(old_docs - old_nulls, 1), 4)
+                       AS old_avg_tokens,
+                   round(new_tokens * 1.0
+                         / greatest(new_docs - new_nulls, 1), 4)
+                       AS new_avg_tokens,
+                   round(old_nulls * 1.0 / greatest(old_docs, 1), 4)
+                       AS old_null_rate,
+                   round(new_nulls * 1.0 / greatest(new_docs, 1), 4)
+                       AS new_null_rate
+            FROM j CROSS JOIN ot CROSS JOIN nt)
+        SELECT lang, old_docs, new_docs, old_share, new_share,
+               round(new_share - old_share, 4) AS share_delta,
+               old_avg_tokens, new_avg_tokens,
+               round(new_avg_tokens / greatest(old_avg_tokens, 0.0001), 4)
+                   AS avg_tokens_ratio,
+               old_null_rate, new_null_rate
+        FROM calc
+    """,
+)
+def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.rollup import corpus_drift_report as drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    return drift(
+        docs.filter(F.col("doc_id") % 3 != 0),
+        docs.filter(F.col("doc_id") % 2 != 0),
+    )

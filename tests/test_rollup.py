@@ -97,3 +97,29 @@ def test_maintain_refreshes_null_ts_partition(spark, tmp_path):
     assert n == 1
     got = spark.read.parquet(path).filter(F.col("event_date").isNull()).collect()
     assert len(got) == 1 and got[0].n == 2  # both null-ts rows counted
+
+
+def test_corpus_drift_report_detects_shift_and_nulls(spark):
+    """Drift gate: a language vanishing from the new snapshot, a new
+    null regression, and a length shift must all surface."""
+    from pyspark.sql import Row
+
+    from tajo_spark.operators.rollup import corpus_drift_report
+
+    old_rows = (
+        [Row(doc_id=i, lang="en", text="a b c d e") for i in range(60)]
+        + [Row(doc_id=100 + i, lang="de", text="x y z") for i in range(40)]
+    )
+    new_rows = (
+        # en docs got twice as long; de vanished; fr appeared; 10 nulls
+        [Row(doc_id=i, lang="en", text="a b c d e f g h i j") for i in range(90)]
+        + [Row(doc_id=200 + i, lang="fr", text="q r s") for i in range(10)]
+        + [Row(doc_id=300 + i, lang="en", text=None) for i in range(10)]
+    )
+    old = spark.createDataFrame(old_rows, "doc_id long, lang string, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, lang string, text string")
+    rep = {r.lang: r for r in corpus_drift_report(old, new).collect()}
+    assert rep["de"].new_docs == 0 and rep["de"].share_delta == -0.4
+    assert rep["fr"].old_docs == 0 and rep["fr"].new_share > 0
+    assert rep["en"].avg_tokens_ratio == 2.0
+    assert rep["en"].new_null_rate == 0.1 and rep["en"].old_null_rate == 0.0
