@@ -33,16 +33,12 @@ dedup family the same way phash.py does for images.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 
 from tajo_spark.operators.phash import (
-    BLOCKHASH_DDL,
     N_BITS,
-    _bits_to_bands,
+    banded_hash_frame,
     phash_neardup_pairs,
 )
 
@@ -75,32 +71,18 @@ def audio_fingerprint(
     binary_df: DataFrame, fake: bool = True, min_len: int = N_FRAMES
 ) -> DataFrame:
     """(doc_id, content) → (doc_id, b0..b3): the 64-bit
-    energy-difference fingerprint as four 16-bit band ints.  One Arrow
-    map pass; clips shorter than ``min_len`` samples are dropped (no
-    meaningful frames).  Output schema matches ``image_blockhash``, so
-    the banded pair join is shared verbatim."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            rows = []
-            for doc_id, payload in zip(batch["doc_id"], batch["content"]):
-                if not fake:
-                    raise NotImplementedError(
-                        "audio codecs unavailable; deploy with "
-                        "soundfile/ffmpeg and replace the decode line"
-                    )
-                sig = _fake_waveform(bytes(payload))
-                if len(sig) < min_len:
-                    continue
-                rows.append(
-                    [doc_id, *_bits_to_bands(energy_diff_bits(sig))]
-                )
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
-            )
-
-    return binary_df.select("doc_id", "content").mapInPandas(
-        run, schema=BLOCKHASH_DDL
+    energy-difference fingerprint as four 16-bit band ints, through the
+    SHARED banded-hash Arrow loop (phash.banded_hash_frame — only the
+    decode and bits kernels differ from the image hasher).  Clips
+    shorter than ``min_len`` samples are dropped."""
+    return banded_hash_frame(
+        binary_df,
+        _fake_waveform,
+        energy_diff_bits,
+        fake,
+        min_len,
+        "audio codecs unavailable; deploy with soundfile/ffmpeg and "
+        "replace the decode line",
     )
 
 

@@ -84,6 +84,40 @@ def _bits_to_bands(bits: np.ndarray) -> list[int]:
     return out
 
 
+def banded_hash_frame(
+    binary_df: DataFrame,
+    decode_fn,
+    bits_fn,
+    fake: bool,
+    min_len: int,
+    unavailable_msg: str,
+) -> DataFrame:
+    """Shared Arrow kernel loop for every banded perceptual hash:
+    decode each payload with ``decode_fn``, derive 64 bits with
+    ``bits_fn``, pack into 4×16-bit band ints.  Parameterizing the two
+    kernel calls keeps the image (block-mean) and audio
+    (energy-difference) hashers on ONE loop, so batch handling /
+    min-length drops / the fake gate cannot silently diverge."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["content"]):
+                if not fake:
+                    raise NotImplementedError(unavailable_msg)
+                sig = decode_fn(bytes(payload))
+                if len(sig) < min_len:
+                    continue
+                rows.append([doc_id, *_bits_to_bands(bits_fn(sig))])
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return binary_df.select("doc_id", "content").mapInPandas(
+        run, schema=BLOCKHASH_DDL
+    )
+
+
 def image_blockhash(
     binary_df: DataFrame, fake: bool = True, min_len: int = N_BITS
 ) -> DataFrame:
@@ -91,28 +125,14 @@ def image_blockhash(
     perceptual hash as four 16-bit band ints (sign-safe in every
     engine).  One Arrow map pass; images shorter than ``min_len``
     samples are dropped (no meaningful blocks)."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            rows = []
-            for doc_id, payload in zip(batch["doc_id"], batch["content"]):
-                if not fake:
-                    raise NotImplementedError(
-                        "image codecs unavailable; deploy with PIL and "
-                        "replace the decode line"
-                    )
-                sig = _fake_gray_signal(bytes(payload))
-                if len(sig) < min_len:
-                    continue
-                rows.append(
-                    [doc_id, *_bits_to_bands(blockhash_bits(sig))]
-                )
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
-            )
-
-    return binary_df.select("doc_id", "content").mapInPandas(
-        run, schema=BLOCKHASH_DDL
+    return banded_hash_frame(
+        binary_df,
+        _fake_gray_signal,
+        blockhash_bits,
+        fake,
+        min_len,
+        "image codecs unavailable; deploy with PIL and replace the "
+        "decode line",
     )
 
 

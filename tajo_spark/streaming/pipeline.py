@@ -542,6 +542,29 @@ def shard_export_stream(
     )
 
 
+def _committed_versions(path: str, below: int | None = None) -> list[int]:
+    """Committed versions of a versioned-parquet state directory:
+    ``path/v=N`` subdirs carrying a ``_SUCCESS`` marker, sorted;
+    ``below`` restricts to versions strictly older than a batch id
+    (the non-idempotent-merge replay rule, see cms_ingest_stream).
+    Shared by every versioned-commit foreachBatch handler so the
+    commit protocol cannot drift between them."""
+    import os as _os
+    import re as _re
+
+    if not _os.path.isdir(path):
+        return []
+    out = []
+    for d in _os.listdir(path):
+        m = _re.fullmatch(r"v=(\d+)", d)
+        if not m or not _os.path.exists(_os.path.join(path, d, "_SUCCESS")):
+            continue
+        v = int(m.group(1))
+        if below is None or v < below:
+            out.append(v)
+    return sorted(out)
+
+
 def bloom_gate_stream(
     docs_stream: DataFrame,
     filter_path: str,
@@ -588,24 +611,12 @@ def bloom_gate_stream(
 
     bits = m_bits if m_bits is not None else _dedup.BLOOM_BITS
 
-    def _committed_versions() -> list[int]:
-        if not _os.path.isdir(filter_path):
-            return []
-        out = []
-        for d in _os.listdir(filter_path):
-            m = _re.fullmatch(r"v=(\d+)", d)
-            if m and _os.path.exists(
-                _os.path.join(filter_path, d, "_SUCCESS")
-            ):
-                out.append(int(m.group(1)))
-        return sorted(out)
-
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         persisted_before = set(
             spark.sparkContext._jsc.getPersistentRDDs().keySet()
         )
-        versions = _committed_versions()
+        versions = _committed_versions(filter_path)
         if versions:
             # tiny (m/32 rows) — checkpoint so nothing later re-reads
             # a directory the version pruning below may remove
@@ -677,7 +688,7 @@ def bloom_gate_stream(
         merged.write.mode("overwrite").parquet(
             _os.path.join(filter_path, f"v={batch_id}")
         )
-        for v in _committed_versions():
+        for v in _committed_versions(filter_path):
             if v < batch_id:
                 _shutil.rmtree(
                     _os.path.join(filter_path, f"v={v}"),
@@ -729,29 +740,16 @@ def cms_ingest_stream(
     from tajo_spark.operators import sketch as _sketch
     from tajo_spark.operators import text as _text
 
-    def _versions_below(limit: int) -> list[int]:
-        if not _os.path.isdir(sketch_path):
-            return []
-        out = []
-        for d in _os.listdir(sketch_path):
-            m = _re.fullmatch(r"v=(\d+)", d)
-            if (
-                m
-                and int(m.group(1)) < limit
-                and _os.path.exists(
-                    _os.path.join(sketch_path, d, "_SUCCESS")
-                )
-            ):
-                out.append(int(m.group(1)))
-        return sorted(out)
-
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        persisted_before = set(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet()
+        )
         terms = batch_df.filter(F.col(text_col).isNotNull()).select(
             F.explode(_text.tokens(F.col(text_col))).alias("term")
         ).filter(F.col("term") != "")
         batch_sketch = _sketch.cms_build(terms)
-        prior = _versions_below(batch_id)
+        prior = _committed_versions(sketch_path, below=batch_id)
         if prior:
             old = spark.read.parquet(
                 _os.path.join(sketch_path, f"v={prior[-1]}")
@@ -768,6 +766,14 @@ def cms_ingest_stream(
                     _os.path.join(sketch_path, f"v={v}"),
                     ignore_errors=True,
                 )
+        # drop this batch's localCheckpoint blocks (the prior-version
+        # read): an always-on stream otherwise accumulates one
+        # checkpointed RDD per micro-batch in executor storage — the
+        # same cleanup every foreachBatch handler in this file does
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet()):
+            if rid not in persisted_before:
+                jmap.get(rid).unpersist()
 
     return (
         docs_stream.writeStream.foreachBatch(process_batch)

@@ -106,11 +106,7 @@ def test_cms_ingest_stream_equals_batch_build(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(sk_path, f"v={latest}")).collect()
     }
     full = spark.createDataFrame(rows1 + rows2, "doc_id LONG, text STRING")
-    terms = full.select(
-        __import__("pyspark.sql.functions", fromlist=["explode"]).explode(
-            T.tokens(__import__("pyspark.sql.functions", fromlist=["col"]).col("text"))
-        ).alias("term")
-    )
+    terms = full.select(F.explode(T.tokens(F.col("text"))).alias("term"))
     batch = {(r.row, r.bucket): r.c for r in SK.cms_build(terms).collect()}
     assert streamed == batch
 

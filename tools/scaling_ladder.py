@@ -79,6 +79,8 @@ QUERIES = [
     "multimodal_audio_neardup",
     # checkpointed token explode -> bounded 8K-cell groupBy + exact leg
     "text_cms_heavy_hitters",
+    # two LANGUAGES-row aggregates + broadcast-sized full-outer join
+    "corpus_drift_report",
 ]
 
 
