@@ -115,6 +115,7 @@ HEADLINE = [
     "events_conversation_assembly",
     "text_cms_heavy_hitters",
     "corpus_drift_report",
+    "dedup_split_repair",
 ]
 
 

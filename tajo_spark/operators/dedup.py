@@ -876,3 +876,44 @@ def best_of_cluster_dedup(
     )
     drops = members.select("doc_id").join(keepers, "doc_id", "left_anti")
     return q.join(drops, "doc_id", "left_anti")
+
+
+def repair_split_leakage(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Leakage-free split materialization: detect near-dup pairs that
+    cross the train/val/test boundary (:func:`split_leakage_audit`) and
+    DROP the training-side member of each — the standard repair
+    direction (eval sets stay intact so benchmark numbers remain
+    comparable; training loses a handful of documents it effectively
+    had twice anyway).
+
+    Returns the full corpus labeled ``(doc_id, split, keep)`` with
+    ``keep = false`` exactly for train docs near-duplicating a val/test
+    doc.  Non-train↔non-train leaks (val↔test) drop the val side, so
+    the test set is the one split never touched.
+
+    Cost: the audit's pipeline plus one aggregation of the (tiny)
+    offender set and a broadcast anti-join back to the corpus.
+    """
+    from tajo_spark.operators.sampling import split_column
+
+    leaks = split_leakage_audit(docs, text_col, threshold)
+    drop_a = leaks.filter(
+        (F.col("split_a") == "train")
+        | ((F.col("split_a") == "val") & (F.col("split_b") == "test"))
+    ).select(F.col("doc_a").alias("doc_id"))
+    drop_b = leaks.filter(
+        (F.col("split_b") == "train")
+        | ((F.col("split_b") == "val") & (F.col("split_a") == "test"))
+    ).select(F.col("doc_b").alias("doc_id"))
+    drops = drop_a.unionByName(drop_b).distinct()
+    return docs.select(
+        "doc_id", split_column(F.col("doc_id")).alias("split")
+    ).join(F.broadcast(drops.withColumn("keep", F.lit(False))), "doc_id", "left").select(
+        "doc_id",
+        "split",
+        F.coalesce("keep", F.lit(True)).alias("keep"),
+    )

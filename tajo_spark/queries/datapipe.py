@@ -3938,3 +3938,65 @@ def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 3 != 0),
         docs.filter(F.col("doc_id") % 2 != 0),
     )
+
+
+@query(
+    "dedup_split_repair",
+    "curation",
+    doc="Leakage-free split materialization "
+    "(operators/dedup.py::repair_split_leakage): detect cross-boundary "
+    "near-dup pairs (the dedup_split_leakage audit) and drop the "
+    "TRAINING-side member of each — eval sets stay intact so benchmark "
+    "numbers remain comparable; val->test leaks drop the val side so "
+    "test is the split never touched. Output: the full corpus labeled "
+    "(doc_id, split, keep). The audit pipeline plus one broadcast "
+    "anti-join of the (tiny) offender set.",
+    oracle=f"""
+        WITH norm AS (SELECT doc_id, {{_NORM}} AS t FROM documents),
+        tk AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(w) >= 3
+                           THEN list_distinct(list_transform(
+                                range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                           ELSE [array_to_string(w, ' ')] END AS s
+               FROM tk),
+        {{_MINHASH_PAIRS_CTE}},
+        jac AS (
+            SELECT p.doc_a, p.doc_b,
+                   round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(a.s || b.s)), 4) AS jaccard
+            FROM pairs p, sh a, sh b
+            WHERE a.doc_id = p.doc_a AND b.doc_id = p.doc_b),
+        lab AS (
+            SELECT doc_a, doc_b,
+                   CASE WHEN substr(md5(CAST(doc_a AS VARCHAR)), 1, 2) < 'cc'
+                        THEN 'train'
+                        WHEN substr(md5(CAST(doc_a AS VARCHAR)), 1, 2) < 'e6'
+                        THEN 'val' ELSE 'test' END AS split_a,
+                   CASE WHEN substr(md5(CAST(doc_b AS VARCHAR)), 1, 2) < 'cc'
+                        THEN 'train'
+                        WHEN substr(md5(CAST(doc_b AS VARCHAR)), 1, 2) < 'e6'
+                        THEN 'val' ELSE 'test' END AS split_b
+            FROM jac WHERE jaccard >= 0.5),
+        leaks AS (SELECT * FROM lab WHERE split_a <> split_b),
+        drops AS (
+            SELECT doc_a AS doc_id FROM leaks
+            WHERE split_a = 'train'
+               OR (split_a = 'val' AND split_b = 'test')
+            UNION
+            SELECT doc_b AS doc_id FROM leaks
+            WHERE split_b = 'train'
+               OR (split_b = 'val' AND split_a = 'test'))
+        SELECT d.doc_id,
+               CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < 'cc'
+                    THEN 'train'
+                    WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val' ELSE 'test' END AS split,
+               dr.doc_id IS NULL AS keep
+        FROM documents d LEFT JOIN drops dr ON d.doc_id = dr.doc_id
+    """.format(_NORM=_NORM, _MINHASH_PAIRS_CTE=_MINHASH_PAIRS_CTE),
+)
+def dedup_split_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.repair_split_leakage(docs)

@@ -637,3 +637,30 @@ def test_best_of_cluster_keeps_highest_quality_not_first(spark):
     out = D.best_of_cluster_dedup(docs, jaccard_threshold=0.6).toPandas()
     kept = sorted(out.doc_id)
     assert kept == [1, 2], kept  # 1 beats 0 despite the higher id
+
+
+def test_split_repair_drops_train_side_only(spark):
+    from tajo_spark.operators import dedup as D
+
+    train_ids = [i for i in range(300) if _split_of(i) == "train"]
+    test_ids = [i for i in range(300) if _split_of(i) == "test"]
+    val_ids = [i for i in range(300) if _split_of(i) == "val"]
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the green field beyond the old wooden fence") * 2
+    other = ("completely different content about ships and harbors "
+             "docking at dawn with cargo from distant ports loaded") * 2
+    rows = [
+        (train_ids[0], base + " ending one"),     # train<->test leak
+        (test_ids[0], base + " ending two"),
+        (val_ids[0], other + " tail a"),          # val<->test leak
+        (test_ids[1], other + " tail b"),
+        (train_ids[1], "unique text that matches nothing else at all "
+                       "with many extra filler words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in D.repair_split_leakage(docs).collect()}
+    assert out[train_ids[0]].keep is False      # train side dropped
+    assert out[test_ids[0]].keep is True        # eval intact
+    assert out[val_ids[0]].keep is False        # val dropped vs test
+    assert out[test_ids[1]].keep is True
+    assert out[train_ids[1]].keep is True       # innocent doc untouched
