@@ -116,6 +116,7 @@ HEADLINE = [
     "text_cms_heavy_hitters",
     "corpus_drift_report",
     "dedup_split_repair",
+    "sim_hybrid_rrf",
 ]
 
 

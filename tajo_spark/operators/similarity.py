@@ -1226,3 +1226,65 @@ def ivf_probe_persisted_q8(
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(k)
     )
+
+
+RRF_K = 60
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    depth: int = 50,
+    k_rrf: int = RRF_K,
+) -> DataFrame:
+    """Hybrid retrieval: fuse the sparse (BM25) and dense (cosine)
+    rankings with reciprocal-rank fusion (Cormack et al. 2009) —
+    ``score(d) = Σ 1/(k_rrf + rank_i(d))`` over the rankings that
+    contain d.  RRF is THE standard hybrid because it needs no score
+    calibration between a log-scaled lexical score and a bounded
+    cosine; only ranks matter.
+
+    Returns ``(doc_id, rrf, lex_rank, dense_rank)`` — null rank =
+    absent from that ranking's top ``depth``.
+
+    Scale shape: each leg is its already-pinned retrieval operator
+    (one-scan BM25, broadcast-query cosine) truncated to ``depth``
+    rows; fusion is a full-outer join of two depth-row frames with
+    rank windows over those tiny frames (single-partition by
+    construction — depth rows, not corpus rows), then TakeOrdered.
+    """
+    from pyspark.sql import Window as W
+
+    from tajo_spark.operators.text import bm25_topk
+
+    lex = bm25_topk(docs, query_terms, k=depth).select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("bm25"), "doc_id"))
+        .alias("lex_rank"),
+    )
+    dense = cosine_topk(emb, query_vec_id, k=depth).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(W.orderBy(F.desc("cos_sim"), "vec_id"))
+        .alias("dense_rank"),
+    )
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            F.round(
+                F.coalesce(1.0 / (F.lit(k_rrf) + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(
+                    1.0 / (F.lit(k_rrf) + F.col("dense_rank")), F.lit(0.0)
+                ),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(k)

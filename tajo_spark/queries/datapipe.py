@@ -4000,3 +4000,83 @@ def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_split_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.repair_split_leakage(docs)
+
+
+@query(
+    "sim_hybrid_rrf",
+    "curation",
+    doc="Hybrid retrieval via reciprocal-rank fusion (Cormack et al. "
+    "2009; operators/similarity.py::hybrid_rrf_topk): fuse the BM25 "
+    "lexical top-50 with the dense cosine top-50 by "
+    "score(d) = sum 1/(60 + rank_i(d)) — no score calibration between "
+    "a log-scaled lexical score and a bounded cosine, only ranks. "
+    "Each leg is its already-pinned one-scan operator; fusion joins "
+    "two 50-row frames (rank windows run over depth rows, not corpus "
+    "rows) and TakeOrders the top 10.",
+    oracle=r"""
+        WITH toked AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(lower(text)),
+                                                  '\s+'),
+                               x -> x <> '') AS w
+            FROM documents WHERE text IS NOT NULL),
+        lens AS (
+            SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM toked),
+        hits AS (
+            SELECT doc_id, dl,
+                   unnest(list_filter(w,
+                       x -> x IN ('spark', 'join', 'window'))) AS tok
+            FROM lens),
+        tfc AS (
+            SELECT doc_id, dl, tok, CAST(count(*) AS DOUBLE) AS tf
+            FROM hits GROUP BY doc_id, dl, tok),
+        stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avg_dl
+            FROM lens),
+        dfreq AS (
+            SELECT tok, CAST(count(*) AS DOUBLE) AS df
+            FROM tfc GROUP BY tok),
+        bm AS (
+            SELECT t.doc_id,
+                   round(sum(
+                       ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * t.tf * (1.2 + 1)
+                       / (t.tf + 1.2 * (1 - 0.75
+                                        + 0.75 * t.dl / s.avg_dl))
+                   ), 4) AS bm25
+            FROM tfc t JOIN dfreq d USING (tok) CROSS JOIN stats s
+            GROUP BY t.doc_id
+            ORDER BY bm25 DESC, t.doc_id LIMIT 50),
+        lex AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                        AS INT) AS lex_rank
+            FROM bm),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        dn AS (
+            SELECT vec_id,
+                   round(list_dot_product(embedding, qv)
+                         / (sqrt(list_dot_product(embedding, embedding))
+                            * sqrt(list_dot_product(qv, qv))), 4)
+                       AS cos_sim
+            FROM embeddings, q WHERE vec_id <> 0
+            ORDER BY cos_sim DESC, vec_id LIMIT 50),
+        dense AS (
+            SELECT vec_id AS doc_id,
+                   CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+                        AS INT) AS dense_rank
+            FROM dn)
+        SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+               l.lex_rank, d.dense_rank,
+               round(coalesce(1.0 / (60 + l.lex_rank), 0.0)
+                     + coalesce(1.0 / (60 + d.dense_rank), 0.0), 6) AS rrf
+        FROM lex l FULL JOIN dense d ON l.doc_id = d.doc_id
+        ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hybrid_rrf_topk(
+        docs, emb, ["spark", "join", "window"], query_vec_id=0, k=10
+    )

@@ -634,3 +634,48 @@ def test_ann_q8_persisted_prunes_index_partitions(spark, ann_queries, tmp_path):
         ).collect()
     }
     assert len(exact & got) / len(exact) >= 0.5
+
+
+def test_hybrid_rrf_fuses_both_rankings(spark):
+    """RRF: a doc ranked #1 in BOTH legs must beat a doc that is #1 in
+    one leg and absent from the other; absent legs contribute 0."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from tajo_spark.operators import similarity as S
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=8)
+    rows_docs, rows_emb = [], []
+    # doc 1: strong lexical AND dense match; doc 2: dense-only;
+    # doc 3: lexical-only; fillers 4..9 weak everywhere
+    rows_docs.append(Row(doc_id=1, text="spark join window spark join"))
+    rows_docs.append(Row(doc_id=2, text="nothing relevant here at all"))
+    rows_docs.append(Row(doc_id=3, text="spark join window join window spark"))
+    for i in range(4, 10):
+        rows_docs.append(Row(doc_id=i, text=f"filler text number {i} spark"))
+    rows_emb.append(Row(vec_id=0, embedding=[float(x) for x in base]))
+    rows_emb.append(Row(vec_id=1, embedding=[float(x) for x in base * 0.9 + 0.01]))
+    rows_emb.append(Row(vec_id=2, embedding=[float(x) for x in base * 0.95]))
+    rows_emb.append(Row(vec_id=3, embedding=[float(x) for x in -base]))
+    for i in range(4, 10):
+        rows_emb.append(
+            Row(vec_id=i, embedding=[float(x) for x in rng.normal(size=8)])
+        )
+    docs = spark.createDataFrame(rows_docs, "doc_id long, text string")
+    emb = spark.createDataFrame(rows_emb, "vec_id long, embedding array<float>")
+    out = S.hybrid_rrf_topk(
+        docs, emb, ["spark", "join", "window"], query_vec_id=0, k=9
+    ).collect()
+    ranked = [r.doc_id for r in out]
+    by_id = {r.doc_id: r for r in out}
+    # doc 1 leads both legs -> must win the fusion outright
+    assert ranked[0] == 1, ranked
+    # dense-only doc 2 ranks BELOW dual-leg fillers — RRF by design
+    # rewards agreement between rankings over a single strong leg
+    assert ranked.index(2) > ranked.index(1)
+    assert by_id[1].lex_rank is not None and by_id[1].dense_rank is not None
+    # dense-only doc 2: no lexical hits -> null lex_rank, still present
+    assert by_id[2].lex_rank is None and by_id[2].dense_rank is not None
+    # lexical-only doc 3 (anti-parallel embedding, outside dense top)
+    assert by_id[3].lex_rank is not None
