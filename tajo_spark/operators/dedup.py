@@ -900,7 +900,10 @@ def repair_split_leakage(
     """
     from tajo_spark.operators.sampling import split_column
 
-    leaks = split_leakage_audit(docs, text_col, threshold)
+    # the audit subtree (banding + Jaccard) is the expensive part and
+    # feeds BOTH drop branches — checkpoint the tiny offender frame so
+    # it executes once (same fix class as the phash 3x finding)
+    leaks = split_leakage_audit(docs, text_col, threshold).localCheckpoint()
     drop_a = leaks.filter(
         (F.col("split_a") == "train")
         | ((F.col("split_a") == "val") & (F.col("split_b") == "test"))

@@ -1247,7 +1247,7 @@ def hybrid_rrf_topk(
     calibration between a log-scaled lexical score and a bounded
     cosine; only ranks matter.
 
-    Returns ``(doc_id, rrf, lex_rank, dense_rank)`` — null rank =
+    Returns ``(doc_id, lex_rank, dense_rank, rrf)`` — null rank =
     absent from that ranking's top ``depth``.
 
     Scale shape: each leg is its already-pinned retrieval operator

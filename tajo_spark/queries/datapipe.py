@@ -4013,13 +4013,10 @@ def dedup_split_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Each leg is its already-pinned one-scan operator; fusion joins "
     "two 50-row frames (rank windows run over depth rows, not corpus "
     "rows) and TakeOrders the top 10.",
-    oracle=r"""
+    oracle=rf"""
         WITH toked AS (
-            SELECT doc_id,
-                   list_filter(string_split_regex(trim(lower(text)),
-                                                  '\s+'),
-                               x -> x <> '') AS w
-            FROM documents WHERE text IS NOT NULL),
+            SELECT doc_id, string_split({_NORM}, ' ') AS w
+            FROM documents),
         lens AS (
             SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM toked),
         hits AS (

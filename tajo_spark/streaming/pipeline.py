@@ -604,7 +604,6 @@ def bloom_gate_stream(
     versions below the latest are pruned after a successful write.
     """
     import os as _os
-    import re as _re
     import shutil as _shutil
 
     from tajo_spark.operators import dedup as _dedup
@@ -734,7 +733,6 @@ def cms_ingest_stream(
     double-count the batch.
     """
     import os as _os
-    import re as _re
     import shutil as _shutil
 
     from tajo_spark.operators import sketch as _sketch

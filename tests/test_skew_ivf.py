@@ -664,18 +664,26 @@ def test_hybrid_rrf_fuses_both_rankings(spark):
         )
     docs = spark.createDataFrame(rows_docs, "doc_id long, text string")
     emb = spark.createDataFrame(rows_emb, "vec_id long, embedding array<float>")
+    # depth=5 over 9 vectors so the anti-parallel doc 3 genuinely
+    # falls OUT of the dense leg (depth=50 would include everything
+    # and never exercise the absent-leg path)
     out = S.hybrid_rrf_topk(
-        docs, emb, ["spark", "join", "window"], query_vec_id=0, k=9
+        docs, emb, ["spark", "join", "window"], query_vec_id=0,
+        k=9, depth=5,
     ).collect()
     ranked = [r.doc_id for r in out]
     by_id = {r.doc_id: r for r in out}
     # doc 1 leads both legs -> must win the fusion outright
     assert ranked[0] == 1, ranked
-    # dense-only doc 2 ranks BELOW dual-leg fillers — RRF by design
-    # rewards agreement between rankings over a single strong leg
-    assert ranked.index(2) > ranked.index(1)
     assert by_id[1].lex_rank is not None and by_id[1].dense_rank is not None
-    # dense-only doc 2: no lexical hits -> null lex_rank, still present
+    # dense-only doc 2: no lexical hits -> null lex_rank, and RRF by
+    # design ranks it below EVERY doc present in both legs
     assert by_id[2].lex_rank is None and by_id[2].dense_rank is not None
-    # lexical-only doc 3 (anti-parallel embedding, outside dense top)
+    dual = [d for d in ranked
+            if by_id[d].lex_rank is not None
+            and by_id[d].dense_rank is not None]
+    assert all(ranked.index(2) > ranked.index(d) for d in dual), ranked
+    # lexical-only doc 3: anti-parallel embedding is outside the dense
+    # top-5 -> absent leg contributes 0, rank is null
     assert by_id[3].lex_rank is not None
+    assert by_id[3].dense_rank is None

@@ -81,6 +81,10 @@ QUERIES = [
     "text_cms_heavy_hitters",
     # two LANGUAGES-row aggregates + broadcast-sized full-outer join
     "corpus_drift_report",
+    # leakage audit pipeline + broadcast anti-join of offenders
+    "dedup_split_repair",
+    # both retrieval legs at depth 50 + a 50-row fusion join
+    "sim_hybrid_rrf",
 ]
 
 
