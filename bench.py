@@ -117,6 +117,8 @@ HEADLINE = [
     "corpus_drift_report",
     "dedup_split_repair",
     "sim_hybrid_rrf",
+    "src_bucketed_roundtrip",
+    "ddl_index_cluster_roundtrip",
 ]
 
 

@@ -392,3 +392,80 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust.write.mode("overwrite").orc(path)
     return formats.read_orc(spark, path).filter(F.col("c_custkey") <= 500)
+
+
+def _fresh_managed_table(spark: SparkSession, name: str) -> None:
+    """Drop ``name`` AND its warehouse directory: a table written by a
+    previous process's metastore leaves its location behind, and a new
+    session's ``saveAsTable`` refuses LOCATION_ALREADY_EXISTS even in
+    overwrite mode (the location is not registered in THIS catalog)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    loc = os.path.join(wh.path or wh.geturl(), name.lower())
+    shutil.rmtree(loc, ignore_errors=True)
+
+
+@query(
+    "src_bucketed_roundtrip",
+    "scan",
+    doc="Bucketed-table round-trip (hash ColPartitionStoreExec parity, "
+    "sources/bucketing.py::write_bucketed): part persisted bucketed+"
+    "sorted on p_partkey, read back from the catalog table. The "
+    "pre-shuffled layout is what makes later joins/aggregations on the "
+    "bucket key exchange-free (plan-pinned in tests/test_bucketing.py); "
+    "this query driver-checks the CONTENT contract of the same layout.",
+    oracle="""
+        SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_name, p_brand,
+               CAST(round(p_retailprice, 2) AS DOUBLE) AS p_retailprice
+        FROM part WHERE p_partkey <= 400
+    """,
+)
+def src_bucketed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.sources.bucketing import write_bucketed
+
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("bigint").alias("p_partkey"),
+        "p_name",
+        "p_brand",
+        F.round("p_retailprice", 2).cast("double").alias("p_retailprice"),
+    )
+    _fresh_managed_table(spark, "bucketed_part_rt")
+    write_bucketed(part, "bucketed_part_rt", "p_partkey", num_buckets=8)
+    return spark.table("bucketed_part_rt").filter(F.col("p_partkey") <= 400)
+
+
+@query(
+    "ddl_index_cluster_roundtrip",
+    "scan",
+    doc="CREATE INDEX as a key-clustered storage rewrite "
+    "(BSTIndexScanExec/StoreIndexExec parity, engine.py::create_index): "
+    "orders staged as a managed table, CREATE INDEX re-clusters its "
+    "layout (range partition + in-file sort so parquet min/max stats "
+    "give the BST seek's read-amplification win — disjoint file ranges "
+    "+ pushed key filter pinned in tests/test_ddl.py), then a selective "
+    "key predicate reads through the rewritten storage. Driver-checks "
+    "that the rewrite preserves CONTENT exactly.",
+    oracle="""
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               CAST(o_custkey AS BIGINT) AS o_custkey, o_orderstatus
+        FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000
+    """,
+)
+def ddl_index_cluster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.engine import Engine
+
+    eng = Engine(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+        "o_orderstatus",
+    )
+    _fresh_managed_table(spark, "orders_idx_rt")
+    orders.write.mode("overwrite").saveAsTable("orders_idx_rt")
+    eng.create_index("idx_orders_rt", "orders_idx_rt", [("o_orderkey", True)])
+    return spark.table("orders_idx_rt").filter(
+        F.col("o_orderkey").between(1000, 2000)
+    )
