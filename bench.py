@@ -119,6 +119,8 @@ HEADLINE = [
     "sim_hybrid_rrf",
     "src_bucketed_roundtrip",
     "ddl_index_cluster_roundtrip",
+    "text_langid_confusion",
+    "export_shard_verify",
 ]
 
 

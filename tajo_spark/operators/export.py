@@ -132,3 +132,53 @@ def write_shards(
         f"{path}/_manifest"
     )
     return spark.read.parquet(f"{path}/_manifest")
+
+
+def verify_shards(spark, path: str, bytes_col: str) -> DataFrame:
+    """Integrity check of a shard export: re-derive each shard's
+    (n_docs, total_bytes) from the shard FILES and compare against the
+    persisted ``_manifest`` — the consumer-side trust-but-verify step
+    before a training run commits to a dataset (a partial upload, a
+    lost part file, or a manifest from a stale write all surface as
+    mismatches here, BEFORE the loader silently trains on a truncated
+    corpus).
+
+    Returns one row per shard id present on either side:
+    ``(shard_id, manifest_docs, actual_docs, manifest_bytes,
+    actual_bytes, ok)``.  Cost: one scan of the shard files into a
+    SHARDS-row aggregate + a broadcast-sized full-outer join with the
+    manifest — verification costs a read of the data it certifies,
+    nothing more.
+    """
+    actual = shard_manifest(
+        spark.read.parquet(f"{path}/shards"), bytes_col
+    ).select(
+        "shard_id",
+        F.col("n_docs").alias("actual_docs"),
+        F.col("total_bytes").alias("actual_bytes"),
+    )
+    manifest = spark.read.parquet(f"{path}/_manifest").select(
+        "shard_id",
+        F.col("n_docs").alias("manifest_docs"),
+        F.col("total_bytes").alias("manifest_bytes"),
+    )
+    return (
+        manifest.join(actual, "shard_id", "full_outer")
+        .select(
+            "shard_id",
+            F.coalesce("manifest_docs", F.lit(0)).alias("manifest_docs"),
+            F.coalesce("actual_docs", F.lit(0)).alias("actual_docs"),
+            F.coalesce("manifest_bytes", F.lit(0)).alias("manifest_bytes"),
+            F.coalesce("actual_bytes", F.lit(0)).alias("actual_bytes"),
+            (
+                (
+                    F.coalesce("manifest_docs", F.lit(0))
+                    == F.coalesce("actual_docs", F.lit(0))
+                )
+                & (
+                    F.coalesce("manifest_bytes", F.lit(0))
+                    == F.coalesce("actual_bytes", F.lit(0))
+                )
+            ).alias("ok"),
+        )
+    )

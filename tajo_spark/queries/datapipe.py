@@ -4077,3 +4077,113 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hybrid_rrf_topk(
         docs, emb, ["spark", "join", "window"], query_vec_id=0, k=10
     )
+
+
+@query(
+    "text_langid_confusion",
+    "curation",
+    doc="Classifier-audit confusion matrix for the lang-ID heuristic "
+    "(operators/text.py::lang_id) against the corpus's labeled lang "
+    "column: per (label, prediction) cell counts, cell share of the "
+    "label row, and per-label recall — the model-eval step a curation "
+    "pipeline runs before trusting a filter at scale (here it "
+    "quantifies exactly how the stopword heuristic behaves on "
+    "non-English text). ONE scan into a |labels x predictions| "
+    "aggregate (map-side partials) + a broadcast per-label total.",
+    oracle=r"""
+        WITH pred AS (
+            SELECT lang AS label,
+                   CASE WHEN len(list_filter(
+                            string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x IN ('the','a','of','and','to','in',
+                                       'is','it','for','on')))
+                         * 1.0
+                         / greatest(len(string_split_regex(
+                               trim(lower(text)), '\s+')), 1) > 0.05
+                        THEN 'en' ELSE 'other' END AS predicted
+            FROM documents WHERE text IS NOT NULL),
+        cells AS (
+            SELECT label, predicted, CAST(count(*) AS BIGINT) AS n
+            FROM pred GROUP BY label, predicted),
+        tot AS (
+            SELECT label, sum(n) AS label_total FROM cells GROUP BY label)
+        SELECT c.label, c.predicted, c.n,
+               round(c.n * 1.0 / t.label_total, 4) AS label_share
+        FROM cells c JOIN tot t USING (label)
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    cells = (
+        docs.select(
+            F.col("lang").alias("label"),
+            text.lang_id(F.col("text")).alias("predicted"),
+        )
+        .groupBy("label", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cells.groupBy("label").agg(F.sum("n").alias("label_total"))
+    return (
+        cells.join(F.broadcast(tot), "label")
+        .select(
+            "label",
+            "predicted",
+            "n",
+            F.round(F.col("n") * 1.0 / F.col("label_total"), 4).alias(
+                "label_share"
+            ),
+        )
+    )
+
+
+@query(
+    "export_shard_verify",
+    "curation",
+    doc="Consumer-side export integrity gate "
+    "(operators/export.py::verify_shards): documents written as shard "
+    "directories + manifest (self-staging, same 64 KiB geometry as "
+    "export_shard_manifest), then the verifier re-derives each shard's "
+    "(n_docs, total_bytes) FROM THE FILES and compares against the "
+    "persisted manifest — a lost part file or stale manifest surfaces "
+    "before a loader silently trains on a truncated corpus. One scan "
+    "of the shard files into a SHARDS-row aggregate + broadcast-sized "
+    "full-outer join; the oracle re-derives the expected per-shard "
+    "stats (a clean write verifies ok on every row).",
+    oracle="""
+        WITH k AS (
+            SELECT doc_id,
+                   octet_length(CAST(text AS BLOB)) AS nb,
+                   md5('42:' || CAST(doc_id AS VARCHAR)) AS h
+            FROM documents),
+        c AS (
+            SELECT nb,
+                   COALESCE(SUM(nb) OVER (
+                       ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cb
+            FROM k),
+        m AS (
+            SELECT CAST(cb // 65536 AS BIGINT) AS shard_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(nb) AS BIGINT) AS b
+            FROM c GROUP BY 1)
+        SELECT shard_id, n AS manifest_docs, n AS actual_docs,
+               b AS manifest_bytes, b AS actual_bytes, true AS ok
+        FROM m
+    """,
+)
+def export_shard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from tajo_spark.operators import export as E
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.octet_length("text").cast("long").alias("nb"),
+    )
+    path = tempfile.mkdtemp(prefix="tajo_spark_shardverify_")
+    E.write_shards(docs, path, "doc_id", "nb", shard_bytes=65536, seed=42)
+    return E.verify_shards(spark, path, "nb")

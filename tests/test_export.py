@@ -95,3 +95,31 @@ def test_shard_assign_no_global_single_partition_window(spark):
     assert "windowspecdefinition" in plan
     assert not re.search(r"windowspecdefinition\(__sk#\d+ ASC", plan)
     assert re.search(r"windowspecdefinition\(__bk#\d+, __sk#\d+ ASC", plan)
+
+
+def test_verify_shards_green_and_detects_corruption(spark, tmp_path):
+    """The consumer-side integrity gate: a clean export verifies ok on
+    every shard; deleting one shard's files surfaces as a mismatch
+    instead of a silently truncated corpus."""
+    import os
+    import shutil
+
+    from pyspark.sql import Row
+
+    from tajo_spark.operators import export as E
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="x" * (50 + i % 37)) for i in range(300)],
+        "doc_id long, text string",
+    ).withColumn("n_bytes", F.length("text").cast("long"))
+    path = str(tmp_path / "exp")
+    E.write_shards(docs, path, "doc_id", "n_bytes", shard_bytes=4000)
+    rep = E.verify_shards(spark, path, "n_bytes").toPandas()
+    assert rep.ok.all() and len(rep) >= 2
+    # corrupt: drop one shard directory entirely
+    victim = sorted(rep.shard_id)[0]
+    shutil.rmtree(os.path.join(path, "shards", f"shard_id={victim}"))
+    rep2 = E.verify_shards(spark, path, "n_bytes").toPandas().set_index("shard_id")
+    assert not rep2.loc[victim, "ok"]
+    assert rep2.loc[victim, "actual_docs"] == 0
+    assert rep2.drop(index=victim).ok.all()  # other shards still green
