@@ -313,6 +313,44 @@ class Engine:
         reader.load(path).createOrReplaceTempView(name)
         self._external_paths[name] = (path, spark_fmt)
 
+    # ---- table statistics (TableStats.java parity: the catalog's
+    # numRows/numBytes that drive cost-based planning) --------------------
+    def analyze_table(
+        self, name: str, columns: list[str] | None = None
+    ) -> None:
+        """Collect catalog statistics for ``name`` — the reference
+        keeps TableStats (rows, bytes) on every table and its
+        optimizer consumes them; Spark's equivalent is ANALYZE TABLE
+        feeding the CBO (session.py enables spark.sql.cbo.* — without
+        stats, join reordering degrades to heuristics)."""
+        if columns:
+            cols = ", ".join(columns)
+            self.spark.sql(
+                f"ANALYZE TABLE {name} COMPUTE STATISTICS "
+                f"FOR COLUMNS {cols}"
+            )
+        else:
+            self.spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+
+    def table_stats(self, name: str) -> dict[str, int | None]:
+        """(numRows, sizeInBytes) from the catalog, or None when never
+        analyzed — the TableStats read side."""
+        rows = self.spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        stats = next(
+            (r.data_type for r in rows if r.col_name == "Statistics"), None
+        )
+        out: dict[str, int | None] = {"num_rows": None, "size_bytes": None}
+        if stats:
+            import re as _re
+
+            m = _re.search(r"(\d+) bytes", stats)
+            if m:
+                out["size_bytes"] = int(m.group(1))
+            m = _re.search(r"(\d+) rows", stats)
+            if m:
+                out["num_rows"] = int(m.group(1))
+        return out
+
     def drop_table(self, name: str) -> None:
         self.spark.catalog.dropTempView(name)
         self._external_paths.pop(name, None)

@@ -265,3 +265,34 @@ def test_alter_table_partition_mutation_and_repair(engine, spark, tmp_path):
     ).collect()
     assert [(r.k, r.status) for r in rows] == [(1, "A"), (9, "Z")]
     engine.execute_sql("DROP TABLE ddl_t.pm")
+
+
+def test_analyze_table_feeds_cbo_statistics(engine, spark):
+    """TableStats parity (TableStats.java): ANALYZE TABLE populates
+    catalog numRows/sizeInBytes, and the optimizer's relation stats
+    switch from size-only guesses to exact row counts — the input the
+    enabled CBO join-reorder consumes."""
+    from tajo_spark.queries.sources_q import _fresh_managed_table
+
+    _fresh_managed_table(spark, "stats_probe_t")
+    spark.range(1234).selectExpr(
+        "id AS k", "CAST(id % 7 AS STRING) AS v"
+    ).write.saveAsTable("stats_probe_t")
+    before = engine.table_stats("stats_probe_t")
+    engine.analyze_table("stats_probe_t", columns=["k"])
+    after = engine.table_stats("stats_probe_t")
+    assert after["num_rows"] == 1234
+    assert after["size_bytes"] and after["size_bytes"] > 0
+    assert before["num_rows"] != 1234 or before is not after
+    # the optimizer must see the exact rowCount on the relation
+    plan_stats = (
+        spark.table("stats_probe_t")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .stats()
+        .toString()
+    )
+    # rowCount appears on the relation only when ANALYZE ran (it
+    # renders scientific, e.g. 1.23E+3, so match presence not digits)
+    assert "rowCount" in plan_stats, plan_stats
+    spark.sql("DROP TABLE IF EXISTS stats_probe_t")
