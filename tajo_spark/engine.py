@@ -323,6 +323,20 @@ class Engine:
         optimizer consumes them; Spark's equivalent is ANALYZE TABLE
         feeding the CBO (session.py enables spark.sql.cbo.* — without
         stats, join reordering degrades to heuristics)."""
+        if (
+            name in self._external_paths
+            or self.spark.catalog.tableExists(name)
+            and any(
+                t.name == name.split(".")[-1] and t.tableType == "TEMPORARY"
+                for t in self.spark.catalog.listTables()
+            )
+        ):
+            raise NotImplementedError(
+                f"ANALYZE TABLE needs a catalog table; {name!r} is a "
+                "temp view (create_external_table registers views) — "
+                "persist it first (CTAS / saveAsTable), as with "
+                "CREATE INDEX on serde formats"
+            )
         if columns:
             cols = ", ".join(columns)
             self.spark.sql(

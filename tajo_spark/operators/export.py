@@ -162,23 +162,17 @@ def verify_shards(spark, path: str, bytes_col: str) -> DataFrame:
         F.col("n_docs").alias("manifest_docs"),
         F.col("total_bytes").alias("manifest_bytes"),
     )
-    return (
-        manifest.join(actual, "shard_id", "full_outer")
-        .select(
-            "shard_id",
-            F.coalesce("manifest_docs", F.lit(0)).alias("manifest_docs"),
-            F.coalesce("actual_docs", F.lit(0)).alias("actual_docs"),
-            F.coalesce("manifest_bytes", F.lit(0)).alias("manifest_bytes"),
-            F.coalesce("actual_bytes", F.lit(0)).alias("actual_bytes"),
-            (
-                (
-                    F.coalesce("manifest_docs", F.lit(0))
-                    == F.coalesce("actual_docs", F.lit(0))
-                )
-                & (
-                    F.coalesce("manifest_bytes", F.lit(0))
-                    == F.coalesce("actual_bytes", F.lit(0))
-                )
-            ).alias("ok"),
-        )
+    coalesced = manifest.join(actual, "shard_id", "full_outer").select(
+        "shard_id",
+        F.coalesce("manifest_docs", F.lit(0)).alias("manifest_docs"),
+        F.coalesce("actual_docs", F.lit(0)).alias("actual_docs"),
+        F.coalesce("manifest_bytes", F.lit(0)).alias("manifest_bytes"),
+        F.coalesce("actual_bytes", F.lit(0)).alias("actual_bytes"),
+    )
+    # ok derives from the SAME coalesced columns the report shows, so a
+    # future change to the absent-side default cannot diverge from it
+    return coalesced.withColumn(
+        "ok",
+        (F.col("manifest_docs") == F.col("actual_docs"))
+        & (F.col("manifest_bytes") == F.col("actual_bytes")),
     )

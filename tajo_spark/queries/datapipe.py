@@ -4175,6 +4175,9 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def export_shard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
     from tajo_spark.operators import export as E
@@ -4184,6 +4187,14 @@ def export_shard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.octet_length("text").cast("long").alias("nb"),
     )
-    path = tempfile.mkdtemp(prefix="tajo_spark_shardverify_")
+    # stable per-sf_dir staging dir, wiped before reuse (the module's
+    # convention — bench/driver loops must not leak a corpus-sized
+    # mkdtemp per invocation)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "tajo_spark_shardverify_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(path, ignore_errors=True)
     E.write_shards(docs, path, "doc_id", "nb", shard_bytes=65536, seed=42)
     return E.verify_shards(spark, path, "nb")

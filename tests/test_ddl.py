@@ -283,7 +283,7 @@ def test_analyze_table_feeds_cbo_statistics(engine, spark):
     after = engine.table_stats("stats_probe_t")
     assert after["num_rows"] == 1234
     assert after["size_bytes"] and after["size_bytes"] > 0
-    assert before["num_rows"] != 1234 or before is not after
+    assert before["num_rows"] is None  # fresh table: no stats yet
     # the optimizer must see the exact rowCount on the relation
     plan_stats = (
         spark.table("stats_probe_t")
@@ -296,3 +296,16 @@ def test_analyze_table_feeds_cbo_statistics(engine, spark):
     # renders scientific, e.g. 1.23E+3, so match presence not digits)
     assert "rowCount" in plan_stats, plan_stats
     spark.sql("DROP TABLE IF EXISTS stats_probe_t")
+
+
+def test_analyze_table_rejects_temp_views(engine, spark, tmp_path):
+    """ANALYZE on an Engine-registered external table (a temp view)
+    must fail with guidance, not a raw AnalysisException."""
+    import pytest as _pytest
+
+    p = str(tmp_path / "ext")
+    spark.range(5).write.parquet(p)
+    engine.create_external_table("ext_stats_t", p, "parquet")
+    with _pytest.raises(NotImplementedError, match="catalog table"):
+        engine.analyze_table("ext_stats_t")
+    engine.drop_table("ext_stats_t")
