@@ -19,6 +19,8 @@ optimize/schedule are Catalyst + the DAG scheduler (SURVEY.md §3.3
 
 from __future__ import annotations
 
+import re as _re
+
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -114,6 +116,94 @@ def split_statements(script: str) -> list[str]:
     return out
 
 
+_EXPR_FN_RE = _re.compile(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*\(")
+_COALESCED_SUM_DISTINCT_RE = _re.compile(
+    r"\s*coalesce\(\s*sum\(\s*distinct\b", _re.IGNORECASE
+)
+# aggregate functions whose non-column argument gets its own target
+# entry in Tajo's planner (and therefore consumes one unnamed-column
+# sequence slot before the aggregate's own) — golden evidence:
+# testSumIntOverflow `sum(cast(...))` is named ?sum_1 with no other
+# unnamed output column, while testDistinctAggregation4's bare-column
+# `sum(distinct l_orderkey)` is plain ?sum
+_AGG_FN_NAMES = frozenset(
+    ("sum", "avg", "min", "max", "count", "stddev", "stddev_pop",
+     "stddev_samp", "var_pop", "var_samp", "variance", "corr")
+)
+_BARE_ARG_RE = _re.compile(
+    r"^\s*(distinct\s+)?([A-Za-z_][\w.]*|\d+)\s*$", _re.IGNORECASE
+)
+_OP_NAMES = {"*": "multiply", "/": "divide", "%": "modular",
+             "+": "plus", "-": "minus"}
+
+
+def _tajo_autoname_prefix(name: str) -> str | None:
+    """Tajo's prefix for an unnamed output expression, or None if the
+    column is an ordinary (user-named) one.  Spark auto-names an
+    unaliased expression with its SQL text — ``sum(DISTINCT x)``,
+    ``CAST(x AS INT)``, ``(a + b)`` — which an identifier alias can
+    never contain, so '(' in the name marks it generated.  A name
+    already starting with '?' is a dialect-marked unnamed column
+    (name_unaliased_text_literals) awaiting its sequence suffix."""
+    if name.startswith("?"):
+        return name[1:] or "text"
+    if "(" not in name:
+        return None
+    m = _EXPR_FN_RE.match(name)
+    if m:
+        fn = m.group(1).lower()
+        # dialect.zero_sum_distinct wraps sum(DISTINCT ...) in
+        # coalesce(..., 0); the user-visible expression is still the
+        # sum, so name it the way Tajo does (the sequence logic below
+        # re-derives the INNER sum's argument for the bare-column test)
+        if fn == "coalesce" and _COALESCED_SUM_DISTINCT_RE.match(name):
+            return "sum"
+        return fn
+    s = name.strip()
+    # strip one balanced outer paren pair, then the depth-0 operator is
+    # the expression's root (Spark parenthesizes sub-expressions)
+    if s.startswith("(") and s.endswith(")"):
+        s = s[1:-1]
+    depth = 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch in _OP_NAMES:
+            return _OP_NAMES[ch]
+    return None
+
+
+def _tajo_autonames(df: DataFrame) -> DataFrame:
+    """Rename unaliased expression columns to Tajo's convention —
+    ``?<prefix>`` with a query-global sequence appended when > 0
+    (LogicalPlan.java:55,185: NONAMED_COLUMN_PREFIX + prefix +
+    ("_" + seq if seq > 0)) — so the engine's SQL surface presents the
+    column names the reference's clients (and its golden result files)
+    see."""
+    out, seq, changed = [], 0, False
+    for n in df.columns:
+        prefix = _tajo_autoname_prefix(n)
+        if prefix is None:
+            out.append(n)
+            continue
+        if prefix in _AGG_FN_NAMES:
+            # Tajo plans an aggregate's non-bare-column argument as its
+            # own (unnamed) target first, consuming a sequence slot
+            inner = n
+            if _COALESCED_SUM_DISTINCT_RE.match(n):
+                inner = n[n.lower().index("sum("):].rsplit(",", 1)[0]
+            m = _EXPR_FN_RE.match(inner)
+            arg = inner[m.end(): inner.rfind(")")] if m else ""
+            if not _BARE_ARG_RE.match(arg):
+                seq += 1
+        out.append(f"?{prefix}" + (f"_{seq}" if seq > 0 else ""))
+        seq += 1
+        changed = True
+    return df.toDF(*out) if changed else df
+
+
 class Engine:
     """A Tajo-capability SQL engine over a SparkSession."""
 
@@ -143,7 +233,7 @@ class Engine:
             else:
                 self.drop_index(idx.name)
             return None
-        return self._sql(dialect.translate(sql))
+        return _tajo_autonames(self._sql(dialect.translate(sql)))
 
     def _sql(self, translated: str) -> DataFrame:
         """spark.sql with the mixed-UDAF fallback (agg_fallback.py):
@@ -186,9 +276,30 @@ class Engine:
             except Exception as exc:
                 if agg_fallback.MIXED_PLACEMENT_ERROR not in str(exc):
                     raise
+                # the original statement ANALYZED fine (the placement
+                # check fires at physical planning), so its schema is
+                # the authoritative one — the pandas twins rename
+                # columns (__pd_sum(x)) and widen integral aggregates
+                # to double; restore names and types positionally
+                orig = df.schema
                 df = self.spark.sql(
                     agg_fallback.rewrite_uniform_pandas(translated)
                 )
+                df = df.toDF(*[f.name for f in orig])
+                if len({f.name for f in orig}) == len(orig) and any(
+                    a.dataType != b.dataType
+                    for a, b in zip(df.schema, orig)
+                ):
+                    from pyspark.sql import functions as F
+
+                    df = df.select(
+                        *[
+                            F.col(f"`{f.name}`")
+                            .cast(orig[i].dataType)
+                            .alias(orig[i].name)
+                            for i, f in enumerate(df.schema)
+                        ]
+                    )
         return df
 
     # tsql-compatible alias

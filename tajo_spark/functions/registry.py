@@ -43,6 +43,20 @@ SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     # StrPos.java: 1-based character position, 0 if absent — Spark has
     # locate/instr but no strpos spelling.
     "strpos": ("s STRING, sub STRING", "INT", "instr(s, sub)"),
+    # SplitPart.java:56-69 — whole-separator LITERAL split; blank/null
+    # input text or out-of-range field index → NULL (Spark's builtin
+    # split_part returns '' out of range).  Spark refuses to shadow a
+    # builtin name, so the dialect shim rewrites SQL ``split_part(`` to
+    # this spelling.  get() (not element_at) gives the NULL-past-end
+    # read; \Q..\E quotes the separator for Spark's regex split (a
+    # separator containing literal '\E' would unquote early — not a
+    # Tajo-testable case).
+    "tajo_split_part": (
+        "s STRING, sep STRING, n INT",
+        "STRING",
+        "CASE WHEN s IS NULL OR s = '' OR n IS NULL THEN NULL "
+        "ELSE get(split(s, concat('\\\\Q', sep, '\\\\E')), n - 1) END",
+    ),
     # to_char(long) — ToCharLong.java: decimal rendering of an integer.
     "to_char_long": ("x BIGINT", "STRING", "CAST(x AS STRING)"),
     # Digest.java: digest(input, 'md5'|'sha1'|'sha256'|...)

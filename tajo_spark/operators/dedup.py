@@ -836,8 +836,10 @@ def best_of_cluster_dedup(
 
     Cost shape: the stages a near-dup pipeline already runs (banding →
     exact-Jaccard verify → components) plus one quality projection and
-    ONE groupBy(component) max — the argmax is a single struct-max
-    aggregate with map-side partials, never a per-cluster window sort.
+    a two-phase component argmax (max-qscore aggregate, then min-id
+    over exact ties — both with map-side partials, the tie phase over a
+    near-empty frame), never a per-cluster window sort.  The tie-break
+    works for any orderable ``doc_id`` type, numeric or string.
     Returns the surviving corpus as ``(doc_id, qscore)``.
 
     Like the rest of the near-dup pipeline (signatures, banding,
@@ -861,18 +863,20 @@ def best_of_cluster_dedup(
     members = comp.join(q, comp.node == q.doc_id).select(
         "component", "doc_id", "qscore"
     )
-    # argmax(qscore), tie -> min doc_id: max of (qscore, -doc_id)
+    # argmax(qscore), tie -> min doc_id — expressed engine-neutrally
+    # for ANY orderable id type (a negated-id struct-max would silently
+    # require a numeric doc_id): phase 1 takes the component's max
+    # qscore, phase 2 the min doc_id among exact ties.  The tie frame
+    # is component-sized (one row per member of a maximal-score tie),
+    # so the second aggregate shuffles a near-empty frame; both phases
+    # keep map-side partials.  The qscore equi-join is exact: both
+    # sides are the same computed column, bit-identical per row.
+    best = members.groupBy("component").agg(F.max("qscore").alias("qscore"))
     keepers = (
-        members.groupBy("component")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("qscore").alias("q"),
-                    (-F.col("doc_id")).alias("negid"),
-                )
-            ).alias("s")
-        )
-        .select((-F.col("s.negid")).alias("doc_id"))
+        members.join(best, ["component", "qscore"])
+        .groupBy("component")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
     drops = members.select("doc_id").join(keepers, "doc_id", "left_anti")
     return q.join(drops, "doc_id", "left_anti")

@@ -1122,6 +1122,208 @@ def drop_preunion_orderby(sql: str) -> str:
     return sql
 
 
+# --- Tajo/PostgreSQL default null ordering -----------------------------------
+# Tajo sorts ASC with NULLS LAST and DESC with NULLS FIRST when no
+# NULLS clause is given (PostgreSQL convention; golden evidence:
+# TestSortQuery.java:266-276 expects `order by name asc` → null LAST,
+# `order by name desc` → null FIRST).  Spark's defaults are the exact
+# opposite, so every un-annotated sort key gets the explicit spelling.
+_ORDER_BY_RE = re.compile(r"\border\s+by\b", re.IGNORECASE)
+_ITEM_END_KEYWORDS = re.compile(
+    r"^(limit|offset|union|intersect|except|rows|range|window|for)$",
+    re.IGNORECASE,
+)
+_WITHIN_GROUP_RE = re.compile(r"within\s+group\s*\($", re.IGNORECASE)
+
+
+def pg_default_null_order(sql: str) -> str:
+    masked = _mask_string_bodies(sql)
+    out: list[str] = []
+    cur = 0
+    for m in _ORDER_BY_RE.finditer(masked):
+        if m.start() < cur:
+            continue  # inside a span an earlier ORDER BY already consumed
+        # WITHIN GROUP (ORDER BY ...): Spark's inverse-distribution
+        # syntax rejects a NULLS clause — leave those untouched
+        before = masked[: m.start()].rstrip()
+        opn = before.rfind("(")
+        if opn != -1 and _WITHIN_GROUP_RE.search(
+            masked[: opn + 1].rstrip()[-24:] or ""
+        ):
+            continue
+        out.append(sql[cur : m.end()])
+        i = m.end()
+        depth = 0
+        item_start = i
+        items: list[tuple[int, int]] = []  # [start, end) spans of sort items
+
+        def close_item(end: int) -> None:
+            if masked[item_start:end].strip():
+                items.append((item_start, end))
+
+        while i < len(masked):
+            c = masked[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif c == "," and depth == 0:
+                close_item(i)
+                item_start = i + 1
+            elif depth == 0 and (c.isalpha() or c == "_"):
+                w = _WORD_RE.match(masked, i)
+                if w and _ITEM_END_KEYWORDS.match(w.group(0)):
+                    break
+                if w:
+                    i = w.end()
+                    continue
+            i += 1
+        close_item(i)
+        rewritten: list[str] = []
+        for s0, e0 in items:
+            item = sql[s0:e0]
+            body = item.rstrip()
+            pad = item[len(body):]
+            low = body.lower()
+            if re.search(r"\bnulls\s+(first|last)\s*$", low):
+                rewritten.append(item)
+            elif re.search(r"\bdesc\s*$", low):
+                rewritten.append(body + " NULLS FIRST" + pad)
+            elif re.search(r"\basc\s*$", low):
+                rewritten.append(body + " NULLS LAST" + pad)
+            else:
+                rewritten.append(body + " ASC NULLS LAST" + pad)
+        out.append(",".join(rewritten))
+        cur = i
+    out.append(sql[cur:])
+    return "".join(out)
+
+
+# --- unaliased literal select items ------------------------------------------
+# Tajo names an unaliased literal select item by its TYPE with the
+# unnamed-column prefix (?text for string literals — golden evidence:
+# results/TestGroupByQuery/testGroupByWithConstantKeys4/5 headers).
+# Spark names the literal column by its VALUE ('day' → day), which is
+# indistinguishable from a user alias once the frame exists, so the
+# dialect aliases bare string-literal items as `?text` here and the
+# engine's autoname pass assigns the query-global sequence suffix.
+_SELECT_LIST_ENDERS = frozenset(
+    ("from", "where", "group", "order", "having", "union", "intersect",
+     "except", "limit", "window")
+)
+
+
+def name_unaliased_text_literals(sql: str) -> str:
+    masked = _mask_string_bodies(sql)
+    n = len(sql)
+    out: list[str] = []
+    i = 0
+    depth = 0
+    in_sel: dict[int, bool] = {}
+    last: dict[int, str] = {}  # last significant token class per depth
+    def _next_ok(k: int) -> bool:
+        while k < n and masked[k].isspace():
+            k += 1
+        return (
+            k >= n
+            or masked[k] in ",)"
+            or bool(
+                re.match(
+                    r"(?i)(from|union|order|group|having|limit)\b",
+                    masked[k:],
+                )
+            )
+        )
+
+    while i < n:
+        c = masked[i]
+        if c == "'":
+            m = _SQSTRING_RE.match(sql, i)
+            end = m.end()
+            ok = in_sel.get(depth) and last.get(depth) in (",", "SELECT")
+            out.append(m.group(0))
+            if ok and _next_ok(end):
+                out.append(" AS `?text`")
+            last[depth] = "LIT"
+            i = end
+            continue
+        if c.isdigit() and in_sel.get(depth) and last.get(depth) in (
+            ",", "SELECT"
+        ):
+            # bare numeric literal select item → Tajo names it ?number
+            # (golden: results/TestSelectQuery/testSelectAsterisk5)
+            m = re.match(r"\d+(\.\d+)?([eE][+-]?\d+)?", masked[i:])
+            end = i + m.end()
+            out.append(sql[i:end])
+            if _next_ok(end):
+                out.append(" AS `?number`")
+            last[depth] = "LIT"
+            i = end
+            continue
+        if c == "(":
+            out.append(c)
+            depth += 1
+            in_sel[depth] = False
+            last[depth] = "("
+            i += 1
+            continue
+        if c == ")":
+            out.append(c)
+            in_sel.pop(depth, None)
+            last.pop(depth, None)
+            depth -= 1
+            last[depth] = ")"
+            i += 1
+            continue
+        if c.isalpha() or c == "_":
+            w = _WORD_RE.match(masked, i)
+            word = w.group(0).lower()
+            if word == "select":
+                in_sel[depth] = True
+                last[depth] = "SELECT"
+            elif word in ("distinct", "all") and last.get(depth) == "SELECT":
+                pass  # still at the head of the select list
+            elif word in _SELECT_LIST_ENDERS:
+                in_sel[depth] = False
+                last[depth] = "WORD"
+            else:
+                last[depth] = "WORD"
+            out.append(sql[i : w.end()])
+            i = w.end()
+            continue
+        if not c.isspace():
+            last[depth] = c
+        out.append(sql[i])
+        i += 1
+    return "".join(out)
+
+
+# --- sum(DISTINCT ...) zero on all-null input --------------------------------
+# Tajo's distinct-rewritten aggregation returns 0 (not SQL-standard
+# NULL) when every input value in the group is NULL — golden evidence:
+# results/TestGroupByQuery/testDistinctAggregation4/5/8 show
+# sum(distinct l_orderkey)=0 beside sum(l_orderkey)=null for the
+# all-null group.  Reproduce by wrapping in coalesce.
+_SUM_DISTINCT_RE = re.compile(r"\bsum\s*\(\s*distinct\b", re.IGNORECASE)
+
+
+def zero_sum_distinct(sql: str) -> str:
+    masked = _mask_string_bodies(sql)
+    out, cur = [], 0
+    for m in _SUM_DISTINCT_RE.finditer(masked):
+        if m.start() < cur:
+            continue
+        opn = masked.index("(", m.start())
+        end = _matching_paren(masked, opn)
+        out.append(sql[cur : m.start()])
+        out.append("coalesce(" + sql[m.start() : end] + ", 0)")
+        cur = end
+    out.append(sql[cur:])
+    return "".join(out)
+
+
 def translate(sql: str) -> str:
     """Full statement rewrite (session statements excluded — those are
     routed by ``parse_session_statement`` first)."""
@@ -1151,6 +1353,20 @@ def translate(sql: str) -> str:
     s = translate_similar_to(s)
     s = _translate_to_char_formats(s)
     s = _translate_pg_codec(s)
+    # split_part: Tajo (SplitPart.java:56-69) NULLs blank input and
+    # out-of-range indexes where Spark's builtin returns '' — route to
+    # the parity function (functions/registry.py); Spark refuses to
+    # shadow a builtin name, hence the rename
+    s = _outside_strings(
+        s,
+        lambda seg: re.sub(
+            r"\bsplit_part\s*\(", "tajo_split_part(", seg,
+            flags=re.IGNORECASE,
+        ),
+    )
+    s = name_unaliased_text_literals(s)
+    s = pg_default_null_order(s)
+    s = zero_sum_distinct(s)
     if re.match(r"^\s*ALTER\b", s, re.IGNORECASE):
         # only column-definition lists carry type names in ALTER; a
         # whole-statement rewrite would rename identifiers like a

@@ -579,8 +579,16 @@ def bloom_gate_stream(
     the maybe-subset against the persisted fingerprint store, admits
     the rest, and folds the admitted fingerprints' bits back into the
     filter.  The streaming twin of ``bloom_prefilter_dedup``: per-batch
-    cost is O(|batch| + m) regardless of how much has ever been
-    admitted, because definite-new rows never touch the store.
+    cost is O(|batch| + m + |fps store scan|) — definite-new rows never
+    touch the store (only the maybe-subset probes it), but the exact
+    confirm's semi-join still SCANS the whole fingerprint store each
+    batch, and the store accumulates one ``__batch_id`` partition per
+    batch.  At the filter's design false-positive rate the maybe-subset
+    is small, so the scan is the dominant growing term: run
+    :func:`compact_gate_store` periodically (while the stream is
+    stopped) to fold committed partitions into a single base partition,
+    exactly as ``ann_ingest.compact_index_batches`` does for the ANN
+    index tree.
 
     Replay safety: admitted rows and their fingerprints land in
     ``__batch_id`` partitions written with DYNAMIC overwrite, and the
@@ -705,6 +713,58 @@ def bloom_gate_stream(
     )
 
 
+def compact_gate_store(spark, fps_path: str, upto_batch_id: int) -> dict:
+    """Fold the Bloom gate's committed per-batch ``__batch_id``
+    fingerprint partitions into the base partition (``__batch_id=-1``)
+    — the maintenance pass that bounds :func:`bloom_gate_stream`'s
+    per-batch store scan, same shape as
+    ``ann_ingest.compact_index_batches`` for the ANN index tree.
+
+    Safety contract: only compact batches BELOW the stream checkpoint's
+    committed horizon (foreachBatch never replays a committed id), and
+    run while the stream is stopped.  The base id ``-1`` is never a
+    live batch id, so the gate's own-partition exclusion
+    (``__batch_id != batch_id``) never prunes the base.  Crash window:
+    the fold lands the new base before old directories are removed, so
+    a crash mid-removal leaves duplicate fp rows readable until re-run
+    — harmless for the gate (the confirm is a semi-join, duplicates
+    change no verdict) and the re-run deduplicates on ``fp`` before
+    rewriting, so nothing bakes in twice.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    df = (
+        spark.read.parquet(fps_path)
+        .filter(F.col("__batch_id") <= upto_batch_id)
+        .dropDuplicates(["fp"])
+        .withColumn("__batch_id", F.lit(-1).cast("long"))
+    )
+    before = df.count()
+    (
+        df.write.partitionBy("__batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(fps_path)
+    )
+    removed = 0
+    for batch_dir in _os.listdir(fps_path):
+        if not batch_dir.startswith("__batch_id="):
+            continue
+        bid = int(batch_dir.split("=", 1)[1])
+        if -1 < bid <= upto_batch_id:
+            _shutil.rmtree(_os.path.join(fps_path, batch_dir))
+            removed += 1
+    after = spark.read.parquet(fps_path).filter(
+        F.col("__batch_id") <= upto_batch_id
+    ).count()
+    return {
+        "rows_folded": before,
+        "rows_after": after,
+        "batch_dirs_removed": removed,
+    }
+
+
 def cms_ingest_stream(
     docs_stream: DataFrame,
     sketch_path: str,
@@ -760,6 +820,18 @@ def cms_ingest_stream(
         )
         for v in prior:
             if v < batch_id - 1:
+                _shutil.rmtree(
+                    _os.path.join(sketch_path, f"v={v}"),
+                    ignore_errors=True,
+                )
+        # versions ABOVE this batch can only be leftovers from an
+        # abandoned run whose checkpoint was wiped but whose sketch dir
+        # was not (the current run's batching differs, so batch_id
+        # restarted lower) — left in place they'd stay the "latest
+        # committed" version readers pick forever; after a successful
+        # write of v=batch_id they are safe to drop
+        for v in _committed_versions(sketch_path):
+            if v > batch_id:
                 _shutil.rmtree(
                     _os.path.join(sketch_path, f"v={v}"),
                     ignore_errors=True,

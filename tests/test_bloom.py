@@ -82,7 +82,8 @@ def test_bloom_probe_plan_broadcasts_filter(spark):
     corpus = _docs(spark, [(i, f"plan doc {i}") for i in range(32)])
     words = dedup.bloom_build(corpus)
     plan = dedup.bloom_probe(corpus, words)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
 
 
