@@ -111,3 +111,20 @@ def test_registry_names_bind_to_their_own_functions():
         )
     bodies = [id(spec.spark) for spec in qs.values()]
     assert len(bodies) == len(set(bodies))
+
+
+def test_registry_md_is_fresh():
+    # REGISTRY.md is the generated audit index of the query surface
+    # (VERDICT r04 #9); regenerating must reproduce the committed file
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import gen_registry_md
+
+    with open(os.path.join(repo, "REGISTRY.md")) as fh:
+        committed = fh.read()
+    assert gen_registry_md.generate() == committed, (
+        "REGISTRY.md is stale — run: python tools/gen_registry_md.py --write"
+    )
