@@ -147,8 +147,22 @@ def _tajo_autoname_prefix(name: str) -> str | None:
     (name_unaliased_text_literals) awaiting its sequence suffix."""
     if name.startswith("?"):
         return name[1:] or "text"
+    # every unnamed CASE expression is "?casewhen" (golden:
+    # results/TestTablePartitions/case8) — checked before the paren
+    # guard because a simple CASE form can be paren-free; the space
+    # makes it impossible as a user alias
+    if _re.match(r"CASE\s", name, _re.IGNORECASE):
+        return "casewhen"
     if "(" not in name:
         return None
+    # Tajo names every unnamed window expression "?windowfunction"
+    # (golden: results/TestWindowQuery/testWindow1-5)
+    if " OVER (" in name:
+        return "windowfunction"
+    # dialect.round_to_int8 wraps 1-arg round in cast(... as bigint);
+    # the user-visible expression is the round
+    if _re.match(r"\s*cast\(\s*round\(", name, _re.IGNORECASE):
+        return "round"
     m = _EXPR_FN_RE.match(name)
     if m:
         fn = m.group(1).lower()
@@ -158,6 +172,10 @@ def _tajo_autoname_prefix(name: str) -> str | None:
         # re-derives the INNER sum's argument for the bare-column test)
         if fn == "coalesce" and _COALESCED_SUM_DISTINCT_RE.match(name):
             return "sum"
+        # dialect-renamed parity functions (tajo_split_part) present as
+        # their Tajo spelling
+        if fn.startswith("tajo_"):
+            return fn[len("tajo_"):]
         return fn
     s = name.strip()
     # strip one balanced outer paren pair, then the depth-0 operator is
@@ -233,7 +251,37 @@ class Engine:
             else:
                 self.drop_index(idx.name)
             return None
-        return _tajo_autonames(self._sql(dialect.translate(sql)))
+        translated = dialect.translate(sql)
+        ctas_check = dialect.pop_ctas_check()
+        if ctas_check is not None:
+            self._ensure_ctas_domains(*ctas_check)
+        return _tajo_autonames(self._sql(translated))
+
+    def _ensure_ctas_domains(
+        self, declared: list[str | None], sel: str
+    ) -> None:
+        """LogicalPlanVerifier.ensureDomains:243 replay: each CTAS
+        declared-schema position must be Tajo-castable from the
+        select's output type (dialect.TAJO_CASTABLE — the reference's
+        OPERATION_CASTING_MAP).  Analysis-only: LIMIT 0, no job.
+        Routed through _sql so the Tajo-laxity parse recoveries
+        (branch-level ORDER BY before a set operator) apply here the
+        same as they will on the actual CTAS execution."""
+        src = self._sql(f"SELECT * FROM ({sel}) __tajo_dom LIMIT 0")
+        fields = src.schema.fields
+        for i, tgt_text in enumerate(declared):
+            if tgt_text is None or i >= len(fields):
+                continue
+            src_t = dialect.tajo_type_of(fields[i].dataType.simpleString())
+            tgt_t = dialect.tajo_type_of(tgt_text)
+            if src_t is None or tgt_t is None or src_t == "NULL":
+                continue
+            if tgt_t not in dialect.TAJO_CASTABLE.get(src_t, set()):
+                raise dialect.CtasDataTypeMismatch(
+                    f"data type mismatch at position {i + 1}: "
+                    f"{src_t} ({fields[i].name}) is not compatible "
+                    f"with declared {tgt_t}"
+                )
 
     def _sql(self, translated: str) -> DataFrame:
         """spark.sql with the mixed-UDAF fallback (agg_fallback.py):

@@ -158,9 +158,72 @@ def translate_similar_to(sql: str) -> str:
 
 
 # --- DDL ---------------------------------------------------------------------
+# --- CTAS declared-schema domain check ---------------------------------------
+# Tajo's assignability matrix (CatalogUtil.java OPERATION_CASTING_MAP,
+# consumed by LogicalPlanVerifier.ensureDomains:243): source type →
+# the target types a CTAS/INSERT position may carry it into.  Absent
+# pairs (TEXT → INT8, BOOLEAN → TEXT, ...) are DataTypeMismatch errors
+# in the reference — golden: TestCreateTable/negative/type_mismatch.
+_NUM_TARGETS = {"INT1", "INT2", "INT4", "INT8", "FLOAT4", "FLOAT8",
+                "TEXT"}
+TAJO_CASTABLE: dict[str, set[str]] = {
+    "BOOLEAN": {"BOOLEAN"},
+    "INT1": set(_NUM_TARGETS),
+    "INT2": set(_NUM_TARGETS),
+    "INT4": set(_NUM_TARGETS),
+    "INT8": set(_NUM_TARGETS),
+    "FLOAT4": set(_NUM_TARGETS),
+    "FLOAT8": set(_NUM_TARGETS),
+    "TEXT": {"TEXT", "VARCHAR", "TIMESTAMP"},
+    "VARCHAR": {"TEXT", "VARCHAR", "TIMESTAMP"},
+    "DATE": {"DATE", "TIME", "INTERVAL"},
+    "TIME": {"TIME", "DATE"},
+    "TIMESTAMP": {"TIMESTAMP", "TEXT", "VARCHAR"},
+    "INTERVAL": {"DATE"},
+}
+
+# Spark type words (declared-list text after translate_column_defs,
+# and DataType.simpleString() prefixes) → Tajo type names
+_SPARK_TO_TAJO_TYPE = {
+    "string": "TEXT", "varchar": "VARCHAR", "char": "TEXT",
+    "bigint": "INT8", "int": "INT4", "integer": "INT4",
+    "smallint": "INT2", "tinyint": "INT1",
+    "float": "FLOAT4", "real": "FLOAT4", "double": "FLOAT8",
+    "boolean": "BOOLEAN", "date": "DATE", "time": "TIME",
+    "timestamp": "TIMESTAMP", "timestamp_ntz": "TIMESTAMP",
+    "void": "NULL",
+}
+
+
+def tajo_type_of(spark_type_text: str) -> str | None:
+    """'DOUBLE' / 'varchar(12)' / 'interval day to second' → Tajo type
+    name, or None for types outside the matrix (no check applies)."""
+    w = spark_type_text.strip().lower()
+    if w.startswith("interval"):
+        return "INTERVAL"
+    w = re.split(r"[(\s]", w, 1)[0]
+    return _SPARK_TO_TAJO_TYPE.get(w)
+
+
+class CtasDataTypeMismatch(ValueError):
+    """Tajo DataTypeMismatchException analogue (SyntaxErrorUtil
+    .makeDataTypeMisMatch) for CTAS declared-schema positions."""
+
+
+# side channel: translate_create_table stashes (declared_types,
+# select_sql) here; Engine.execute_sql pops it and replays
+# ensureDomains against the analyzed select schema before executing
+_PENDING_CTAS_CHECK: list[tuple[list[str | None], str]] = []
+
+
+def pop_ctas_check() -> tuple[list[str | None], str] | None:
+    return _PENDING_CTAS_CHECK.pop() if _PENDING_CTAS_CHECK else None
+
+
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+(EXTERNAL\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<name>[\w.`\"]+)\s*(?P<cols>\([^)]*\))?\s*"
+    r"(?:TABLESPACE\s+(?P<tspace>[\w`\"]+))?\s*"
     r"(?:USING\s+(?P<fmt>\w+))?\s*"
     r"(?:WITH\s*\((?P<opts>[^)]*)\))?\s*"
     r"(?:PARTITION\s+BY\s+COLUMN\s*\((?P<parts>[^)]*)\))?\s*"
@@ -279,6 +342,18 @@ def translate_create_table(sql: str) -> str:
     m = _CREATE_RE.match(sql)
     if not m:
         return original  # never leak the (#COLS#) placeholder
+    loc = m.group("loc")
+    if m.group("tspace"):
+        # named tablespace: resolve via the registry exactly like
+        # TablespaceManager.getByName — an unknown name is a semantic
+        # error (UndefinedTablespaceException), a known one roots the
+        # table under the space's URI
+        from tajo_spark.sources.tablespace import named_tablespace_root
+
+        root = named_tablespace_root(m.group("tspace").strip('`"'))
+        if root and not loc:
+            tbl = m.group("name").strip('`"').split(".")[-1]
+            loc = f"{root.rstrip('/')}/{tbl}"
     fmt = (m.group("fmt") or "PARQUET").upper()
     if fmt == "RAW" and not m.group(1):
         # managed CREATE ... USING RAW: the reference rejects RAW as a
@@ -317,6 +392,60 @@ def translate_create_table(sql: str) -> str:
                 + translate_column_defs(", ".join(typed))
                 + ")"
             )
+    if m.group("asq") and cols_sql:
+        # Tajo CTAS with a declared column list: the list RENAMES (and
+        # retypes) the select outputs POSITIONALLY — data columns
+        # first, partition columns after (CreateTableNode appends
+        # them), matching the select's arity.  Spark forbids a schema
+        # clause on CTAS, so rebuild as a projecting subquery with a
+        # positional column-alias list.  The retype is NOT a free
+        # cast: LogicalPlanVerifier.ensureDomains checks each
+        # positional (select-type → declared-type) pair against
+        # CatalogUtil.OPERATION_CASTING_MAP and rejects incompatible
+        # ones (e.g. TEXT → INT8) — the Engine replays that check via
+        # pop_ctas_check() before executing.
+        all_defs = [
+            d.strip()
+            for d in _split_top_level(cols_sql[1:-1])
+            if d.strip()
+        ]
+        names, types = [], []
+        for d in all_defs:
+            bits = d.split(None, 1)
+            names.append(bits[0].strip('`"'))
+            types.append(bits[1].strip() if len(bits) > 1 else None)
+        alias = ", ".join(f"__c{i}" for i in range(len(all_defs)))
+        proj = ", ".join(
+            (
+                f"CAST(__c{i} AS {t}) AS `{nm}`"
+                if t
+                else f"__c{i} AS `{nm}`"
+            )
+            for i, (nm, t) in enumerate(zip(names, types))
+        )
+        sel = re.sub(
+            r"^\s*as\s+", "", m.group("asq"), flags=re.IGNORECASE
+        )
+        sel = shared_expression_rewrites(translate_type_names(sel))
+        parts = [
+            "CREATE TABLE",
+            m.group(2) or "",
+            m.group("name"),
+            f"USING {spark_fmt}",
+        ]
+        if m.group("opts"):
+            parts.append(
+                f"OPTIONS ({_translate_options(m.group('opts'))})"
+            )
+        if part_names:
+            parts.append(f"PARTITIONED BY ({', '.join(part_names)})")
+        if loc:
+            parts.append(f"LOCATION '{loc}'")
+        parts.append(
+            f"AS SELECT {proj} FROM ({sel}) __tajo_ctas({alias})"
+        )
+        _PENDING_CTAS_CHECK.append((list(types), sel))
+        return " ".join(p for p in parts if p)
     parts = [
         "CREATE TABLE",
         m.group(2) or "",
@@ -328,10 +457,14 @@ def translate_create_table(sql: str) -> str:
         parts.append(f"OPTIONS ({_translate_options(m.group('opts'))})")
     if part_names:
         parts.append(f"PARTITIONED BY ({', '.join(part_names)})")
-    if m.group("loc"):
-        parts.append(f"LOCATION '{m.group('loc')}'")
+    if loc:
+        parts.append(f"LOCATION '{loc}'")
     if m.group("asq"):
-        parts.append(translate_type_names(m.group("asq")))
+        parts.append(
+            shared_expression_rewrites(
+                translate_type_names(m.group("asq"))
+            )
+        )
     return " ".join(p for p in parts if p)
 
 
@@ -1098,27 +1231,76 @@ def drop_preunion_orderby(sql: str) -> str:
     ]
     depths = _paren_depths(masked)
     spans = []
+    wraps = []  # (branch_select_start, set_op_start)
     for idx, (w, s, _e) in enumerate(words):
         if w != "order" or idx + 1 >= len(words):
             continue
         if words[idx + 1][0] != "by":
             continue
         d = depths[s]
+
+        def branch_select_start(order_idx: int, d: int):
+            """Start of the enclosing branch's SELECT at depth d, and
+            whether the scan stopped at a set operator (i.e. this is
+            not the first branch)."""
+            sel_start, after_setop = None, False
+            for k in range(order_idx - 1, -1, -1):
+                wk, sk, _ek = words[k]
+                dk = depths[sk]
+                if dk < d:
+                    break
+                if dk == d and wk in ("union", "intersect", "except"):
+                    after_setop = True
+                    break
+                if dk == d and wk == "select":
+                    sel_start = sk
+            return sel_start, after_setop
+
         j = idx + 2
+        saw_limit = False
         while j < len(words):
             w2, s2, _e2 = words[j]
             d2 = depths[s2]
             if d2 < d:
-                break  # clause ends at the paren close — legal position
+                # clause runs to the paren close.  If this branch
+                # FOLLOWS a set operator, Spark would bind the clause
+                # to the whole set expression (where the branch's
+                # columns may not resolve); Tajo binds it to the LAST
+                # branch — wrap that branch (CtasWithUnion.sql).
+                if saw_limit:
+                    sel_start, after_setop = branch_select_start(idx, d)
+                    if sel_start is not None and after_setop:
+                        ci = s
+                        while ci < len(masked) and (
+                            masked[ci] != ")" or depths[ci] >= d
+                        ):
+                            ci += 1
+                        wraps.append((sel_start, ci))
+                break
             if d2 == d:
                 if w2 in ("union", "intersect", "except"):
-                    spans.append((s, s2))
+                    if saw_limit:
+                        # ORDER BY + LIMIT is load-bearing: wrap the
+                        # whole branch in parens so Spark binds the
+                        # clause branch-locally, exactly as Tajo
+                        # evaluates it (CtasWithUnion.sql)
+                        sel_start, _ = branch_select_start(idx, d)
+                        if sel_start is not None:
+                            wraps.append((sel_start, s2))
+                    else:
+                        spans.append((s, s2))
                     break
                 if w2 in ("limit", "offset"):
-                    break  # ORDER BY feeding a LIMIT is load-bearing
+                    saw_limit = True
             j += 1
-    for s, e in sorted(spans, reverse=True):
-        sql = sql[:s] + sql[e:]
+    edits: list[tuple[int, str, int]] = []  # (pos, insert_text, drop_to)
+    for s, e in spans:
+        edits.append((s, "", e))
+    for s, e in wraps:
+        edits.append((s, "(", s))
+        edits.append((e, ") ", e))
+    for pos, ins, drop_to in sorted(edits, reverse=True):
+        sql = sql[:pos] + ins + sql[drop_to:]
     return sql
 
 
@@ -1279,7 +1461,30 @@ def name_unaliased_text_literals(sql: str) -> str:
             continue
         if c.isalpha() or c == "_":
             w = _WORD_RE.match(masked, i)
+            if w is None:  # non-ASCII identifier char (quoted idents)
+                last[depth] = "WORD"
+                out.append(sql[i])
+                i += 1
+                continue
             word = w.group(0).lower()
+            if (
+                word == "cast"
+                and in_sel.get(depth)
+                and last.get(depth) in (",", "SELECT")
+            ):
+                # unaliased CAST(...) select item → Tajo names it
+                # ?cast (golden: results/TestTablePartitions/case9 —
+                # Spark would name it by the inner column instead)
+                k = w.end()
+                while k < n and masked[k].isspace():
+                    k += 1
+                if k < n and masked[k] == "(":
+                    end = _matching_paren(masked, k)
+                    if _next_ok(end):
+                        out.append(sql[i:end] + " AS `?cast`")
+                        last[depth] = "LIT"
+                        i = end
+                        continue
             if word == "select":
                 in_sel[depth] = True
                 last[depth] = "SELECT"
@@ -1297,6 +1502,281 @@ def name_unaliased_text_literals(sql: str) -> str:
             last[depth] = c
         out.append(sql[i])
         i += 1
+    return "".join(out)
+
+
+# --- concat null-skipping ----------------------------------------------------
+# Tajo's concat SKIPS null/blank arguments (Concat.java:54-64:
+# isBlankOrNull → continue; PostgreSQL behaves the same) where Spark's
+# concat returns NULL if ANY argument is null.  concat_ws('', ...) has
+# exactly the skip-nulls fold.  Golden evidence:
+# results/TestUnionQuery/testUnion13 — concat('1993', p_name) over the
+# null catalog rows yields '1993', not NULL.
+_CONCAT_RE = re.compile(r"\bconcat\s*\(", re.IGNORECASE)
+
+
+def concat_skip_nulls(sql: str) -> str:
+    def seg(s: str) -> str:
+        return _CONCAT_RE.sub("concat_ws('', ", s)
+
+    # string literals must pass through untouched, and concat_ws itself
+    # must not be re-rewritten (the (?<!_ws) is implicit: the pattern
+    # requires the word boundary before 'concat', and 'concat_ws('
+    # never re-matches because the rewrite inserts 'concat_ws')
+    return _outside_strings(sql, seg)
+
+
+# --- 1-arg round returns INT8 ------------------------------------------------
+# Tajo's single-argument round (Round.java) returns INT8; Spark's
+# returns the input type (double stays double).  Golden evidence:
+# results/TestTablePartitions/case5 renders round(pow(...)) as
+# integers.  The cast wrapper is transparent to the autoname pass
+# (engine._tajo_autoname_prefix sees through cast(round(...))).
+_ROUND_RE = re.compile(r"\bround\s*\(", re.IGNORECASE)
+
+
+def round_to_int8(sql: str) -> str:
+    masked = _mask_string_bodies(sql)
+    out, cur = [], 0
+    for m in _ROUND_RE.finditer(masked):
+        if m.start() < cur:
+            continue
+        opn = masked.index("(", m.start())
+        end = _matching_paren(masked, opn)
+        body = masked[opn + 1 : end - 1]
+        depth = 0
+        has_comma = False
+        for ch in body:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                has_comma = True
+                break
+        out.append(sql[cur : m.start()])
+        if has_comma:
+            out.append(sql[m.start() : end])
+        else:
+            out.append("cast(" + sql[m.start() : end] + " as bigint)")
+        cur = end
+    out.append(sql[cur:])
+    return "".join(out)
+
+
+# --- NOT IN (subquery): anti-join (null-ignoring) semantics ------------------
+# Tajo evaluates NOT IN (subquery) as a plain anti-join: subquery NULLs
+# are ignored and an outer NULL key row is KEPT (no match → keep).
+# Standard three-valued logic (and Spark) yields UNKNOWN for both, so
+# the row is dropped.  Golden evidence:
+# results/TestInSubquery/testNotInSubQuery keeps the null-name rows and
+# returns rows although the subquery side contains NULLs.
+# The faithful rewrite is explicit (Catalyst's null-aware anti-join
+# rewrite fires on the NOT IN predicate regardless of a wrapping
+# coalesce, so that spelling does NOT work):
+#   A NOT IN (sub)  →  (A IS NULL OR A NOT IN
+#                       (SELECT __nn FROM (sub) __tajo_ni(__nn)
+#                        WHERE __nn IS NOT NULL))
+# The left operand is recognized when it is a bare (possibly
+# qualified) column — the only shape in the reference corpus; other
+# operand shapes keep standard semantics.
+_NOT_IN_RE = re.compile(
+    r"([A-Za-z_][\w.]*)\s+not\s+in\s*\(", re.IGNORECASE
+)
+
+
+def notin_antijoin(sql: str) -> str:
+    masked = _mask_string_bodies(sql)
+    out, cur = [], 0
+    for m in _NOT_IN_RE.finditer(masked):
+        if m.start() < cur:
+            continue
+        lhs = m.group(1)
+        opn = masked.index("(", m.end() - 1)
+        if not re.match(r"\s*select\b", masked[opn + 1 :], re.IGNORECASE):
+            continue
+        end = _matching_paren(masked, opn)
+        sub = sql[opn + 1 : end - 1]
+        out.append(sql[cur : m.start()])
+        out.append(
+            f"({lhs} IS NULL OR {lhs} NOT IN "
+            f"(SELECT __nn FROM ({sub}) __tajo_ni(__nn) "
+            "WHERE __nn IS NOT NULL))"
+        )
+        cur = end
+    out.append(sql[cur:])
+    return "".join(out)
+
+
+# --- two-digit-year temporal literals ----------------------------------------
+# Tajo's datetime parser reads '15-01-01'::date as 2015-01-01
+# (PostgreSQL two-digit-year rule: yy < 70 → 20yy, else 19yy); Spark
+# parses year 15 (or NULL).  Golden evidence:
+# results/TestWindowQuery/testLagWithDefault.
+_TWO_DIGIT_TEMPORAL_RE = re.compile(
+    r"'(\d{2})-(\d{2}-\d{2}(?: [\d:.]+)?)'\s*::\s*(date|timestamp)\b",
+    re.IGNORECASE,
+)
+
+
+def expand_two_digit_years(sql: str) -> str:
+    def repl(m: re.Match) -> str:
+        yy = int(m.group(1))
+        century = 20 if yy < 70 else 19
+        return f"'{century}{m.group(1)}-{m.group(2)}'::{m.group(3)}"
+
+    return _TWO_DIGIT_TEMPORAL_RE.sub(repl, sql)
+
+
+# --- nested-record projection naming -----------------------------------------
+# Tajo names an unaliased nested-field projection by its full path with
+# '/' separators, the table qualifier stripped (goldens:
+# TestSelectNestedRecord/testSelect0 header ``name/first_name``,
+# testNestedFieldAsJoinKey1 ``t1.user.id`` → ``user/id``).  Spark names
+# it by the leaf field.  The rewrite aliases bare dotted select items;
+# whether the first segment is a table/alias (strip) or a struct root
+# (keep) is decided against the statement's FROM-clause identifiers.
+_FROM_KEYWORDS = frozenset(
+    ("join", "inner", "left", "right", "full", "outer", "cross", "on",
+     "using", "as", "lateral", "natural", "and", "or", "not", "in",
+     "exists", "select", "where", "group", "order", "having", "union",
+     "intersect", "except", "limit", "by")
+)
+_PATH_RE = re.compile(
+    r"[A-Za-z_]\w*(?:\.(?:[A-Za-z_]\w*|`[^`]+`))+"
+)
+
+
+def name_nested_path_items(sql: str) -> str:
+    masked = _mask_string_bodies(sql)
+    n = len(sql)
+    depth = 0
+    in_sel: dict[int, bool] = {}
+    in_from: dict[int, bool] = {}
+    in_on: dict[int, bool] = {}
+    sel_seq: dict[int, int] = {}
+    last: dict[int, str] = {}
+    candidates: list[tuple[int, int, list[str], tuple[int, int]]] = []
+    from_names: dict[tuple[int, int], set[str]] = {}
+    i = 0
+    while i < n:
+        c = masked[i]
+        if c == "(":
+            depth += 1
+            in_sel[depth] = False
+            in_from[depth] = False
+            last[depth] = "("
+            i += 1
+            continue
+        if c == ")":
+            in_sel.pop(depth, None)
+            in_from.pop(depth, None)
+            last.pop(depth, None)
+            depth -= 1
+            last[depth] = ")"
+            i += 1
+            continue
+        if c == ",":
+            last[depth] = ","
+            if in_from.get(depth):
+                in_on[depth] = False  # comma-join item after an ON
+            i += 1
+            continue
+        if c.isalpha() or c == "_" or c == "`":
+            m = _PATH_RE.match(masked, i)
+            if (
+                m
+                and in_sel.get(depth)
+                and last.get(depth) in (",", "SELECT")
+            ):
+                k = m.end()
+                while k < n and masked[k].isspace():
+                    k += 1
+                ends_item = (
+                    k >= n
+                    or masked[k] in ",)"
+                    or bool(
+                        re.match(
+                            r"(?i)(from|union|order|group|having|limit)\b",
+                            masked[k:],
+                        )
+                    )
+                )
+                if ends_item:
+                    segs = re.findall(r"`[^`]+`|[A-Za-z_]\w*", sql[i : m.end()])
+                    candidates.append(
+                        (i, m.end(), segs,
+                         (depth, sel_seq.get(depth, 0)))
+                    )
+                last[depth] = "WORD"
+                i = m.end()
+                continue
+            w = _WORD_RE.match(masked, i)
+            if w is None:
+                last[depth] = "WORD"
+                i += 1
+                continue
+            word = w.group(0).lower()
+            if word == "select":
+                in_sel[depth] = True
+                in_from[depth] = False
+                sel_seq[depth] = sel_seq.get(depth, 0) + 1
+                last[depth] = "SELECT"
+            elif word in ("distinct", "all") and last.get(depth) == "SELECT":
+                pass
+            elif word == "from":
+                in_sel[depth] = False
+                in_from[depth] = True
+                in_on[depth] = False
+                last[depth] = "WORD"
+            elif word in ("where", "group", "order", "having", "union",
+                           "intersect", "except", "limit", "window", "on"):
+                in_sel[depth] = False
+                in_from[depth] = word == "on" and in_from.get(depth, False)
+                # inside an ON expression every identifier is a column
+                # reference, not a relation name — stop harvesting until
+                # the next JOIN item (else ``on t1.user.id = ...`` would
+                # poison the strip set with struct-root names)
+                in_on[depth] = word == "on" and in_from.get(depth, False)
+                last[depth] = "WORD"
+            else:
+                if word == "join":
+                    in_on[depth] = False
+                if (
+                    in_from.get(depth)
+                    and not in_on.get(depth)
+                    and word not in _FROM_KEYWORDS
+                ):
+                    from_names.setdefault(
+                        (depth, sel_seq.get(depth, 0)), set()
+                    ).add(word)
+                last[depth] = "WORD"
+            i = w.end()
+            continue
+        if not c.isspace():
+            last[depth] = c
+        i += 1
+
+    if not candidates:
+        return sql
+    out, cur = [], 0
+    for s0, e0, segs, key in candidates:
+        names = from_names.get(key, set())
+        path = list(segs)
+        # strip EVERY leading FROM-clause identifier, not just one: a
+        # db-qualified reference ``JOINS.part_.p_partkey`` contributes
+        # both ``joins`` and ``part_`` as FROM words, and Tajo renders
+        # it by the bare column (golden:
+        # TestInnerJoinQuery/testJoinOnMultipleDatabases header)
+        while len(path) > 1 and path[0].lower() in names:
+            path = path[1:]
+        if len(path) < 2:
+            continue  # a plain qualified column keeps Spark's leaf name
+        alias = "/".join(p.strip("`") for p in path)
+        out.append(sql[cur:e0])
+        out.append(f" AS `{alias}`")
+        cur = e0
+    out.append(sql[cur:])
     return "".join(out)
 
 
@@ -1324,9 +1804,32 @@ def zero_sum_distinct(sql: str) -> str:
     return "".join(out)
 
 
+def shared_expression_rewrites(s: str) -> str:
+    """The Tajo-semantics expression rewrites applied to every query
+    body — both standalone statements (translate) and selects embedded
+    in CTAS/INSERT (translate_create_table)."""
+    s = _outside_strings(
+        s,
+        lambda seg: re.sub(
+            r"\bsplit_part\s*\(", "tajo_split_part(", seg,
+            flags=re.IGNORECASE,
+        ),
+    )
+    s = pg_default_null_order(s)
+    s = zero_sum_distinct(s)
+    s = concat_skip_nulls(s)
+    s = round_to_int8(s)
+    s = notin_antijoin(s)
+    s = expand_two_digit_years(s)
+    return s
+
+
 def translate(sql: str) -> str:
     """Full statement rewrite (session statements excluded — those are
     routed by ``parse_session_statement`` first)."""
+    # a prior translate whose caller never executed may have left a
+    # stale CTAS domain-check entry; this statement owns the channel
+    _PENDING_CTAS_CHECK.clear()
     s = sql.strip().rstrip(";")
     s = translate_quoted_identifiers(s)
     # named windows are inlined FIRST so every OVER carries a full spec
@@ -1353,20 +1856,9 @@ def translate(sql: str) -> str:
     s = translate_similar_to(s)
     s = _translate_to_char_formats(s)
     s = _translate_pg_codec(s)
-    # split_part: Tajo (SplitPart.java:56-69) NULLs blank input and
-    # out-of-range indexes where Spark's builtin returns '' — route to
-    # the parity function (functions/registry.py); Spark refuses to
-    # shadow a builtin name, hence the rename
-    s = _outside_strings(
-        s,
-        lambda seg: re.sub(
-            r"\bsplit_part\s*\(", "tajo_split_part(", seg,
-            flags=re.IGNORECASE,
-        ),
-    )
     s = name_unaliased_text_literals(s)
-    s = pg_default_null_order(s)
-    s = zero_sum_distinct(s)
+    s = name_nested_path_items(s)
+    s = shared_expression_rewrites(s)
     if re.match(r"^\s*ALTER\b", s, re.IGNORECASE):
         # only column-definition lists carry type names in ALTER; a
         # whole-statement rewrite would rename identifiers like a

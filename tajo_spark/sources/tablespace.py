@@ -123,7 +123,38 @@ def _hbase_reader(spark: SparkSession, uri: str, options: dict) -> DataFrame:
     )
 
 
+class UndefinedTablespaceError(ValueError):
+    """CREATE TABLE ... TABLESPACE <name> with an unregistered name —
+    Tajo's UndefinedTablespaceException (raised by
+    TablespaceManager.getByName; golden:
+    TestCreateTable/negative/create_table_on_absent_tablespace.sql)."""
+
+
+# NAMED tablespaces (Tajo's ``TABLESPACE space_name`` DDL clause —
+# names resolve via the catalog, distinct from the URI-scheme handler
+# registry above).  Value is the root URI tables in the space live
+# under, or None for "engine default" (the Spark warehouse).
+_NAMED: dict[str, str | None] = {}
+
+
+def register_named_tablespace(name: str, root_uri: str | None) -> None:
+    _NAMED[name.lower()] = root_uri
+
+
+def named_tablespace_root(name: str) -> str | None:
+    """Root URI for a named tablespace; raises like
+    TablespaceManager.getByName on an unknown name."""
+    try:
+        return _NAMED[name.lower()]
+    except KeyError:
+        raise UndefinedTablespaceError(
+            f"undefined tablespace: {name} "
+            f"(registered: {sorted(_NAMED)})"
+        ) from None
+
+
 def register_builtin_tablespaces() -> None:
+    register_named_tablespace("default", None)
     for scheme in ("file", "hdfs", "s3a", "s3", "gs", "abfss"):
         register_tablespace(Tablespace(
             scheme, _path_reader, _path_writer,

@@ -309,3 +309,30 @@ def test_analyze_table_rejects_temp_views(engine, spark, tmp_path):
     with _pytest.raises(NotImplementedError, match="catalog table"):
         engine.analyze_table("ext_stats_t")
     engine.drop_table("ext_stats_t")
+
+
+def test_ctas_declared_schema_domain_check(engine, spark):
+    """LogicalPlanVerifier.ensureDomains parity: a CTAS column list
+    retypes positionally, but only along Tajo-castable pairs
+    (CatalogUtil.OPERATION_CASTING_MAP) — TEXT into INT8 is rejected
+    (golden: TestCreateTable/negative/type_mismatch.sql), INT into
+    TEXT/INT8 widening is allowed."""
+    from tajo_spark.plans.dialect import CtasDataTypeMismatch
+
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, v string"
+    ).createOrReplaceTempView("dom_src")
+    with pytest.raises(CtasDataTypeMismatch, match="not compatible"):
+        engine.execute_sql(
+            "CREATE TABLE dom_bad (k TEXT, v INT8) AS SELECT * FROM dom_src"
+        )
+    engine.execute_sql("DROP TABLE IF EXISTS dom_ok")
+    engine.execute_sql(
+        "CREATE TABLE dom_ok (kk INT8, vv TEXT) AS SELECT * FROM dom_src"
+    )
+    got = spark.table("dom_ok")
+    assert [f.dataType.simpleString() for f in got.schema] == [
+        "bigint", "string",
+    ]
+    assert got.count() == 2
+    engine.execute_sql("DROP TABLE dom_ok")

@@ -256,9 +256,28 @@ def test_nested_record_ddl_end_to_end(engine, spark, tmp_path):
 
 def test_unparseable_create_never_leaks_placeholder():
     out = dialect.translate(
-        "CREATE TABLE t (a INT4) TABLESPACE weird USING PARQUET"
+        "CREATE TABLE t (a INT4) FOO BAR definitely not DDL"
     )
     assert "#COLS#" not in out and "a INT4" in out
+
+
+def test_tablespace_clause_resolves_by_name():
+    from tajo_spark.sources.tablespace import (
+        UndefinedTablespaceError,
+        register_named_tablespace,
+    )
+
+    # unknown name → UndefinedTablespaceException parity (golden:
+    # TestCreateTable/negative/create_table_on_absent_tablespace.sql)
+    with pytest.raises(UndefinedTablespaceError):
+        dialect.translate("CREATE TABLE t (a INT4) TABLESPACE weird")
+    # the builtin default space maps to the warehouse (no LOCATION)
+    out = dialect.translate("CREATE TABLE t (a INT4) TABLESPACE default")
+    assert "LOCATION" not in out and "TABLESPACE" not in out
+    # a registered rooted space places the table under its root
+    register_named_tablespace("space1", "file:///tmp/ts_space1")
+    out = dialect.translate("CREATE TABLE db.t2 (a INT4) TABLESPACE space1")
+    assert "LOCATION 'file:///tmp/ts_space1/t2'" in out
 
 
 def test_alias_named_like_type_survives():

@@ -114,6 +114,9 @@ TPCH_FULL_SCHEMAS = {
 
 NEGATIVE_MARKERS = ("/negative/", "/errors/")
 
+# filled during a run: (rel_path, expected_class, observed_class, ok)
+REJECT_ROWS: list[tuple[str, str, str, bool]] = []
+
 # Tajo-isms the reference executes but ANSI SQL (and Spark) reject by
 # design — kept as documented divergences rather than shim hacks:
 #   * SELECT-list alias referenced in WHERE (testWhereCond1, ...)
@@ -166,6 +169,78 @@ EXPECTED_REJECT_PARSE_ONLY = {
 CAPABILITY_SUPERSET = {
     "TestCreateTable/negative/map_type.sql",
 }
+
+# Expected REJECTION REASON class per negative golden (VERDICT r04 #8:
+# a wrong-reason rejection must not hide behind "it raised").  Classes:
+#   parse       the statement never parses (reference gate:
+#               TestSQLAnalyzer/errors — SQLAnalyzer throws)
+#   resolution  parses, but a referenced table/column/function does
+#               not exist or is out of scope
+#   semantic    parses and resolves, but violates a rule (non-grouped
+#               projection, non-constant LIMIT, unknown format/space,
+#               schema arity mismatch, duplicate table)
+# Observed classes are derived from the engine's error condition names
+# (PARSE_SYNTAX_ERROR → parse, UNRESOLVED_*/TABLE_OR_VIEW_NOT_FOUND →
+# resolution, everything else raised by analysis → semantic).
+EXPECTED_REJECT_CLASS = {
+    # garbage token inside subquery select list / '1from' / LEFTT
+    "TestSQLAnalyzer/errors/identifier1.sql": "parse",
+    "TestSQLAnalyzer/errors/in_subquery_1.sql": "parse",
+    "TestSQLAnalyzer/errors/join_1.sql": "parse",
+    # select 1 + col1 (no FROM): col1 unresolvable
+    "TestSelectQuery/negative/operations.sql": "resolution",
+    # select * from lineite: typo'd table
+    "TestSelectQuery/negative/tables.sql": "resolution",
+    # CREATE ... TABLESPACE unknown: catalog lookup of the tablespace
+    # name fails (TablespaceManager.getByName →
+    # UndefinedTablespaceException — a name-resolution failure)
+    "TestCreateTable/negative/create_table_on_absent_tablespace.sql":
+        "resolution",
+    # re-CREATE of an existing table without IF NOT EXISTS
+    "TestCreateTable/negative/create_table_on_already_exist_tables.sql":
+        "semantic",
+    # CTAS column list arity/type mismatch vs SELECT schema
+    "TestCreateTable/negative/type_mismatch.sql": "semantic",
+    # select * ... group by: non-grouped columns projected (a
+    # validation-phase error in the reference's planner)
+    "TestQueryValidation/error_groupby_1.sql": "semantic",
+    # group by l_paerkey: typo'd column
+    "TestQueryValidation/error_groupby_2.sql": "resolution",
+    # CASE comparing int PERIOD against INTERVAL literal
+    "TestQueryValidation/invalid_casewhen_1.sql": "semantic",
+    # LIMIT l_orderkey: non-constant limit
+    "TestQueryValidation/invalid_limit_1.sql": "parse",
+    # USING RAW: unknown storage format
+    "TestQueryValidation/invalid_store_format.sql": "semantic",
+}
+
+
+# Files where the reference and this engine reject the same RULE in a
+# different PHASE (documented, not hidden): Tajo's grammar only admits
+# a numeric-literal LIMIT, so a column there dies at parse; Spark's
+# grammar admits the expression and analysis rejects the non-constant.
+ALLOWED_PHASE_SHIFT = {
+    "TestQueryValidation/invalid_limit_1.sql": ("parse", "semantic"),
+}
+
+
+def observed_reject_class(msg: str) -> str:
+    if "PARSE_SYNTAX_ERROR" in msg or "ParseException" in msg:
+        return "parse"
+    if (
+        "UNRESOLVED_COLUMN" in msg
+        or "UNRESOLVED_ROUTINE" in msg
+        or "TABLE_OR_VIEW_NOT_FOUND" in msg
+        or "UNRESOLVED_FIELD" in msg
+        # name-BINDING failures are resolution errors too: a reference
+        # that binds to several relations, or a star over an alias
+        # that names none
+        or "AMBIGUOUS_REFERENCE" in msg
+        or "CANNOT_RESOLVE_STAR_EXPAND" in msg
+        or "undefined tablespace" in msg
+    ):
+        return "resolution"
+    return "semantic"
 
 
 # Generic fixture tables many parse-level suites (TestSQLAnalyzer,
@@ -594,6 +669,30 @@ def classify_and_run(eng, path: str, known_tables: set[str]) -> str:
         return "unexpected-pass" if negative else "pass"
     except Exception as exc:
         if negative:
+            msg = str(exc)
+            observed = observed_reject_class(msg)
+            expected = EXPECTED_REJECT_CLASS.get(rel)
+            if expected is None and rel in EXPECTED_REJECT_PARSE_ONLY:
+                # parse-only positive goldens: the reference asserts
+                # ONLY that these parse; this runner executes them
+                # fully, so the honest contract is "parses, then
+                # rejects at some post-parse phase" (which phase
+                # depends on the staged fixture shapes — ambiguity vs
+                # missing column vs arity)
+                expected = "post-parse"
+            if expected is not None:
+                ok = (
+                    observed != "parse"
+                    if expected == "post-parse"
+                    else (
+                        observed == expected
+                        or ALLOWED_PHASE_SHIFT.get(rel)
+                        == (expected, observed)
+                    )
+                )
+                REJECT_ROWS.append((rel, expected, observed, ok))
+                if not ok:
+                    return "reject-reason-mismatch"
             return "expected-reject"
         msg = str(exc)
         # fixtures this harness can't stage, surfaced at resolution time
@@ -686,6 +785,31 @@ def main() -> None:
     if failures:
         lines += ["", "## Open divergences", ""]
         lines += [f"- {f}" for f in failures]
+    if REJECT_ROWS:
+        lines += [
+            "",
+            "## Rejection reasons (negative goldens)",
+            "",
+            "Expected class = how the REFERENCE rejects (parse /",
+            "resolution / semantic — see EXPECTED_REJECT_CLASS in",
+            "tools/golden_audit.py); observed = this engine's error",
+            "condition class.  `phase-shift` rows reject the same rule",
+            "in a different phase (documented in ALLOWED_PHASE_SHIFT).",
+            "",
+            "| golden | expected | observed | verdict |",
+            "|---|---|---|---|",
+        ]
+        for rel, expected, observed, ok in sorted(REJECT_ROWS):
+            if expected == "post-parse":
+                verdict = "match" if ok else "MISMATCH"
+            else:
+                verdict = (
+                    "match" if observed == expected
+                    else ("phase-shift" if ok else "MISMATCH")
+                )
+            lines.append(
+                f"| {rel} | {expected} | {observed} | {verdict} |"
+            )
 
     report = "\n".join(lines) + "\n"
     print(report)

@@ -115,6 +115,85 @@ KNOWN_DIVERGENCES = {
     "TestGroupByQuery/testDistinctPythonUdafWithUnion1": (
         "same all-null-group miscount as testDistinctAggregationWithUnion1"
     ),
+    # The engine reproduces Tajo's null-ignoring NOT IN anti-join
+    # (dialect.notin_antijoin: outer null keys kept, subquery nulls
+    # ignored) — these three goldens additionally show the reference
+    # emitting ONE row for the THREE null-key outer rows (its hash
+    # anti-join buckets null keys together), i.e. it drops two input
+    # rows; this engine keeps all three.
+    **{
+        f"TestInSubquery/{t}": (
+            "reference anti-join collapses multiple null-key outer "
+            "rows to one"
+        )
+        for t in ("testNotInSubQuery", "testMultipleNotInSubQuery",
+                   "testNestedNotInSubQuery")
+    },
+    # TestCTASQuery.java:227-252 call resultSetToString WITHOUT
+    # assertResultSet — these two .result files are never asserted by
+    # the reference's own gate, and they are stale: they expect a
+    # ``key`` column the checked-in CtasWithOptions/TextFile DDLs do
+    # not produce (two-column select, no partition clause)
+    "TestCTASQuery/testCtasWithOptions": (
+        "golden never asserted by the reference and predates the DDL "
+        "(expects a key column the CTAS does not produce)"
+    ),
+    "TestCTASQuery/testCtasWithTextFile": (
+        "golden never asserted by the reference and predates the DDL "
+        "(expects a key column the CTAS does not produce)"
+    ),
+    # TestCTASQuery.java:175-182 likewise calls resultSetToString
+    # WITHOUT assertResultSet, and the golden's content is provably
+    # stale: it holds every row TWICE although the query is a
+    # deduplicating UNION of two identical branches, and its
+    # avg(l_partkey) column is 0 where the fixture's rows give 1.0/2.0
+    # (DuckDB on the reference's own lineitem.tbl agrees with this
+    # engine: 3 rows, totals (1,1.0,17.0),(1,1.0,36.0),(2,2.0,38.0)).
+    "TestCTASQuery/testCtasWithUnion": (
+        "golden never asserted by the reference and arithmetically "
+        "stale (duplicated rows from a deduplicating UNION, avg=0)"
+    ),
+    # Spark's catalog is case-insensitive (spark.sql.caseSensitive
+    # default): "TABLE1" and "tablE1" cannot coexist, so the one golden
+    # that UNIONs both quoted spellings is not stageable
+    "TestCreateTable/quoted_identifier_mixed_chars_3": (
+        "case-insensitive catalog cannot hold both \"TABLE1\" and "
+        "\"tablE1\""
+    ),
+    # Tajo evaluates int/int division as truncating integer division
+    # (Java semantics, like PostgreSQL); Spark's `/` always yields
+    # double (`div` has the Tajo semantics).  A textual rewrite cannot
+    # know operand types, so this stays a documented dialect
+    # divergence.
+    "TestInnerJoinQuery/testJoinCoReferredEvalsWithSameExprs1": (
+        "int/int division: Tajo truncating int, Spark double — use div()"
+    ),
+    "TestInnerJoinQuery/testJoinCoReferredEvalsWithSameExprs2": (
+        "int/int division: Tajo truncating int, Spark double — use div()"
+    ),
+    # Tajo pushes a filter on a non-partition column BELOW a window
+    # operator (rank computed after the subquery filter); the standard
+    # evaluation order (and Spark) ranks first, filters after.
+    "TestWindowQuery/testWindowWithSubQuery2": (
+        "reference pushes the outer filter below rank() — standard "
+        "order ranks all rows first"
+    ),
+    "TestWindowQuery/testWindowWithSubQuery6": (
+        "reference pushes the outer filter below rank() — standard "
+        "order ranks all rows first"
+    ),
+    # Tajo's self-describing tables read every JSON primitive as TEXT
+    # and re-parse per query (booleans render 'false', twitter-format
+    # dates parse as timestamps, text<->int comparisons coerce); this
+    # engine uses Spark's typed schema inference.
+    "TestSelectNestedRecord/testSelect2": (
+        "self-desc JSON: reference reads primitives as TEXT; this "
+        "engine infers types"
+    ),
+    "TestQueryOnSelfDescTable/testJoinWithSchemaFullTable4": (
+        "self-desc JSON: text-typed favourites_count <> first_name "
+        "comparison coerces differently under typed inference"
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -138,6 +217,13 @@ REAL_BASE_TABLES = {
     # reference's own JSON datasets, schema-inferred
     "self_desc_table1", "self_desc_table2", "self_desc_table3",
     "github", "sample1", "sample2", "sample5", "tweets",
+    # CTAS clones of the real part/supplier fixtures in the JOINS
+    # database (golden_audit stages them for db-qualified goldens)
+    "part_", "supplier_",
+    # the reference's information_schema.session virtual table: the
+    # golden pins exactly (CURRENT_DATABASE, default), which is what
+    # the staged view holds
+    "session",
 }
 
 # Scratch tables transcribed row-for-row from the suite Java setups.
@@ -290,6 +376,34 @@ FILE_FIXTURES: dict[str, dict] = {
         "tables": {"timezoned3": ("rows_tz", 9)},
         "prep": ["SET TIME ZONE 'GMT+9'"],
     },
+    # TestCreateTable.java:223-254 — mixed-case quoted-identifier table
+    # over dataset/TestCreateTable/table1 (1|abc|2 ...); Spark's
+    # case-insensitive catalog resolves "TABLE1" to this view
+    **{
+        f"TestCreateTable/quoted_identifier_mixed_chars_{i}": {
+            "tables": {
+                "TABLE1": (
+                    "rows", "`aGe` INT, `teXt` STRING, `Number` INT",
+                    [(1, "abc", 2), (2, "def", 5), (3, "ghi", 8)],
+                )
+            },
+        }
+        for i in (1, 2)
+    },
+    # TestCreateTable testDelimitedIdentifierWithNonAsciiCharacters —
+    # same dataset under the Korean quoted name
+    **{
+        f"TestCreateTable/quoted_identifier_non_ascii_{i}": {
+            "tables": {
+                "테이블1": (
+                    "rows",
+                    "`아이디` INT, `텍스트` STRING, `숫자` INT",
+                    [(1, "abc", 2), (2, "def", 5), (3, "ghi", 8)],
+                )
+            },
+        }
+        for i in (1, 2, 3)
+    },
     # TestInnerJoinQuery.java:205-213 — int8/int4 variants of the
     # reference's TestJoinQuery table1/table2 datasets
     "TestInnerJoinQuery/testDifferentTypesJoinCondition": {
@@ -305,6 +419,99 @@ FILE_FIXTURES: dict[str, dict] = {
     # TestCaseByCases.java:187 — CTAS over the staged lineitem fixture
     "TestCaseByCases/testTAJO1224Case1": {
         "tables": {"tajo1224": ("sql", "select * from lineitem")},
+    },
+    # TestJsonWithTimezone.java:33-95 — the same three lenient-format
+    # rows as TestSelectQuery's timezoned suite, shipped as JSON
+    "TestJsonWithTimezone/testTimezonedTable1": {
+        "tables": {"timezoned1": ("rows_tz", 0)},
+        "prep": ["SET TIME ZONE 'GMT'"],
+    },
+    "TestJsonWithTimezone/testTimezonedTable2": {
+        "tables": {"timezoned2": ("rows_tz", 9)},
+    },
+    "TestJsonWithTimezone/testTimezonedTable3": {
+        "tables": {"timezoned3": ("rows_tz", 9)},
+        "prep": ["SET TIME ZONE 'GMT+9'"],
+    },
+    # TestGroupByQuery.java:496-556 — distinct-aggregation scratch
+    # tables with all-null columns
+    "TestGroupByQuery/testDistinctAggregationCaseByCase3": {
+        "tables": {
+            "table10": (
+                "rows", "col1 STRING, col2 STRING, col3 STRING",
+                [("a", "b-1", None), ("a", "b-2", None),
+                 ("a", "b-2", None), ("a", "b-3", None),
+                 ("a", "b-3", None), ("a", "b-3", None)],
+            )
+        },
+    },
+    "TestGroupByQuery/testDistinctAggregationCaseByCase4": {
+        "tables": {
+            "testdistinctaggregationcasebycase4": (
+                "rows", "col1 STRING, col2 STRING",
+                [("a", None)] * 6,
+            )
+        },
+    },
+    # TestOuterJoinQuery (oj_table{1,2}_ddl.sql over the TestJoinQuery
+    # datasets)
+    "TestOuterJoinQuery/testOuterJoinAndCaseWhen1": {
+        "tables": {
+            "testouterjoinandcasewhen1": (
+                "text", DS_ROOT + "/TestJoinQuery/table1",
+                "id int, name string, score float, type string", "|",
+                "NULL",
+            ),
+            "testouterjoinandcasewhen2": (
+                "text", DS_ROOT + "/TestJoinQuery/table2",
+                "id int, name string, score float, type string", "|",
+                "NULL",
+            ),
+        },
+    },
+    # TestJoinQuery.java:196-206 — nation split across files plus an
+    # empty data file; content IS nation
+    **{
+        f"TestOuterJoinQuery/{t}": {
+            "tables": {
+                "nation_multifile": (
+                    "sql",
+                    "select cast(n_nationkey as int) as n_nationkey, "
+                    "n_name, cast(n_regionkey as int) as n_regionkey, "
+                    "n_comment from nation",
+                )
+            },
+        }
+        for t in ("testMultipleBroadcastDataFileWithZeroLength",
+                   "testMultipleBroadcastDataFileWithZeroLength2")
+    },
+    # TestTablePartitions.java:922-947 — the INSERT is rejected
+    # ("smaller expressions than target columns"), so the partitioned
+    # table stays EMPTY when case14/15 count it
+    **{
+        f"TestTablePartitions/{c}": {
+            "tables": {
+                f"testcolumnpartitionedtablewithsmallerexpressions{i}": (
+                    "rows",
+                    "col1 int, col2 int, null_col int, key double", [],
+                )
+            },
+        }
+        for c, i in (("case14", 1), ("case15", 2))
+    },
+    # TestCTASQuery: each golden reads the table its suite's CTAS DDL
+    # file creates (TestCTASQuery.java executeFile("CtasWithX.sql")) —
+    # run the reference's own CTAS through the engine, then the query
+    **{
+        f"TestCTASQuery/testCtasWith{x}": {
+            "creates": [f"testctaswith{x.lower()}"],
+            "prep": [f"DROP TABLE IF EXISTS testctaswith{x.lower()}"],
+            "prep_files": [
+                os.path.join(Q_ROOT, "TestCTASQuery", f"CtasWith{x}.sql")
+            ],
+        }
+        for x in ("Groupby", "Limit", "Options", "Orderby", "TextFile",
+                   "Union")
     },
     # TestSortQuery DDL-staged datasets (TestSortQuery.java:184,205,442)
     "TestSortQuery/testSortWithDate": {
@@ -330,6 +537,10 @@ FILE_FIXTURES: dict[str, dict] = {
 
 def _stage_one(spark, name: str, spec: tuple) -> None:
     kind = spec[0]
+    if kind == "parquet":
+        df = spark.read.parquet(spec[1])
+        df.coalesce(1).createOrReplaceTempView(name)
+        return
     if kind == "text":
         _, path, ddl, delim, nullv = spec
         # Tajo's text serde: a field equal to the null marker is NULL,
@@ -360,7 +571,16 @@ def _stage_one(spark, name: str, spec: tuple) -> None:
     else:  # rows
         _, ddl, rows = spec
         df = spark.createDataFrame(rows, ddl)
-    df.coalesce(1).createOrReplaceTempView(name)
+    if name.isascii():
+        df.coalesce(1).createOrReplaceTempView(name)
+    else:
+        # createOrReplaceTempView rejects non-ASCII names; the SQL path
+        # accepts them under backticks (same route golden_audit uses)
+        df.coalesce(1).createOrReplaceTempView("__nonascii_src")
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY VIEW `{name}` AS "
+            "SELECT * FROM __nonascii_src"
+        )
 
 
 def stage_real(spark) -> dict[str, set[str]]:
@@ -370,6 +590,14 @@ def stage_real(spark) -> dict[str, set[str]]:
     import golden_audit
 
     golden_audit.stage(spark)
+    # golden_audit reads the *_parquet join datasets as pipe text, but
+    # they are PARQUET files (TestInnerJoinQuery's empty-rows fixtures:
+    # header-only parquet parts beside one populated part) — re-stage
+    # them as what they are
+    dj = DS_ROOT + "/TestJoinQuery"
+    for view in ("customer_parquet", "nation_parquet"):
+        if os.path.isdir(os.path.join(dj, view)):
+            _stage_one(spark, view, ("parquet", os.path.join(dj, view)))
     per_suite: dict[str, set[str]] = {}
     for suite, tables in TRANSCRIBED.items():
         per_suite[suite] = set(REAL_BASE_TABLES) | set(tables)
@@ -640,8 +868,10 @@ def main() -> None:
             continue
         key = f"{suite}/{stem}"
         fixture = FILE_FIXTURES.get(key, {})
-        real = set(per_suite_real.get(suite, REAL_BASE_TABLES)) | set(
-            fixture.get("tables", {})
+        real = (
+            set(per_suite_real.get(suite, REAL_BASE_TABLES))
+            | set(fixture.get("tables", {}))
+            | set(fixture.get("creates", ()))
         )
         refs = table_refs(low)
         if not refs <= real:
@@ -656,8 +886,19 @@ def main() -> None:
         body = re.sub(r"\bdefault\.", "", body, flags=re.IGNORECASE)
         tz_before = spark.conf.get("spark.sql.session.timeZone", None)
         try:
+            for name in fixture.get("creates", ()):
+                # a fresh in-memory catalog doesn't know about table
+                # dirs a PREVIOUS harness process left in the warehouse
+                import shutil as _sh
+
+                _sh.rmtree(
+                    os.path.join(REPO, "spark-warehouse", name),
+                    ignore_errors=True,
+                )
             for stmt in fixture.get("prep", ()):
                 eng.execute_sql(stmt)
+            for pf in fixture.get("prep_files", ()):
+                eng.execute_script(open(pf).read())
             dfs = [d for d in eng.execute_script(body) if d is not None]
             if not dfs:
                 cats[suite]["exec-error"] += 1
@@ -675,6 +916,17 @@ def main() -> None:
                 spark.conf.set("spark.sql.session.timeZone", tz_before)
             else:
                 spark.conf.unset("spark.sql.session.timeZone")
+            # a per-file overlay may shadow a generic fixture name
+            # (suites reuse table1/table2); restore the generic view so
+            # later files see what they staged against
+            import golden_audit as _ga
+
+            for name in fixture.get("tables", {}):
+                gen = _ga.GENERIC_FIXTURES.get(name.lower())
+                if gen is not None:
+                    spark.createDataFrame(gen[1], gen[0]).coalesce(
+                        1
+                    ).createOrReplaceTempView(name.lower())
         has_order = "order by" in low
         cat = compare(header, rows, golden, has_order)
         if cat == "value-diff" and f"{suite}/{stem}" in KNOWN_DIVERGENCES:
