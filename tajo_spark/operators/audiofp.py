@@ -14,11 +14,14 @@ Haitsma–Kalker system computes the same rule over 33 spectral subbands
 per frame; a deployment swaps the energy vector for subband energies
 (FFT in the Arrow kernel) and everything downstream is unchanged.
 
-Decode stubbing follows operators/phash.py: codecs aren't in this
-container, so with ``fake=True`` the waveform is the payload's byte
-sequence — deterministic AND locality-preserving, so perceptual
-proximity is exercised honestly.  A deployment replaces only the
-decode line (soundfile/ffmpeg → PCM samples).
+Decoding follows operators/phash.py: with ``fake=False`` payloads are
+decoded as REAL WAV/PCM through the pure-stdlib codec
+(operators/codecs.py — RIFF via the ``wave`` module, integer mono
+downmix); compressed formats raise NotImplementedError there (a
+soundfile/ffmpeg deployment widens only that seam).  With
+``fake=True`` the waveform is the payload's byte sequence —
+deterministic AND locality-preserving — which is what the driver's
+SQL oracle diffs against.
 
 Scale shape: identical to phash — one Arrow map pass to 4×16-bit band
 ints (8 bytes/clip of index state), then the SAME banded-LSH machinery
@@ -75,14 +78,15 @@ def audio_fingerprint(
     SHARED banded-hash Arrow loop (phash.banded_hash_frame — only the
     decode and bits kernels differ from the image hasher).  Clips
     shorter than ``min_len`` samples are dropped."""
+    from tajo_spark.operators.codecs import wav_mono_signal
+
     return banded_hash_frame(
         binary_df,
         _fake_waveform,
         energy_diff_bits,
         fake,
         min_len,
-        "audio codecs unavailable; deploy with soundfile/ffmpeg and "
-        "replace the decode line",
+        wav_mono_signal,
     )
 
 

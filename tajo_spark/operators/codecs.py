@@ -1,0 +1,332 @@
+"""Pure-stdlib media codecs: PNG (zlib) and WAV (wave module).
+
+This container ships no media libraries (no PIL/opencv/soundfile), but
+a real decode path matters: the perceptual near-dup operators
+(operators/phash.py, operators/audiofp.py) and the multimodal stages
+(operators/multimodal.py) should run on actual encoded bytes, not only
+on the deterministic fake twins.  Both formats here need nothing
+beyond the Python standard library:
+
+  * PNG — container chunks are ``struct``-parsed, pixel data is
+    ``zlib``-compressed scanlines with five per-row predictors
+    (None/Sub/Up/Average/Paeth — RFC 2083 §6); unfiltering is the only
+    real work and is implemented row-vectorized in numpy.  Supported:
+    8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette), 4
+    (gray+alpha), 6 (RGBA), non-interlaced.  16-bit depth and Adam7
+    interlacing raise ``NotImplementedError`` (rare in training
+    corpora; a PIL deployment handles them through the same kernel
+    seam).
+  * WAV — stdlib ``wave`` handles the RIFF container; 8/16/32-bit PCM
+    frames are decoded with numpy and downmixed to mono by integer
+    channel mean.
+
+JPEG and compressed-audio formats remain gated (``sniff`` returns
+``None`` → the callers' NotImplementedError path): a baseline-JPEG
+entropy decoder is not a reasonable stdlib exercise, and deployments
+carry libjpeg via PIL anyway.
+
+Everything is executor-side code — these functions run inside Arrow
+``mapInPandas`` batches; nothing here touches Spark or the driver.
+
+Reference parity: apache/tajo has no media operators; this closes the
+"decode is the only simulated stage" gap called out in round 4.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# channels per PNG color type (3 = palette expands to RGB on decode)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def sniff(payload: bytes) -> str | None:
+    """Cheap container sniff: 'png' | 'wav' | None (unknown/gated)."""
+    if payload[:8] == PNG_SIG:
+        return "png"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# PNG
+
+
+def _png_chunks(payload: bytes):
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        yield ctype, data
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IEND":
+            break
+
+
+def png_header(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from IHDR alone — no decompression, so
+    metadata extraction stays O(header) per image regardless of pixel
+    count (what image_metadata wants at corpus scale)."""
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            w, h, depth, color = struct.unpack(">IIBB", data[:10])
+            if color not in _PNG_CHANNELS:
+                raise ValueError(f"unknown PNG color type {color}")
+            ch = 3 if color == 3 else _PNG_CHANNELS[color]
+            return w, h, ch
+    raise ValueError("PNG missing IHDR")
+
+
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo the five per-scanline predictors (RFC 2083 §6.5-6.9).
+
+    ``raw`` is the decompressed byte stream: h rows of
+    (1 filter byte + stride pixel bytes).  Rows depend on the previous
+    row, so the outer loop is per-row; within a row, Sub/Average/Paeth
+    recurrences step by ``bpp`` — vectorized across the bpp lanes."""
+    rows = raw.reshape(h, stride + 1)
+    filters = rows[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        cur = rows[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else zero.astype(np.int32)
+        f = int(filters[y])
+        if f == 0:  # None
+            line = cur
+        elif f == 2:  # Up
+            line = (cur + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: left-recurrent
+            line = np.empty(stride, dtype=np.int32)
+            for x0 in range(0, stride, bpp):
+                seg = slice(x0, min(x0 + bpp, stride))
+                left = (
+                    line[x0 - bpp : x0 - bpp + (seg.stop - seg.start)]
+                    if x0
+                    else zero[seg].astype(np.int32)
+                )
+                if f == 1:
+                    line[seg] = (cur[seg] + left) & 0xFF
+                elif f == 3:
+                    line[seg] = (cur[seg] + ((left + prev[seg]) >> 1)) & 0xFF
+                else:  # Paeth
+                    ul = (
+                        out[y - 1, x0 - bpp : x0 - bpp + (seg.stop - seg.start)]
+                        .astype(np.int32)
+                        if (y and x0)
+                        else zero[seg].astype(np.int32)
+                    )
+                    p = left + prev[seg] - ul
+                    pa, pb, pc = (
+                        np.abs(p - left),
+                        np.abs(p - prev[seg]),
+                        np.abs(p - ul),
+                    )
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        left,
+                        np.where(pb <= pc, prev[seg], ul),
+                    )
+                    line[seg] = (cur[seg] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = line.astype(np.uint8)
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (H, W, C) uint8 array (palette expanded to RGB)."""
+    w = h = depth = color = None
+    idat: list[bytes] = []
+    plte = None
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data[:13]
+            )
+            if depth != 8:
+                raise NotImplementedError(
+                    f"PNG bit depth {depth} unsupported (8 only)"
+                )
+            if interlace:
+                raise NotImplementedError("Adam7 interlacing unsupported")
+            if color not in _PNG_CHANNELS:
+                raise ValueError(f"unknown PNG color type {color}")
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    px = _unfilter(raw, h, stride, ch).reshape(h, w, ch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        px = plte[px[:, :, 0]]
+    return px
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """(H, W[, C]) uint8 → PNG bytes.  ``filter_type`` applies one
+    predictor to every row (0/1/2/3/4) — exercising each unfilter path
+    in tests is the point; production writers pick per-row."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    lines = []
+    prev = np.zeros((w, ch), dtype=np.int32)
+    for y in range(h):
+        cur = a[y].astype(np.int32)
+        left = np.vstack([np.zeros((1, ch), dtype=np.int32), cur[:-1]])
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = (cur - left) & 0xFF
+        elif filter_type == 2:
+            filt = (cur - prev) & 0xFF
+        elif filter_type == 3:
+            filt = (cur - ((left + prev) >> 1)) & 0xFF
+        elif filter_type == 4:
+            ul = np.vstack([np.zeros((1, ch), dtype=np.int32), prev[:-1]])
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            filt = (cur - pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {filter_type}")
+        lines.append(bytes([filter_type]) + filt.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), 6)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+# integer ITU-R BT.601 luma — same cross-multiplied-integer discipline
+# as phash.blockhash_bits, so every engine agrees bit-for-bit
+_LUMA = np.array([299, 587, 114], dtype=np.int64)
+
+
+def png_gray_signal(payload: bytes) -> np.ndarray:
+    """PNG bytes → flattened row-major uint8 grayscale — the real
+    decode twin of phash._fake_gray_signal (same output convention)."""
+    px = decode_png(payload)
+    ch = px.shape[2]
+    if ch == 1:
+        g = px[:, :, 0]
+    elif ch == 2:  # gray+alpha: alpha does not change luminance
+        g = px[:, :, 0]
+    else:  # RGB / RGBA
+        g = (
+            (px[:, :, :3].astype(np.int64) * _LUMA).sum(axis=2) // 1000
+        ).astype(np.uint8)
+    return g.flatten()
+
+
+def block_mean_resize(px: np.ndarray, rw: int, rh: int) -> np.ndarray:
+    """(H, W, C) → (rh, rw, C) by floor-boundary block means — the same
+    integer block rule as phash.blockhash_bits, lifted to 2-D.  Exact
+    area-average downsample; for upscale it degenerates to nearest."""
+    h, w, ch = px.shape
+    yb = (np.arange(rh + 1) * h) // rh
+    xb = (np.arange(rw + 1) * w) // rw
+    # 2-D prefix sums per channel → any block sum is 4 lookups
+    csum = np.zeros((h + 1, w + 1, ch), dtype=np.int64)
+    csum[1:, 1:] = px.astype(np.int64).cumsum(0).cumsum(1)
+    bsum = (
+        csum[yb[1:, None], xb[None, 1:]]
+        - csum[yb[:-1, None], xb[None, 1:]]
+        - csum[yb[1:, None], xb[None, :-1]]
+        + csum[yb[:-1, None], xb[None, :-1]]
+    )
+    area = (
+        (yb[1:] - yb[:-1])[:, None] * (xb[1:] - xb[:-1])[None, :]
+    )[:, :, None]
+    area = np.maximum(area, 1)
+    return (bsum // area).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# WAV
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """WAV bytes → (sample_rate, mono int32 samples).
+
+    8-bit PCM is unsigned (centered at 128 → shifted to signed),
+    16/32-bit are signed little-endian; channels downmix by integer
+    mean.  Returns int32 so downstream int64 energy math never
+    overflows."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        sr = wf.getframerate()
+        nch = wf.getnchannels()
+        width = wf.getsampwidth()
+        frames = wf.readframes(wf.getnframes())
+    if width == 1:
+        s = np.frombuffer(frames, dtype=np.uint8).astype(np.int32) - 128
+    elif width == 2:
+        s = np.frombuffer(frames, dtype="<i2").astype(np.int32)
+    elif width == 4:
+        s = np.frombuffer(frames, dtype="<i4").astype(np.int32)
+    else:
+        raise NotImplementedError(f"{width * 8}-bit WAV unsupported")
+    if nch > 1:
+        s = s[: (len(s) // nch) * nch].reshape(-1, nch).sum(axis=1) // nch
+    return sr, s
+
+
+def wav_header(payload: bytes) -> tuple[int, int]:
+    """(sample_rate, n_samples) from the container alone — no frame
+    read, O(header) per clip (what audio_metadata wants)."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        return wf.getframerate(), wf.getnframes()
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Mono int16 samples → WAV bytes (test/fixture helper)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def wav_mono_signal(payload: bytes) -> np.ndarray:
+    """WAV bytes → mono samples — the real decode twin of
+    audiofp._fake_waveform (same 1-D convention)."""
+    return decode_wav(payload)[1]

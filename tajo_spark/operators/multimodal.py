@@ -6,13 +6,16 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages so the heavy per-item work distributes with the
 partitioning and never touches the driver.
 
-The decode kernels themselves are STUBBED (this container ships no
-image/audio codecs): ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder (seeded by content hash) stands in. The
-Spark-side plumbing — schemas, batch iteration, partition behavior,
-column pruning — is real and is what the tests exercise; a deployment
-drops in PIL/ffmpeg inside the same UDF bodies.
+Decoding: PNG images and WAV audio decode FOR REAL via the
+pure-stdlib codecs in operators/codecs.py (``fake=False`` paths of
+decode_image/decode_audio/resize_image/embed_content — metadata reads
+parse only the container header, O(header) per item).  Other formats
+(JPEG, compressed audio, video) raise ``NotImplementedError`` there; a
+deployment drops PIL/ffmpeg into the same kernel seams.  With
+``fake=True`` a deterministic fake decoder (seeded by content hash)
+stands in — that twin remains the driver-oracle leg, and the
+Spark-side plumbing (schemas, batch iteration, partition behavior,
+column pruning) is identical on both paths.
 
 Scale notes:
   * ``mapInPandas`` streams Arrow record batches — peak memory is one
@@ -69,15 +72,21 @@ def _fake_image_dims(payload: bytes) -> tuple[int, int, int]:
 
 
 def decode_image(batch: pd.DataFrame, fake: bool) -> pd.DataFrame:
-    if not fake:
-        raise NotImplementedError(
-            "image codecs are not available in this environment; "
-            "deploy with PIL/opencv and replace this kernel"
-        )
+    from tajo_spark.operators.codecs import png_header, sniff
+
     rows = []
     for doc_id, payload in zip(batch["doc_id"], batch["content"]):
         payload = bytes(payload)
-        w, hgt, c = _fake_image_dims(payload)
+        if fake:
+            w, hgt, c = _fake_image_dims(payload)
+        elif sniff(payload) == "png":
+            # real container parse — IHDR only, O(header) per image
+            w, hgt, c = png_header(payload)
+        else:
+            raise NotImplementedError(
+                "only PNG decodes in-container (operators/codecs.py); "
+                "deploy with PIL/opencv for JPEG/WebP in this kernel"
+            )
         rows.append(
             (
                 doc_id,
@@ -118,33 +127,54 @@ def resize_image(binary_df: DataFrame, max_side: int = 224,
                  fake: bool = True) -> DataFrame:
     """Resize stage: (doc_id, content) → fixed-bound thumbnail payload.
 
-    Real deployments swap the kernel for PIL/opencv ``thumbnail``; the
-    stub derives target dims from the fake decode (aspect preserved,
-    longest side clamped to ``max_side``) and emits a deterministic
-    payload-key so downstream stages (dedup on resized content,
-    embedding) are exercised end-to-end. Arrow-batched ``mapInPandas``
-    — per-batch memory is bounded by maxRecordsPerBatch, the binary
-    column never transits a shuffle."""
+    With ``fake=False``, PNG payloads resize FOR REAL: stdlib decode →
+    exact area-average (block-mean) downsample → PNG re-encode, the
+    resized bytes in the output column (operators/codecs.py; non-PNG
+    raises there — PIL/opencv widens only that seam).  The fake twin
+    derives target dims from the fake decode and emits a
+    deterministic payload-key, exercising the same schema/flow.
+    Arrow-batched ``mapInPandas`` — per-batch memory is bounded by
+    maxRecordsPerBatch, the binary column never transits a shuffle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tajo_spark.operators.codecs import (
+            block_mean_resize,
+            decode_png,
+            encode_png,
+        )
+
         for batch in batches:
             if not len(batch):
                 continue
-            if not fake:
-                raise NotImplementedError(
-                    "image codecs unavailable; see module doc"
-                )
             rows = []
             for doc_id, payload in zip(batch["doc_id"], batch["content"]):
                 payload = bytes(payload)
-                w, hgt, _ = _fake_image_dims(payload)
+                if fake:
+                    w, hgt, _ = _fake_image_dims(payload)
+                    scale = min(1.0, max_side / max(w, hgt))
+                    rw = max(1, int(w * scale))
+                    rh = max(1, int(hgt * scale))
+                    key = hashlib.md5(
+                        payload + f":{rw}x{rh}".encode()
+                    ).hexdigest()
+                    rows.append(
+                        (doc_id, rw, rh, key.encode()[:16], key[:8])
+                    )
+                    continue
+                px = decode_png(payload)  # raises on gated formats
+                hgt, w = px.shape[:2]
                 scale = min(1.0, max_side / max(w, hgt))
-                rw, rh = max(1, int(w * scale)), max(1, int(hgt * scale))
-                key = hashlib.md5(
-                    payload + f":{rw}x{rh}".encode()
-                ).hexdigest()
+                rw = max(1, int(w * scale))
+                rh = max(1, int(hgt * scale))
+                out = encode_png(block_mean_resize(px, rw, rh))
                 rows.append(
-                    (doc_id, rw, rh, key.encode()[:16], key[:8])
+                    (
+                        doc_id,
+                        rw,
+                        rh,
+                        out,
+                        hashlib.md5(out).hexdigest()[:8],
+                    )
                 )
             yield pd.DataFrame(
                 rows,
@@ -158,17 +188,24 @@ def resize_image(binary_df: DataFrame, max_side: int = 224,
 
 
 def decode_audio(batch: pd.DataFrame, fake: bool) -> pd.DataFrame:
-    if not fake:
-        raise NotImplementedError(
-            "audio codecs are not available in this environment; "
-            "deploy with soundfile/ffmpeg and replace this kernel"
-        )
+    from tajo_spark.operators.codecs import sniff, wav_header
+
     rows = []
     for doc_id, payload in zip(batch["doc_id"], batch["content"]):
         payload = bytes(payload)
-        h = hashlib.md5(payload).digest()
-        sr = (8000, 16000, 44100, 48000)[h[0] % 4]
-        n = 1000 + int.from_bytes(h[1:4], "big") % 100000
+        if fake:
+            h = hashlib.md5(payload).digest()
+            sr = (8000, 16000, 44100, 48000)[h[0] % 4]
+            n = 1000 + int.from_bytes(h[1:4], "big") % 100000
+        elif sniff(payload) == "wav":
+            # real container parse — header only, no frame read
+            sr, n = wav_header(payload)
+        else:
+            raise NotImplementedError(
+                "only WAV/PCM decodes in-container (operators/"
+                "codecs.py); deploy with soundfile/ffmpeg for "
+                "compressed audio in this kernel"
+            )
         rows.append(
             (
                 doc_id,
@@ -228,20 +265,39 @@ def sample_frames(binary_df: DataFrame, every_n: int = 10,
 
 def embed_content(binary_df: DataFrame, dim: int = 16,
                   fake: bool = True) -> DataFrame:
-    """Feature-extraction stage: content → fixed-width float vector
-    (deterministic hash-projection stub; a deployment swaps in a model
-    forward pass — batch shape and schema identical)."""
+    """Feature-extraction stage: content → fixed-width float vector.
+
+    fake twin: deterministic hash projection.  ``fake=False``: a real
+    (if simple) visual feature — PNG decode → grayscale → ``dim``
+    block means scaled to [-1, 1] (operators/codecs.py; non-PNG raises
+    there).  A model deployment swaps the kernel body for a forward
+    pass — batch shape and schema identical."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not fake:
-            raise NotImplementedError("model runtime unavailable; see module doc")
+        import numpy as np
+
+        from tajo_spark.operators.codecs import png_gray_signal
+
         for batch in batches:
             out = []
             for doc_id, payload in zip(batch["doc_id"], batch["content"]):
-                digest = hashlib.sha256(bytes(payload)).digest()
-                vec = [
-                    (digest[i % 32] - 127.5) / 127.5 for i in range(dim)
-                ]
+                payload = bytes(payload)
+                if fake:
+                    digest = hashlib.sha256(payload).digest()
+                    vec = [
+                        (digest[i % 32] - 127.5) / 127.5
+                        for i in range(dim)
+                    ]
+                else:
+                    sig = png_gray_signal(payload).astype(np.float64)
+                    if len(sig) < dim:
+                        sig = np.tile(sig, dim)[: dim]
+                    bounds = (np.arange(dim + 1) * len(sig)) // dim
+                    csum = np.concatenate([[0.0], np.cumsum(sig)])
+                    means = (csum[bounds[1:]] - csum[bounds[:-1]]) / (
+                        bounds[1:] - bounds[:-1]
+                    )
+                    vec = ((means - 127.5) / 127.5).tolist()
                 out.append((doc_id, vec))
             if out:
                 yield pd.DataFrame(out, columns=["doc_id", "embedding"])

@@ -10,13 +10,16 @@ ops; this extends the engine's dedup family (operators/dedup.py
 SimHash) from token space to pixel space with the same banded-LSH
 join shape.
 
-Decode stubbing follows operators/multimodal.py: real codecs are not
-in this container, so with ``fake=True`` the grayscale signal is the
-payload's code-point sequence (deterministic, and — unlike a hash —
-LOCALITY-PRESERVING: near-identical payloads yield near-identical
-fake pixels, so perceptual proximity is exercised for real).  A
-deployment replaces only the decode line with PIL; block means, the
-threshold rule, banding, and the verify join are the production code.
+Decoding: with ``fake=False`` payloads are decoded as REAL PNGs
+through the pure-stdlib codec (operators/codecs.py — zlib inflate +
+scanline unfiltering + integer BT.601 luma); non-PNG formats raise
+NotImplementedError there (a PIL deployment widens only that seam).
+With ``fake=True`` the grayscale signal is the payload's byte
+sequence (deterministic, and — unlike a hash — LOCALITY-PRESERVING:
+near-identical payloads yield near-identical fake pixels), which is
+what the driver's SQL oracle diffs against.  Block means, the
+threshold rule, banding, and the verify join are identical on both
+paths.
 
 Scale shape (identical to SimHash dedup, dedup.py):
   * hashing is one Arrow map pass → 4 × 16-bit band ints per image
@@ -90,22 +93,27 @@ def banded_hash_frame(
     bits_fn,
     fake: bool,
     min_len: int,
-    unavailable_msg: str,
+    real_decode_fn,
 ) -> DataFrame:
     """Shared Arrow kernel loop for every banded perceptual hash:
-    decode each payload with ``decode_fn``, derive 64 bits with
-    ``bits_fn``, pack into 4×16-bit band ints.  Parameterizing the two
-    kernel calls keeps the image (block-mean) and audio
-    (energy-difference) hashers on ONE loop, so batch handling /
-    min-length drops / the fake gate cannot silently diverge."""
+    decode each payload with ``decode_fn`` (fake twin) or
+    ``real_decode_fn`` (actual codec — operators/codecs.py; raises
+    NotImplementedError on formats the stdlib can't decode, e.g.
+    JPEG), derive 64 bits with ``bits_fn``, pack into 4×16-bit band
+    ints.  Parameterizing the kernel calls keeps the image
+    (block-mean) and audio (energy-difference) hashers on ONE loop, so
+    batch handling / min-length drops / the codec gate cannot silently
+    diverge."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             rows = []
             for doc_id, payload in zip(batch["doc_id"], batch["content"]):
-                if not fake:
-                    raise NotImplementedError(unavailable_msg)
-                sig = decode_fn(bytes(payload))
+                payload = bytes(payload)
+                if fake:
+                    sig = decode_fn(payload)
+                else:
+                    sig = real_decode_fn(payload)  # raises on gated fmts
                 if len(sig) < min_len:
                     continue
                 rows.append([doc_id, *_bits_to_bands(bits_fn(sig))])
@@ -125,14 +133,15 @@ def image_blockhash(
     perceptual hash as four 16-bit band ints (sign-safe in every
     engine).  One Arrow map pass; images shorter than ``min_len``
     samples are dropped (no meaningful blocks)."""
+    from tajo_spark.operators.codecs import png_gray_signal
+
     return banded_hash_frame(
         binary_df,
         _fake_gray_signal,
         blockhash_bits,
         fake,
         min_len,
-        "image codecs unavailable; deploy with PIL and replace the "
-        "decode line",
+        png_gray_signal,
     )
 
 
