@@ -480,6 +480,121 @@ def dup_span_stats(
     )
 
 
+def exact_substring_dedup(
+    docs: DataFrame,
+    window_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-SUBSTRING removal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    ``window_tokens``-token passage that occurs more than once in the
+    corpus — at ANY alignment, across or within documents — is removed
+    from every occurrence but the globally first.
+
+    This is the alignment-robust upgrade of :func:`paragraph_dedup`:
+    fixed non-overlapping chunks miss a syndicated passage that starts
+    mid-chunk, while stride-1 windows catch it wherever it begins (the
+    same property the suffix array gives the single-node original;
+    windowed hashing is its standard distributed approximation).
+
+    Construction:
+      1. stride-1 windows: every token position starts one
+         ``window_tokens``-token window, hashed with md5 — one
+         zero-shuffle projection + explode (~1 small row per corpus
+         token: the honest cost of substring-granular dedup);
+      2. first occurrence per window hash = min (doc_id, start) — ONE
+         window-function shuffle on the md5 key (uniform, no skew);
+      3. every non-first occurrence marks its [start, start+W) token
+         span for removal; per document the spans are merged
+         (overlapping duplicated windows coalesce into one maximal
+         duplicated passage — so a 200-token syndicated block removes
+         as one span, exactly like the suffix-array original);
+      4. tokens outside removed spans are re-joined in order.  Steps
+         3-4 run JVM-side (aggregate/filter/exists higher-order
+         functions) — no Python in the pipeline.
+
+    Output: (doc_id, n_tokens, n_removed, dedup_text).  Documents
+    shorter than one window carry no windows and survive intact.
+
+    Scale shape (100 TB): cost is ~1 md5 per corpus token plus one
+    uniform-key shuffle; span merge is a linear fold over each doc's
+    removed starts; nothing pairwise, no driver collects.
+    """
+    W = int(window_tokens)
+    toked = docs.filter(F.col(text_col).isNotNull()).select(
+        id_col,
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__w"),
+    )
+    wins = toked.select(
+        id_col,
+        F.posexplode(
+            # sequence(0, n-W) DESCENDS when n < W — guard such docs
+            # to an empty window list (posexplode drops them; they
+            # re-enter intact through the left join below)
+            F.when(
+                F.size("__w") >= W,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__w") - F.lit(W)),
+                    lambda i: F.md5(
+                        F.concat_ws(
+                            " ", F.slice("__w", i + F.lit(1), F.lit(W))
+                        )
+                    ),
+                ),
+            ).otherwise(F.expr("cast(array() as array<string>)"))
+        ).alias("start", "__h"),
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("__h").orderBy(id_col, "start")
+    )
+    removed = (
+        wins.withColumn("__rn", rn)
+        .filter(F.col("__rn") > 1)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("start")).alias("__starts"))
+    )
+    # merge overlapping [s, s+W) spans: linear fold over the sorted
+    # starts; a fully-duplicated doc folds all its starts into ONE span
+    merged = F.expr(
+        f"""aggregate(
+            __starts,
+            cast(array() as array<struct<a:int,b:int>>),
+            (acc, s) -> case
+                when size(acc) = 0 or s > element_at(acc, -1).b
+                    then array_append(acc, struct(s as a, s + {W} as b))
+                else array_append(
+                    slice(acc, 1, size(acc) - 1),
+                    struct(element_at(acc, -1).a as a,
+                           greatest(element_at(acc, -1).b, s + {W}) as b))
+            end)"""
+    )
+    kept = F.expr(
+        "filter(__w, (t, i) -> "
+        "not exists(__spans, s -> i >= s.a and i < s.b))"
+    )
+    return (
+        toked.join(removed, id_col, "left")
+        .withColumn(
+            "__spans",
+            F.when(F.col("__starts").isNull(), F.expr(
+                "cast(array() as array<struct<a:int,b:int>>)"
+            )).otherwise(merged),
+        )
+        .withColumn("__kept", kept)
+        .select(
+            id_col,
+            F.size("__w").cast("long").alias("n_tokens"),
+            (F.size("__w") - F.size("__kept"))
+            .cast("long")
+            .alias("n_removed"),
+            F.concat_ws(" ", "__kept").alias("dedup_text"),
+        )
+    )
+
+
 def paragraph_dedup(
     docs: DataFrame,
     chunk_tokens: int = 25,

@@ -169,6 +169,45 @@ def pii_counts(text: Column) -> tuple[Column, Column, Column]:
     )
 
 
+def blocklist_pattern(phrases: list[str]) -> str:
+    """Whole-word alternation regex for a phrase blocklist; spaces in
+    a phrase match any whitespace run.  Built driver-side as a literal
+    (C4's badwords list is ~400 phrases — kilobytes), so the filter is
+    a pure zero-shuffle projection."""
+    import re as _re_mod
+
+    alts = [
+        r"\s+".join(_re_mod.escape(w) for w in p.lower().split())
+        for p in phrases
+        if p.strip()
+    ]
+    if not alts:
+        raise ValueError("empty blocklist")
+    return r"\b(?:" + "|".join(alts) + r")\b"
+
+
+def blocklist_hits(
+    docs,
+    phrases: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Blocklist-phrase filter (the C4 'bad words' curation stage):
+    per-document whole-word hit count, first matched phrase, and the
+    keep verdict.  One JVM regex projection over the scan — no
+    shuffle, no Python; the phrase list ships inside the plan as a
+    literal pattern (same broadcast-as-literal idiom as bm25_topk)."""
+    pat = blocklist_pattern(phrases)
+    low = F.lower(F.col(text_col))
+    n = F.regexp_count(low, F.lit(pat)).cast("long")
+    return docs.select(
+        id_col,
+        n.alias("n_hits"),
+        F.regexp_extract(low, pat, 0).alias("first_hit"),
+        (n == 0).alias("keep"),
+    )
+
+
 def normalize_for_fingerprint(text: Column) -> Column:
     """Lowercase, strip punctuation, collapse whitespace — canonical text
     for near-identical dedup."""

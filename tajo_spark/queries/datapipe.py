@@ -2079,6 +2079,89 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_exact_substring",
+    "curation",
+    doc="Exact duplicated-substring removal (operators/dedup.py::"
+    "exact_substring_dedup — Lee et al. 2021): stride-1 20-token "
+    "windows hashed per position (~1 md5 per corpus token, the honest "
+    "cost of substring granularity), corpus-wide first-occurrence keep "
+    "(ONE uniform-key window shuffle), non-first spans merged per doc "
+    "by a linear JVM fold and edited out of the reassembled text. The "
+    "alignment-robust upgrade of dedup_paragraphs: a syndicated "
+    "passage starting mid-chunk is caught at any offset, like the "
+    "suffix-array original.",
+    oracle="""
+        WITH toked AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS w
+            FROM documents WHERE text IS NOT NULL),
+        wins AS (
+            SELECT doc_id,
+                   unnest(range(0, greatest(len(w) - 19, 0))) AS start
+            FROM toked),
+        hashed AS (
+            SELECT h.doc_id, h.start,
+                   md5(array_to_string(
+                       list_slice(t.w, h.start + 1, h.start + 20),
+                       ' ')) AS hh
+            FROM wins h JOIN toked t USING (doc_id)),
+        ranked AS (
+            SELECT doc_id, start, row_number() OVER (
+                       PARTITION BY hh ORDER BY doc_id, start) AS rn
+            FROM hashed),
+        removed AS (SELECT doc_id, start FROM ranked WHERE rn > 1),
+        tok AS (
+            SELECT doc_id, unnest(w) AS tokk,
+                   generate_subscripts(w, 1) - 1 AS idx
+            FROM toked),
+        kept AS (
+            SELECT t.doc_id, t.tokk, t.idx
+            FROM tok t
+            WHERE NOT EXISTS (
+                SELECT 1 FROM removed r
+                WHERE r.doc_id = t.doc_id
+                  AND t.idx >= r.start AND t.idx < r.start + 20))
+        SELECT d.doc_id,
+               CAST(len(d.w) AS BIGINT) AS n_tokens,
+               CAST(len(d.w) - count(k.idx) AS BIGINT) AS n_removed,
+               coalesce(string_agg(k.tokk, ' ' ORDER BY k.idx), '')
+                   AS dedup_text
+        FROM toked d LEFT JOIN kept k USING (doc_id)
+        GROUP BY d.doc_id, len(d.w)
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.dedup import exact_substring_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_dedup(docs, window_tokens=20)
+
+
+@query(
+    "text_blocklist_filter",
+    "curation",
+    doc="Blocklist-phrase filter (operators/text.py::blocklist_hits — "
+    "the C4 'bad words' stage): whole-word hit count, first matched "
+    "phrase, keep verdict. ONE JVM regex projection, zero shuffle; the "
+    "phrase list ships as a plan literal (broadcast-as-literal, like "
+    "bm25's term list).",
+    oracle=r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text),
+                    '\b(?:slow|fast\s+table)\b')) AS BIGINT) AS n_hits,
+               regexp_extract(lower(text),
+                    '\b(?:slow|fast\s+table)\b') AS first_hit,
+               len(regexp_extract_all(lower(text),
+                    '\b(?:slow|fast\s+table)\b')) = 0 AS keep
+        FROM documents
+    """,
+)
+def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.blocklist_hits(docs, ["slow", "fast table"])
+
+
+@query(
     "embedding_cluster_stats",
     "curation",
     doc="Corpus embedding clustering (distributed KMeans via MLlib, the "

@@ -664,3 +664,89 @@ def test_split_repair_drops_train_side_only(spark):
     assert out[val_ids[0]].keep is False        # val dropped vs test
     assert out[test_ids[1]].keep is True
     assert out[train_ids[1]].keep is True       # innocent doc untouched
+
+
+def test_exact_substring_dedup_catches_any_alignment(spark):
+    """The property fixed chunks lack (Lee et al. 2021): a passage
+    repeated at a DIFFERENT token offset is still removed — plus span
+    merging, within-doc tandem repeats, and short-doc passthrough."""
+    from tajo_spark.operators.dedup import exact_substring_dedup
+
+    passage = " ".join(f"p{i}" for i in range(8))  # 8-token passage
+    uniq = " ".join(f"u{i}" for i in range(6))
+    docs = spark.createDataFrame(
+        [
+            # doc 0: first occurrence (offset 0) — kept whole
+            (0, f"{passage} {uniq}"),
+            # doc 1: same passage at offset 3 — a fixed-chunk pass
+            # would miss it; removed here
+            (1, f"x0 x1 x2 {passage} y0 y1"),
+            # doc 2: within-doc tandem repeat of its OWN passage —
+            # second copy removed, first kept
+            (2, " ".join(f"q{i}" for i in range(8)) + " "
+                + " ".join(f"q{i}" for i in range(8))),
+            # doc 3: shorter than one window — survives intact
+            (3, "z0 z1 z2"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r.doc_id: r
+        for r in exact_substring_dedup(docs, window_tokens=8).collect()
+    }
+    assert out[0].n_removed == 0
+    assert out[0].dedup_text == f"{passage} {uniq}"
+    # doc 1: the 8 passage tokens go; the unique flanks stay
+    assert out[1].n_removed == 8
+    assert out[1].dedup_text == "x0 x1 x2 y0 y1"
+    # doc 2: windows overlapping the second copy merge into one span;
+    # the first copy is the global first occurrence and stays
+    assert out[2].n_removed == 8
+    assert out[2].dedup_text == " ".join(f"q{i}" for i in range(8))
+    assert out[3].n_removed == 0
+    assert out[3].dedup_text == "z0 z1 z2"
+
+
+def test_exact_substring_dedup_merges_overlapping_spans(spark):
+    """A long duplicated block removes as ONE maximal span: every
+    stride-1 window inside it is duplicated, and the fold coalesces
+    them (removed tokens == block length, not windows x W)."""
+    from tajo_spark.operators.dedup import exact_substring_dedup
+
+    block = " ".join(f"b{i}" for i in range(20))  # 20-token block
+    docs = spark.createDataFrame(
+        [
+            (0, block),
+            (1, f"h0 h1 {block} t0 t1"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r.doc_id: r
+        for r in exact_substring_dedup(docs, window_tokens=5).collect()
+    }
+    assert out[0].n_removed == 0
+    assert out[1].n_removed == 20  # exactly the block, nothing more
+    assert out[1].dedup_text == "h0 h1 t0 t1"
+
+
+def test_blocklist_filter_whole_word_and_phrases(spark):
+    from tajo_spark.operators.text import blocklist_hits
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a slowly moving train"),       # substring, NOT a hit
+            (1, "the slow train"),              # whole-word hit
+            (2, "one fast  table here"),        # multi-space phrase hit
+            (3, "Fast Table and SLOW too"),     # case-insensitive, 2 hits
+            (4, "clean document"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in
+           blocklist_hits(docs, ["slow", "fast table"]).collect()}
+    assert out[0].n_hits == 0 and out[0].keep
+    assert out[1].n_hits == 1 and out[1].first_hit == "slow"
+    assert out[2].n_hits == 1 and out[2].first_hit == "fast  table"
+    assert out[3].n_hits == 2 and not out[3].keep
+    assert out[4].keep
