@@ -18,11 +18,16 @@ Why this is THE 100 TB ANN shape:
 * **residual PQ** — each vector's residual (unit-normalized vector
   minus its centroid) is split into ``M`` subvectors, each quantized
   to one of ``KSUB`` codebook entries: ``M`` bytes per vector.  At
-  dim=64 / M=8 that is 256 float-bytes → 8 bytes (**32×** smaller than
-  float, 8× smaller than the int8 index), so the probe scan moves 1/32
-  of the bytes.  Residual (not raw) quantization is what makes 8 bytes
-  usable: the coarse term carries the vector's position, PQ only
-  encodes the delta.
+  dim=64 / M=16 that is 256 float-bytes → 16 bytes (**16×** smaller
+  than float, 4× smaller than the int8 index), so the probe scan moves
+  1/16 of the bytes.  Residual (not raw) quantization is what makes a
+  few bytes usable: the coarse term carries the vector's position, PQ
+  only encodes the delta.  The M/KSUB dial is measured in SCALE.md:
+  on this unstructured synthetic corpus M=16/KSUB=64 reaches ~90% of
+  the int8 index's recall at 1/4 the bytes, and M=32 matches it
+  exactly at 1/2 — coarser settings (the former M=8/KSUB=16 default)
+  drown neighbor margins in quantization noise and plateau regardless
+  of nprobe.
 * **ADC probing** — per query, a lookup table of subvector dot
   products (``M × KSUB`` doubles) is computed JVM-side from the
   literal codebook; scoring a candidate is ``M`` array lookups + adds
@@ -35,7 +40,7 @@ Why this is THE 100 TB ANN shape:
 Cost model at 1000 executors: index build is one KMeans fit on a
 driver-bounded sample + one map-only encode pass (Arrow-vectorized
 numpy, amortized); a batch probe reads nprobe/n_centroids of an
-already-32×-smaller index, one window shuffle of skinny
+already-16×-smaller index, one window shuffle of skinny
 (q_id, vec_id, score) triples, one semi-join rerank.
 """
 
@@ -48,11 +53,14 @@ from pyspark.sql import functions as F
 
 from tajo_spark.operators.similarity import _as_double, cosine, dot
 
-# PQ geometry defaults for the dim=64 corpus: 8 subvectors of 8 dims,
-# 16 centroids each → 8 bytes/vector, codes fit in 4 bits (stored as
-# bytes; nibble-packing would halve again at the cost of decode ops).
-DEFAULT_M = 8
-DEFAULT_KSUB = 16
+# PQ geometry defaults for the dim=64 corpus: 16 subvectors of 4 dims,
+# 64 centroids each → 16 bytes/vector (6-bit codes stored as bytes).
+# Chosen from the measured recall ladder (SCALE.md): M=8/KSUB=16 was
+# too coarse for dim-64 unstructured embeddings (recall plateaus ~0.26
+# at ANY nprobe); M=16/KSUB=64 restores ~90% of int8-index recall at
+# 1/4 its bytes.  Pass m=32 to match int8 recall exactly at 1/2.
+DEFAULT_M = 16
+DEFAULT_KSUB = 64
 # PQ codebooks train on a driver-side sample: k-means quality saturates
 # at a few hundred points per centroid, so the sample is O(M·KSUB·c),
 # independent of corpus size (the FAISS train_size rule of thumb).
@@ -236,7 +244,7 @@ def ann_join_pq_persisted(
     base: DataFrame,
     k: int = 10,
     nprobe: int = 2,
-    expand: int = 4,
+    expand: int = 8,
     query_id_col: str = "q_id",
     round_to: int = 4,
 ) -> DataFrame:

@@ -2852,7 +2852,8 @@ def sim_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "query, distributed exact rerank against the base table. The "
     "KMeans partition is not SQL-reproducible, so the exact "
     "brute-force leg is hash-checked and the probe rides as a recall "
-    "contract (>= 0.5 of the exact top-5 at nprobe=2/8).",
+    "contract (>= 0.8 of the exact top-5 at nprobe=4/8 — measured "
+    "0.86/0.88 at sf0.01/sf0.1; curves in SCALE.md).",
     oracle="""
         WITH vecs AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -2889,7 +2890,7 @@ def sim_ann_q8_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), "embedding"
     )
     probe = ann_join_q8_persisted(
-        spark, path, model, q, emb, k=5, nprobe=2
+        spark, path, model, q, emb, k=5, nprobe=4
     ).select("q_id", F.col("vec_id").alias("p_id"))
     exact = ann_join(q, emb, k=5)
     hits = exact.join(
@@ -2900,7 +2901,7 @@ def sim_ann_q8_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.agg(
         F.count(F.lit(1)).cast("long").alias("n_exact_pairs"),
         F.round(F.avg("cos"), 4).alias("exact_mean_cos"),
-        ((F.count("p_id") / F.count(F.lit(1))) >= 0.5).alias("recall_ok"),
+        ((F.count("p_id") / F.count(F.lit(1))) >= 0.8).alias("recall_ok"),
     )
 
 
@@ -2939,13 +2940,17 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str, n_centroids: int):
     doc="Billion-scale batch retrieval (IVFADC+R, Jégou et al. 2011): "
     "10 query vectors probe the persisted IVF-PQ index "
     "(operators/pq.py::ann_join_pq_persisted) — residual product-"
-    "quantized codes at 8 bytes/vector (32x under float32), scan "
+    "quantized codes at 16 bytes/vector (16x under float32, 4x under "
+    "the int8 index), scan "
     "statically pruned to the probed centroid directories, ADC scoring "
     "via JVM-side lookup tables (M lookups+adds per candidate, no "
     "float vector read), distributed exact rerank. The KMeans "
     "partition + learned codebooks are not SQL-reproducible, so the "
     "exact brute-force leg is hash-checked and the PQ probe rides as "
-    "a recall contract (>= 0.5 of the exact top-5 at nprobe=2/8).",
+    "a recall contract (>= 0.8 of the exact top-5 at nprobe=4/8 — "
+    "measured 0.86 at both sf0.01 and sf0.1, identical to the int8 "
+    "index at the same geometry: the residual loss is gone, the "
+    "remaining miss is coarse-IVF probing; curves in SCALE.md).",
     oracle="""
         WITH vecs AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -2980,7 +2985,7 @@ def sim_ann_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), "embedding"
     )
     probe = ann_join_pq_persisted(
-        spark, path, model, codebooks, q, emb, k=5, nprobe=2
+        spark, path, model, codebooks, q, emb, k=5, nprobe=4
     ).select("q_id", F.col("vec_id").alias("p_id"))
     exact = ann_join(q, emb, k=5)
     hits = exact.join(
@@ -2991,7 +2996,7 @@ def sim_ann_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.agg(
         F.count(F.lit(1)).cast("long").alias("n_exact_pairs"),
         F.round(F.avg("cos"), 4).alias("exact_mean_cos"),
-        ((F.count("p_id") / F.count(F.lit(1))) >= 0.5).alias("pq_recall_ok"),
+        ((F.count("p_id") / F.count(F.lit(1))) >= 0.8).alias("pq_recall_ok"),
     )
 
 

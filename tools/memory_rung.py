@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Memory-pressure rung (VERDICT r04 #6): run the heavy queries at 16x
+data with the JVM heap deliberately capped and prove they degrade to
+SPILL, not OOM.
+
+SCALE.md's ladders prove no-spill under the full 128 GiB heap; a
+production executor sees a few GiB per task slot, so the behavior that
+actually matters at 100 TB is what happens when the working set does
+NOT fit: Spark's UnsafeExternalSorter / ExternalAppendOnlyMap must
+spill to disk and the query must still finish.  This tool caps
+spark.driver.memory (the ONE heap in local mode), turns the memory
+managers' INFO logging on, and counts spill lines per query between
+stderr markers.
+
+Verdict per query: OK(spilled)  — finished, spill lines observed
+                   OK(fit)     — finished, no spill (heap still fit)
+                   OOM         — failed with an OutOfMemory condition
+
+Usage: python tools/memory_rung.py [--heap 2g] [--mult 16]
+Prints a markdown table for SCALE.md; stderr (the spill evidence) goes
+to /tmp/memory_rung_stderr.log via an fd-level redirect so the JVM's
+log4j output lands in the same file as the markers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "tools")
+)
+
+LOG_PATH = "/tmp/memory_rung_stderr.log"
+SPILL_RE = re.compile(r"spilling", re.IGNORECASE)
+OOM_RE = re.compile(r"OutOfMemory|Java heap space|GC overhead", re.IGNORECASE)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--heap", default="2g")
+    ap.add_argument("--mult", type=int, default=16)
+    args = ap.parse_args()
+
+    # fd-level stderr redirect: the JVM inherits fd 2, so log4j output
+    # and our python markers interleave in one file
+    log_fd = os.open(LOG_PATH, os.O_CREAT | os.O_WRONLY | os.O_TRUNC)
+    os.dup2(log_fd, 2)
+
+    import scaling_ladder as SL
+    from __spark_entry__ import queries
+    from tajo_spark.session import build_spark
+
+    spark = build_spark(
+        app_name="memory_rung",
+        extra_conf={
+            "spark.driver.memory": args.heap,
+            # keep result transfer out of the measurement: noop sink
+        },
+    )
+    qs = queries()
+    root = tempfile.mkdtemp(prefix="tajo_spark_memrung_")
+    plan = []
+    try:
+        tpch_dir = SL.stage_tpch(args.mult, root)
+        docs_dir = SL.stage(args.mult, root)
+        emb_dir = SL.stage_emb(args.mult, root)
+        plan = [
+            ("tpch_q18", tpch_dir),
+            ("tpch_q21", tpch_dir),
+            ("dedup_best_of_cluster", docs_dir),
+            ("sim_ann_pq_persisted", emb_dir),
+        ]
+        # warm codegen at the tiny SF so compilation doesn't pollute
+        # walls (same protocol as bench.py)
+        for q, _ in plan:
+            try:
+                qs[q](spark, "/root/testdata/sf0.001").write.format(
+                    "noop"
+                ).mode("overwrite").save()
+            except Exception:
+                pass
+        spark.sparkContext.setLogLevel("INFO")
+        results = []
+        for q, sf_dir in plan:
+            os.write(2, f"\n===RUNG-BEGIN {q}===\n".encode())
+            t0 = time.time()
+            status = "OK"
+            try:
+                qs[q](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as exc:
+                status = (
+                    "OOM" if OOM_RE.search(str(exc)) else
+                    f"FAIL({str(exc).splitlines()[0][:60]})"
+                )
+            wall = time.time() - t0
+            os.write(2, f"\n===RUNG-END {q}===\n".encode())
+            results.append((q, wall, status))
+        spark.sparkContext.setLogLevel("WARN")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+    # parse the interleaved log for spill lines per marker span
+    spills: dict[str, int] = {}
+    cur = None
+    with open(LOG_PATH, errors="replace") as fh:
+        for line in fh:
+            m = re.match(r"===RUNG-BEGIN (\S+)===", line)
+            if m:
+                cur = m.group(1)
+                spills[cur] = 0
+                continue
+            if line.startswith("===RUNG-END"):
+                cur = None
+                continue
+            if cur and SPILL_RE.search(line):
+                spills[cur] += 1
+
+    print(f"heap={args.heap} mult={args.mult}x  (stderr: {LOG_PATH})")
+    print("| query | wall | spill lines | verdict |")
+    print("|---|---|---|---|")
+    for q, wall, status in results:
+        n = spills.get(q, 0)
+        verdict = (
+            status if status != "OK"
+            else ("OK(spilled)" if n else "OK(fit)")
+        )
+        print(f"| `{q}` | {wall:.1f} s | {n} | {verdict} |")
+
+
+if __name__ == "__main__":
+    main()
