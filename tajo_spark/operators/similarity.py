@@ -1288,3 +1288,88 @@ def hybrid_rrf_topk(
         )
     )
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(k)
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic distributed Lloyd k-means expressed entirely in
+    DataFrame ops — the fully-reproducible twin of :func:`ivf_assign`
+    (which delegates to MLlib and is only contract-checkable).  Every
+    step here is pure relational algebra, so a SQL oracle can replay
+    the whole trajectory exactly:
+
+    * init: the ``k`` lowest-``id_col`` vectors, numbered 1..k in id
+      order (no RNG — reproducible on any engine),
+    * assignment: squared-L2 against every centroid via JVM
+      ``zip_with``/``aggregate`` (no Python), argmin with a
+      ``(dist, cid)`` lexicographic struct-min tie-break,
+    * update: exact per-dimension mean — ``posexplode`` to
+      (cid, dim, val), ONE aggregate keyed on cid x dim (<= k*d
+      groups, map-side combined), reassembled with an ordered
+      struct sort.  Clusters that lose all members drop out, exactly
+      as the oracle's GROUP BY drops them.
+
+    Per iteration the data-sized work is one broadcast k-way candidate
+    expansion + one bounded aggregate; centroids stay a k-row
+    DataFrame end to end (zero driver collects), so at 100 TB each
+    Lloyd pass is a single scan with an O(k*d)-group shuffle — the
+    canonical distributed-iteration shape, like
+    ``text.train_quality_classifier``'s GD loop.
+
+    Returns ``(assigned, centroids)``: assigned has (id_col, v, cid,
+    sq_dist) for the FINAL centroids; centroids has (cid, c).
+    """
+    e = emb.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("v"),
+    )
+    from pyspark.sql import Window as W
+
+    # TakeOrdered(k) first, then number the k survivors — the window
+    # runs on k rows, never on the corpus
+    cent = (
+        e.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.row_number().over(W.orderBy(id_col)).cast("int").alias("cid"),
+            F.col("v").alias("c"),
+        )
+    )
+
+    def _assign(cent_df: DataFrame) -> DataFrame:
+        scored = e.crossJoin(F.broadcast(cent_df)).withColumn(
+            "sq_dist",
+            F.aggregate(
+                F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        best = scored.groupBy(id_col, "v").agg(
+            F.min(F.struct("sq_dist", "cid")).alias("b")
+        )
+        return best.select(
+            id_col, "v", F.col("b.cid").alias("cid"),
+            F.col("b.sq_dist").alias("sq_dist"),
+        )
+
+    for _ in range(n_iter):
+        assigned = _assign(cent)
+        cent = (
+            assigned.select("cid", F.posexplode("v").alias("d", "val"))
+            .groupBy("cid", "d")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("pm"))
+            .select(
+                "cid", F.transform("pm", lambda s: s["m"]).alias("c")
+            )
+        )
+
+    assigned = _assign(cent)
+    return assigned, cent

@@ -711,3 +711,75 @@ def ppl_buckets(
             .alias("ppl_bucket"),
         )
     )
+
+
+def bigram_logprob(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+):
+    """Per-document average bigram log-probability under an add-k
+    smoothed bigram LM trained on the corpus itself — the next step up
+    from :func:`unigram_logprob` toward CCNet-style LM quality signals
+    (a doc whose word *transitions* are improbable reads as boilerplate
+    or gibberish even when its word *frequencies* look normal).
+
+    ``P(w2|w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V)`` with V = the
+    corpus bigram vocabulary (words occurring in any bigram; sub-2-token
+    documents contribute nothing and are absent from the output — the
+    oracle mirrors both choices).
+
+    Scale shape mirrors ``unigram_logprob``: bigrams come from ONE
+    codegen'd overlapping-lookahead regex pass (``word_ngrams(text,2)``
+    — no O(tokens²) HOF, no posexplode+lag shuffle of |tokens| rows);
+    the (doc, bigram) counts are checkpointed once and feed the joint
+    counts, the context counts, the vocabulary, and the scoring join —
+    so the corpus is scanned exactly once and every shuffle moves
+    distinct-pair rows (map-side combined), never raw tokens.  V rides
+    as a broadcast 1-row aggregate.  Returns
+    ``(id_col, avg_logp2, n_bigrams)``, avg rounded to 3 dp.
+    """
+    from tajo_spark.operators.dedup import spread_by
+
+    bg = (
+        spread_by(docs, id_col)
+        .select(id_col, F.explode(word_ngrams(F.col(text_col), 2)).alias("bg"))
+    )
+    dbc = (
+        bg.groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    joint = dbc.groupBy("bg").agg(F.sum("c").alias("cb"))
+    ctx = (
+        joint.groupBy(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"))
+        .agg(F.sum("cb").alias("cw"))
+    )
+    vocab = (
+        joint.select(F.explode(F.split("bg", " ")).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    model = (
+        joint.join(
+            ctx,
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)) == F.col("w1"),
+        )
+        .join(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.log(
+                (F.col("cb") + add_k) / (F.col("cw") + add_k * F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    return (
+        dbc.join(model, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(F.col("c") * F.col("logp")) / F.sum("c"), 3).alias(
+                "avg_logp2"
+            ),
+            F.sum("c").cast("long").alias("n_bigrams"),
+        )
+    )

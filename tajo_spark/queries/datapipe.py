@@ -4286,3 +4286,171 @@ def export_shard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     E.write_shards(docs, path, "doc_id", "nb", shard_bytes=65536, seed=42)
     return E.verify_shards(spark, path, "nb")
+
+
+def _kmeans_oracle_iter(i: int) -> str:
+    """One unrolled Lloyd iteration of the sim_kmeans_lloyd oracle."""
+    return f"""
+        s{i} AS (SELECT e.vec_id, e.v, c.cid,
+                     list_sum(list_transform(range(1, len(e.v) + 1),
+                              i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])))
+                         AS sq
+                 FROM e, c{i} c),
+        a{i} AS (SELECT vec_id, v, cid, sq FROM (
+                   SELECT *, row_number() OVER (
+                       PARTITION BY vec_id ORDER BY sq, cid) AS rn
+                   FROM s{i}) WHERE rn = 1),
+        u{i} AS (SELECT cid, d, avg(val) AS m
+                 FROM (SELECT cid, unnest(v) AS val,
+                              generate_subscripts(v, 1) AS d
+                       FROM a{i})
+                 GROUP BY cid, d),
+        c{i + 1} AS (SELECT cid, list(m ORDER BY d) AS c
+                     FROM u{i} GROUP BY cid)"""
+
+
+@query(
+    "sim_kmeans_lloyd",
+    "curation",
+    doc="Distributed Lloyd k-means, fully SQL-reproducible "
+    "(operators/similarity.py::kmeans_lloyd): deterministic init (k "
+    "lowest vec_ids), squared-L2 argmin with (dist,cid) struct-min "
+    "tie-break, exact per-dimension mean update — 3 iterations "
+    "unrolled in the oracle, so the driver replays the ENTIRE "
+    "trajectory, not a boolean contract (contrast "
+    "embedding_cluster_stats, whose MLlib fit is only "
+    "contract-checkable). Per iteration: one broadcast k-way "
+    "expansion (JVM zip_with/aggregate, no Python) + one cid x dim "
+    "aggregate (<= k*d groups); centroids stay a k-row DataFrame — "
+    "zero collects, the canonical distributed-iteration shape at "
+    "100 TB.",
+    oracle="WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v\n"
+    "                 FROM embeddings),\n"
+    "     c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT)\n"
+    "                       AS cid, v AS c\n"
+    "            FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),"
+    + ",".join(_kmeans_oracle_iter(i) for i in range(3))
+    + """,
+        s3 AS (SELECT e.vec_id, c.cid,
+                     list_sum(list_transform(range(1, len(e.v) + 1),
+                              i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])))
+                         AS sq
+               FROM e, c3 c),
+        a3 AS (SELECT vec_id, cid, sq FROM (
+                 SELECT *, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY sq, cid) AS rn
+                 FROM s3) WHERE rn = 1)
+        SELECT a3.cid AS cid,
+               CAST(count(*) AS BIGINT) AS n_members,
+               ROUND(avg(a3.sq), 4) AS mean_sq_dist,
+               ROUND(sqrt(any_value(
+                   list_sum(list_transform(c3.c, x -> x * x)))), 3)
+                   AS cnorm
+        FROM a3 JOIN c3 USING (cid)
+        GROUP BY a3.cid
+        ORDER BY cid""",
+)
+def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, cent = similarity.kmeans_lloyd(emb, k=8, n_iter=3)
+    return (
+        assigned.join(cent, "cid")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.round(F.avg("sq_dist"), 4).alias("mean_sq_dist"),
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.first("c"), F.lit(0.0), lambda a, x: a + x * x
+                    )
+                ),
+                3,
+            ).alias("cnorm"),
+        )
+        .orderBy("cid")
+    )
+
+
+def _profile_oracle_col(c: str) -> str:
+    """One column's row of the profile_columns_documents oracle."""
+    return f"""
+        SELECT '{c}' AS col_name,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_s,
+               CAST(max({c}) AS VARCHAR) AS max_s,
+               ROUND(avg(length(CAST({c} AS VARCHAR))), 2) AS avg_len
+        FROM documents"""
+
+
+@query(
+    "profile_columns_documents",
+    "curation",
+    doc="One-pass column profiler (operators/profile.py — query-time "
+    "twin of the reference's per-column catalog statistics, "
+    "TableStats.java/ColumnStats.java): null count, exact "
+    "cardinality, native-typed min/max, mean rendered length for "
+    "every documents column in ONE aggregate; the per-column unpivot "
+    "runs on the single result row. exact_distinct=True here so the "
+    "oracle can replay it; production default is HLL++ "
+    "approx_count_distinct, which keeps the pass single-width at "
+    "100 TB.",
+    oracle=" UNION ALL ".join(
+        _profile_oracle_col(c)
+        for c in ("doc_id", "text", "lang", "source", "n_chars")
+    ),
+)
+def profile_columns_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.profile import profile_columns
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_columns(docs, exact_distinct=True)
+
+
+@query(
+    "text_bigram_logprob",
+    "curation",
+    doc="Add-k smoothed bigram LM quality signal "
+    "(operators/text.py::bigram_logprob — the transition-probability "
+    "step past text_unigram_logprob toward CCNet LM scoring): per-doc "
+    "average log P(w2|w1) under a model trained on the corpus itself. "
+    "ONE corpus scan (bigrams via the overlapping-lookahead regex "
+    "pass), checkpointed (doc,bigram) counts feeding joint/context/"
+    "vocab/scoring, every shuffle over distinct-pair rows; V is a "
+    "broadcast scalar.",
+    oracle=r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(
+                       string_split_regex(trim(lower(text)), '\s+'),
+                       x -> x <> '') AS ts
+            FROM documents),
+        g AS (
+            SELECT doc_id,
+                   unnest([ts[i] || ' ' || ts[i + 1]
+                           FOR i IN range(1, len(ts))]) AS bg
+            FROM tok WHERE len(ts) >= 2),
+        dbc AS (SELECT doc_id, bg, count(*) AS c FROM g
+                GROUP BY doc_id, bg),
+        joint AS (SELECT bg, sum(c) AS cb FROM dbc GROUP BY bg),
+        ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(cb) AS cw
+                FROM joint GROUP BY 1),
+        vocab AS (SELECT count(DISTINCT w) AS v
+                  FROM (SELECT unnest(string_split(bg, ' ')) AS w
+                        FROM joint)),
+        model AS (SELECT joint.bg,
+                         ln((cb + 0.5) / (cw + 0.5 * v)) AS logp
+                  FROM joint
+                  JOIN ctx ON split_part(joint.bg, ' ', 1) = ctx.w1
+                  CROSS JOIN vocab)
+        SELECT dbc.doc_id AS doc_id,
+               ROUND(sum(c * logp) / sum(c), 3) AS avg_logp2,
+               CAST(sum(c) AS BIGINT) AS n_bigrams
+        FROM dbc JOIN model USING (bg)
+        GROUP BY dbc.doc_id""",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bigram_logprob(docs)
