@@ -36,17 +36,22 @@ def profile_columns(
     """
     cols = list(cols or df.columns)
     nd = F.count_distinct if exact_distinct else F.approx_count_distinct
+    # backtick-quote every reference (with `` escaping) so names
+    # containing dots/spaces/backticks resolve as literal column names,
+    # never as struct paths; positional aliases (_p{i}_*) so no user
+    # column name can collide with the internal wide-row naming scheme.
     aggs = []
-    for c in cols:
+    for i, c in enumerate(cols):
+        v = df["`" + c.replace("`", "``") + "`"]
         aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            F.sum(F.when(v.isNull(), 1).otherwise(0))
             .cast("long")
-            .alias(f"{c}__nulls"),
-            nd(F.col(c)).cast("long").alias(f"{c}__nd"),
-            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
-            F.round(F.avg(F.length(F.col(c).cast("string"))), len_round)
-            .alias(f"{c}__len"),
+            .alias(f"_p{i}_nulls"),
+            nd(v).cast("long").alias(f"_p{i}_nd"),
+            F.min(v).cast("string").alias(f"_p{i}_min"),
+            F.max(v).cast("string").alias(f"_p{i}_max"),
+            F.round(F.avg(F.length(v.cast("string"))), len_round)
+            .alias(f"_p{i}_len"),
         ]
     row = df.agg(*aggs)
     packed = row.select(
@@ -55,13 +60,13 @@ def profile_columns(
                 *[
                     F.struct(
                         F.lit(c).alias("col_name"),
-                        F.col(f"{c}__nulls").alias("n_nulls"),
-                        F.col(f"{c}__nd").alias("n_distinct"),
-                        F.col(f"{c}__min").alias("min_s"),
-                        F.col(f"{c}__max").alias("max_s"),
-                        F.col(f"{c}__len").alias("avg_len"),
+                        F.col(f"_p{i}_nulls").alias("n_nulls"),
+                        F.col(f"_p{i}_nd").alias("n_distinct"),
+                        F.col(f"_p{i}_min").alias("min_s"),
+                        F.col(f"_p{i}_max").alias("max_s"),
+                        F.col(f"_p{i}_len").alias("avg_len"),
                     )
-                    for c in cols
+                    for i, c in enumerate(cols)
                 ]
             )
         ).alias("p")

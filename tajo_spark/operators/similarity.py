@@ -1308,11 +1308,18 @@ def kmeans_lloyd(
     * assignment: squared-L2 against every centroid via JVM
       ``zip_with``/``aggregate`` (no Python), argmin with a
       ``(dist, cid)`` lexicographic struct-min tie-break,
-    * update: exact per-dimension mean — ``posexplode`` to
+    * update: per-dimension mean — ``posexplode`` to
       (cid, dim, val), ONE aggregate keyed on cid x dim (<= k*d
       groups, map-side combined), reassembled with an ordered
-      struct sort.  Clusters that lose all members drop out, exactly
-      as the oracle's GROUP BY drops them.
+      struct sort, each coordinate ROUNDed to 9 decimals.  The
+      rounding is load-bearing for reproducibility: distributed
+      partial aggregation sums in a partition-dependent order, so an
+      unrounded mean can differ from a serial engine's by an ulp and
+      flip the argmin for near-equidistant vectors; 9 decimals is
+      ~1e6 x the double ulp at unit scale, erasing order effects
+      while perturbing centroids immaterially.  Clusters that lose
+      all members drop out, exactly as the oracle's GROUP BY drops
+      them.
 
     Per iteration the data-sized work is one broadcast k-way candidate
     expansion + one bounded aggregate; centroids stay a k-row
@@ -1363,12 +1370,17 @@ def kmeans_lloyd(
         cent = (
             assigned.select("cid", F.posexplode("v").alias("d", "val"))
             .groupBy("cid", "d")
-            .agg(F.avg("val").alias("m"))
+            .agg(F.round(F.avg("val"), 9).alias("m"))
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("pm"))
             .select(
                 "cid", F.transform("pm", lambda s: s["m"]).alias("c")
             )
+            # truncate lineage each pass (graph.py/bpe.py pattern):
+            # cent is k rows, so the checkpoint is O(k*d) bytes; without
+            # it every downstream action replays the whole trajectory
+            # and re-scans the corpus n_iter+1 times per action.
+            .localCheckpoint()
         )
 
     assigned = _assign(cent)

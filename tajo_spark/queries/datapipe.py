@@ -4300,7 +4300,7 @@ def _kmeans_oracle_iter(i: int) -> str:
                    SELECT *, row_number() OVER (
                        PARTITION BY vec_id ORDER BY sq, cid) AS rn
                    FROM s{i}) WHERE rn = 1),
-        u{i} AS (SELECT cid, d, avg(val) AS m
+        u{i} AS (SELECT cid, d, ROUND(avg(val), 9) AS m
                  FROM (SELECT cid, unnest(v) AS val,
                               generate_subscripts(v, 1) AS d
                        FROM a{i})
@@ -4315,7 +4315,10 @@ def _kmeans_oracle_iter(i: int) -> str:
     doc="Distributed Lloyd k-means, fully SQL-reproducible "
     "(operators/similarity.py::kmeans_lloyd): deterministic init (k "
     "lowest vec_ids), squared-L2 argmin with (dist,cid) struct-min "
-    "tie-break, exact per-dimension mean update — 3 iterations "
+    "tie-break, per-dimension mean update rounded to 9 decimals on "
+    "BOTH engines (summation order differs between Spark partial "
+    "aggregation and a serial engine; unrounded means can flip the "
+    "argmin for near-equidistant vectors) — 3 iterations "
     "unrolled in the oracle, so the driver replays the ENTIRE "
     "trajectory, not a boolean contract (contrast "
     "embedding_cluster_stats, whose MLlib fit is only "

@@ -58,6 +58,33 @@ def test_profile_columns_single_aggregate_plan(spark):
     assert "Expand" not in plan
 
 
+def test_profile_columns_survives_hostile_column_names(spark):
+    """Names with dots, spaces, and a name crafted to collide with a
+    naive ``{name}__suffix`` aliasing scheme must profile correctly
+    (df[c] index access + positional internal aliases)."""
+    df = spark.createDataFrame(
+        [(1, 2, 3), (None, 5, 6)],
+        ["a.b", "a b", "x__nulls"],
+    )
+    prof = {r.col_name: r for r in profile_columns(df).collect()}
+    assert set(prof) == {"a.b", "a b", "x__nulls"}
+    assert prof["a.b"].n_nulls == 1
+    assert prof["a b"].n_nulls == 0 and prof["a b"].min_s == "2"
+    assert prof["x__nulls"].n_nulls == 0 and prof["x__nulls"].max_s == "6"
+
+
+def test_kmeans_lloyd_truncates_lineage_per_iteration(spark):
+    """Each Lloyd pass localCheckpoints the k-row centroid frame, so
+    the final centroids' plan is a materialized scan (O(1) depth), not
+    a replay of the whole trajectory — without this every downstream
+    action re-scans the corpus n_iter+1 times."""
+    emb = _emb(spark)
+    _, cent = kmeans_lloyd(emb, k=4, n_iter=2)
+    plan = cent._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+    assert "Exchange" not in plan  # nothing left to compute
+
+
 def test_kmeans_lloyd_assigns_every_vector_exactly_once(spark):
     emb = _emb(spark)
     assigned, cent = kmeans_lloyd(emb, k=8, n_iter=2)
