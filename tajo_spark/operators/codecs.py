@@ -20,10 +20,17 @@ beyond the Python standard library:
     frames are decoded with numpy and downmixed to mono by integer
     channel mean.
 
-JPEG and compressed-audio formats remain gated (``sniff`` returns
-``None`` → the callers' NotImplementedError path): a baseline-JPEG
-entropy decoder is not a reasonable stdlib exercise, and deployments
-carry libjpeg via PIL anyway.
+JPEG decodes for real since round 6 — operators/jpeg.py implements
+baseline sequential T.81 (Huffman + IDCT, subsampling, restart
+markers) from the public spec; progressive/arithmetic/12-bit remain
+gated there.  Compressed audio (MP3/FLAC) and video stay gated
+(``sniff`` returns ``None`` → the callers' NotImplementedError path);
+deployments carry ffmpeg for those.
+
+The ``image_*`` dispatchers below are the single seam every image
+consumer goes through (metadata, resize, phash, embed): they sniff the
+container and route to the right codec, so adding a format (or
+swapping in PIL at deployment) touches exactly one place.
 
 Everything is executor-side code — these functions run inside Arrow
 ``mapInPandas`` batches; nothing here touches Spark or the driver.
@@ -48,9 +55,11 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def sniff(payload: bytes) -> str | None:
-    """Cheap container sniff: 'png' | 'wav' | None (unknown/gated)."""
+    """Cheap container sniff: 'png' | 'jpeg' | 'wav' | None (gated)."""
     if payload[:8] == PNG_SIG:
         return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     return None
@@ -277,6 +286,59 @@ def block_mean_resize(px: np.ndarray, rw: int, rh: int) -> np.ndarray:
     )[:, :, None]
     area = np.maximum(area, 1)
     return (bsum // area).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# format-dispatching image seam (PNG + JPEG; the one place a PIL
+# deployment swaps in)
+
+
+def image_header(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) for any supported image container —
+    O(header), no pixel decode."""
+    kind = sniff(payload)
+    if kind == "png":
+        return png_header(payload)
+    if kind == "jpeg":
+        from tajo_spark.operators.jpeg import jpeg_header
+
+        return jpeg_header(payload)
+    raise NotImplementedError(
+        "unsupported image container (PNG/JPEG decode in-container; "
+        "deploy with PIL/opencv for WebP/GIF/TIFF)"
+    )
+
+
+def decode_image_px(payload: bytes) -> np.ndarray:
+    """Image bytes → (H, W, C) uint8 pixels for any supported
+    container."""
+    kind = sniff(payload)
+    if kind == "png":
+        return decode_png(payload)
+    if kind == "jpeg":
+        from tajo_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    raise NotImplementedError(
+        "unsupported image container (PNG/JPEG decode in-container; "
+        "deploy with PIL/opencv for WebP/GIF/TIFF)"
+    )
+
+
+def image_gray_signal(payload: bytes) -> np.ndarray:
+    """Image bytes → flattened row-major uint8 grayscale, any supported
+    container — the dispatching twin of png_gray_signal (same integer
+    BT.601 luma rule, so hashes agree across containers of the same
+    pixels up to codec loss)."""
+    if sniff(payload) == "png":
+        return png_gray_signal(payload)
+    px = decode_image_px(payload)
+    if px.shape[2] == 1:
+        return px[:, :, 0].flatten()
+    g = (
+        (px[:, :, :3].astype(np.int64) * _LUMA).sum(axis=2) // 1000
+    ).astype(np.uint8)
+    return g.flatten()
 
 
 # ---------------------------------------------------------------------------

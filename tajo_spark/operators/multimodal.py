@@ -6,12 +6,14 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages so the heavy per-item work distributes with the
 partitioning and never touches the driver.
 
-Decoding: PNG images and WAV audio decode FOR REAL via the
-pure-stdlib codecs in operators/codecs.py (``fake=False`` paths of
-decode_image/decode_audio/resize_image/embed_content — metadata reads
-parse only the container header, O(header) per item).  Other formats
-(JPEG, compressed audio, video) raise ``NotImplementedError`` there; a
-deployment drops PIL/ffmpeg into the same kernel seams.  With
+Decoding: PNG + baseline JPEG images and WAV audio decode FOR REAL
+via the pure-stdlib codecs in operators/codecs.py + operators/jpeg.py
+(``fake=False`` paths of decode_image/decode_audio/resize_image/
+embed_content — metadata reads parse only the container header,
+O(header) per item; image consumers go through codecs.image_* which
+dispatch on the sniffed container).  Remaining formats (progressive
+JPEG, WebP, compressed audio, video) raise ``NotImplementedError``
+there; a deployment drops PIL/ffmpeg into the same kernel seams.  With
 ``fake=True`` a deterministic fake decoder (seeded by content hash)
 stands in — that twin remains the driver-oracle leg, and the
 Spark-side plumbing (schemas, batch iteration, partition behavior,
@@ -72,21 +74,18 @@ def _fake_image_dims(payload: bytes) -> tuple[int, int, int]:
 
 
 def decode_image(batch: pd.DataFrame, fake: bool) -> pd.DataFrame:
-    from tajo_spark.operators.codecs import png_header, sniff
+    from tajo_spark.operators.codecs import image_header
 
     rows = []
     for doc_id, payload in zip(batch["doc_id"], batch["content"]):
         payload = bytes(payload)
         if fake:
             w, hgt, c = _fake_image_dims(payload)
-        elif sniff(payload) == "png":
-            # real container parse — IHDR only, O(header) per image
-            w, hgt, c = png_header(payload)
         else:
-            raise NotImplementedError(
-                "only PNG decodes in-container (operators/codecs.py); "
-                "deploy with PIL/opencv for JPEG/WebP in this kernel"
-            )
+            # real container parse — header only, O(header) per image;
+            # image_header dispatches PNG/JPEG and raises on gated
+            # formats (WebP/GIF need a PIL deployment)
+            w, hgt, c = image_header(payload)
         rows.append(
             (
                 doc_id,
@@ -139,7 +138,7 @@ def resize_image(binary_df: DataFrame, max_side: int = 224,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from tajo_spark.operators.codecs import (
             block_mean_resize,
-            decode_png,
+            decode_image_px,
             encode_png,
         )
 
@@ -161,7 +160,8 @@ def resize_image(binary_df: DataFrame, max_side: int = 224,
                         (doc_id, rw, rh, key.encode()[:16], key[:8])
                     )
                     continue
-                px = decode_png(payload)  # raises on gated formats
+                # PNG/JPEG dispatch; raises on gated formats
+                px = decode_image_px(payload)
                 hgt, w = px.shape[:2]
                 scale = min(1.0, max_side / max(w, hgt))
                 rw = max(1, int(w * scale))
@@ -276,7 +276,7 @@ def embed_content(binary_df: DataFrame, dim: int = 16,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from tajo_spark.operators.codecs import png_gray_signal
+        from tajo_spark.operators.codecs import image_gray_signal
 
         for batch in batches:
             out = []
@@ -289,7 +289,7 @@ def embed_content(binary_df: DataFrame, dim: int = 16,
                         for i in range(dim)
                     ]
                 else:
-                    sig = png_gray_signal(payload).astype(np.float64)
+                    sig = image_gray_signal(payload).astype(np.float64)
                     if len(sig) < dim:
                         sig = np.tile(sig, dim)[: dim]
                     bounds = (np.arange(dim + 1) * len(sig)) // dim

@@ -10,10 +10,12 @@ ops; this extends the engine's dedup family (operators/dedup.py
 SimHash) from token space to pixel space with the same banded-LSH
 join shape.
 
-Decoding: with ``fake=False`` payloads are decoded as REAL PNGs
-through the pure-stdlib codec (operators/codecs.py — zlib inflate +
-scanline unfiltering + integer BT.601 luma); non-PNG formats raise
-NotImplementedError there (a PIL deployment widens only that seam).
+Decoding: with ``fake=False`` payloads are decoded as REAL PNGs or
+baseline JPEGs through the pure-stdlib codecs
+(codecs.image_gray_signal — PNG: zlib inflate + scanline unfiltering;
+JPEG: Huffman + IDCT, operators/jpeg.py; both land on the same
+integer BT.601 luma); other formats raise NotImplementedError there
+(a PIL deployment widens only that seam).
 With ``fake=True`` the grayscale signal is the payload's byte
 sequence (deterministic, and — unlike a hash — LOCALITY-PRESERVING:
 near-identical payloads yield near-identical fake pixels), which is
@@ -133,7 +135,7 @@ def image_blockhash(
     perceptual hash as four 16-bit band ints (sign-safe in every
     engine).  One Arrow map pass; images shorter than ``min_len``
     samples are dropped (no meaningful blocks)."""
-    from tajo_spark.operators.codecs import png_gray_signal
+    from tajo_spark.operators.codecs import image_gray_signal
 
     return banded_hash_frame(
         binary_df,
@@ -141,7 +143,7 @@ def image_blockhash(
         blockhash_bits,
         fake,
         min_len,
-        png_gray_signal,
+        image_gray_signal,
     )
 
 

@@ -255,13 +255,15 @@ def test_embed_content_real_png(png_corpus):
     assert d12 < d13
 
 
-def test_non_png_payload_raises_in_real_mode(spark):
-    jpegish = spark.createDataFrame(
-        [(9, bytearray(b"\xff\xd8\xff\xe0 not actually decodable"))],
+def test_gated_container_raises_in_real_mode(spark):
+    # WebP sniffs as neither PNG nor JPEG → the NotImplementedError
+    # gate (JPEG itself decodes for real since round 6 — test_jpeg.py)
+    webpish = spark.createDataFrame(
+        [(9, bytearray(b"RIFF\x24\x00\x00\x00WEBPVP8 not decodable"))],
         "doc_id long, content binary",
     )
     with pytest.raises(Exception) as ei:
-        M.image_metadata(jpegish, fake=False).collect()
+        M.image_metadata(webpish, fake=False).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
