@@ -271,12 +271,28 @@ def ann_join_pq_persisted(
     """
     centers = model.clusterCenters()
     m, ksub, dsub = codebooks.shape
+    # Centroids AND codebooks ride as DATA in one broadcast single-row
+    # frame, not as expression-tree literals: an F.lit of the M x KSUB
+    # x dsub codebook builds a CreateArray AST with thousands of leaf
+    # nodes that Catalyst re-analyzes on EVERY probe — measured 5-6.5 s
+    # of driver-side plan time per probe at M=16/KSUB=64 vs <1 s of
+    # actual execution (the r06 bench split exposed it).  As a row the
+    # codebook is just bytes in a broadcast, analysis is O(1).
     cents = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
-        "centroid_id INT, cv ARRAY<DOUBLE>",
-    ).agg(F.collect_list(F.struct("centroid_id", "cv")).alias("__cents"))
-    cb_lit = F.lit(
-        [[[float(x) for x in cent] for cent in sub] for sub in codebooks]
+        [
+            (
+                [
+                    (i, [float(x) for x in c])
+                    for i, c in enumerate(centers)
+                ],
+                [
+                    [[float(x) for x in cent] for cent in codebooks[mi]]
+                    for mi in range(m)
+                ],
+            )
+        ],
+        "__cents ARRAY<STRUCT<centroid_id: INT, cv: ARRAY<DOUBLE>>>, "
+        "__cb ARRAY<ARRAY<ARRAY<DOUBLE>>>",
     )
 
     # rank centers by L2 distance to the normalized query (centers live
@@ -304,7 +320,7 @@ def ann_join_pq_persisted(
         nprobe,
     )
     luts_expr = F.transform(
-        cb_lit,
+        F.col("__cb"),
         lambda sub, mi: F.transform(
             sub,
             lambda cent: dot(
