@@ -121,6 +121,15 @@ HEADLINE = [
     "ddl_index_cluster_roundtrip",
     "text_langid_confusion",
     "export_shard_verify",
+    # round-5 additions (budgeted in round 6 per r05 verdict #5)
+    "dedup_exact_substring",
+    "text_blocklist_filter",
+    "sim_kmeans_lloyd",
+    "profile_columns_documents",
+    "text_bigram_logprob",
+    # round-6: the PQ serving path tracked separately from the
+    # exact-leg-bearing sim_ann_pq_persisted row (r05 verdict #6)
+    "sim_ann_pq_probe",
 ]
 
 

@@ -3001,6 +3001,47 @@ def sim_ann_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_ann_pq_probe",
+    "datapipe",
+    doc="The PQ serving path ALONE (operators/pq.py::"
+    "ann_join_pq_persisted): 10 queries probe the persisted IVF-PQ "
+    "index (memoized per process, like production where the index is "
+    "built once and served for months) — directory-pruned scan, ADC "
+    "lookup-table scoring, exact rerank of the shortlist. Exists so "
+    "the bench tracks the production probe's cost separately from "
+    "sim_ann_pq_persisted, whose row also pays the brute-force exact "
+    "leg that only the recall harness needs (r05 verdict: the exact "
+    "leg dominated the flagship number). Contract outputs: every "
+    "query returns a non-empty, k-bounded shortlist; the recall "
+    "contract itself lives in sim_ann_pq_persisted.",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               TRUE AS k_bounded_ok
+        FROM embeddings WHERE vec_id % 50 = 0
+    """,
+)
+def sim_ann_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.pq import ann_join_pq_persisted
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path, model, codebooks = _ivfpq_index(spark, sf_dir, n_centroids=8)
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    probe = ann_join_pq_persisted(
+        spark, path, model, codebooks, q, emb, k=5, nprobe=4
+    )
+    per_q = probe.groupBy("q_id").agg(F.count(F.lit(1)).alias("n"))
+    # n_queries counts queries that returned >= 1 candidate, so the
+    # hash row asserts no query starved; k-boundedness is the other
+    # serving invariant.
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        (F.max("n") <= 5).alias("k_bounded_ok"),
+    )
+
+
+@query(
     "pipeline_corpus_prep_v4",
     "curation",
     doc="Cross-modal curation pipeline: documents joined to their "

@@ -77,6 +77,8 @@ def main() -> None:
             ("tpch_q21", tpch_dir),
             ("dedup_best_of_cluster", docs_dir),
             ("sim_ann_pq_persisted", emb_dir),
+            ("text_bpe_train", docs_dir),
+            ("dedup_exact_substring", docs_dir),
         ]
         # warm codegen at the tiny SF so compilation doesn't pollute
         # walls (same protocol as bench.py)
