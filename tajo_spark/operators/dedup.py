@@ -668,6 +668,96 @@ def paragraph_dedup(
     )
 
 
+def boilerplate_strip(
+    docs: DataFrame,
+    chunk_tokens: int = 10,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source boilerplate removal with document reassembly — the
+    CCNet/trafilatura-style cleanup step for web corpora: a segment
+    that recurs across ``min_docs`` distinct documents OF THE SAME
+    SOURCE (site header, nav bar, cookie banner, license footer) is
+    struck from EVERY occurrence, then each document is rebuilt from
+    its surviving segments in order.
+
+    Complements :func:`paragraph_dedup`, which is corpus-wide
+    keep-FIRST chunk dedup: boilerplate must not survive even once,
+    and the frequency threshold is scoped per source because a
+    header is boilerplate on ITS site, not globally.  Segment = fixed
+    non-overlapping ``chunk_tokens`` token window (this corpus has no
+    newlines; a real corpus pre-splits on lines through the same
+    count/flag/reassemble shape).
+
+    Output: (id_col, n_chunks, n_boiler, clean_text).
+
+    Scale shape (100 TB): chunking is a zero-shuffle projection +
+    explode; the boilerplate census is ONE aggregate keyed on
+    (source, md5 chunk hash) — uniform keys — with an exact distinct-
+    doc count; flagging is an equi-join back on the same key (left to
+    AQE: per-source boilerplate sets are usually broadcastable but a
+    million-source corpus may not be); reassembly is one
+    groupBy(doc) of surviving chunks.  Nothing pairwise, cost tracks
+    corpus token count.
+    """
+    from pyspark.sql import functions as F
+
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(source_col).alias("__src"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__w"),
+    )
+    chunks = toks.select(
+        id_col,
+        "__src",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size("__w") - 1, F.lit(0)),
+                    F.lit(chunk_tokens),
+                ),
+                lambda s: F.concat_ws(
+                    " ", F.slice("__w", s + 1, chunk_tokens)
+                ),
+            )
+        ).alias("chunk_id", "chunk_text"),
+    ).withColumn("__h", F.md5("chunk_text"))
+    boiler = (
+        chunks.groupBy("__src", "__h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__src", "__h", F.lit(True).alias("__b"))
+    )
+    flagged = chunks.join(boiler, ["__src", "__h"], "left")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.col("__b").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_boiler"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__b").isNull(),
+                                F.struct("chunk_id", "chunk_text"),
+                            )
+                        )
+                    ),
+                    lambda s: s.chunk_text,
+                ),
+            ).alias("clean_text"),
+        )
+        .select(id_col, "n_chunks", "n_boiler", "clean_text")
+    )
+
+
 def cdc_chunk_dedup(
     docs: DataFrame,
     text_col: str = "text",

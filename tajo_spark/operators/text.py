@@ -397,6 +397,51 @@ def gopher_quality(docs, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def char_entropy(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+):
+    """Per-document character-level Shannon entropy — the classic
+    cheap quality/repetition signal (low entropy flags keyboard-mash,
+    repeated padding, base64 blobs and single-char spam that length
+    and stopword ratios miss; the zero-dependency stand-in for a
+    compression-ratio filter, which needs zlib in the kernel).
+
+    Output: (id_col, n_chars, n_distinct_chars, char_entropy) with
+    entropy in bits, rounded.
+
+    Scale shape (100 TB): a PURE zero-shuffle projection.  The
+    frequency table is built inside the row with higher-order
+    functions — O(|alphabet| x len) JVM work per document, no explode
+    (a char-level explode would shuffle one row PER CHARACTER of the
+    corpus: the per-token operators pay token fan-out because they
+    must aggregate across documents; entropy is per-document, so
+    nothing needs to leave the row).  The distinct alphabet is sorted
+    before the fold so the floating summation order is engine-
+    independent (same discipline as the kmeans centroid rounding).
+    """
+    cs = F.split(F.col(text_col), "")
+    uniq = F.array_sort(F.array_distinct(cs))
+    n = F.size(cs).cast("double")
+    counts = F.transform(
+        uniq, lambda c: F.size(F.filter(cs, lambda x: x == c))
+    )
+    ent = -F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, k: acc
+        + (k.cast("double") / n) * F.log2(k.cast("double") / n),
+    )
+    return docs.filter(F.col(text_col).isNotNull()).select(
+        id_col,
+        F.size(cs).cast("long").alias("n_chars"),
+        F.size(uniq).cast("long").alias("n_distinct_chars"),
+        F.round(ent, round_to).alias("char_entropy"),
+    )
+
+
 def bm25_topk(
     docs,
     query_terms: list[str],

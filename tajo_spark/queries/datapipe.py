@@ -2079,6 +2079,96 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_boilerplate_strip",
+    "curation",
+    doc="Per-source boilerplate removal with reassembly "
+    "(operators/dedup.py::boilerplate_strip): a 10-token segment "
+    "recurring in >= 2 distinct documents of the SAME source (site "
+    "header / footer / banner) is struck from EVERY occurrence — the "
+    "CCNet/trafilatura cleanup stage; contrast dedup_paragraphs, "
+    "which keeps the FIRST occurrence corpus-wide. One zero-shuffle "
+    "chunk explode, ONE (source, md5) census aggregate with exact "
+    "distinct-doc counts, one equi-join back (AQE-broadcastable), one "
+    "reassembly groupBy — nothing pairwise, cost tracks corpus "
+    "tokens.",
+    oracle="""
+        WITH toked AS (
+            SELECT doc_id, source,
+                   string_split_regex(trim(lower(text)), '\\s+') AS w
+            FROM documents WHERE text IS NOT NULL),
+        chunks AS (
+            SELECT doc_id, source,
+                   CAST(s / 10 AS BIGINT) AS chunk_id,
+                   array_to_string(list_slice(w, s + 1, s + 10), ' ')
+                       AS chunk_text
+            FROM (SELECT doc_id, source, w,
+                         unnest(range(0, greatest(len(w), 1), 10)) AS s
+                  FROM toked)),
+        boiler AS (
+            SELECT source, md5(chunk_text) AS h
+            FROM chunks GROUP BY source, md5(chunk_text)
+            HAVING count(DISTINCT doc_id) >= 2),
+        flagged AS (
+            SELECT c.doc_id, c.chunk_id, c.chunk_text,
+                   b.h IS NOT NULL AS is_b
+            FROM chunks c LEFT JOIN boiler b
+              ON c.source = b.source AND md5(c.chunk_text) = b.h)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_boiler,
+               coalesce(array_to_string(
+                   list(chunk_text ORDER BY chunk_id)
+                       FILTER (WHERE NOT is_b), ' '), '') AS clean_text
+        FROM flagged GROUP BY doc_id
+    """,
+)
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.dedup import boilerplate_strip
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_strip(docs, chunk_tokens=10, min_docs=2)
+
+
+@query(
+    "text_char_entropy",
+    "curation",
+    doc="Character-level Shannon entropy per document "
+    "(operators/text.py::char_entropy): the cheap quality/repetition "
+    "signal (keyboard-mash, padding, base64 blobs score low) — a "
+    "ZERO-shuffle projection whose frequency table is built inside "
+    "the row with JVM higher-order functions (no per-char explode), "
+    "alphabet sorted before the fold so FP summation order is "
+    "engine-independent.",
+    oracle="""
+        WITH c AS (
+            SELECT doc_id, string_split(text, '') AS cs
+            FROM documents WHERE text IS NOT NULL),
+        u AS (SELECT doc_id, cs, list_sort(list_distinct(cs)) AS uq,
+                     CAST(len(cs) AS DOUBLE) AS n
+              FROM c)
+        SELECT doc_id,
+               CAST(len(cs) AS BIGINT) AS n_chars,
+               CAST(len(uq) AS BIGINT) AS n_distinct_chars,
+               ROUND(-list_aggregate(
+                   list_transform(
+                       uq,
+                       ch -> (CAST(len(list_filter(cs, x -> x = ch))
+                                   AS DOUBLE) / n)
+                             * log2(CAST(len(list_filter(cs, x -> x = ch))
+                                         AS DOUBLE) / n)),
+                   'sum'), 4) AS char_entropy
+        FROM u
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.text import char_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_entropy(docs)
+
+
+@query(
     "dedup_exact_substring",
     "curation",
     doc="Exact duplicated-substring removal (operators/dedup.py::"

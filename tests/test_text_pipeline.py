@@ -750,3 +750,79 @@ def test_blocklist_filter_whole_word_and_phrases(spark):
     assert out[2].n_hits == 1 and out[2].first_hit == "fast  table"
     assert out[3].n_hits == 2 and not out[3].keep
     assert out[4].keep
+
+
+def test_boilerplate_strip_per_source_all_occurrences(spark):
+    """A segment repeated across >= min_docs docs of the SAME source
+    is struck from EVERY occurrence (unlike paragraph_dedup's
+    keep-first); the same segment in a DIFFERENT source survives."""
+    from tajo_spark.operators.dedup import boilerplate_strip
+
+    header = "w1 w2 w3"  # one 3-token chunk
+    docs = spark.createDataFrame(
+        [
+            (0, f"{header} a b c", "s1"),
+            (1, f"{header} d e f", "s1"),   # header now boilerplate in s1
+            (2, f"{header} g h i", "s2"),   # s2 has it only once: keep
+            (3, "unique body words", "s1"),
+        ],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    out = {
+        r.doc_id: r
+        for r in boilerplate_strip(
+            docs, chunk_tokens=3, min_docs=2
+        ).collect()
+    }
+    assert out[0].n_boiler == 1 and out[0].clean_text == "a b c"
+    assert out[1].n_boiler == 1 and out[1].clean_text == "d e f"
+    assert out[2].n_boiler == 0 and out[2].clean_text.startswith(header)
+    assert out[3].n_boiler == 0
+    # reassembly preserves order and counts every chunk
+    assert out[0].n_chunks == 2
+
+
+def test_boilerplate_strip_whole_doc_can_vanish(spark):
+    from tajo_spark.operators.dedup import boilerplate_strip
+
+    docs = spark.createDataFrame(
+        [(0, "x y", "s"), (1, "x y", "s")],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    out = {r.doc_id: r for r in
+           boilerplate_strip(docs, chunk_tokens=2, min_docs=2).collect()}
+    assert out[0].clean_text == "" and out[0].n_boiler == 1
+    assert out[1].clean_text == ""
+
+
+def test_char_entropy_hand_computed(spark):
+    from tajo_spark.operators.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aaaa"),      # one symbol: entropy 0
+            (1, "abab"),      # two equiprobable: 1 bit
+            (2, "abcd"),      # four equiprobable: 2 bits
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in char_entropy(docs).collect()}
+    assert out[0].char_entropy == 0.0 and out[0].n_distinct_chars == 1
+    assert out[1].char_entropy == 1.0
+    assert out[2].char_entropy == 2.0 and out[2].n_chars == 4
+
+
+def test_char_entropy_plan_is_zero_shuffle(spark):
+    """The quality signal is a pure projection: no Exchange, no
+    explode-driven Generate — the frequency table lives inside the
+    row."""
+    from tajo_spark.operators.text import char_entropy
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        char_entropy(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
