@@ -197,6 +197,57 @@ def global_shuffle_position(
     )
 
 
+def weighted_reservoir_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis-
+    Spirakis exponential-sort key (2006): row i gets
+    ``r_i = -ln(u_i) / w_i`` and the k SMALLEST r win — provably a
+    weighted sample without replacement, and (unlike sequential
+    reservoir algorithms) embarrassingly parallel: the key is a pure
+    projection, selection is one top-k.  The quality-weighted subset
+    selection step of curation pipelines ("keep 1M docs, prefer high
+    quality/length") that a plain `ORDER BY weight LIMIT k` gets wrong
+    (that's argmax, not sampling — it has zero diversity).
+
+    Determinism: u_i comes from the shared md5 recipe
+    (``md5(seed:id)`` first 13 hex digits → 52-bit uniform in (0,1]),
+    so any engine reproduces the same sample; the key is rounded to 9
+    decimals BEFORE ranking on both engines (ties broken by id) so
+    last-ulp ``ln`` differences between libm implementations cannot
+    flip the cut (same discipline as the kmeans centroid rounding).
+    Rows with NULL or non-positive weight are excluded.
+
+    Scale shape (100 TB): zero-shuffle key projection +
+    TakeOrderedAndProject (per-partition top-k, k rows to the driver
+    stage) — no global sort, no window.
+    """
+    key = F.md5(
+        F.concat(
+            F.lit(f"{seed}:"), F.col(id_col).cast("string")
+        ).cast("binary")
+    )
+    u = (F.conv(F.substring(key, 1, 13), 16, 10).cast("double") + 1.0) / F.lit(
+        float(16**13)
+    )
+    r = F.round(-F.log(u) / F.col(weight_col).cast("double"), 9)
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__es", r)
+        .orderBy("__es", id_col)
+        .limit(k)
+        .select(
+            id_col,
+            F.col(weight_col).alias("w"),
+            F.col("__es").alias("es_key"),
+        )
+    )
+
+
 def temperature_mixture_sample(
     df: DataFrame,
     id_col: str,

@@ -1155,6 +1155,38 @@ def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_weighted_reservoir",
+    "curation",
+    doc="Weighted sampling WITHOUT replacement (Efraimidis-Spirakis "
+    "2006, operators/sampling.py::weighted_reservoir_sample): "
+    "r = -ln(u)/w from the shared md5(seed:id) recipe (13 hex digits "
+    "-> 52-bit uniform), k smallest r win — the quality/length-"
+    "weighted subset selection a plain ORDER BY weight LIMIT k gets "
+    "wrong (argmax has zero diversity). Key rounded to 9 dp before "
+    "ranking on BOTH engines so libm ln() ulps can't flip the cut. "
+    "Zero-shuffle projection + TakeOrderedAndProject; no global sort.",
+    oracle="""
+        SELECT doc_id, n_chars AS w,
+               ROUND(-ln((CAST(concat('0x',
+                        substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+                               1, 13)) AS BIGINT) + 1.0)
+                         / 4503599627370496.0)
+                     / n_chars, 9) AS es_key
+        FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0
+        ORDER BY es_key, doc_id LIMIT 50
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.weighted_reservoir_sample(
+        docs, k=50, weight_col="n_chars", seed=42
+    )
+
+
+@query(
     "text_unigram_logprob",
     "datapipe",
     doc="Unigram-LM quality score: per-document average token "

@@ -299,3 +299,59 @@ def test_mixture_token_plan_reports_absent_budgeted_language(spark):
     ja = plan["ja"]
     assert ja.available_tokens == 0 and ja.target_tokens == 50
     assert ja.epochs == 0.0 and ja.realized_tokens == 0 and ja.deficit == 50
+
+
+def test_weighted_reservoir_basic_contract(spark):
+    from tajo_spark.operators.sampling import weighted_reservoir_sample
+
+    df = spark.createDataFrame(
+        [(i, 10.0 if i < 5 else 0.1) for i in range(20)]
+        + [(100, 0.0), (101, None), (102, -3.0)],
+        "doc_id LONG, w DOUBLE",
+    )
+    out = weighted_reservoir_sample(df, k=8, weight_col="w").collect()
+    assert len(out) == 8
+    ids = {r.doc_id for r in out}
+    assert not ids & {100, 101, 102}  # non-positive / NULL weights excluded
+    # k >= population returns every eligible row
+    full = weighted_reservoir_sample(df, k=100, weight_col="w").collect()
+    assert len(full) == 20
+
+
+def test_weighted_reservoir_prefers_heavy_rows(spark):
+    """Inclusion probability rises with weight: across many seeds, the
+    10x-weighted half must be sampled far more often (Efraimidis-
+    Spirakis correctness, not argmax — some light rows still appear)."""
+    from tajo_spark.operators.sampling import weighted_reservoir_sample
+
+    df = spark.createDataFrame(
+        [(i, 10.0 if i < 25 else 1.0) for i in range(50)],
+        "doc_id LONG, w DOUBLE",
+    )
+    heavy = light = 0
+    for seed in range(12):
+        for r in weighted_reservoir_sample(
+            df, k=10, weight_col="w", seed=seed
+        ).collect():
+            if r.doc_id < 25:
+                heavy += 1
+            else:
+                light += 1
+    assert heavy > light * 2
+    assert light > 0  # it is a sample, not a top-k
+
+
+def test_weighted_reservoir_deterministic_and_topk_plan(spark):
+    from tajo_spark.operators.sampling import weighted_reservoir_sample
+
+    df = spark.createDataFrame(
+        [(i, float(1 + i % 7)) for i in range(200)], "doc_id LONG, w DOUBLE"
+    )
+    a = weighted_reservoir_sample(df, k=20, weight_col="w").collect()
+    b = weighted_reservoir_sample(df, k=20, weight_col="w").collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]
+    plan = (
+        weighted_reservoir_sample(df, k=20, weight_col="w")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # per-partition top-k, no sort
