@@ -128,8 +128,13 @@ HEADLINE = [
     "profile_columns_documents",
     "text_bigram_logprob",
     # round-6: the PQ serving path tracked separately from the
-    # exact-leg-bearing sim_ann_pq_persisted row (r05 verdict #6)
+    # exact-leg-bearing sim_ann_pq_persisted row (r05 verdict #6),
+    # plus this round's curation additions
     "sim_ann_pq_probe",
+    "text_boilerplate_strip",
+    "text_char_entropy",
+    "sample_weighted_reservoir",
+    "pipeline_corpus_prep_v6",
 ]
 
 

@@ -69,3 +69,25 @@ def broadcast_if_dim(
     if size is not None and 0 <= size <= max_bytes:
         return F.broadcast(df)
     return df
+
+
+def never_broadcast(df: DataFrame) -> DataFrame:
+    """SHUFFLE_MERGE-hint a relation that is fact-sized BY CONSTRUCTION
+    (a fact-table self-join leg, a per-key aggregate over the biggest
+    table) so the static planner can never choose to broadcast it.
+
+    Why the gate isn't enough: ``broadcast_if_dim`` withholds OUR hint,
+    but Spark's own static threshold still compares Catalyst's
+    file-size × column-pruning estimate against
+    ``autoBroadcastJoinThreshold`` — and that estimate is optimistic
+    for a skinny projection of a wide parquet fact table.  Measured in
+    the round-6 memory rung: at 16x data the static planner broadcast
+    a 3-column lineitem self-join leg (~10M rows as a HashedRelation);
+    the build then died with "Not enough memory to build and broadcast
+    the table" under a 2-4 GiB heap — broadcast builds are the ONE
+    join path that cannot spill.  The merge hint removes the static
+    decision; the join degrades to sort-merge, which spills.  The cost
+    at small SF is bounded (one extra shuffle of a side that was small
+    THERE), and correctness at 100 TB is not negotiable.
+    """
+    return df.hint("shuffle_merge")

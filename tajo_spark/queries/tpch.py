@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from tajo_spark.catalog import load_table
 from tajo_spark.plans.hints import broadcast_if_dim as bdim
+from tajo_spark.plans.hints import never_broadcast as nbc
 from tajo_spark.queries.registry import query
 
 
@@ -430,7 +431,12 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    big = (
+    # the HAVING side is a per-order aggregate over lineitem —
+    # fact-sized by construction, so the static planner must never
+    # broadcast it (r06 memory rung: the broadcast build is the one
+    # join path that can't spill); AQE still upgrades from RUNTIME
+    # sizes when the filtered aggregate is genuinely small
+    big = nbc(
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("tot"))
         .filter(F.col("tot") > 300)
@@ -1046,16 +1052,23 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    # orders and both lineitem self-join legs are fact-sized by
+    # construction: merge-hinted so the static planner's optimistic
+    # column-pruned estimate can never pick a broadcast build (r06
+    # memory rung: at 16x it broadcast the 3-column lineitem leg and
+    # died in the un-spillable broadcast build under a capped heap)
     l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
     base = (
-        l1.join(orders, l1.l_orderkey == orders.o_orderkey)
+        l1.join(nbc(orders), l1.l_orderkey == orders.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate"))
         .select("l_orderkey", "l_suppkey", "o_orderdate")
     )
-    l2 = li.select(
-        F.col("l_orderkey").alias("x_orderkey"),
-        F.col("l_suppkey").alias("x_suppkey"),
-        F.col("l_shipdate").alias("x_shipdate"),
+    l2 = nbc(
+        li.select(
+            F.col("l_orderkey").alias("x_orderkey"),
+            F.col("l_suppkey").alias("x_suppkey"),
+            F.col("l_shipdate").alias("x_shipdate"),
+        )
     )
     with_other = base.join(
         l2,

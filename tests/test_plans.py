@@ -252,3 +252,31 @@ def test_quantized_scores_single_scan_broadcast(spark):
     # formatted plans print each node twice (tree + details): 2
     # logical scans (candidates + 1-row query side) = 4 occurrences
     assert plan.count("Scan parquet") <= 4
+
+
+def test_fact_self_joins_never_statically_broadcast(spark):
+    """r06 memory rung finding: the static planner's column-pruned
+    estimate chose a broadcast build for a 16x lineitem self-join leg
+    and died in the un-spillable broadcast build under a capped heap.
+    The fact-sized-by-construction sides of q18/q21 are merge-hinted
+    (plans/hints.py::never_broadcast), so the STATIC plan must show
+    sort-merge for those joins even at tiny SF where everything looks
+    broadcastable; AQE remains free to upgrade from runtime sizes."""
+    from tajo_spark.queries.tpch import tpch_q18, tpch_q21
+    from tests.conftest import SF_DIR
+
+    plan21 = (
+        tpch_q21(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for line in plan21.splitlines():
+        if "LeftSemi" in line or "LeftAnti" in line:
+            assert "BroadcastHashJoin" not in line, line
+
+    plan18 = (
+        tpch_q18(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for line in plan18.splitlines():
+        if "LeftSemi" in line:
+            assert "BroadcastHashJoin" not in line, line
