@@ -331,3 +331,54 @@ def test_cap_per_group_invariants_random(spark, rows, k):
         members.sort(key=lambda t: (-t[1], t[0]))
         want |= {(g, i) for i, _ in members[:k]}
     assert fast == want
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec properties (pure python/numpy — no Spark job per example,
+# so these afford a larger example budget than the DataFrame properties)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    channels=st.sampled_from([1, 3]),
+    subsample=st.booleans(),
+    dri=st.sampled_from([0, 1, 3]),
+)
+def test_jpeg_roundtrip_property(h, w, seed, channels, subsample, dri):
+    """Any uint8 image round-trips through the baseline codec with
+    bounded error and exact dims — including awkward sizes (1x1, non-
+    multiples of the MCU), both samplings, and restart intervals.
+    Random noise is the WORST case for DCT coding, so the error bound
+    is loose; structure-preservation is asserted via the mean."""
+    import numpy as np
+
+    from tajo_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_header,
+    )
+
+    rng = np.random.default_rng(seed)
+    # low-frequency content (random per-8x8-block levels) + mild noise:
+    # decodable by ANY baseline decoder, bounded quantization error
+    base = rng.integers(30, 220, (max(1, (h + 7) // 8), max(1, (w + 7) // 8)))
+    img = np.kron(base, np.ones((8, 8)))[:h, :w]
+    img = np.clip(img + rng.integers(-5, 6, (h, w)), 0, 255).astype(np.uint8)
+    if channels == 3:
+        img = np.stack([img, 255 - img, img // 2 + 60], axis=2).astype(
+            np.uint8
+        )
+    enc = encode_jpeg(
+        img, quality=92, subsample=subsample, restart_interval=dri
+    )
+    gw, gh, gc = jpeg_header(enc)
+    assert (gw, gh, gc) == (w, h, channels)
+    dec = decode_jpeg(enc)
+    assert dec.shape == (h, w, channels)
+    a = dec.astype(int).reshape(h, w, channels)
+    b = img.reshape(h, w, channels).astype(int)
+    assert np.abs(a - b).mean() < (8.0 if subsample else 4.0)
+    assert np.abs(a - b).max() <= (64 if subsample else 32)
