@@ -1187,6 +1187,129 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_corpus_prep_v6",
+    "curation",
+    doc="Round-6 composed curation pipeline: per-source boilerplate "
+    "strip (all occurrences, reassembly) -> character-entropy gate on "
+    "the CLEANED text (>= 3.0 bits) -> length-weighted Efraimidis-"
+    "Spirakis reservoir (k=100, without replacement) with lang "
+    "manifest columns. Stage economics: one chunk census + reassembly "
+    "(the strip), one zero-shuffle entropy projection, one survivor "
+    "localCheckpoint feeding both the sampler and the final "
+    "projection, one TakeOrdered — nothing pairwise, no global sort. "
+    "Every stage is individually hash-verified "
+    "(text_boilerplate_strip / text_char_entropy / "
+    "sample_weighted_reservoir); this pins their COMPOSITION.",
+    oracle="""
+        WITH toked AS (
+            SELECT doc_id, source,
+                   string_split_regex(trim(lower(text)), '\\s+') AS w
+            FROM documents WHERE text IS NOT NULL),
+        chunks AS (
+            SELECT doc_id, source,
+                   CAST(s / 10 AS BIGINT) AS chunk_id,
+                   array_to_string(list_slice(w, s + 1, s + 10), ' ')
+                       AS chunk_text
+            FROM (SELECT doc_id, source, w,
+                         unnest(range(0, greatest(len(w), 1), 10)) AS s
+                  FROM toked)),
+        boiler AS (
+            SELECT source, md5(chunk_text) AS h
+            FROM chunks GROUP BY source, md5(chunk_text)
+            HAVING count(DISTINCT doc_id) >= 2),
+        flagged AS (
+            SELECT c.doc_id, c.chunk_id, c.chunk_text,
+                   b.h IS NOT NULL AS is_b
+            FROM chunks c LEFT JOIN boiler b
+              ON c.source = b.source AND md5(c.chunk_text) = b.h),
+        rebuilt AS (
+            SELECT doc_id,
+                   coalesce(array_to_string(
+                       list(chunk_text ORDER BY chunk_id)
+                           FILTER (WHERE NOT is_b), ' '), '')
+                       AS clean_text
+            FROM flagged GROUP BY doc_id),
+        clean AS (
+            SELECT r.doc_id, d.lang, r.clean_text
+            FROM rebuilt r JOIN documents d USING (doc_id)
+            WHERE length(r.clean_text) > 0),
+        ent AS (
+            SELECT doc_id,
+                   ROUND(-list_aggregate(
+                       list_transform(
+                           uq,
+                           ch -> (CAST(len(list_filter(cs, x -> x = ch))
+                                       AS DOUBLE) / n)
+                                 * log2(CAST(len(list_filter(cs,
+                                             x -> x = ch))
+                                             AS DOUBLE) / n)),
+                       'sum'), 4) AS char_entropy
+            FROM (SELECT doc_id, cs, list_sort(list_distinct(cs)) AS uq,
+                         CAST(len(cs) AS DOUBLE) AS n
+                  FROM (SELECT doc_id, string_split(clean_text, '') AS cs
+                        FROM clean))),
+        good AS (
+            SELECT c.doc_id, c.lang,
+                   CAST(length(c.clean_text) AS BIGINT) AS n_clean_chars,
+                   e.char_entropy
+            FROM clean c JOIN ent e USING (doc_id)
+            WHERE e.char_entropy >= 3.0),
+        keyed AS (
+            SELECT *,
+                   ROUND(-ln((CAST(concat('0x',
+                            substr(md5('7:' || CAST(doc_id AS VARCHAR)),
+                                   1, 13)) AS BIGINT) + 1.0)
+                             / 4503599627370496.0)
+                         / n_clean_chars, 9) AS es_key
+            FROM good)
+        SELECT doc_id, lang, n_clean_chars, char_entropy, es_key
+        FROM keyed ORDER BY es_key, doc_id LIMIT 100
+    """,
+)
+def pipeline_corpus_prep_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators import sampling
+    from tajo_spark.operators.dedup import boilerplate_strip
+    from tajo_spark.operators.text import char_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    stripped = boilerplate_strip(docs, chunk_tokens=10, min_docs=2)
+    clean = (
+        stripped.filter(F.length("clean_text") > 0)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", F.col("clean_text").alias("text"))
+    )
+    ent = char_entropy(clean)
+    # one stage boundary: the survivor table feeds BOTH the sampler's
+    # key projection and the final manifest join
+    good = (
+        clean.join(
+            ent.filter(F.col("char_entropy") >= 3.0).select(
+                "doc_id", "char_entropy"
+            ),
+            "doc_id",
+        )
+        .withColumn("n_clean_chars", F.length("text").cast("long"))
+        .localCheckpoint()
+    )
+    sample = sampling.weighted_reservoir_sample(
+        good, k=100, weight_col="n_clean_chars", seed=7
+    )
+    return (
+        sample.join(
+            good.select("doc_id", "lang", "char_entropy"), "doc_id"
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("w").cast("long").alias("n_clean_chars"),
+            "char_entropy",
+            "es_key",
+        )
+        .orderBy("es_key", "doc_id")
+    )
+
+
+@query(
     "text_unigram_logprob",
     "datapipe",
     doc="Unigram-LM quality score: per-document average token "
