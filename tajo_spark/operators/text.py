@@ -412,32 +412,64 @@ def char_entropy(
     Output: (id_col, n_chars, n_distinct_chars, char_entropy) with
     entropy in bits, rounded.
 
-    Scale shape (100 TB): a PURE zero-shuffle projection.  The
-    frequency table is built inside the row with higher-order
-    functions — O(|alphabet| x len) JVM work per document, no explode
+    Scale shape (100 TB): a PURE zero-shuffle projection, no explode
     (a char-level explode would shuffle one row PER CHARACTER of the
-    corpus: the per-token operators pay token fan-out because they
-    must aggregate across documents; entropy is per-document, so
-    nothing needs to leave the row).  The distinct alphabet is sorted
-    before the fold so the floating summation order is engine-
-    independent (same discipline as the kmeans centroid rounding).
+    corpus; entropy is per-document, so nothing needs to leave the
+    row).  The frequency table comes from RUN LENGTHS of the sorted
+    char array — O(n log n) per row — not from a per-distinct-char
+    filter scan (O(|alphabet| x n), measured 5x slower at sf0.1: 6.0 s
+    vs 1.15 s).  Each stage lands in its own projection because a
+    lambda that references an unstaged EXPRESSION (e.g.
+    ``element_at(array_sort(cs), i)``) re-evaluates it per element —
+    the staged-column discipline is what keeps this O(n log n).
+    Run lengths fold in sorted-char order, so the floating summation
+    order is engine-independent (same discipline as the kmeans
+    centroid rounding).
+
+    Consumer note (measured, pipeline_corpus_prep_v6): FILTER on the
+    output columns only behind a stage boundary
+    (``.localCheckpoint()`` — the frame is doc-count-sized).  Without
+    one, Catalyst's predicate pushdown inlines the whole entropy
+    expression into the pushed condition (alias substitution on that
+    path ignores CollapseProject's use-once rule) and the interpreted
+    HOF lambdas re-evaluate per element — 133 s vs 2 s at sf0.01.
     """
     cs = F.split(F.col(text_col), "")
-    uniq = F.array_sort(F.array_distinct(cs))
-    n = F.size(cs).cast("double")
-    counts = F.transform(
-        uniq, lambda c: F.size(F.filter(cs, lambda x: x == c))
+    staged = docs.filter(F.col(text_col).isNotNull()).select(
+        id_col,
+        F.array_sort(cs).alias("__s"),
+        F.size(cs).alias("__n"),
     )
+    # 1-based positions where a new run starts in the sorted array
+    idx = F.filter(
+        F.sequence(F.lit(1), F.col("__n")),
+        lambda i: (i == 1)
+        | (
+            F.element_at(F.col("__s"), i)
+            != F.element_at(F.col("__s"), i - 1)
+        ),
+    )
+    staged = staged.select(id_col, "__n", idx.alias("__idx"))
+    bounds = F.concat(F.col("__idx"), F.array(F.col("__n") + 1))
+    runs = F.zip_with(
+        F.slice(bounds, 1, F.size("__idx")),
+        F.slice(bounds, 2, F.size("__idx")),
+        lambda a, b: b - a,
+    )
+    staged = staged.select(
+        id_col, "__n", F.size("__idx").alias("__nd"), runs.alias("__runs")
+    )
+    n = F.col("__n").cast("double")
     ent = -F.aggregate(
-        counts,
+        F.col("__runs"),
         F.lit(0.0),
         lambda acc, k: acc
         + (k.cast("double") / n) * F.log2(k.cast("double") / n),
     )
-    return docs.filter(F.col(text_col).isNotNull()).select(
+    return staged.select(
         id_col,
-        F.size(cs).cast("long").alias("n_chars"),
-        F.size(uniq).cast("long").alias("n_distinct_chars"),
+        F.col("__n").cast("long").alias("n_chars"),
+        F.col("__nd").cast("long").alias("n_distinct_chars"),
         F.round(ent, round_to).alias("char_entropy"),
     )
 

@@ -1273,13 +1273,27 @@ def pipeline_corpus_prep_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     stripped = boilerplate_strip(docs, chunk_tokens=10, min_docs=2)
+    # stage boundary #1: the cleaned corpus feeds TWO subtrees (the
+    # entropy scorer and the survivor join) — without materialization
+    # the join is a self-join of the whole strip lineage and Catalyst's
+    # project collapse inlines the reassembled text into the entropy
+    # lambdas, re-evaluating them per element (measured: 124 s vs ~2 s
+    # at sf0.01 for this one checkpoint)
     clean = (
         stripped.filter(F.length("clean_text") > 0)
         .join(docs.select("doc_id", "lang"), "doc_id")
         .select("doc_id", "lang", F.col("clean_text").alias("text"))
+        .localCheckpoint()
     )
-    ent = char_entropy(clean)
-    # one stage boundary: the survivor table feeds BOTH the sampler's
+    # stage boundary #2: the entropy frame is FILTERED below — without
+    # materialization, predicate pushdown substitutes the whole
+    # entropy expression into the pushed condition (alias inlining is
+    # unconditional on that path, unlike CollapseProject's use-once
+    # rule), re-evaluating the interpreted HOF lambdas per element:
+    # measured 133 s vs 2 s at sf0.01.  The frame is doc-count-sized
+    # (4 narrow columns), so the checkpoint is cheap at any corpus.
+    ent = char_entropy(clean).localCheckpoint()
+    # stage boundary #3: the survivor table feeds BOTH the sampler's
     # key projection and the final manifest join
     good = (
         clean.join(
