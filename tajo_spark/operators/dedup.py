@@ -279,7 +279,67 @@ def write_banded_signatures(
 
 
 def read_signature_store(spark, path: str) -> DataFrame:
+    # recover a compaction interrupted between its two renames (the
+    # documented crash window of compact_signature_store)
+    _recover_compaction(path)
     return spark.read.parquet(path)
+
+
+def _recover_compaction(path: str) -> None:
+    import os as _os
+
+    old = path + ".old"
+    if _os.path.isdir(old) and not _os.path.isdir(path):
+        _os.rename(old, path)
+
+
+def compact_signature_store(spark, path: str) -> dict:
+    """Fold the signature store's per-batch parquet appends into one
+    deduplicated generation — the maintenance pass that bounds
+    ``incremental_dedup_stream``'s per-batch store scan, completing
+    the maintenance family (``compact_gate_store`` for the Bloom gate,
+    ``ann_ingest.compact_index_batches`` for the ANN index).  Every
+    micro-batch appends files per ``band_id`` partition, so an
+    always-on stream accumulates small files linearly in batch count;
+    replayed appends can also leave duplicate (doc_id, band_id, bh)
+    rows — semantically harmless (bucket membership is a set) but paid
+    on every scan.
+
+    Safety contract: run while the stream is STOPPED.  The fold writes
+    a full new generation NEXT TO the store, then swaps directories
+    with two renames; the only crash window (after renaming the live
+    store away, before renaming the new generation in) is repaired by
+    ``read_signature_store``/this function on next touch, restoring
+    the old generation.  Nothing is deleted until the swap completed.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    _recover_compaction(path)
+    tmp, old = path + ".compact.tmp", path + ".old"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    _shutil.rmtree(old, ignore_errors=True)
+
+    def _count_files(p: str) -> int:
+        return sum(
+            1
+            for _root, _dirs, files in _os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    files_before = _count_files(path)
+    df = spark.read.parquet(path).dropDuplicates(["doc_id", "band_id", "bh"])
+    df.write.partitionBy("band_id").mode("overwrite").parquet(tmp)
+    rows = spark.read.parquet(tmp).count()
+    _os.rename(path, old)
+    _os.rename(tmp, path)  # crash between these two renames: see above
+    _shutil.rmtree(old, ignore_errors=True)
+    return {
+        "rows_after": rows,
+        "files_before": files_before,
+        "files_after": _count_files(path),
+    }
 
 
 def incremental_dedup_apply(

@@ -510,3 +510,72 @@ def test_compact_gate_store_interleaved_with_replay(spark, tmp_path):
         for r in spark.read.parquet(paths[2]).select("doc_id").collect()
     )
     assert final == [0, 1, 11, 21, 31]
+
+
+def test_compact_signature_store_preserves_verdicts(spark, tmp_path):
+    """Signature-store compaction (the minhash twin of
+    compact_gate_store): fold per-batch appends into one deduplicated
+    generation while the stream is stopped — fewer files, identical
+    verdicts for the next wave, and the crash window between the two
+    swap renames is recoverable."""
+    import os
+
+    from tajo_spark.operators.dedup import (
+        _recover_compaction,
+        compact_signature_store,
+    )
+    from tajo_spark.streaming.pipeline import incremental_dedup_stream
+
+    base = "shared boilerplate words repeated across near duplicate docs"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    waves = [
+        [(0, base + " v1"), (1, "unique first content about engines")],
+        [(10, base + " v1"), (11, "unique second content about scans")],
+        [(20, base + " v1"), (21, "unique third content about shuffles")],
+    ]
+    for i, rows in enumerate(waves):
+        spark.createDataFrame(rows, "doc_id LONG, text STRING").coalesce(1) \
+            .write.mode("overwrite" if i == 0 else "append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "survivors")
+    ckpt = str(tmp_path / "ckpt")
+    q = incremental_dedup_stream(stream, store, out, ckpt).start()
+    q.processAllAvailable(); q.stop()
+    before = sorted(
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert before == [0, 1, 11, 21]
+
+    stats = compact_signature_store(spark, store)
+    assert stats["files_after"] < stats["files_before"]
+    # one signature row set per surviving doc, no duplicates
+    sigs = spark.read.parquet(store)
+    assert sigs.count() == sigs.dropDuplicates(
+        ["doc_id", "band_id", "bh"]
+    ).count()
+
+    # next wave against the compacted store: dups still rejected
+    spark.createDataFrame(
+        [(30, base + " v1"), (31, "unique fourth content about joins")],
+        "doc_id LONG, text STRING",
+    ).coalesce(1).write.mode("append").parquet(src)
+    q2 = incremental_dedup_stream(stream, store, out, ckpt).start()
+    q2.processAllAvailable(); q2.stop()
+    after = sorted(
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert after == [0, 1, 11, 21, 31]
+
+    # crash window: store renamed away, new generation not yet in —
+    # recovery restores the old generation
+    n_before = spark.read.parquet(store).count()
+    os.rename(store, store + ".old")
+    _recover_compaction(store)
+    assert os.path.isdir(store) and not os.path.isdir(store + ".old")
+    assert spark.read.parquet(store).count() == n_before
