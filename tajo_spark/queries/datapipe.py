@@ -1440,6 +1440,59 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle_iter(i: int) -> str:
+    """One unrolled PageRank iteration of the graph_pagerank oracle."""
+    return f"""
+        s{i} AS (SELECT bi.b AS id, sum(p.pr / p.deg) AS s
+                 FROM bi JOIN p{i} p ON p.id = bi.a GROUP BY bi.b),
+        p{i + 1} AS (SELECT p.id, p.deg,
+                        ROUND(0.15 / nn.n + 0.85 * coalesce(s.s, 0.0), 9)
+                            AS pr
+                     FROM p{i} p CROSS JOIN nn
+                     LEFT JOIN s{i} s ON s.id = p.id)"""
+
+
+@query(
+    "graph_pagerank_neardup",
+    "curation",
+    doc="PageRank over the MinHash near-dup similarity graph "
+    "(operators/graph.py::pagerank): centrality-weighted curation — "
+    "high-rank documents sit at the center of dense duplication "
+    "neighborhoods (syndication hubs, template sources). Fully "
+    "oracle-replayable like sim_kmeans_lloyd: deterministic init "
+    "(1/N), 3 unrolled iterations, ranks rounded to 9 dp at every "
+    "update on BOTH engines so summation-order ulps never compound. "
+    "Per iteration ONE rank-vs-edges shuffle join + a sum aggregate; "
+    "node count rides as a broadcast 1-row frame; localCheckpoint per "
+    "round keeps plan depth O(1). Zero driver collects.",
+    oracle="WITH RECURSIVE "
+    + _MINHASH_PAIRS_CTE
+    + """,
+        bi AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+               UNION ALL
+               SELECT doc_b AS a, doc_a AS b FROM pairs),
+        deg AS (SELECT a, count(*) AS deg FROM bi GROUP BY a),
+        nn AS (SELECT count(*) AS n FROM deg),
+        p0 AS (SELECT d.a AS id, d.deg, ROUND(1.0 / nn.n, 9) AS pr
+               FROM deg d CROSS JOIN nn),"""
+    + ",".join(_pagerank_oracle_iter(i) for i in range(3))
+    + """
+        SELECT id AS doc_id, ROUND(pr, 6) AS pagerank
+        FROM p3 ORDER BY doc_id
+    """,
+)
+def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidate_pairs(docs)
+    return (
+        pagerank(pairs, n_iter=3)
+        .select(F.col("node").alias("doc_id"), "pagerank")
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "dedup_apply_neardup",
     "datapipe",

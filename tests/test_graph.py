@@ -121,3 +121,41 @@ def test_star_variant_random_graphs(spark):
     simple = {r.node: r.component for r in connected_components(df, max_iter=60).collect()}
     star = {r.node: r.component for r in connected_components_star(df).collect()}
     assert star == simple
+
+
+def test_pagerank_symmetric_triangle_uniform(spark):
+    from tajo_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "doc_a LONG, doc_b LONG"
+    )
+    out = {r.node: r.pagerank for r in pagerank(edges, n_iter=4).collect()}
+    # full symmetry: stationary at exactly 1/3 each, every iteration
+    assert all(abs(v - 0.333333) < 1e-6 for v in out.values())
+    assert abs(sum(out.values()) - 1.0) < 1e-4
+
+
+def test_pagerank_star_center_dominates_and_mass_conserved(spark):
+    from tajo_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "doc_a LONG, doc_b LONG"
+    )
+    out = {r.node: r.pagerank for r in pagerank(edges, n_iter=5).collect()}
+    leaves = [v for k, v in out.items() if k != 0]
+    assert all(out[0] > lv * 2 for lv in leaves)
+    assert len(set(leaves)) == 1  # symmetric leaves rank identically
+    assert abs(sum(out.values()) - 1.0) < 1e-4  # undirected: no dangling loss
+
+
+def test_pagerank_truncates_lineage(spark):
+    from tajo_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a LONG, doc_b LONG"
+    )
+    plan = (
+        pagerank(edges, n_iter=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ExistingRDD" in plan  # final round checkpointed: O(1) depth
