@@ -135,6 +135,8 @@ HEADLINE = [
     "text_char_entropy",
     "sample_weighted_reservoir",
     "pipeline_corpus_prep_v6",
+    "graph_pagerank_neardup",
+    "dedup_best_by_centrality",
 ]
 
 

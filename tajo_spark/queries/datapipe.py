@@ -1494,6 +1494,85 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_best_by_centrality",
+    "curation",
+    doc="Centrality-based survivor choice: connected components over "
+    "the near-dup graph, survivor = the member with the HIGHEST "
+    "PageRank (ties -> lowest doc_id) — the centrality alternative to "
+    "dedup_best_of_cluster's quality-score rule (the hub of a "
+    "syndication cluster is usually the original). Composes "
+    "graph.pagerank + graph.connected_components over ONE shared pair "
+    "set (checkpointed — the banding pipeline executes once, feeding "
+    "both iterative consumers); the argmax is one struct-max per "
+    "component.",
+    oracle="WITH RECURSIVE "
+    + _MINHASH_PAIRS_CTE
+    + """,
+        bi AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+               UNION ALL
+               SELECT doc_b AS a, doc_a AS b FROM pairs),
+        deg AS (SELECT a, count(*) AS deg FROM bi GROUP BY a),
+        nn AS (SELECT count(*) AS n FROM deg),
+        p0 AS (SELECT d.a AS id, d.deg, ROUND(1.0 / nn.n, 9) AS pr
+               FROM deg d CROSS JOIN nn),"""
+    + ",".join(_pagerank_oracle_iter(i) for i in range(3))
+    + """,
+        cc_edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION
+            SELECT doc_b AS a, doc_a AS b FROM pairs),
+        reach(node, label) AS (
+            SELECT a, a FROM cc_edges
+            UNION
+            SELECT e.b, r.label FROM reach r JOIN cc_edges e ON e.a = r.node),
+        comp AS (SELECT node, min(label) AS component
+                 FROM reach GROUP BY node),
+        ranked AS (
+            SELECT c.component, c.node, ROUND(p.pr, 6) AS pr6,
+                   row_number() OVER (
+                       PARTITION BY c.component
+                       ORDER BY ROUND(p.pr, 6) DESC, c.node) AS rn
+            FROM comp c JOIN p3 p ON p.id = c.node)
+        SELECT component,
+               CAST(count(*) AS BIGINT) AS n_members,
+               max(CASE WHEN rn = 1 THEN node END) AS survivor,
+               max(pr6) AS survivor_pr
+        FROM ranked GROUP BY component ORDER BY component
+    """,
+)
+def dedup_best_by_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.graph import connected_components, pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    # one banding pipeline feeds BOTH iterative consumers (components
+    # and pagerank): checkpoint so it executes once
+    pairs = dedup.minhash_candidate_pairs(docs).localCheckpoint()
+    comp = connected_components(pairs, assume_distinct=True)
+    pr = pagerank(pairs, n_iter=3)
+    joined = comp.join(pr, "node")
+    return (
+        joined.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max(
+                F.struct(
+                    F.col("pagerank").alias("p"),
+                    (-F.col("node")).alias("negid"),
+                )
+            ).alias("b"),
+            F.round(F.max("pagerank"), 6).alias("survivor_pr"),
+        )
+        .select(
+            "component",
+            "n_members",
+            (-F.col("b.negid")).cast("long").alias("survivor"),
+            "survivor_pr",
+        )
+        .orderBy("component")
+    )
+
+
+@query(
     "dedup_apply_neardup",
     "datapipe",
     doc="End-to-end NEAR-dup dedup materialization — the full textbook "
