@@ -243,9 +243,14 @@ def pagerank(
     mass is conserved up to rounding.
     """
     e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    # the bidirected edge list is re-joined EVERY iteration (and the
+    # init + each round is its own action via localCheckpoint), so
+    # whatever lineage produced `edges` — typically the whole LSH
+    # banding pipeline — would re-execute n_iter+1 times without this
+    # materialization; 2|E| rows, far smaller than the corpus
     bi = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
+    ).localCheckpoint()
     deg = bi.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     n1 = deg.agg(F.count(F.lit(1)).alias("n"))  # 1 row, broadcast below
     pr = (
