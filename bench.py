@@ -137,6 +137,7 @@ HEADLINE = [
     "pipeline_corpus_prep_v6",
     "graph_pagerank_neardup",
     "dedup_best_by_centrality",
+    "sketch_hist_quantiles",
 ]
 
 

@@ -150,3 +150,117 @@ def cms_heavy_hitters(
             (F.col("cms_est") - F.col("true_count")).alias("overcount"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable fixed-bin histogram → distributed quantile estimates
+
+HIST_BINS = 64
+
+
+def hist_build(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """Fixed-range equi-width histogram — the MERGEABLE quantile
+    summary completing the sketch family (Bloom: membership, CMS:
+    frequency, histogram: distribution).  Where
+    ``F.percentile``/``approx_percentile`` answer one batch, a
+    continuously-ingested corpus tracking a distribution across days
+    wants fixed-size state mergeable by plain cell addition — the same
+    property the CMS exploits.
+
+    Sketch = a DataFrame of at most ``bins`` (bin, n) cells: ONE
+    groupBy whose key space is bounded regardless of corpus size
+    (map-side combined).  Values below ``lo`` / above ``hi`` clamp
+    into the edge bins (count-preserving, like every fixed-range
+    histogram); NULLs are dropped.  Merging = unionByName + the same
+    groupBy (``cms_merge`` shape).
+    """
+    w = (hi - lo) / bins
+    b = (
+        F.least(
+            F.lit(bins - 1),
+            F.greatest(
+                F.lit(0), F.floor((F.col(value_col) - lo) / F.lit(w))
+            ),
+        )
+        .cast("int")
+        .alias("bin")
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(b)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def hist_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    return (
+        a.unionByName(b)
+        .groupBy("bin")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = HIST_BINS,
+    round_to: int = 4,
+) -> DataFrame:
+    """Quantile estimates from the histogram: for each q, the first
+    bin whose cumulative count reaches ``q * total``, linearly
+    interpolated within the bin (the standard equi-width estimator —
+    error bounded by one bin width).
+
+    Distributed shape: ONE cumulative window over <= ``bins``
+    AGGREGATE rows (the two-phase idiom — the window never sees data
+    rows), the q probes cross-joined against the bin that spans each
+    target rank.  Returns (q, est) rows, deterministic given the
+    sketch.
+    """
+    from pyspark.sql import Window as W
+
+    w = (hi - lo) / bins
+    cum = hist.select(
+        "bin",
+        "n",
+        F.sum("n").over(
+            W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+        ).alias("cum"),
+    )
+    total = hist.agg(F.sum("n").alias("total"))
+    qdf = hist.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q DOUBLE"
+    )
+    targets = qdf.join(F.broadcast(total)).select(
+        "q", (F.col("q") * F.col("total")).alias("rank"), "total"
+    )
+    # the spanning bin: smallest bin with cum >= rank
+    spanning = (
+        targets.join(F.broadcast(cum), F.col("cum") >= F.col("rank"))
+        .groupBy("q", "rank")
+        .agg(F.min(F.struct("bin", "cum", "n")).alias("b"))
+    )
+    return spanning.select(
+        "q",
+        F.round(
+            F.lit(lo)
+            + (
+                F.col("b.bin")
+                + (
+                    F.col("rank")
+                    - (F.col("b.cum") - F.col("b.n"))
+                )
+                / F.greatest(F.col("b.n"), F.lit(1))
+            )
+            * F.lit(w),
+            round_to,
+        ).alias("est"),
+    ).orderBy("q")

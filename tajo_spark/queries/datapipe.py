@@ -1440,6 +1440,49 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sketch_hist_quantiles",
+    "curation",
+    doc="Mergeable fixed-bin histogram -> distributed quantile "
+    "estimates (operators/sketch.py::hist_build/hist_quantiles): the "
+    "quantile member of the sketch family (Bloom: membership, CMS: "
+    "frequency) — 64 equi-width cells over documents.n_chars, ONE "
+    "bounded-key groupBy (map-side combined, fixed state regardless "
+    "of corpus), then p25/p50/p90/p99 by cumulative window over the "
+    "<= 64 AGGREGATE rows + within-bin linear interpolation. The "
+    "two-phase idiom: the window never sees data rows. Estimator "
+    "error bounded by one bin width; whole sketch oracle-replayable.",
+    oracle="""
+        WITH h AS (
+            SELECT CAST(least(63, greatest(0, floor(n_chars / 10.0)))
+                        AS INT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        c AS (SELECT bin, n, sum(n) OVER (ORDER BY bin) AS cum FROM h),
+        t AS (SELECT sum(n) AS total FROM h),
+        qs AS (SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS q),
+        tg AS (SELECT q, q * t.total AS rank FROM qs CROSS JOIN t),
+        sp AS (
+            SELECT tg.q, tg.rank, c.bin, c.cum, c.n,
+                   row_number() OVER (PARTITION BY tg.q ORDER BY c.bin)
+                       AS rn
+            FROM tg JOIN c ON c.cum >= tg.rank)
+        SELECT q,
+               ROUND((bin + (rank - (cum - n)) / greatest(n, 1)) * 10.0,
+                     4) AS est
+        FROM sp WHERE rn = 1 ORDER BY q
+    """,
+)
+def sketch_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.sketch import hist_build, hist_quantiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = hist_build(docs, "n_chars", lo=0.0, hi=640.0, bins=64)
+    return hist_quantiles(
+        h, [0.25, 0.5, 0.9, 0.99], lo=0.0, hi=640.0, bins=64
+    )
+
+
 def _pagerank_oracle_iter(i: int) -> str:
     """One unrolled PageRank iteration of the graph_pagerank oracle."""
     return f"""

@@ -850,3 +850,73 @@ def cms_ingest_stream(
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
     )
+
+
+def hist_ingest_stream(
+    docs_stream: DataFrame,
+    hist_path: str,
+    checkpoint_path: str,
+    value_col: str = "n_chars",
+    lo: float = 0.0,
+    hi: float = 640.0,
+    bins: int = 64,
+):
+    """Continuous distribution maintenance: each micro-batch builds its
+    own bounded histogram (operators/sketch.py::hist_build — one
+    groupBy over <= bins cells regardless of batch size) and merges it
+    into the persisted histogram by cell-wise addition — the quantile
+    member of the streaming-sketch family (Bloom gate: membership, CMS
+    ingest: frequency).  Quantile queries probe the persisted cells
+    (hist_quantiles) without touching any raw data.
+
+    Durability is the CMS pattern verbatim (versioned ``v=N`` commits,
+    read latest STRICTLY OLDER than the current batch, prune stale and
+    orphaned-higher versions after success): cell addition is not
+    idempotent, so replay safety comes from a replayed batch merging
+    from the version it originally merged from and deterministically
+    rewriting its own v=batch_id.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    from tajo_spark.operators import sketch as _sketch
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        persisted_before = set(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet()
+        )
+        batch_hist = _sketch.hist_build(
+            batch_df, value_col, lo=lo, hi=hi, bins=bins
+        )
+        prior = _committed_versions(hist_path, below=batch_id)
+        if prior:
+            old = spark.read.parquet(
+                _os.path.join(hist_path, f"v={prior[-1]}")
+            ).localCheckpoint()
+            merged = _sketch.hist_merge(old, batch_hist)
+        else:
+            merged = batch_hist
+        merged.write.mode("overwrite").parquet(
+            _os.path.join(hist_path, f"v={batch_id}")
+        )
+        for v in prior:
+            if v < batch_id - 1:
+                _shutil.rmtree(
+                    _os.path.join(hist_path, f"v={v}"), ignore_errors=True
+                )
+        for v in _committed_versions(hist_path):
+            if v > batch_id:
+                _shutil.rmtree(
+                    _os.path.join(hist_path, f"v={v}"), ignore_errors=True
+                )
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet()):
+            if rid not in persisted_before:
+                jmap.get(rid).unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+    )

@@ -125,3 +125,78 @@ def test_cms_ingest_stream_equals_batch_build(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(sk_path, f"v={latest2}")).collect()
     }
     assert replayed == batch
+
+
+def test_hist_build_and_quantiles_hand_computed(spark):
+    """Uniform 0..99 in 10 bins of width 10: p50 interpolates to 50,
+    p90 to 90; out-of-range values clamp into edge bins."""
+    from tajo_spark.operators.sketch import hist_build, hist_quantiles
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v DOUBLE")
+    h = hist_build(df, "v", lo=0.0, hi=100.0, bins=10)
+    cells = {r.bin: r.n for r in h.collect()}
+    assert cells == {i: 10 for i in range(10)}
+    qs = {r.q: r.est for r in
+          hist_quantiles(h, [0.5, 0.9], lo=0.0, hi=100.0, bins=10).collect()}
+    assert abs(qs[0.5] - 50.0) < 1e-9
+    assert abs(qs[0.9] - 90.0) < 1e-9
+    # clamping: values outside [lo, hi) land in the edge bins
+    df2 = spark.createDataFrame([(-5.0,), (500.0,)], "v DOUBLE")
+    cells2 = {r.bin: r.n for r in
+              hist_build(df2, "v", lo=0.0, hi=100.0, bins=10).collect()}
+    assert cells2 == {0: 1, 9: 1}
+
+
+def test_hist_ingest_stream_equals_batch_build(spark, tmp_path):
+    """Streamed histogram maintenance == one batch build over the full
+    corpus (mergeability), and checkpoint-wipe replay converges to the
+    same cells — the CMS contract, quantile flavor."""
+    import os
+    import re
+    import shutil
+
+    from tajo_spark.operators.sketch import hist_build
+    from tajo_spark.streaming.pipeline import hist_ingest_stream
+
+    rows1 = [(0, 100), (1, 250)]
+    rows2 = [(10, 305), (11, 630), (12, None)]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(rows1, "doc_id LONG, n_chars LONG").coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    spark.createDataFrame(rows2, "doc_id LONG, n_chars LONG").coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id LONG, n_chars LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    hp, ck = str(tmp_path / "hist"), str(tmp_path / "ckpt")
+
+    def latest_cells():
+        latest = max(
+            int(m.group(1))
+            for d in os.listdir(hp)
+            if (m := re.fullmatch(r"v=(\d+)", d))
+            and os.path.exists(os.path.join(hp, d, "_SUCCESS"))
+        )
+        return {
+            r.bin: r.n
+            for r in spark.read.parquet(os.path.join(hp, f"v={latest}")).collect()
+        }
+
+    q = hist_ingest_stream(stream, hp, ck)
+    sq = q.start(); sq.processAllAvailable(); sq.stop()
+    full = spark.createDataFrame(
+        rows1 + rows2, "doc_id LONG, n_chars LONG"
+    )
+    batch = {
+        r.bin: r.n
+        for r in hist_build(full, "n_chars", lo=0.0, hi=640.0).collect()
+    }
+    assert latest_cells() == batch
+
+    shutil.rmtree(ck)
+    q2 = hist_ingest_stream(stream, hp, ck)
+    sq2 = q2.start(); sq2.processAllAvailable(); sq2.stop()
+    assert latest_cells() == batch
