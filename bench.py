@@ -138,6 +138,7 @@ HEADLINE = [
     "graph_pagerank_neardup",
     "dedup_best_by_centrality",
     "sketch_hist_quantiles",
+    "profile_user_skew",
 ]
 
 

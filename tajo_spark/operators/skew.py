@@ -112,3 +112,61 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     return s.join(o, on + ["_salt"], how).drop("_salt")
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """One-row skew diagnostic for a prospective shuffle key: group
+    sizes' head shares + Gini coefficient — the measurement that
+    decides between a plain groupBy, :func:`salted_agg`, and AQE skew
+    handling BEFORE a 100 TB job runs (a key with top1_share ~ 0.1
+    bottoms out on one reducer no matter how many executors you add).
+
+    Output: (n_keys, n_rows, top1_share, top10_share, gini), all from
+    group-size aggregates.  Gini uses the sorted-rank identity
+    ``G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n`` (x ascending) — exact,
+    not sampled.
+
+    Scale shape: ONE groupBy(key) shuffle to the per-key counts, then
+    every further step runs on AGGREGATE rows (one row per distinct
+    key).  The rank window spans those aggregate rows in a single
+    partition — fine for the catalog-sized keys this report is for
+    (sources, languages, shards, users); for billion-key columns rank
+    via the bucketed two-phase idiom (sampling.global_shuffle_position)
+    through the same formula.
+    """
+    from pyspark.sql import Window as W
+
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    ranked = counts.select(
+        "x",
+        F.row_number().over(W.orderBy(F.asc("x"), F.asc("k"))).alias("i"),
+        F.row_number()
+        .over(W.orderBy(F.desc("x"), F.asc("k")))
+        .alias("r_desc"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("x").cast("long").alias("n_rows"),
+        F.round(
+            F.sum(F.when(F.col("r_desc") == 1, F.col("x")).otherwise(0))
+            / F.sum("x"),
+            round_to,
+        ).alias("top1_share"),
+        F.round(
+            F.sum(F.when(F.col("r_desc") <= 10, F.col("x")).otherwise(0))
+            / F.sum("x"),
+            round_to,
+        ).alias("top10_share"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x"))
+            / (F.count(F.lit(1)) * F.sum("x"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            round_to,
+        ).alias("gini"),
+    )

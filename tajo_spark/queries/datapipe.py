@@ -1483,6 +1483,43 @@ def sketch_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "profile_user_skew",
+    "curation",
+    doc="Shuffle-key skew diagnostic (operators/skew.py::"
+    "key_skew_report): head shares + exact Gini over events.user_id "
+    "group sizes — the measurement that decides between plain "
+    "groupBy, salted_agg, and AQE skew handling BEFORE a 100 TB job "
+    "runs. ONE groupBy(key) shuffle; everything after runs on "
+    "aggregate rows (one per distinct key). Gini via the sorted-rank "
+    "identity, exact not sampled.",
+    oracle="""
+        WITH counts AS (
+            SELECT user_id AS k, CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY user_id),
+        ranked AS (
+            SELECT x,
+                   row_number() OVER (ORDER BY x ASC, k ASC) AS i,
+                   row_number() OVER (ORDER BY x DESC, k ASC) AS r_desc
+            FROM counts)
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(x) AS BIGINT) AS n_rows,
+               ROUND(sum(CASE WHEN r_desc = 1 THEN x ELSE 0 END)
+                     * 1.0 / sum(x), 4) AS top1_share,
+               ROUND(sum(CASE WHEN r_desc <= 10 THEN x ELSE 0 END)
+                     * 1.0 / sum(x), 4) AS top10_share,
+               ROUND(2.0 * sum(i * x) / (count(*) * sum(x))
+                     - (count(*) + 1.0) / count(*), 4) AS gini
+        FROM ranked
+    """,
+)
+def profile_user_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.skew import key_skew_report
+
+    events = load_table(spark, sf_dir, "events")
+    return key_skew_report(events, "user_id")
+
+
 def _pagerank_oracle_iter(i: int) -> str:
     """One unrolled PageRank iteration of the graph_pagerank oracle."""
     return f"""

@@ -355,3 +355,27 @@ def test_weighted_reservoir_deterministic_and_topk_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan  # per-partition top-k, no sort
+
+
+def test_key_skew_report_hand_computed(spark):
+    """4 keys with sizes 1,1,2,4 (n=8): top1 = 0.5, Gini from the
+    sorted-rank identity = 2*(1*1+2*1+3*2+4*4)/(4*8) - 5/4 = 0.3125."""
+    from tajo_spark.operators.skew import key_skew_report
+
+    rows = [("a",)] * 4 + [("b",)] * 2 + [("c",)] + [("d",)]
+    df = spark.createDataFrame(rows, "k STRING")
+    r = key_skew_report(df, "k").collect()[0]
+    assert r.n_keys == 4 and r.n_rows == 8
+    assert abs(r.top1_share - 0.5) < 1e-9
+    assert abs(r.top10_share - 1.0) < 1e-9
+    assert abs(r.gini - 0.3125) < 1e-9
+
+
+def test_key_skew_report_uniform_gini_zero(spark):
+    from tajo_spark.operators.skew import key_skew_report
+
+    df = spark.createDataFrame(
+        [(str(i % 5),) for i in range(50)], "k STRING"
+    )
+    r = key_skew_report(df, "k").collect()[0]
+    assert r.gini == 0.0 and abs(r.top1_share - 0.2) < 1e-9
