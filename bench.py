@@ -139,6 +139,7 @@ HEADLINE = [
     "dedup_best_by_centrality",
     "sketch_hist_quantiles",
     "profile_user_skew",
+    "sample_weighted_reservoir_by",
 ]
 
 

@@ -248,6 +248,52 @@ def weighted_reservoir_sample(
     )
 
 
+def weighted_reservoir_by(
+    df: DataFrame,
+    k_per_group: int,
+    weight_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum weighted sampling without replacement: the
+    Efraimidis-Spirakis key of :func:`weighted_reservoir_sample`,
+    ranked WITHIN each group — "k docs per language, length-weighted",
+    the stratified form every mixture pipeline wants (global sampling
+    lets a dominant stratum crowd out the tail).
+
+    Scale shape: zero-shuffle key projection + ONE window shuffle
+    keyed on the group column (rank within group, rows stop at
+    ``k_per_group``) — same plan family as ``sample_stratified_topk``;
+    group-size skew is bounded by the groups themselves (languages,
+    sources), and the window emits at most k rows per group.
+    """
+    from pyspark.sql import Window as W
+
+    key = F.md5(
+        F.concat(
+            F.lit(f"{seed}:"), F.col(id_col).cast("string")
+        ).cast("binary")
+    )
+    u = (F.conv(F.substring(key, 1, 13), 16, 10).cast("double") + 1.0) / F.lit(
+        float(16**13)
+    )
+    r = F.round(-F.log(u) / F.col(weight_col).cast("double"), 9)
+    w = W.partitionBy(group_col).orderBy("__es", id_col)
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__es", r)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k_per_group)
+        .select(
+            id_col,
+            F.col(group_col).alias("grp"),
+            F.col(weight_col).alias("w"),
+            F.col("__es").alias("es_key"),
+        )
+    )
+
+
 def temperature_mixture_sample(
     df: DataFrame,
     id_col: str,

@@ -1187,6 +1187,45 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_weighted_reservoir_by",
+    "curation",
+    doc="Per-stratum weighted sampling without replacement "
+    "(operators/sampling.py::weighted_reservoir_by): the Efraimidis-"
+    "Spirakis key ranked WITHIN each language — 10 docs per lang, "
+    "length-weighted; the stratified form a mixture pipeline wants "
+    "(global sampling lets a dominant stratum crowd out the tail). "
+    "Zero-shuffle key projection + ONE lang-keyed window shuffle, "
+    "k rows out per group.",
+    oracle="""
+        WITH keyed AS (
+            SELECT doc_id, lang AS grp, n_chars AS w,
+                   ROUND(-ln((CAST(concat('0x',
+                            substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+                                   1, 13)) AS BIGINT) + 1.0)
+                             / 4503599627370496.0)
+                         / n_chars, 9) AS es_key
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY grp ORDER BY es_key, doc_id) AS rn
+            FROM keyed)
+        SELECT doc_id, grp, w, es_key FROM ranked WHERE rn <= 10
+    """,
+)
+def sample_weighted_reservoir_by(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from tajo_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.weighted_reservoir_by(
+        docs, k_per_group=10, weight_col="n_chars", group_col="lang",
+        seed=42,
+    )
+
+
+@query(
     "pipeline_corpus_prep_v6",
     "curation",
     doc="Round-6 composed curation pipeline: per-source boilerplate "

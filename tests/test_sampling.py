@@ -379,3 +379,22 @@ def test_key_skew_report_uniform_gini_zero(spark):
     )
     r = key_skew_report(df, "k").collect()[0]
     assert r.gini == 0.0 and abs(r.top1_share - 0.2) < 1e-9
+
+
+def test_weighted_reservoir_by_group_caps_and_determinism(spark):
+    from tajo_spark.operators.sampling import weighted_reservoir_by
+
+    rows = [(i, "g" + str(i % 3), float(1 + i % 5)) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING, w DOUBLE")
+    out = weighted_reservoir_by(
+        df, k_per_group=7, weight_col="w", group_col="lang"
+    ).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.grp, []).append(r.doc_id)
+    assert set(by_grp) == {"g0", "g1", "g2"}
+    assert all(len(v) == 7 for v in by_grp.values())
+    again = weighted_reservoir_by(
+        df, k_per_group=7, weight_col="w", group_col="lang"
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
