@@ -140,6 +140,7 @@ HEADLINE = [
     "sketch_hist_quantiles",
     "profile_user_skew",
     "sample_weighted_reservoir_by",
+    "multimodal_jpeg_roundtrip",
 ]
 
 

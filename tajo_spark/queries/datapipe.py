@@ -1559,6 +1559,64 @@ def profile_user_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_report(events, "user_id")
 
 
+@query(
+    "multimodal_jpeg_roundtrip",
+    "curation",
+    doc="REAL JPEG bytes through the production metadata pass: each "
+    "doc synthesizes a deterministic image (dims derived from doc_id, "
+    "odd ids gray, even ids RGB 4:2:0), encodes it with the stdlib "
+    "baseline encoder (operators/jpeg.py) inside one Arrow "
+    "mapInPandas stage, and image_metadata(fake=False) parses the "
+    "bytes back via the sniff-dispatched header path — so the driver "
+    "hash-checks the encoder's headers against the decoder's parse at "
+    "200 distinct geometries, not just pytest fixtures. The oracle is "
+    "the closed-form dim formulas.",
+    oracle="""
+        SELECT doc_id,
+               CAST(16 + doc_id % 32 AS INT) AS width,
+               CAST(16 + (doc_id * 7) % 24 AS INT) AS height,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT)
+                   AS channels
+        FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.multimodal import image_metadata
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from tajo_spark.operators.jpeg import encode_jpeg
+
+        for b in batches:
+            rows = []
+            for did in b["doc_id"]:
+                did = int(did)
+                w = 16 + did % 32
+                h = 16 + (did * 7) % 24
+                yy, xx = np.mgrid[0:h, 0:w]
+                g = ((yy * 5 + xx * 3 + did) % 256).astype(np.uint8)
+                if did % 2 == 0:
+                    img = np.stack([g, 255 - g, g // 2], axis=2)
+                    payload = encode_jpeg(img, quality=90, subsample=True)
+                else:
+                    payload = encode_jpeg(g, quality=90)
+                rows.append((did, bytearray(payload)))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    binary = docs.mapInPandas(gen, "doc_id LONG, content BINARY")
+    return image_metadata(binary, fake=False).select(
+        "doc_id", "width", "height", "channels"
+    ).orderBy("doc_id")
+
+
 def _pagerank_oracle_iter(i: int) -> str:
     """One unrolled PageRank iteration of the graph_pagerank oracle."""
     return f"""
