@@ -85,6 +85,26 @@ QUERIES = [
     "dedup_split_repair",
     # both retrieval legs at depth 50 + a 50-row fusion join
     "sim_hybrid_rrf",
+    # round-5 additions
+    # stride-1 window hashing (~1 md5/token) + ONE uniform-key shuffle
+    "dedup_exact_substring",
+    # zero-shuffle regex projection
+    "text_blocklist_filter",
+    # corpus bigram-count scan + broadcast model re-join
+    "text_bigram_logprob",
+    # round-6 additions
+    # chunk explode + (source, hash) census + flag join + reassembly
+    "text_boilerplate_strip",
+    # zero-shuffle sorted-run projection
+    "text_char_entropy",
+    # key projection + TakeOrderedAndProject
+    "sample_weighted_reservoir",
+    # strip -> entropy -> reservoir with three stage checkpoints
+    "pipeline_corpus_prep_v6",
+    # banding + 3 rank iterations over the checkpointed edge list
+    "graph_pagerank_neardup",
+    # bounded-key histogram groupBy + aggregate-row window
+    "sketch_hist_quantiles",
 ]
 
 
