@@ -141,6 +141,7 @@ HEADLINE = [
     "profile_user_skew",
     "sample_weighted_reservoir_by",
     "multimodal_jpeg_roundtrip",
+    "export_tar_verify",
 ]
 
 

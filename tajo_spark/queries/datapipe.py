@@ -2954,6 +2954,86 @@ def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "export_tar_verify",
+    "curation",
+    doc="WebDataset-style tar shard export + consumer-side verify "
+    "(operators/export.py::export_tar_shards/verify_tar_shards): "
+    "documents pack into deterministic md5-shuffled ~64 KiB tar "
+    "shards ({id}.bin + {id}.json entries, fixed timestamps so shard "
+    "BYTES are a pure function of rows — task retries rewrite "
+    "identical files via atomic replace), one "
+    "groupBy(shard_id).applyInPandas write pass, then every tar is "
+    "re-read (entry counts, payload bytes, sha) and joined against "
+    "the manifest. The oracle replays the shard-assignment cumsum in "
+    "SQL, so the hash row proves the tar layout AND the round-trip "
+    "agree with the declared rule; shas are checked engine-side "
+    "(ok=true covers them).",
+    oracle="""
+        WITH k AS (
+            SELECT doc_id,
+                   octet_length(CAST(text AS BLOB)) AS nb,
+                   md5('42:' || CAST(doc_id AS VARCHAR)) AS h
+            FROM documents),
+        c AS (
+            SELECT nb,
+                   COALESCE(SUM(nb) OVER (
+                       ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cb
+            FROM k),
+        m AS (
+            SELECT CAST(cb // 65536 AS BIGINT) AS shard_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(nb) AS BIGINT) AS b
+            FROM c GROUP BY 1)
+        SELECT shard_id,
+               n AS manifest_items, n AS actual_items,
+               b AS manifest_content, b AS actual_content,
+               TRUE AS ok
+        FROM m ORDER BY shard_id
+    """,
+)
+def export_tar_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from tajo_spark.operators.export import (
+        export_tar_shards,
+        verify_tar_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("text").cast("binary").alias("content"),
+        "lang",
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "tajo_spark_tarshards_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    export_tar_shards(
+        docs, path, id_col="doc_id", content_col="content",
+        shard_bytes=65536, seed=42,
+    )
+    return (
+        verify_tar_shards(spark, path)
+        .select(
+            "shard_id",
+            "manifest_items",
+            "actual_items",
+            "manifest_content",
+            "actual_content",
+            "ok",
+        )
+        .orderBy("shard_id")
+    )
+
+
+@query(
     "text_ngram_topk",
     "curation",
     doc="Boilerplate phrase detection (operators/text.py::word_ngrams):"
