@@ -142,6 +142,7 @@ HEADLINE = [
     "sample_weighted_reservoir_by",
     "multimodal_jpeg_roundtrip",
     "export_tar_verify",
+    "dedup_containment_pairs",
 ]
 
 

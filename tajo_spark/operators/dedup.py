@@ -470,6 +470,60 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def containment_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Asymmetric CONTAINMENT over the LSH candidate pairs:
+    ``C(A in B) = |A ∩ B| / |A|`` per 3-gram shingle set, both
+    directions, alongside the symmetric Jaccard — the quote/subsumption
+    detector symmetric verification misses.  A short document embedded
+    verbatim in a long one has Jaccard ≈ |A|/|B| (fails any ≥0.8 gate
+    when B is 10x A's size) while its containment is ≈ 1.0; dedup
+    pipelines that only gate on Jaccard keep every such wrapped copy
+    (Lee et al.'s suffix-array pass exists precisely because of this
+    failure mode; this is its set-level screen over banded candidates).
+
+    Same two-stage scale shape as :func:`ngram_jaccard_pairs`: banding
+    proposes (one shuffle), the exact set math runs on |candidates|
+    pairs only, never all-pairs.  Recall caveat inherited from the
+    proposal stage and documented honestly: MinHash banding targets
+    Jaccard, so containment pairs with LOW Jaccard (extreme size
+    ratios) may not be proposed — a full containment index would band
+    on the SMALL side's shingles; at gate scale the shared banding is
+    the standard trade.
+
+    Output: (doc_a, doc_b, jaccard, cont_a_in_b, cont_b_in_a),
+    rounded to 4.
+    """
+    pairs = minhash_candidate_pairs(docs, text_col)
+    tok = spread_by(docs, "doc_id").select(
+        "doc_id",
+        F.split(normalize_for_fingerprint(F.col(text_col)), " ").alias("w"),
+    )
+    sh = tok.select(
+        "doc_id",
+        F.array_distinct(shingles_from_tokens(F.col("w"), 3)).alias("s"),
+    )
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("a_s"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("b_s"))
+    inter = F.size(F.array_intersect("a_s", "b_s")).cast("double")
+    return (
+        pairs.join(a, pairs.doc_a == a.a_id)
+        .join(b, pairs.doc_b == b.b_id)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                inter / F.size(F.array_union("a_s", "b_s")), 4
+            ).alias("jaccard"),
+            F.round(
+                inter / F.greatest(F.size("a_s"), F.lit(1)), 4
+            ).alias("cont_a_in_b"),
+            F.round(
+                inter / F.greatest(F.size("b_s"), F.lit(1)), 4
+            ).alias("cont_b_in_a"),
+        )
+    )
+
+
 SPAN_K = 8             # tokens per duplicated-span probe window
 
 

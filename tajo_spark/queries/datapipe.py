@@ -761,6 +761,45 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_containment_pairs",
+    "curation",
+    doc="Asymmetric containment over the LSH candidates "
+    "(operators/dedup.py::containment_pairs): C(A in B) = |A∩B|/|A| "
+    "per 3-gram shingle set, both directions + Jaccard — the "
+    "quote/subsumption detector a symmetric Jaccard gate misses (a "
+    "short doc wrapped verbatim in a long one has Jaccard ~ |A|/|B| "
+    "but containment ~ 1.0; the set-level screen for Lee et al.'s "
+    "failure mode). Exact math on |candidates| pairs only; the "
+    "banding-recall caveat for extreme size ratios is documented on "
+    "the operator.",
+    oracle=f"""
+        WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+        tk AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(w) >= 3
+                           THEN list_distinct(list_transform(
+                                range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                           ELSE [array_to_string(w, ' ')] END AS s
+               FROM tk),
+        {_MINHASH_PAIRS_CTE}
+        SELECT p.doc_a, p.doc_b,
+               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(a.s || b.s)), 4) AS jaccard,
+               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / greatest(len(a.s), 1), 4) AS cont_a_in_b,
+               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / greatest(len(b.s), 1), 4) AS cont_b_in_a
+        FROM pairs p, sh a, sh b
+        WHERE a.doc_id = p.doc_a AND b.doc_id = p.doc_b
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(docs)
+
+
+@query(
     "text_bpe_token_count",
     "datapipe",
     doc="BPE-ish tokenization: regex token classes (letters / digits / "

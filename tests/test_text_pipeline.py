@@ -826,3 +826,26 @@ def test_char_entropy_plan_is_zero_shuffle(spark):
     )
     assert "Exchange" not in plan
     assert "Generate" not in plan
+
+
+def test_containment_asymmetry_on_banded_pair(spark):
+    """A doc fully contained in a slightly longer one (close enough in
+    Jaccard for the shared banding to propose it): containment toward
+    the superset is exactly 1.0 while the reverse and the Jaccard are
+    strictly smaller — the asymmetric signal a symmetric verify lacks.
+    (Pairs with EXTREME size ratios may not be proposed at all — the
+    recall caveat documented on the operator.)"""
+    from tajo_spark.operators.dedup import containment_pairs
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(0, base), (1, base + " tail0 tail1 tail2")],
+        "doc_id LONG, text STRING",
+    )
+    rows = containment_pairs(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (0, 1)
+    assert r.cont_a_in_b == 1.0          # A's shingles all inside B
+    assert r.cont_b_in_a < 1.0
+    assert r.jaccard == r.cont_b_in_a    # |A∩B|=|A| → both = |A|/|B|
