@@ -143,6 +143,7 @@ HEADLINE = [
     "multimodal_jpeg_roundtrip",
     "export_tar_verify",
     "dedup_containment_pairs",
+    "corpus_length_drift",
 ]
 
 

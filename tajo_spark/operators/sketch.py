@@ -264,3 +264,83 @@ def hist_quantiles(
             round_to,
         ).alias("est"),
     ).orderBy("q")
+
+
+def hist_build_by(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """Per-group fixed-range histogram: (grp, bin, n) — state bounded
+    by |groups| x bins regardless of corpus (one groupBy, map-side
+    combined)."""
+    w = (hi - lo) / bins
+    b = (
+        F.least(
+            F.lit(bins - 1),
+            F.greatest(
+                F.lit(0), F.floor((F.col(value_col) - lo) / F.lit(w))
+            ),
+        )
+        .cast("int")
+        .alias("bin")
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"), b)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def hist_l1_drift(a: DataFrame, b: DataFrame, round_to: int = 6) -> DataFrame:
+    """Distribution-level drift per group: the L1 distance between two
+    snapshots' normalized histograms, ``sum_bin |n_a/N_a - n_b/N_b|``
+    in [0, 2] — the monitoring signal count-level drift reports miss
+    (identical doc counts, shifted length distribution = a parser or
+    chunker regression).
+
+    Exactness trick: the per-bin terms are summed as INTEGERS —
+    ``sum |n_a * N_b - n_b * N_a|`` — and divided by ``N_a * N_b``
+    once at the end, so the result has NO floating summation-order
+    dependence at all (cross-engine hash-exact by construction; the
+    products stay within int64 up to ~3e9 rows per group per
+    snapshot).  Defined for groups present in BOTH snapshots (inner
+    join on totals); appearing/disappearing groups are
+    count-level drift, covered by rollup.corpus_drift_report.
+
+    One full-outer join of bounded cell tables + two broadcast-sized
+    totals — nothing data-sized.
+    """
+    ta = a.groupBy("grp").agg(F.sum("n").cast("long").alias("na_tot"))
+    tb = b.groupBy("grp").agg(F.sum("n").cast("long").alias("nb_tot"))
+    cells = (
+        a.select("grp", "bin", F.col("n").alias("na"))
+        .join(
+            b.select("grp", "bin", F.col("n").alias("nb")),
+            ["grp", "bin"],
+            "full_outer",
+        )
+        .fillna(0, ["na", "nb"])
+    )
+    return (
+        cells.join(ta, "grp")
+        .join(tb, "grp")
+        .groupBy("grp")
+        .agg(
+            F.first("na_tot").alias("old_docs"),
+            F.first("nb_tot").alias("new_docs"),
+            F.round(
+                F.sum(
+                    F.abs(
+                        F.col("na") * F.col("nb_tot")
+                        - F.col("nb") * F.col("na_tot")
+                    )
+                ).cast("double")
+                / (F.first("na_tot") * F.first("nb_tot")),
+                round_to,
+            ).alias("l1_drift"),
+        )
+    )

@@ -1562,6 +1562,71 @@ def sketch_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_length_drift",
+    "curation",
+    doc="Distribution-level drift per language (operators/sketch.py::"
+    "hist_build_by/hist_l1_drift): L1 distance between two snapshots' "
+    "normalized length histograms — the regression count-level drift "
+    "misses (same doc counts, shifted distribution = a parser/chunker "
+    "bug). The per-bin terms sum as INTEGERS (|n_a*N_b - n_b*N_a|, "
+    "one division at the end), so the metric is cross-engine "
+    "hash-exact BY CONSTRUCTION, no rounding discipline needed on the "
+    "sum. Bounded cell tables end to end. Demonstration snapshots "
+    "match corpus_drift_report: doc_id%3!=0 (old) vs doc_id%2!=0 "
+    "(new).",
+    oracle="""
+        WITH o AS (
+            SELECT lang AS grp,
+                   CAST(least(63, greatest(0, floor(n_chars / 10.0)))
+                        AS INT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents
+            WHERE doc_id % 3 <> 0 AND n_chars IS NOT NULL
+            GROUP BY 1, 2),
+        nn AS (
+            SELECT lang AS grp,
+                   CAST(least(63, greatest(0, floor(n_chars / 10.0)))
+                        AS INT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents
+            WHERE doc_id % 2 <> 0 AND n_chars IS NOT NULL
+            GROUP BY 1, 2),
+        ta AS (SELECT grp, sum(n) AS na_tot FROM o GROUP BY grp),
+        tb AS (SELECT grp, sum(n) AS nb_tot FROM nn GROUP BY grp),
+        cells AS (
+            SELECT coalesce(o.grp, nn.grp) AS grp,
+                   coalesce(o.bin, nn.bin) AS bin,
+                   coalesce(o.n, 0) AS na, coalesce(nn.n, 0) AS nb
+            FROM o FULL OUTER JOIN nn
+              ON o.grp = nn.grp AND o.bin = nn.bin)
+        SELECT c.grp AS lang,
+               CAST(any_value(ta.na_tot) AS BIGINT) AS old_docs,
+               CAST(any_value(tb.nb_tot) AS BIGINT) AS new_docs,
+               ROUND(CAST(sum(abs(c.na * tb.nb_tot - c.nb * ta.na_tot))
+                          AS DOUBLE)
+                     / (any_value(ta.na_tot) * any_value(tb.nb_tot)), 6)
+                   AS l1_drift
+        FROM cells c JOIN ta ON ta.grp = c.grp JOIN tb ON tb.grp = c.grp
+        GROUP BY c.grp ORDER BY lang
+    """,
+)
+def corpus_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.sketch import hist_build_by, hist_l1_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 2 != 0)
+    a = hist_build_by(old, "lang", "n_chars", lo=0.0, hi=640.0, bins=64)
+    b = hist_build_by(new, "lang", "n_chars", lo=0.0, hi=640.0, bins=64)
+    return (
+        hist_l1_drift(a, b)
+        .select(F.col("grp").alias("lang"), "old_docs", "new_docs",
+                "l1_drift")
+        .orderBy("lang")
+    )
+
+
+@query(
     "profile_user_skew",
     "curation",
     doc="Shuffle-key skew diagnostic (operators/skew.py::"

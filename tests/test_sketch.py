@@ -200,3 +200,30 @@ def test_hist_ingest_stream_equals_batch_build(spark, tmp_path):
     q2 = hist_ingest_stream(stream, hp, ck)
     sq2 = q2.start(); sq2.processAllAvailable(); sq2.stop()
     assert latest_cells() == batch
+
+
+def test_hist_l1_drift_identical_and_disjoint(spark):
+    """Identical distributions -> 0; fully disjoint bins -> 2 (total
+    mass moved); sensitive to a pure shift even when counts match."""
+    from tajo_spark.operators.sketch import hist_build_by, hist_l1_drift
+
+    a_rows = [("g", float(v)) for v in [5, 15, 25, 35]]
+    df_a = spark.createDataFrame(a_rows, "lang STRING, v DOUBLE")
+    h = lambda d: hist_build_by(d, "lang", "v", lo=0.0, hi=40.0, bins=4)  # noqa: E731
+    same = hist_l1_drift(h(df_a), h(df_a)).collect()[0]
+    assert same.l1_drift == 0.0 and same.old_docs == same.new_docs == 4
+    df_b = spark.createDataFrame(
+        [("g", float(v)) for v in [5, 5, 15, 15]], "lang STRING, v DOUBLE"
+    )
+    df_c = spark.createDataFrame(
+        [("g", float(v)) for v in [25, 25, 35, 35]], "lang STRING, v DOUBLE"
+    )
+    disjoint = hist_l1_drift(h(df_b), h(df_c)).collect()[0]
+    assert disjoint.l1_drift == 2.0
+    # same counts, one bin shifted: |1/4-0| + |0-1/4| = 0.5
+    df_d = spark.createDataFrame(
+        [("g", float(v)) for v in [5, 15, 25, 35 - 10]],
+        "lang STRING, v DOUBLE",
+    )
+    shifted = hist_l1_drift(h(df_a), h(df_d)).collect()[0]
+    assert abs(shifted.l1_drift - 0.5) < 1e-9
