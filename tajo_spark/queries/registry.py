@@ -82,15 +82,42 @@ def query(
 _ARTIFACT_GLOB = "CORRECTNESS_r*.json"
 
 
-def _load_driver_rows() -> tuple[frozenset[str], frozenset[str]]:
-    """Scan repo-root CORRECTNESS artifacts → (hash_green, rows_only_green)."""
-    import json
+def tracked_artifacts() -> list:
+    """Git-TRACKED CORRECTNESS_r*.json paths (glob fallback sans git).
+
+    The external driver drops its end-of-round artifact into the
+    working tree AFTER the builder's final commit; deriving evidence
+    from a raw glob therefore races the driver by construction and
+    reddened the REGISTRY.md freshness gate two rounds running
+    (VERDICT r06 "What's wrong" #1).  Tracked-only derivation is
+    stable across a driver landing: the new artifact becomes evidence
+    the moment it is committed (with REGISTRY.md regenerated in the
+    same commit).
+    """
+    import subprocess
     from pathlib import Path
 
     root = Path(__file__).resolve().parents[2]
+    try:
+        out = subprocess.run(
+            ["git", "-C", str(root), "ls-files", _ARTIFACT_GLOB],
+            capture_output=True, text=True, timeout=30, check=True,
+        ).stdout
+        paths = [root / line for line in out.splitlines() if line]
+        if paths:
+            return sorted(paths)
+    except (OSError, subprocess.SubprocessError):
+        pass
+    return sorted(root.glob(_ARTIFACT_GLOB))
+
+
+def _load_driver_rows() -> tuple[frozenset[str], frozenset[str]]:
+    """Scan git-tracked CORRECTNESS artifacts → (hash_green, rows_only_green)."""
+    import json
+
     hash_green: set[str] = set()
     rows_only: set[str] = set()
-    for path in sorted(root.glob(_ARTIFACT_GLOB)):
+    for path in tracked_artifacts():
         try:
             rows = json.loads(path.read_text())
         except (OSError, ValueError):

@@ -13,14 +13,21 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
-from tajo_spark.queries.registry import all_queries, driver_verified
+from tajo_spark.queries.registry import (
+    all_queries,
+    driver_verified,
+    tracked_artifacts,
+)
 
 REPO_ROOT = Path(__file__).resolve().parents[1]
 
 
 def _artifact_rows() -> dict[str, list[dict]]:
+    # Tracked-only, matching driver_verified()'s derivation: an
+    # UNTRACKED artifact the driver drops after the final commit must
+    # not change what these gates consider truth (VERDICT r06 #1).
     rows: dict[str, list[dict]] = {}
-    for path in sorted(REPO_ROOT.glob("CORRECTNESS_r*.json")):
+    for path in tracked_artifacts():
         for name, row in json.loads(path.read_text()).items():
             rows.setdefault(name, []).append(row)
     return rows
@@ -128,3 +135,44 @@ def test_registry_md_is_fresh():
     assert gen_registry_md.generate() == committed, (
         "REGISTRY.md is stale — run: python tools/gen_registry_md.py --write"
     )
+
+
+def test_freshness_survives_an_untracked_driver_artifact():
+    """Simulate the exact race that reddened r05 and r06: the driver
+    drops a strictly-newer CORRECTNESS artifact into the working tree
+    AFTER the builder's final commit.  The freshness gate must stay
+    green — evidence derives from git-TRACKED artifacts only, so the
+    untracked file is invisible until committed (VERDICT r06 #1)."""
+    import os
+    import sys
+
+    sys.path.insert(0, str(REPO_ROOT / "tools"))
+    import gen_registry_md
+
+    before = gen_registry_md.generate()
+    fake = REPO_ROOT / "CORRECTNESS_r98.json"
+    assert not fake.exists()
+    some_name = next(iter(all_queries()))
+    try:
+        fake.write_text(json.dumps({
+            some_name: {
+                "rows_match": True, "schema_match": True,
+                "hash_match": True, "spark_rows": 1,
+                "oracle_rows": 1, "err": None,
+            },
+            "a_brand_new_query_the_builder_never_saw": {
+                "rows_match": True, "schema_match": True,
+                "hash_match": True, "spark_rows": 1,
+                "oracle_rows": 1, "err": None,
+            },
+        }))
+        assert gen_registry_md.generate() == before, (
+            "an UNTRACKED newer artifact changed the regenerated "
+            "REGISTRY.md — the driver race is back"
+        )
+        # And the verified-set derivation is equally blind to it.
+        from tajo_spark.queries import registry as reg
+        greens, _ = reg._load_driver_rows()
+        assert "a_brand_new_query_the_builder_never_saw" not in greens
+    finally:
+        os.unlink(fake)
