@@ -286,11 +286,20 @@ def read_signature_store(spark, path: str) -> DataFrame:
 
 
 def _recover_compaction(path: str) -> None:
+    # Recovery, like compaction itself, assumes no CONCURRENT writers —
+    # but two readers may race each other here: both observe
+    # (old exists, path missing) and the loser's rename raises.  Treat
+    # a failed rename as "someone else recovered" and re-check; only
+    # surface an error when the store is still absent afterwards.
     import os as _os
 
     old = path + ".old"
     if _os.path.isdir(old) and not _os.path.isdir(path):
-        _os.rename(old, path)
+        try:
+            _os.rename(old, path)
+        except OSError:
+            if not _os.path.isdir(path):
+                raise
 
 
 def compact_signature_store(spark, path: str) -> dict:

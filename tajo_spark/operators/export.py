@@ -203,8 +203,11 @@ def export_tar_shards(
     Determinism/task-retry safety: entries are written in id order
     with fixed timestamps/uid/gid, so a shard's BYTES are a pure
     function of its rows — a retried or speculatively-executed task
-    rewrites an identical file through an atomic per-attempt temp +
-    ``os.replace``.  Returns the manifest (shard_id, n_items,
+    rewrites an identical file through the :mod:`fsio` seam (local:
+    atomic temp+rename; object store: one PUT).  ``path`` may be a
+    URI (``s3://…``, ``hdfs://…``, ``file://…``) — byte I/O dispatches
+    by scheme via pyarrow.fs, executor-side, no JVM gateway
+    needed.  Returns the manifest (shard_id, n_items,
     content_bytes, tar_bytes, tar_sha256), also persisted at
     ``path/_manifest``; the tar write itself is ONE
     ``groupBy(shard_id).applyInPandas`` pass — each shard's samples
@@ -216,12 +219,13 @@ def export_tar_shards(
     import hashlib
     import io
     import json
-    import os
     import tarfile
 
     import pandas as pd
 
-    os.makedirs(path, exist_ok=True)
+    from tajo_spark.operators import fsio
+
+    fsio.makedirs(path)
     meta_cols = [
         c for c in df.columns if c not in (id_col, content_col)
     ]
@@ -261,11 +265,11 @@ def export_tar_shards(
                     info.mtime = 0  # byte-stable across runs/retries
                     tar.addfile(info, io.BytesIO(data))
         blob = buf.getvalue()
-        final = os.path.join(path, f"shard-{shard_id:06d}.tar")
-        tmp = final + f".tmp.{os.getpid()}"
-        with open(tmp, "wb") as fh:
-            fh.write(blob)
-        os.replace(tmp, final)  # atomic: retries rewrite identical bytes
+        final = fsio.join(path, f"shard-{shard_id:06d}.tar")
+        # fsio seam: local = temp + atomic rename; object store = one
+        # PUT (already atomically visible). Retries rewrite identical
+        # bytes either way, so speculative execution stays safe.
+        fsio.write_bytes_atomic(final, blob)
         return pd.DataFrame(
             [
                 (
@@ -302,24 +306,28 @@ def verify_tar_shards(spark, path: str) -> DataFrame:
     loader trains on it.  The file list is parallelized into one Arrow
     pass; each task reads whole shards, nothing row-wise."""
     import hashlib
-    import os
+    import re
     import tarfile
 
     import pandas as pd
 
+    from tajo_spark.operators import fsio
+
+    # Regex, not a fixed-width slice: shard ids >= 1,000,000 widen past
+    # %06d and a [6:12] slice would truncate them, mis-joining rows.
     files = sorted(
-        f for f in os.listdir(path)
-        if f.startswith("shard-") and f.endswith(".tar")
+        f for f in fsio.listdir(path)
+        if re.match(r"shard-(\d+)\.tar$", f)
     )
     listing = spark.createDataFrame(
-        [(os.path.join(path, f),) for f in files], "file STRING"
+        [(fsio.join(path, f),) for f in files], "file STRING"
     )
 
     def read_back(batches):
         for b in batches:
             rows = []
             for fpath in b["file"]:
-                blob = open(fpath, "rb").read()
+                blob = fsio.read_bytes(fpath)
                 n_items = 0
                 content_bytes = 0
                 with tarfile.open(fileobj=__import__("io").BytesIO(blob)) as tar:
@@ -327,9 +335,12 @@ def verify_tar_shards(spark, path: str) -> DataFrame:
                         if m.name.endswith(".bin"):
                             n_items += 1
                             content_bytes += m.size
+                m_id = re.match(
+                    r"shard-(\d+)\.tar$", fpath.rsplit("/", 1)[-1]
+                )
                 rows.append(
                     (
-                        int(os.path.basename(fpath)[6:12]),
+                        int(m_id.group(1)),
                         n_items,
                         content_bytes,
                         len(blob),

@@ -207,8 +207,15 @@ class _BitReader:
         self.n = 0
 
     def _fill(self) -> None:
+        # Malformed-input contract: the codec raises ValueError (never a
+        # raw IndexError) so one corrupt image fails its Arrow batch
+        # with a diagnosable error at the image seam.
+        if self.pos >= len(self.buf):
+            raise ValueError("truncated JPEG entropy data")
         b = self.buf[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.buf):
+                raise ValueError("truncated JPEG entropy data")
             nxt = self.buf[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -248,7 +255,8 @@ class _BitReader:
         self.acc = 0
         self.n = 0
         if not (
-            self.buf[self.pos] == 0xFF
+            self.pos + 1 < len(self.buf)
+            and self.buf[self.pos] == 0xFF
             and 0xD0 <= self.buf[self.pos + 1] <= 0xD7
         ):
             raise ValueError("expected JPEG restart marker")
@@ -453,6 +461,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                                 continue
                             break  # EOB
                         k += r
+                        if k > 63:
+                            raise ValueError(
+                                "corrupt JPEG: AC run past block end"
+                            )
                         zz = ZIGZAG[k]
                         coef[zz] = _extend(reader.read(size), size) * q[zz]
                         k += 1

