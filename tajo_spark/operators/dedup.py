@@ -493,11 +493,11 @@ def containment_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Same two-stage scale shape as :func:`ngram_jaccard_pairs`: banding
     proposes (one shuffle), the exact set math runs on |candidates|
     pairs only, never all-pairs.  Recall caveat inherited from the
-    proposal stage and documented honestly: MinHash banding targets
-    Jaccard, so containment pairs with LOW Jaccard (extreme size
-    ratios) may not be proposed — a full containment index would band
-    on the SMALL side's shingles; at gate scale the shared banding is
-    the standard trade.
+    proposal stage: MinHash banding targets Jaccard, so containment
+    pairs with LOW Jaccard (extreme size ratios) may not be proposed —
+    :func:`containment_pairs_asym` closes exactly that gap by banding
+    on each document's rarest-k shingles; production pipelines union
+    both proposal stages.
 
     Output: (doc_a, doc_b, jaccard, cont_a_in_b, cont_b_in_a),
     rounded to 4.
@@ -529,6 +529,127 @@ def containment_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(
                 inter / F.greatest(F.size("b_s"), F.lit(1)), 4
             ).alias("cont_b_in_a"),
+        )
+    )
+
+
+RARE_K = 4        # rare-shingle banding probes per proposer document
+RARE_MAX_DF = 16  # posting-list cap: busier shingles are not band keys
+
+
+def containment_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = RARE_K,
+    max_df: int = RARE_MAX_DF,
+) -> DataFrame:
+    """Asymmetric candidate proposal for CONTAINMENT dedup: band each
+    document by its ``k`` RAREST shingles (smallest corpus document
+    frequency) against the full posting list — so a snippet wrapped in
+    a 10x larger page is proposed even though its Jaccard is far below
+    what MinHash banding can reach (the r06-documented blind spot at
+    the verify stage's proposal input).
+
+    Why rarest-k works: containment C(A in B) ~ 1 means ALL of A's
+    shingles — including its rarest — appear in B's posting lists, so
+    probing A's rarest shingles finds B directly; rare shingles have
+    short posting lists, so the probe join fans out to at most
+    ``k * max_df`` candidates per document.  Shingles rarer than df=2
+    cannot pair and busier than ``max_df`` are skipped (boilerplate —
+    the documented recall trade, same class as LSH banding's).
+
+    Scale shape: posting explode is a projection; the df count is one
+    two-phase hash agg; rarest-k is a per-doc window (parallel across
+    doc_id); the probe join is bounded by the df cap.  Nothing
+    all-pairs.  Output: (doc_a, doc_b) with doc_a < doc_b, distinct.
+    """
+    from pyspark.sql import Window as W
+
+    tok = spread_by(docs, "doc_id").select(
+        "doc_id",
+        F.split(normalize_for_fingerprint(F.col(text_col)), " ").alias("w"),
+    )
+    sh = tok.select(
+        "doc_id",
+        F.array_distinct(shingles_from_tokens(F.col("w"), 3)).alias("s"),
+    )
+    postings = sh.select("doc_id", F.explode("s").alias("sh"))
+    dfc = (
+        postings.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= max_df))
+    )
+    rare = (
+        postings.join(dfc, "sh")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy("df", "sh")
+            ),
+        )
+        .where(F.col("rk") <= k)
+        .select("doc_id", "sh")
+    )
+    r = rare.select(F.col("doc_id").alias("r_id"), "sh")
+    p = postings.select(F.col("doc_id").alias("p_id"), "sh")
+    return (
+        r.join(p, "sh")
+        .where(F.col("r_id") != F.col("p_id"))
+        .select(
+            F.least("r_id", "p_id").alias("doc_a"),
+            F.greatest("r_id", "p_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def containment_pairs_asym(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = RARE_K,
+    max_df: int = RARE_MAX_DF,
+    gate: float = 0.9,
+) -> DataFrame:
+    """Two-stage containment dedup with the ASYMMETRIC proposal stage:
+    rarest-k shingle banding proposes (:func:`containment_candidate_pairs`),
+    exact shingle-set math disposes, and only pairs whose containment
+    in either direction clears ``gate`` survive — the
+    snippet-in-page detector that closes the size-ratio blind spot
+    documented on :func:`containment_pairs` (production pipelines run
+    both proposal stages and union the candidates).
+
+    Output: (doc_a, doc_b, jaccard, cont_a_in_b, cont_b_in_a), 4 dp.
+    """
+    pairs = containment_candidate_pairs(docs, text_col, k, max_df)
+    tok = spread_by(docs, "doc_id").select(
+        "doc_id",
+        F.split(normalize_for_fingerprint(F.col(text_col)), " ").alias("w"),
+    )
+    sh = tok.select(
+        "doc_id",
+        F.array_distinct(shingles_from_tokens(F.col("w"), 3)).alias("s"),
+    )
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("a_s"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("b_s"))
+    inter = F.size(F.array_intersect("a_s", "b_s")).cast("double")
+    return (
+        pairs.join(a, pairs.doc_a == a.a_id)
+        .join(b, pairs.doc_b == b.b_id)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                inter / F.size(F.array_union("a_s", "b_s")), 4
+            ).alias("jaccard"),
+            F.round(
+                inter / F.greatest(F.size("a_s"), F.lit(1)), 4
+            ).alias("cont_a_in_b"),
+            F.round(
+                inter / F.greatest(F.size("b_s"), F.lit(1)), 4
+            ).alias("cont_b_in_a"),
+        )
+        .where(
+            (F.col("cont_a_in_b") >= gate) | (F.col("cont_b_in_a") >= gate)
         )
     )
 

@@ -800,6 +800,87 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_containment_asym",
+    "curation",
+    doc="Asymmetric CONTAINMENT dedup with rarest-k shingle banding "
+    "(operators/dedup.py::containment_pairs_asym): each doc probes the "
+    "posting lists of its k rarest shingles, so a snippet wrapped in a "
+    "10x larger page is PROPOSED (not just verifiable) even though its "
+    "Jaccard is far below MinHash banding reach — closing the r06 "
+    "blind spot. Fixture plants exactly that pair: the corpus's "
+    "longest document plus a 9-word snippet of it (Jaccard ~0.08, "
+    "containment 1.0). Proposal join bounded by k*max_df per doc; "
+    "exact set math on candidates only; gate cont>=0.9 either "
+    "direction.",
+    oracle=f"""
+        WITH big AS (SELECT doc_id, text FROM documents
+                     ORDER BY n_chars DESC, doc_id LIMIT 1),
+        snip AS (SELECT 1000000000 + doc_id AS doc_id,
+                        array_to_string((string_split({_NORM}, ' '))[1:9],
+                                        ' ') AS text
+                 FROM big),
+        docs_aug AS (SELECT doc_id, text FROM documents
+                     UNION ALL SELECT doc_id, text FROM snip),
+        ac_norm AS (SELECT doc_id, {_NORM} AS t FROM docs_aug),
+        ac_tk AS (SELECT doc_id, string_split(t, ' ') AS w FROM ac_norm),
+        ac_sh AS (SELECT doc_id,
+                      CASE WHEN len(w) >= 3
+                           THEN list_distinct(list_transform(
+                                range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                           ELSE [array_to_string(w, ' ')] END AS s
+               FROM ac_tk),
+        post AS (SELECT doc_id, unnest(s) AS sh FROM ac_sh),
+        dfc AS (SELECT sh, count(*) AS df FROM post GROUP BY sh
+                HAVING count(*) >= 2 AND count(*) <= {dedup.RARE_MAX_DF}),
+        rare AS (SELECT doc_id, sh FROM (
+                    SELECT p.doc_id, p.sh,
+                           row_number() OVER (PARTITION BY p.doc_id
+                                              ORDER BY d.df, p.sh) AS rk
+                    FROM post p JOIN dfc d USING (sh))
+                 WHERE rk <= {dedup.RARE_K}),
+        apairs AS (SELECT DISTINCT
+                        least(r.doc_id, p.doc_id) AS doc_a,
+                        greatest(r.doc_id, p.doc_id) AS doc_b
+                   FROM rare r JOIN post p USING (sh)
+                   WHERE r.doc_id <> p.doc_id)
+        SELECT * FROM (
+            SELECT p.doc_a, p.doc_b,
+                   round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(a.s || b.s)), 4) AS jaccard,
+                   round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / greatest(len(a.s), 1), 4) AS cont_a_in_b,
+                   round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / greatest(len(b.s), 1), 4) AS cont_b_in_a
+            FROM apairs p, ac_sh a, ac_sh b
+            WHERE a.doc_id = p.doc_a AND b.doc_id = p.doc_b)
+        WHERE cont_a_in_b >= 0.9 OR cont_b_in_a >= 0.9
+    """,
+)
+def dedup_containment_asym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    snip = (
+        docs.orderBy(F.col("n_chars").desc(), "doc_id")
+        .limit(1)
+        .select(
+            (F.col("doc_id") + 1000000000).alias("doc_id"),
+            F.array_join(
+                F.slice(
+                    F.split(
+                        dedup.normalize_for_fingerprint(F.col("text")), " "
+                    ),
+                    1,
+                    9,
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    aug = docs.select("doc_id", "text").unionByName(snip)
+    return dedup.containment_pairs_asym(aug)
+
+
+@query(
     "text_bpe_token_count",
     "datapipe",
     doc="BPE-ish tokenization: regex token classes (letters / digits / "

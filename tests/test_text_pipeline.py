@@ -849,3 +849,48 @@ def test_containment_asymmetry_on_banded_pair(spark):
     assert r.cont_a_in_b == 1.0          # A's shingles all inside B
     assert r.cont_b_in_a < 1.0
     assert r.jaccard == r.cont_b_in_a    # |A∩B|=|A| → both = |A|/|B|
+
+
+def test_asym_banding_proposes_the_extreme_ratio_pair(spark):
+    """The r06 blind spot, closed (VERDICT r06 #5): a 9-word snippet
+    embedded in a ~10x larger page has Jaccard far below MinHash
+    banding reach — minhash_candidate_pairs does NOT propose it, the
+    rarest-k asymmetric banding DOES, and the verified containment is
+    exactly 1.0 toward the page."""
+    from tajo_spark.operators.dedup import (
+        containment_pairs_asym,
+        minhash_candidate_pairs,
+    )
+
+    page = " ".join(f"w{i}" for i in range(90))
+    snippet = " ".join(f"w{i}" for i in range(9))  # Jaccard ~ 7/88
+    fillers = [
+        (k, " ".join(f"f{k}x{i}" for i in range(30))) for k in range(2, 8)
+    ]
+    docs = spark.createDataFrame(
+        [(0, page), (1, snippet)] + fillers, "doc_id LONG, text STRING"
+    )
+    assert not [
+        r for r in minhash_candidate_pairs(docs).collect()
+        if (r.doc_a, r.doc_b) == (0, 1)
+    ], "fixture no longer below banding reach — shrink the snippet"
+    rows = {
+        (r.doc_a, r.doc_b): r for r in containment_pairs_asym(docs).collect()
+    }
+    assert (0, 1) in rows
+    assert rows[(0, 1)].cont_b_in_a == 1.0  # snippet fully inside page
+    assert rows[(0, 1)].jaccard < 0.15
+
+
+def test_asym_banding_respects_df_cap(spark):
+    """Boilerplate shingles busier than max_df are not banding keys:
+    docs sharing ONLY a ubiquitous phrase pair with nobody."""
+    from tajo_spark.operators.dedup import containment_candidate_pairs
+
+    boiler = "all rights reserved by the site"
+    docs = spark.createDataFrame(
+        [(i, f"unique{i}a unique{i}b unique{i}c " + boiler)
+         for i in range(10)],
+        "doc_id LONG, text STRING",
+    )
+    assert containment_candidate_pairs(docs, max_df=4).count() == 0
