@@ -251,3 +251,63 @@ def test_hist_quantiles_empty_histogram_yields_null_not_vanished(spark):
     ).collect()
     assert [r.q for r in rows] == [0.25, 0.5, 0.75]
     assert all(r.est is None for r in rows)
+
+
+def test_hist_ingest_crash_interleaving_replays_clean(spark, tmp_path):
+    """Crash-window pin for hist_ingest_stream (VERDICT r06 #7), the
+    interleaving 3616345 pinned for the Bloom store: a PARTIAL version
+    directory (crash mid-write, no _SUCCESS) and an ORPHANED committed
+    higher version (crashed future batch whose checkpoint never
+    committed) must both be swept by the next real batch, which merges
+    from the latest committed version STRICTLY older than itself and
+    still equals one batch build over the union."""
+    import os
+    import re
+    import shutil
+
+    from tajo_spark.operators.sketch import hist_build
+    from tajo_spark.streaming.pipeline import hist_ingest_stream
+
+    rows1 = [(0, 100), (1, 250)]
+    rows2 = [(10, 305), (11, 630)]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(rows1, "doc_id LONG, n_chars LONG").coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id LONG, n_chars LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    hp, ck = str(tmp_path / "hist"), str(tmp_path / "ckpt")
+    q = hist_ingest_stream(stream, hp, ck)
+    sq = q.start(); sq.processAllAvailable(); sq.stop()
+    assert os.path.exists(os.path.join(hp, "v=0", "_SUCCESS"))
+
+    # crash debris: partial v=1 (no _SUCCESS) + orphaned committed v=7
+    os.makedirs(os.path.join(hp, "v=1"))
+    open(os.path.join(hp, "v=1", "part-zzz.parquet"), "wb").write(b"junk")
+    shutil.copytree(os.path.join(hp, "v=0"), os.path.join(hp, "v=7"))
+
+    spark.createDataFrame(rows2, "doc_id LONG, n_chars LONG").coalesce(1) \
+        .write.mode("append").parquet(src)
+    q2 = hist_ingest_stream(stream, hp, ck)
+    sq2 = q2.start(); sq2.processAllAvailable(); sq2.stop()
+
+    versions = sorted(
+        d for d in os.listdir(hp) if re.fullmatch(r"v=\d+", d)
+    )
+    assert "v=7" not in versions           # orphan swept
+    assert os.path.exists(os.path.join(hp, "v=1", "_SUCCESS"))  # rewritten
+    batch = {
+        r.bin: r.n
+        for r in hist_build(
+            spark.createDataFrame(rows1 + rows2, "doc_id LONG, n_chars LONG"),
+            "n_chars", lo=0.0, hi=640.0,
+        ).collect()
+    }
+    got = {
+        r.bin: r.n
+        for r in spark.read.parquet(os.path.join(hp, "v=1")).collect()
+    }
+    assert got == batch
