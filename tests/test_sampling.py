@@ -398,3 +398,61 @@ def test_weighted_reservoir_by_group_caps_and_determinism(spark):
         df, k_per_group=7, weight_col="w", group_col="lang"
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_key_skew_report_no_per_key_window(spark):
+    """Billion-key plan pin (VERDICT r06 #6): the only window runs
+    over the count-of-counts aggregate (x, c) — never over per-key
+    rows, so key cardinality cannot serialize the plan through one
+    partition. Every windowspecdefinition must reference only the
+    size/count attributes, not the key."""
+    from tajo_spark.operators.skew import key_skew_report
+
+    df = spark.createDataFrame(
+        [(f"u{i % 7}",) for i in range(100)], "user_key STRING"
+    )
+    plan = (
+        key_skew_report(df, "user_key")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    win_lines = [
+        line for line in plan.splitlines()
+        if "windowspecdefinition" in line
+    ]
+    assert win_lines, "expected the (x, c) cumulative windows"
+    for line in win_lines:
+        assert "k#" not in line and "user_key" not in line, line
+
+
+def test_key_skew_report_matches_bruteforce_ranks(spark):
+    """The count-of-counts block identity equals the per-key
+    sorted-rank Gini bit for bit across heavy tie patterns and a
+    long-tail mix (the two shapes where a block decomposition could
+    drift)."""
+    import numpy as np
+
+    from tajo_spark.operators.skew import key_skew_report
+
+    rng = np.random.default_rng(7)
+    cases = [
+        [1] * 50,                                # all ties
+        list(rng.integers(1, 6, 40)),            # small ties mix
+        list(rng.zipf(1.7, 60) % 97 + 1),        # long tail
+        [1, 1, 2, 3, 5, 8, 13, 21, 34, 55, 89],  # distinct sizes
+    ]
+    for sizes in cases:
+        rows = [
+            (f"key{j}",) for j, s in enumerate(sizes) for _ in range(int(s))
+        ]
+        df = spark.createDataFrame(rows, "k STRING")
+        r = key_skew_report(df, "k", round_to=9).collect()[0]
+        x = np.sort(np.array(sizes, dtype=np.int64))
+        n, t = len(x), x.sum()
+        i = np.arange(1, n + 1, dtype=np.int64)
+        gini = 2.0 * float((i * x).sum()) / (n * t) - (n + 1.0) / n
+        assert r.n_keys == n and r.n_rows == t
+        assert abs(r.gini - round(gini, 9)) < 1e-12, sizes
+        assert abs(r.top1_share - round(float(x[-1]) / t, 9)) < 1e-12
+        assert abs(
+            r.top10_share - round(float(x[-10:].sum()) / t, 9)
+        ) < 1e-12
