@@ -22,8 +22,9 @@ beyond the Python standard library:
 
 JPEG decodes for real since round 6 — operators/jpeg.py implements
 baseline sequential T.81 (Huffman + IDCT, subsampling, restart
-markers) from the public spec; progressive/arithmetic/12-bit remain
-gated there.  Compressed audio (MP3/FLAC) and video stay gated
+markers) from the public spec, and round 7 added progressive (SOF2,
+spectral selection + successive approximation); arithmetic/12-bit
+remain gated there.  Compressed audio (MP3/FLAC) and video stay gated
 (``sniff`` returns ``None`` → the callers' NotImplementedError path);
 deployments carry ffmpeg for those.
 

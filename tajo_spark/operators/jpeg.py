@@ -1,14 +1,17 @@
-"""Pure-stdlib baseline JPEG codec (ITU-T T.81 / ISO 10918-1).
+"""Pure-stdlib JPEG codec (ITU-T T.81 / ISO 10918-1).
 
-JPEG is the dominant image format in real web corpora, and until this
-module it was the one decode path still gated behind
-``NotImplementedError`` (r05 verdict #7).  Same spirit as the PNG/WAV
+JPEG is the dominant image format in real web corpora; baseline
+landed in r06 (r05 verdict #7) and progressive — a large fraction of
+real web JPEG — in r07 (r06 verdict #4).  Same spirit as the PNG/WAV
 work in operators/codecs.py: implemented from the PUBLIC spec with
 nothing beyond ``struct`` + numpy — no vendored library code.
 
 Supported (decode):
   * baseline sequential DCT (SOF0) and extended sequential (SOF1),
     8-bit precision, Huffman entropy coding,
+  * progressive DCT (SOF2): spectral selection + successive
+    approximation per Annex G — DC first/refine, AC first/refine with
+    EOB runs, interleaved DC and non-interleaved AC geometry,
   * 1-component (grayscale) and 3-component (JFIF YCbCr) scans,
   * arbitrary sampling factors 1-4 per component (4:4:4, 4:2:2,
     4:2:0, 4:4:0, ... — chroma upsampled by pixel replication),
@@ -16,16 +19,19 @@ Supported (decode):
 
 Gated (raise ``NotImplementedError`` — a libjpeg/PIL deployment widens
 only this seam, exactly like the PNG 16-bit/Adam7 gates):
-  * progressive (SOF2) and all other SOFn frames,
+  * lossless/differential/hierarchical SOFn frames,
   * arithmetic coding, 12-bit precision, 4-component (CMYK) scans.
 
-The encoder exists for the same reason ``encode_png``/``encode_wav``
+The encoders exist for the same reason ``encode_png``/``encode_wav``
 do: tests need REAL encoded bytes without shipping binary fixtures.
-It writes spec-compliant baseline JFIF (Annex K quantization + Huffman
-tables, libjpeg quality scaling), optional 4:2:0 subsampling and
-restart intervals — so the decoder's subsampling/restart paths are
-exercised by round-trip, and any external baseline decoder can read
-its output.
+``encode_jpeg`` writes spec-compliant baseline JFIF (Annex K
+quantization + Huffman tables, libjpeg quality scaling), optional
+4:2:0 subsampling and restart intervals; ``encode_jpeg_progressive``
+writes SOF2 streams from a parameterizable scan script with per-scan
+optimal Huffman tables (two-pass, Annex K.2) and encodes the SAME
+quantized coefficients — so progressive and baseline codings of one
+image decode to bit-identical pixels, the property the round-trip
+tests pin.
 
 Throughput note: entropy decode is bit-serial Python — fine for the
 Arrow-batched test/CI path, but a 100 TB multimodal run deploys
@@ -171,6 +177,8 @@ def _build_decode_table(bits: list[int], vals: list[int]) -> dict:
     table: dict[tuple[int, int], int] = {}
     code = 0
     vi = 0
+    if len(bits) < 16 or sum(bits) > len(vals):
+        raise ValueError("truncated JPEG Huffman table")
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
             table[(length, code)] = vals[vi]
@@ -314,7 +322,6 @@ def _segments(buf: bytes):
 
 
 _SOF_GATED = {
-    0xC2: "progressive DCT (SOF2)",
     0xC3: "lossless sequential (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -353,10 +360,42 @@ def jpeg_header(payload: bytes) -> tuple[int, int, int]:
     entropy decode, O(header) per image (what image_metadata wants at
     corpus scale; twin of codecs.png_header)."""
     for marker, data, _ in _segments(payload):
-        if marker in _SOF_GATED or marker in (0xC0, 0xC1):
+        if marker in _SOF_GATED or marker in (0xC0, 0xC1, 0xC2):
             w, h, comps = _parse_sof(marker, data)
             return w, h, len(comps)
     raise ValueError("JPEG missing SOF")
+
+
+def _walk_stream(buf: bytes):
+    """Yield (marker, segment_data, end_pos) across the WHOLE stream,
+    including every SOS of a multi-scan (progressive) file — after an
+    SOS the entropy-coded span is skipped (0xFF00 stuffing and RSTn
+    markers are part of it) up to the next real marker."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        marker = buf[pos + 1]
+        if marker == 0xD9:  # EOI
+            return
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn
+            pos += 2
+            continue
+        (ln,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
+        yield marker, buf[pos + 4 : pos + 2 + ln], pos + 2 + ln
+        pos += 2 + ln
+        if marker == 0xDA:  # skip entropy span to the next real marker
+            p = pos
+            while p + 1 < len(buf):
+                if buf[p] != 0xFF:
+                    p += 1
+                elif buf[p + 1] == 0x00 or 0xD0 <= buf[p + 1] <= 0xD7:
+                    p += 2
+                else:
+                    break
+            pos = p
 
 
 # ---------------------------------------------------------------------------
@@ -364,19 +403,27 @@ def jpeg_header(payload: bytes) -> tuple[int, int, int]:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (H, W, C) uint8 array (C = 1 or 3, RGB)."""
+    """JPEG bytes → (H, W, C) uint8 array (C = 1 or 3, RGB).
+
+    Baseline/extended sequential (SOF0/1) and progressive (SOF2), the
+    latter with full spectral selection + successive approximation
+    (T.81 Annex G): DC first/refine, AC first/refine with EOB runs,
+    interleaved DC and non-interleaved AC scan geometry, restart
+    intervals in both.
+    """
     qt: dict[int, np.ndarray] = {}
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     ri = 0
     w = h = None
+    sof_marker = None
     comps: list[dict] = []
-    scan: list[dict] = []
-    entropy_pos = None
+    scans: list[dict] = []
 
-    for marker, data, end in _segments(payload):
-        if marker in (0xC0, 0xC1) or marker in _SOF_GATED:
+    for marker, data, end in _walk_stream(payload):
+        if marker in (0xC0, 0xC1, 0xC2) or marker in _SOF_GATED:
             w, h, comps = _parse_sof(marker, data)
+            sof_marker = marker
         elif marker == 0xC4:  # DHT (possibly several tables)
             p = 0
             while p < len(data):
@@ -409,22 +456,43 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 qt[tq] = raster
         elif marker == 0xDD:  # DRI
             (ri,) = struct.unpack(">H", data[:2])
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS (tables snapshot per scan — DHT may
+            # legally be redefined between progressive scans)
+            if len(data) < 1 or len(data) < 4 + 2 * data[0]:
+                raise ValueError("truncated JPEG scan header")
             ns = data[0]
             by_id = {c["id"]: c for c in comps}
+            sel = []
             for i in range(ns):
                 cs, tdta = data[1 + 2 * i], data[2 + 2 * i]
                 c = by_id[cs]
-                scan.append(
-                    {**c, "dc": tdta >> 4, "ac": tdta & 0xF}
-                )
-            entropy_pos = end
-    if w is None or entropy_pos is None:
+                sel.append({**c, "dc": tdta >> 4, "ac": tdta & 0xF})
+            ss, se, ahal = data[1 + 2 * ns : 4 + 2 * ns]
+            scans.append(
+                {
+                    "comps": sel,
+                    "ss": ss,
+                    "se": se,
+                    "ah": ahal >> 4,
+                    "al": ahal & 0xF,
+                    "pos": end,
+                    "dc": dict(dc_tables),
+                    "ac": dict(ac_tables),
+                    "ri": ri,
+                }
+            )
+    if w is None or not scans:
         raise ValueError("JPEG missing SOF or SOS")
-    if len(scan) != len(comps):
+    if sof_marker == 0xC2:
+        return _decode_progressive(payload, w, h, comps, scans, qt)
+    if len(scans) != 1 or len(scans[0]["comps"]) != len(comps):
         raise NotImplementedError(
             "multi-scan (non-interleaved) baseline JPEG unsupported"
         )
+    scan = scans[0]["comps"]
+    entropy_pos = scans[0]["pos"]
+    dc_tables, ac_tables = scans[0]["dc"], scans[0]["ac"]
+    ri = scans[0]["ri"]
 
     hmax = max(c["h"] for c in scan)
     vmax = max(c["v"] for c in scan)
@@ -473,9 +541,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     x0 = (mx * c["h"] + bx) * 8
                     planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
 
-    # upsample to full resolution (pixel replication) and crop
+    return _planes_to_image(planes, scan, hmax, vmax, w, h)
+
+
+def _planes_to_image(
+    planes: dict, comps: list[dict], hmax: int, vmax: int, w: int, h: int
+) -> np.ndarray:
+    """Upsample component planes to full resolution (pixel
+    replication), crop, and convert to gray / RGB uint8."""
     full = []
-    for c in scan:
+    for c in comps:
         p = planes[c["id"]]
         p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
         full.append(p[:h, :w])
@@ -489,6 +564,199 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     return np.clip(
         np.rint(np.stack([r, g, b], axis=2)), 0, 255
     ).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive decode (T.81 Annex G — spectral selection + successive
+# approximation, implemented from the public spec's flowcharts)
+
+
+def _refine_nonzero(reader: _BitReader, cf: np.ndarray, k: int, al: int):
+    """Correction bit for a history-nonzero coefficient (G.1.2.3):
+    a 1-bit appends bit ``al`` to the magnitude, keeping the sign."""
+    p1 = 1 << al
+    if reader.read(1) and (abs(int(cf[k])) & p1) == 0:
+        cf[k] += p1 if cf[k] > 0 else -p1
+
+
+def _ac_first(reader, act, cf, ss, se, al, eobrun):
+    """One block of an AC first scan (Ah=0): run-length + EOB runs;
+    values land shifted left by the successive-approximation Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode(act)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r < 15:  # EOBn: run of 2^r + ext bits blocks
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read(r)
+                break
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("corrupt JPEG: AC run past band end")
+            cf[k] = _extend(reader.read(s), s) << al
+            k += 1
+    return eobrun
+
+
+def _ac_refine(reader, act, cf, ss, se, al, eobrun):
+    """One block of an AC refinement scan (Ah=Al+1): newly-nonzero
+    insertions carry a sign bit; every history-nonzero coefficient
+    passed over (or covered by an EOB run) reads a correction bit."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode(act)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    # EOB run INCLUDES this block: the tail below reads
+                    # its remaining correction bits and decrements
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "corrupt JPEG: refinement size must be 1"
+                    )
+                newval = p1 if reader.read(1) else m1
+            while k <= se:
+                if cf[k] != 0:
+                    _refine_nonzero(reader, cf, k, al)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                cf[k] = newval
+            elif newval:
+                raise ValueError("corrupt JPEG: refinement past band end")
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if cf[k] != 0:
+                _refine_nonzero(reader, cf, k, al)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive(
+    payload: bytes,
+    w: int,
+    h: int,
+    comps: list[dict],
+    scans: list[dict],
+    qt: dict[int, np.ndarray],
+) -> np.ndarray:
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-component coefficient store in ZIGZAG order, padded to the
+    # MCU grid (interleaved DC scans cover pad blocks; AC scans don't)
+    coefs = {
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
+        for c in comps
+    }
+    # non-interleaved geometry: ceil over the component's sampled size
+    bdims = {}
+    for c in comps:
+        ch_ = -(-(h * c["v"]) // vmax)  # ceil sampled height
+        cw_ = -(-(w * c["h"]) // hmax)
+        bdims[c["id"]] = (-(-ch_ // 8), -(-cw_ // 8))
+
+    for sc in scans:
+        reader = _BitReader(payload, sc["pos"])
+        ri = sc["ri"]
+        ss, se, ah, al = sc["ss"], sc["se"], sc["ah"], sc["al"]
+        if ss == 0:
+            if se != 0:
+                raise ValueError(
+                    "corrupt JPEG: progressive DC scan with Se != 0"
+                )
+            preds = {c["id"]: 0 for c in sc["comps"]}
+            interleaved = len(sc["comps"]) > 1
+            if interleaved:
+                units = mcux * mcuy
+            else:
+                bh_, bw_ = bdims[sc["comps"][0]["id"]]
+                units = bh_ * bw_
+            for iu in range(units):
+                if ri and iu and iu % ri == 0:
+                    reader.restart()
+                    preds = {c["id"]: 0 for c in sc["comps"]}
+                if interleaved:
+                    my, mx = divmod(iu, mcux)
+                    blocks = [
+                        (c, my * c["v"] + by, mx * c["h"] + bx)
+                        for c in sc["comps"]
+                        for by in range(c["v"])
+                        for bx in range(c["h"])
+                    ]
+                else:
+                    c = sc["comps"][0]
+                    by, bx = divmod(iu, bdims[c["id"]][1])
+                    blocks = [(c, by, bx)]
+                for c, by, bx in blocks:
+                    cf = coefs[c["id"]][by, bx]
+                    if ah == 0:  # first DC scan: diff-coded, << al
+                        s = reader.decode(sc["dc"][c["dc"]])
+                        preds[c["id"]] += _extend(reader.read(s), s)
+                        cf[0] = preds[c["id"]] << al
+                    else:  # refinement: one raw bit appends bit al
+                        cf[0] += reader.read(1) << al
+        else:
+            if len(sc["comps"]) != 1:
+                raise ValueError(
+                    "corrupt JPEG: progressive AC scan must be "
+                    "single-component"
+                )
+            c = sc["comps"][0]
+            act = sc["ac"][c["ac"]]
+            bh_, bw_ = bdims[c["id"]]
+            eobrun = 0
+            fn = _ac_first if ah == 0 else _ac_refine
+            for iu in range(bh_ * bw_):
+                if ri and iu and iu % ri == 0:
+                    reader.restart()
+                    eobrun = 0
+                by, bx = divmod(iu, bw_)
+                eobrun = fn(
+                    reader, act, coefs[c["id"]][by, bx], ss, se, al, eobrun
+                )
+
+    planes = {}
+    for c in comps:
+        q = qt[c["tq"]]
+        arr = coefs[c["id"]].astype(np.float64)
+        raster = np.zeros_like(arr)
+        raster[..., ZIGZAG] = arr  # zigzag index -> raster position
+        raster *= q  # dequantize (q is raster order)
+        bh_, bw_ = raster.shape[0], raster.shape[1]
+        plane = np.zeros((bh_ * 8, bw_ * 8))
+        # per-block matmul in the SAME expression order as the baseline
+        # path — a batched einsum reorders float contractions by ulps,
+        # which flips rint at .5 boundaries and breaks the pixel
+        # identity between the two codings of one coefficient set
+        for by in range(bh_):
+            for bx in range(bw_):
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _DCT_C.T @ raster[by, bx].reshape(8, 8) @ _DCT_C
+                )
+        planes[c["id"]] = plane
+    return _planes_to_image(planes, comps, hmax, vmax, w, h)
 
 
 # ---------------------------------------------------------------------------
@@ -551,18 +819,22 @@ def _pad_to(a: np.ndarray, rows: int, cols: int) -> np.ndarray:
     )
 
 
-def encode_jpeg(
-    arr: np.ndarray,
-    quality: int = 85,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """(H, W[, C]) uint8 → baseline JFIF bytes.
+def _seg(marker: int, data: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
 
-    ``subsample=True`` writes 4:2:0 (Y at 2x2, chroma block-mean
-    halved); ``restart_interval`` emits DRI + RST0-7 markers every N
-    MCUs — both exist so the decoder's hard paths are round-trip
-    tested, and both produce output any baseline decoder reads."""
+
+def _dqt(tq: int, raster: np.ndarray) -> bytes:
+    return _seg(0xDB, bytes([tq]) + bytes(raster[ZIGZAG].astype(np.uint8)))
+
+
+def _dht(tc: int, th: int, spec) -> bytes:
+    bits, vals = spec
+    return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+
+def _prep_planes(arr: np.ndarray, quality: int, subsample: bool):
+    """Shared encoder front end: color convert, subsample, pad to the
+    MCU grid; returns geometry + planes + scaled quant tables."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -598,6 +870,24 @@ def encode_jpeg(
             p = pp.reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
         ch_, cw_ = mcuy * 8 * hv[i][1], mcux * 8 * hv[i][0]
         prepped.append(_pad_to(p, ch_, cw_))
+    return h, w, nch, hv, hmax, vmax, mcux, mcuy, prepped, q_luma, q_chroma
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W[, C]) uint8 → baseline JFIF bytes.
+
+    ``subsample=True`` writes 4:2:0 (Y at 2x2, chroma block-mean
+    halved); ``restart_interval`` emits DRI + RST0-7 markers every N
+    MCUs — both exist so the decoder's hard paths are round-trip
+    tested, and both produce output any baseline decoder reads."""
+    (h, w, nch, hv, hmax, vmax, mcux, mcuy, prepped, q_luma, q_chroma) = (
+        _prep_planes(arr, quality, subsample)
+    )
 
     dc_enc = [_build_encode_table(*STD_DC_LUMA)] + [
         _build_encode_table(*STD_DC_CHROMA)
@@ -633,16 +923,7 @@ def encode_jpeg(
                     )
     bw.flush()
 
-    def seg(marker: int, data: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
-
-    def dqt(tq: int, raster: np.ndarray) -> bytes:
-        return seg(0xDB, bytes([tq]) + bytes(raster[ZIGZAG].astype(np.uint8)))
-
-    def dht(tc: int, th: int, spec) -> bytes:
-        bits, vals = spec
-        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
-
+    seg, dqt, dht = _seg, _dqt, _dht
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += dqt(0, q_luma)
@@ -664,4 +945,352 @@ def encode_jpeg(
     out += seg(0xDA, sos)
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encode (T.81 Annex G encoder flowcharts + Annex K.2
+# Huffman table generation — two-pass: count symbols, build optimal
+# per-scan tables, emit; each scan ships its own DHT, which also
+# exercises the decoder's per-scan table snapshots)
+
+
+def _huffman_spec(freqs: dict[int, int]) -> tuple[list[int], list[int]]:
+    """Symbol frequencies → (BITS[16], HUFFVAL) per T.81 K.2: pairwise
+    merge of least-frequent values (ties broken toward the LARGEST
+    symbol), code sizes limited to 16 by the Figure K.3 adjustment; a
+    reserved 257th symbol guarantees no code is all ones."""
+    freq = [0] * 257
+    for sym, f in freqs.items():
+        freq[sym] = f
+    freq[256] = 1
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        present = [v for v in range(257) if freq[v] > 0]
+        if len(present) < 2:
+            break
+        v1 = min(present, key=lambda v: (freq[v], -v))
+        v2 = min(
+            (v for v in present if v != v1), key=lambda v: (freq[v], -v)
+        )
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33
+    for v in range(257):
+        if codesize[v]:
+            bits[codesize[v]] += 1
+    i = 32
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved symbol's (longest) code
+    huffval = sorted(
+        (v for v in range(256) if codesize[v] > 0),
+        key=lambda v: (codesize[v], v),
+    )
+    return bits[1:17], huffval
+
+
+class _CountEmitter:
+    """Pass 1: accumulate per-(class, table-id) symbol frequencies."""
+
+    def __init__(self) -> None:
+        self.freqs: dict[tuple[str, int], dict[int, int]] = {}
+
+    def symbol(self, cls: str, tid: int, sym: int) -> None:
+        f = self.freqs.setdefault((cls, tid), {})
+        f[sym] = f.get(sym, 0) + 1
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+
+class _WriteEmitter:
+    """Pass 2: emit through the per-scan tables into the bit writer."""
+
+    def __init__(self, bw: _BitWriter, tables: dict) -> None:
+        self.bw = bw
+        self.tables = tables
+
+    def symbol(self, cls: str, tid: int, sym: int) -> None:
+        code, ln = self.tables[(cls, tid)][sym]
+        self.bw.write(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.bw.write(v & ((1 << n) - 1), n)
+
+
+def _enc_dc_scan(coefs, comp_ids, hv, mcux, mcuy, bdims, ah, al, emit):
+    """DC scan: interleaved over the padded MCU grid when Ns > 1,
+    non-interleaved over the component's own block grid when Ns = 1."""
+    preds = {ci: 0 for ci in comp_ids}
+    if len(comp_ids) > 1:
+        units = [
+            (ci, my * hv[ci][1] + by, mx * hv[ci][0] + bx)
+            for imcu in range(mcux * mcuy)
+            for my, mx in [divmod(imcu, mcux)]
+            for ci in comp_ids
+            for by in range(hv[ci][1])
+            for bx in range(hv[ci][0])
+        ]
+    else:
+        ci = comp_ids[0]
+        bh_, bw_ = bdims[ci]
+        units = [
+            (ci, iu // bw_, iu % bw_) for iu in range(bh_ * bw_)
+        ]
+    for ci, by, bx in units:
+        tid = 0 if ci == 0 else 1
+        v = int(coefs[ci][by, bx, 0])
+        if ah == 0:
+            t = v >> al  # arithmetic shift per G.1.2.1
+            diff = t - preds[ci]
+            preds[ci] = t
+            s = abs(diff).bit_length()
+            emit.symbol("dc", tid, s)
+            if s:
+                emit.bits(diff if diff > 0 else diff + (1 << s) - 1, s)
+        else:
+            emit.bits((v >> al) & 1, 1)
+
+
+def _enc_ac_first(coefs_c, bdims_c, ss, se, al, tid, emit):
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            emit.symbol("ac", tid, n << 4)
+            if n:
+                emit.bits(eobrun - (1 << n), n)
+            eobrun = 0
+
+    bh_, bw_ = bdims_c
+    for iu in range(bh_ * bw_):
+        cf = coefs_c[iu // bw_, iu % bw_]
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(cf[k])
+            t = abs(v) >> al
+            if t == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                emit.symbol("ac", tid, 0xF0)
+                r -= 16
+            s = t.bit_length()
+            emit.symbol("ac", tid, (r << 4) | s)
+            tt = t if v > 0 else -t
+            emit.bits(tt if tt > 0 else tt + (1 << s) - 1, s)
+            r = 0
+        if r:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _enc_ac_refine(coefs_c, bdims_c, ss, se, al, tid, emit):
+    eobrun = 0
+    be: list[int] = []  # correction bits pending with the EOB run
+
+    def flush_eob():
+        nonlocal eobrun, be
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            emit.symbol("ac", tid, n << 4)
+            if n:
+                emit.bits(eobrun - (1 << n), n)
+            eobrun = 0
+        for b in be:
+            emit.bits(b, 1)
+        be = []
+
+    bh_, bw_ = bdims_c
+    for iu in range(bh_ * bw_):
+        cf = coefs_c[iu // bw_, iu % bw_]
+        tvals = [abs(int(cf[k])) >> al for k in range(ss, se + 1)]
+        # last newly-nonzero position: ZRLs beyond it fold into the EOB
+        eob_k = ss - 1
+        for i, t in enumerate(tvals):
+            if t == 1:
+                eob_k = ss + i
+        r = 0
+        br: list[int] = []
+        for i, t in enumerate(tvals):
+            k = ss + i
+            if t == 0:
+                r += 1
+                continue
+            # arrival at ANY nonzero position: keep r <= 15 while still
+            # inside the newly-nonzero span, so every buffered
+            # correction bit lands within the very next symbol's
+            # decoder advance (the G.1.2.3 stream invariant)
+            while r > 15 and k <= eob_k:
+                flush_eob()
+                emit.symbol("ac", tid, 0xF0)
+                r -= 16
+                for b in br:
+                    emit.bits(b, 1)
+                br = []
+            if t > 1:  # history-nonzero: correction bit, run unaffected
+                br.append(t & 1)
+                continue
+            # newly nonzero (|v| >> al == 1, history zero)
+            flush_eob()
+            emit.symbol("ac", tid, (r << 4) | 1)
+            emit.bits(1 if int(cf[k]) > 0 else 0, 1)
+            for b in br:
+                emit.bits(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            be.extend(br)
+            if eobrun == 0x7FFF or len(be) > 930:  # bounded buffer
+                flush_eob()
+    flush_eob()
+
+
+def default_scan_script(nch: int) -> list[tuple]:
+    """A libjpeg-shaped progression: DC at Al=1 then refined, luma AC
+    split into two spectral bands with two successive-approximation
+    refinements, chroma AC at Al=1 then refined — covers every decoder
+    path (DC first/refine, AC first/refine, EOB runs, band splits)."""
+    if nch == 1:
+        return [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    return [
+        ([0, 1, 2], 0, 0, 0, 1),
+        ([0], 1, 5, 0, 2),
+        ([2], 1, 63, 0, 1),
+        ([1], 1, 63, 0, 1),
+        ([0], 6, 63, 0, 2),
+        ([0], 1, 63, 2, 1),
+        ([0, 1, 2], 0, 0, 1, 0),
+        ([2], 1, 63, 1, 0),
+        ([1], 1, 63, 1, 0),
+        ([0], 1, 63, 1, 0),
+    ]
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    scan_script: list[tuple] | None = None,
+) -> bytes:
+    """(H, W[, C]) uint8 → progressive (SOF2) JFIF bytes.
+
+    ``scan_script`` is a list of (component_indices, Ss, Se, Ah, Al);
+    default :func:`default_scan_script`.  Encodes the SAME quantized
+    coefficients as :func:`encode_jpeg` at equal quality, so decoding
+    either stream yields bit-identical pixels — the fixture-free
+    round-trip the tests rely on.  Each scan gets optimal Huffman
+    tables built from its own symbol statistics (two-pass, Annex K.2)
+    and ships them in a DHT immediately before its SOS.
+    """
+    (h, w, nch, hv, hmax, vmax, mcux, mcuy, prepped, q_luma, q_chroma) = (
+        _prep_planes(arr, quality, subsample)
+    )
+    qts = [q_luma] + [q_chroma] * (nch - 1)
+    script = scan_script or default_scan_script(nch)
+
+    # quantized coefficients per component, zigzag order, MCU-padded
+    coefs = {}
+    bdims = {}
+    for ci in range(nch):
+        p = prepped[ci]
+        bh_, bw_ = p.shape[0] // 8, p.shape[1] // 8
+        quant = np.zeros((bh_, bw_, 64), dtype=np.int64)
+        # per-block FDCT in the baseline encoder's exact expression
+        # order (see the IDCT note in _decode_progressive): identical
+        # quantized coefficients => identical decoded pixels
+        for by in range(bh_):
+            for bx in range(bw_):
+                f = (
+                    _DCT_C
+                    @ (p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0)
+                    @ _DCT_C.T
+                )
+                quant[by, bx] = np.rint(f.flatten() / qts[ci]).astype(
+                    np.int64
+                )
+        coefs[ci] = quant[:, :, ZIGZAG]  # raster -> zigzag order
+        ch_ = -(-(h * hv[ci][1]) // vmax)
+        cw_ = -(-(w * hv[ci][0]) // hmax)
+        bdims[ci] = (-(-ch_ // 8), -(-cw_ // 8))
+
+    def run_scan(comp_ids, ss, se, ah, al, emit):
+        if ss == 0:
+            _enc_dc_scan(
+                coefs, comp_ids, hv, mcux, mcuy, bdims, ah, al, emit
+            )
+        else:
+            if len(comp_ids) != 1:
+                raise ValueError("AC scans must be single-component")
+            ci = comp_ids[0]
+            tid = 0 if ci == 0 else 1
+            fn = _enc_ac_first if ah == 0 else _enc_ac_refine
+            fn(coefs[ci], bdims[ci], ss, se, al, tid, emit)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _dqt(0, q_luma)
+    if nch == 3:
+        out += _dqt(1, q_chroma)
+    sof = struct.pack(">BHHB", 8, h, w, nch)
+    for ci in range(nch):
+        sof += bytes(
+            [ci + 1, (hv[ci][0] << 4) | hv[ci][1], 0 if ci == 0 else 1]
+        )
+    out += _seg(0xC2, sof)
+
+    for comp_ids, ss, se, ah, al in script:
+        counter = _CountEmitter()
+        run_scan(comp_ids, ss, se, ah, al, counter)
+        tables = {}
+        for (cls, tid), fr in counter.freqs.items():
+            bits, vals = _huffman_spec(fr)
+            out += _dht(0 if cls == "dc" else 1, tid, (bits, vals))
+            tables[(cls, tid)] = _build_encode_table(bits, vals)
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            tid = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (tid << 4) | tid])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+        bw = _BitWriter()
+        run_scan(comp_ids, ss, se, ah, al, _WriteEmitter(bw, tables))
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
     return bytes(out)

@@ -11,8 +11,8 @@ via the pure-stdlib codecs in operators/codecs.py + operators/jpeg.py
 (``fake=False`` paths of decode_image/decode_audio/resize_image/
 embed_content — metadata reads parse only the container header,
 O(header) per item; image consumers go through codecs.image_* which
-dispatch on the sniffed container).  Remaining formats (progressive
-JPEG, WebP, compressed audio, video) raise ``NotImplementedError``
+dispatch on the sniffed container).  Remaining formats (WebP,
+compressed audio, video) raise ``NotImplementedError``
 there; a deployment drops PIL/ffmpeg into the same kernel seams.  With
 ``fake=True`` a deterministic fake decoder (seeded by content hash)
 stands in — that twin remains the driver-oracle leg, and the

@@ -91,14 +91,121 @@ def test_jpeg_header_matches_decode_dims():
     assert decode_jpeg(enc).shape == (23, 41, 3)
 
 
-def test_progressive_frame_is_gated():
+def test_lossless_frame_is_gated():
     enc = bytearray(encode_jpeg(_gradient()))
     idx = enc.index(b"\xff\xc0")
-    enc[idx + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    enc[idx + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless)
+    with pytest.raises(NotImplementedError, match="lossless"):
         decode_jpeg(bytes(enc))
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(NotImplementedError, match="lossless"):
         jpeg_header(bytes(enc))
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) — r06 verdict #4: fixture-free round-trips via the
+# progressive encoder, which codes the SAME quantized coefficients as
+# the baseline encoder, so both streams must decode to IDENTICAL pixels
+
+
+def test_progressive_default_script_matches_baseline_pixels():
+    from tajo_spark.operators.jpeg import encode_jpeg_progressive
+
+    g = _gradient()
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g)),
+        decode_jpeg(encode_jpeg_progressive(g)),
+    )
+    rgb = np.stack(
+        [_gradient(), (_gradient() * 3 + 17) % 256, 255 - _gradient()],
+        axis=2,
+    ).astype(np.uint8)
+    for sub in (False, True):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(rgb, subsample=sub)),
+            decode_jpeg(encode_jpeg_progressive(rgb, subsample=sub)),
+        ), f"subsample={sub}"
+
+
+def test_progressive_header_and_mislabeled_baseline():
+    from tajo_spark.operators.jpeg import encode_jpeg_progressive
+
+    g = _gradient()
+    prog = encode_jpeg_progressive(g)
+    assert b"\xff\xc2" in prog and b"\xff\xc0" not in prog
+    assert jpeg_header(prog) == (g.shape[1], g.shape[0], 1)
+    # a baseline stream whose SOF marker is rewritten to SOF2 violates
+    # the progressive scan rules (DC scan must have Se=0) -> ValueError
+    enc = bytearray(encode_jpeg(g))
+    idx = enc.index(b"\xff\xc0")
+    enc[idx + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(enc))
+
+
+def _random_scan_script(rng, nch: int) -> list:
+    """A random LEGAL progressive scan script: DC successive
+    approximation chain, then per component random contiguous spectral
+    bands each with its own successive-approximation chain to Al=0."""
+    comps = list(range(nch))
+    dc_al = int(rng.integers(0, 3))
+    script = [(comps, 0, 0, 0, dc_al)]
+    for al in range(dc_al - 1, -1, -1):
+        script.append((comps, 0, 0, al + 1, al))
+    for ci in range(nch):
+        cuts = sorted(
+            {1, 64}
+            | set(int(x) for x in rng.integers(2, 64, size=int(rng.integers(0, 3))))
+        )
+        for b0, b1 in zip(cuts, cuts[1:]):
+            ac_al = int(rng.integers(0, 3))
+            script.append(([ci], b0, b1 - 1, 0, ac_al))
+            for al in range(ac_al - 1, -1, -1):
+                script.append(([ci], b0, b1 - 1, al + 1, al))
+    return script
+
+
+def test_progressive_property_random_scripts_gray():
+    """Property sweep: random legal scan scripts over random images
+    and dims — every progression must decode to the exact pixels of
+    the baseline coding (same coefficients, different scan order)."""
+    from tajo_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(20260815)
+    for _ in range(8):
+        h, w = int(rng.integers(8, 60)), int(rng.integers(8, 60))
+        img = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+        script = _random_scan_script(rng, 1)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(img)),
+            decode_jpeg(encode_jpeg_progressive(img, scan_script=script)),
+        ), script
+
+
+def test_progressive_property_random_scripts_rgb_subsampled():
+    from tajo_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(7)
+    for _ in range(4):
+        h, w = int(rng.integers(9, 50)), int(rng.integers(9, 50))
+        img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        script = _random_scan_script(rng, 3)
+        sub = bool(rng.integers(0, 2))
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(img, subsample=sub)),
+            decode_jpeg(
+                encode_jpeg_progressive(img, scan_script=script, subsample=sub)
+            ),
+        ), (script, sub)
+
+
+def test_progressive_truncation_raises_valueerror():
+    from tajo_spark.operators.jpeg import encode_jpeg_progressive
+
+    enc = encode_jpeg_progressive(_gradient())
+    sos = enc.index(b"\xff\xda")
+    for cut in range(sos + 20, len(enc) - 2, 37):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg(enc[:cut])
 
 
 # ---------------------------------------------------------------------------
