@@ -144,6 +144,24 @@ HEADLINE = [
     "export_tar_verify",
     "dedup_containment_pairs",
     "corpus_length_drift",
+    # round-7 additions
+    "dedup_containment_asym",
+    "dedup_weighted_containment",
+    "dedup_cluster_stats",
+    "sim_source_centroid_drift",
+    "text_bpe_fertility",
+    "multimodal_jpeg_progressive",
+    # round-7: one representative per previously-unrepresented registry
+    # category, so every category's scale story has a tracked number
+    # (tools/audit_coverage.py makes this a standing gate)
+    "events_funnel",
+    "fn_string_regex",
+    "nested_group_by",
+    "setop_except_all",
+    "agg_skew_salted",
+    "agg_rollup",
+    "sort_global",
+    "subq_exists_correlated",
 ]
 
 

@@ -569,11 +569,15 @@ def containment_candidate_pairs(
         "doc_id",
         F.split(normalize_for_fingerprint(F.col(text_col)), " ").alias("w"),
     )
-    sh = tok.select(
-        "doc_id",
-        F.array_distinct(shingles_from_tokens(F.col("w"), 3)).alias("s"),
-    )
-    postings = sh.select("doc_id", F.explode("s").alias("sh"))
+    # explode the RAW shingles then row-dedup: exploding
+    # array_distinct(shingles(...)) lets CollapseProject inline the
+    # whole shingle-construction chain into the Generate, which
+    # re-evaluates it per output element — measured 28 s vs 0.5 s on
+    # 5k docs; dropDuplicates is one shuffle that co-partitions with
+    # the df groupBy right after it
+    postings = tok.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("w"), 3)).alias("sh")
+    ).dropDuplicates(["doc_id", "sh"])
     dfc = (
         postings.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1372,4 +1376,82 @@ def repair_split_leakage(
         "doc_id",
         "split",
         F.coalesce("keep", F.lit(True)).alias("keep"),
+    )
+
+
+def weighted_containment_pairs(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """IDF-weighted containment over the LSH candidate pairs: each
+    shared shingle contributes ``ln(N/df)`` — boilerplate (high-df)
+    shingles count for almost nothing, rare shared content dominates.
+    A page sharing only its site template scores low; true content
+    subsumption scores ~1.0 toward the contained side.
+
+    Hash-exactness design: idf is integer-scaled at 1e6 BEFORE any
+    sum, so the per-pair and per-doc weights are exact integers —
+    partial-aggregation order can never flip the driver hash; the only
+    float op is the final division of identical integers.
+
+    Scale shape: posting explode (token-linear projection), one df
+    groupBy (two-phase), per-doc weight totals (two-phase), and the
+    intersection weight as candidate-pair explode + equi-join — all
+    banding-bounded, never all-pairs.  N rides as a broadcast 1-row
+    aggregate.  Output: (doc_a, doc_b, wcont_a_in_b, wcont_b_in_a).
+    """
+    pairs = minhash_candidate_pairs(docs, text_col)
+    tok = spread_by(docs, "doc_id").select(
+        "doc_id",
+        F.split(normalize_for_fingerprint(F.col(text_col)), " ").alias("w"),
+    )
+    # raw explode + row-dedup, NOT explode(array_distinct(...)) — see
+    # containment_candidate_pairs for the CollapseProject trap
+    postings = tok.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("w"), 3)).alias("sh")
+    ).dropDuplicates(["doc_id", "sh"])
+    nn = docs.where(F.col(text_col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dfc = (
+        postings.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(F.broadcast(nn))
+        .select(
+            "sh",
+            F.round(
+                F.log(F.col("n").cast("double") / F.col("df")) * 1000000
+            )
+            .cast("long")
+            .alias("idf"),
+        )
+    )
+    weighted = postings.join(dfc, "sh")
+    wtot = weighted.groupBy("doc_id").agg(F.sum("idf").alias("w"))
+    pa = weighted.select(F.col("doc_id").alias("doc_a"), "sh", "idf")
+    pb = postings.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        pairs.join(pa, "doc_a")
+        .join(pb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("idf").alias("wi"))
+    )
+    wa = wtot.select(F.col("doc_id").alias("doc_a"), F.col("w").alias("wa"))
+    wb = wtot.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("wb"))
+    return (
+        inter.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("wi").cast("double")
+                / F.greatest(F.col("wa"), F.lit(1)),
+                4,
+            ).alias("wcont_a_in_b"),
+            F.round(
+                F.col("wi").cast("double")
+                / F.greatest(F.col("wb"), F.lit(1)),
+                4,
+            ).alias("wcont_b_in_a"),
+        )
     )

@@ -1385,3 +1385,71 @@ def kmeans_lloyd(
 
     assigned = _assign(cent)
     return assigned, cent
+
+
+def label_centroid_cosines(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label embedding centroids + pairwise cosine between them —
+    the embedding-space drift signal between corpus slices (sources,
+    snapshots, languages): diverging centroids flag coverage shift
+    before a model trains on it.
+
+    Hash-exactness design: cosine(centroid_a, centroid_b) equals
+    cosine of the per-label component SUMS (the 1/n factors cancel),
+    so elements are integer-scaled at 1e6 and every aggregate is an
+    exact integer (decimal(38,0) products) — the only float op is the
+    final division of identical integers on both engines.
+
+    Scale shape: posexplode is the data-sized projection; ONE
+    two-phase groupBy folds it to |labels| x dims aggregate rows;
+    everything after (self-join on pos, norms, division) runs on that
+    metadata-sized domain.
+    """
+    dec = "decimal(38,0)"
+    e = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("pos", "val"),
+    )
+    s = e.groupBy("label", "pos").agg(
+        F.sum(
+            F.round(F.col("val").cast("double") * 1000000).cast("long")
+        ).alias("sv")
+    )
+    a = s.select(
+        F.col("label").alias("label_a"), "pos", F.col("sv").alias("sa")
+    )
+    b = s.select(
+        F.col("label").alias("label_b"), "pos", F.col("sv").alias("sb")
+    )
+    dot = (
+        a.join(b, ["pos"])
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("sa").cast(dec) * F.col("sb").cast(dec)).alias(
+                "num"
+            )
+        )
+    )
+    nrm = s.groupBy("label").agg(
+        F.sum(F.col("sv").cast(dec) * F.col("sv").cast(dec)).alias("d")
+    )
+    na = nrm.select(F.col("label").alias("label_a"), F.col("d").alias("da"))
+    nb = nrm.select(F.col("label").alias("label_b"), F.col("d").alias("db"))
+    return (
+        dot.join(na, "label_a")
+        .join(nb, "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("num").cast("double")
+                / F.sqrt(
+                    F.col("da").cast("double") * F.col("db").cast("double")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )

@@ -5331,3 +5331,281 @@ def profile_columns_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.bigram_logprob(docs)
+
+
+# --------------------------------------------------------------------------
+# Round 7 additions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_jpeg_progressive",
+    "curation",
+    doc="Progressive JPEG (SOF2) through the REAL codec (r06 verdict "
+    "#4, operators/jpeg.py): each doc synthesizes a deterministic "
+    "image, encodes it BOTH baseline and progressive (spectral "
+    "selection + successive approximation scan script), decodes both "
+    "inside one Arrow mapInPandas stage, and emits the header "
+    "geometry plus a pixel-identity flag — the two codings carry the "
+    "same quantized coefficients, so decoded pixels must match bit "
+    "for bit at every geometry. Oracle: closed-form dims + identity.",
+    oracle="""
+        SELECT doc_id,
+               CAST(16 + doc_id % 32 AS INT) AS width,
+               CAST(16 + (doc_id * 7) % 24 AS INT) AS height,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT)
+                   AS channels,
+               CAST(1 AS INT) AS px_equal
+        FROM documents WHERE doc_id < 64 ORDER BY doc_id
+    """,
+)
+def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 64)
+    )
+
+    def roundtrip(batches):
+        import numpy as np
+        import pandas as pd
+
+        from tajo_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+            jpeg_header,
+        )
+
+        for b in batches:
+            rows = []
+            for did in b["doc_id"]:
+                did = int(did)
+                w = 16 + did % 32
+                h = 16 + (did * 7) % 24
+                yy, xx = np.mgrid[0:h, 0:w]
+                g = ((yy * 5 + xx * 3 + did) % 256).astype(np.uint8)
+                if did % 2 == 0:
+                    img = np.stack([g, 255 - g, g // 2], axis=2)
+                    base = encode_jpeg(img, quality=90, subsample=True)
+                    prog = encode_jpeg_progressive(
+                        img, quality=90, subsample=True
+                    )
+                else:
+                    base = encode_jpeg(g, quality=90)
+                    prog = encode_jpeg_progressive(g, quality=90)
+                pw, ph, pc = jpeg_header(prog)
+                eq = int(
+                    np.array_equal(decode_jpeg(base), decode_jpeg(prog))
+                )
+                rows.append((did, pw, ph, pc, eq))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels", "px_equal",
+                ],
+            )
+
+    return docs.mapInPandas(
+        roundtrip,
+        "doc_id LONG, width INT, height INT, channels INT, px_equal INT",
+    ).orderBy("doc_id")
+
+
+@query(
+    "dedup_cluster_stats",
+    "curation",
+    doc="Near-dup cluster size distribution (corpus-health datacard "
+    "row): connected components over the MinHash+LSH candidate pairs "
+    "folded to (cluster_size, n_clusters, n_docs) — the shape that "
+    "tells you whether duplication is pairwise noise or syndication "
+    "hubs, and projects the dedup ratio before any deletion runs. "
+    "Spark leg reuses the iterative min-label propagation "
+    "(graph.py::connected_components); all stats run on one row per "
+    "component (aggregate domain).",
+    oracle=f"""
+        WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+        cc_edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION
+            SELECT doc_b AS a, doc_a AS b FROM pairs),
+        reach(node, label) AS (
+            SELECT a, a FROM cc_edges
+            UNION
+            SELECT e.b, r.label FROM reach r JOIN cc_edges e ON e.a = r.node),
+        comp AS (SELECT node, min(label) AS component
+                 FROM reach GROUP BY node),
+        sizes AS (SELECT component, count(*) AS sz
+                  FROM comp GROUP BY component)
+        SELECT CAST(sz AS BIGINT) AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sz * count(*) AS BIGINT) AS n_docs
+        FROM sizes GROUP BY sz ORDER BY sz
+    """,
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidate_pairs(docs)
+    comp = connected_components(pairs, assume_distinct=True)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            F.col("sz").alias("cluster_size"),
+            "n_clusters",
+            (F.col("sz") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@query(
+    "dedup_weighted_containment",
+    "curation",
+    doc="IDF-weighted containment over the LSH candidate pairs: "
+    "shared boilerplate shingles (high document frequency) contribute "
+    "little, rare shared content dominates — so a page sharing only "
+    "its site template with another scores low while true content "
+    "subsumption scores ~1.0. Weights are ln(N/df) integer-scaled at "
+    "1e6 so the per-pair sums are EXACT integers (summation order "
+    "cannot flip the driver hash); per-doc total weight is computed "
+    "once and joined back, and the intersection weight is one "
+    "explode + semi-join + two-phase sum over candidate pairs only.",
+    oracle=f"""
+        WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+        tk AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(w) >= 3
+                           THEN list_distinct(list_transform(
+                                range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                           ELSE [array_to_string(w, ' ')] END AS s
+               FROM tk),
+        post AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+        nn AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+        dfc AS (SELECT sh AS shingle,
+                       CAST(round(ln(CAST(nn.n AS DOUBLE) / count(*))
+                                  * 1000000) AS BIGINT) AS idf
+                FROM post CROSS JOIN nn GROUP BY sh, nn.n),
+        wtot AS (SELECT p.doc_id, sum(d.idf) AS w
+                 FROM post p JOIN dfc d ON d.shingle = p.sh
+                 GROUP BY p.doc_id),
+        {_MINHASH_PAIRS_CTE},
+        inter AS (
+            SELECT pr.doc_a, pr.doc_b, sum(d.idf) AS wi
+            FROM pairs pr
+            JOIN post pa ON pa.doc_id = pr.doc_a
+            JOIN post pb ON pb.doc_id = pr.doc_b AND pb.sh = pa.sh
+            JOIN dfc d ON d.shingle = pa.sh
+            GROUP BY pr.doc_a, pr.doc_b)
+        SELECT i.doc_a, i.doc_b,
+               ROUND(CAST(i.wi AS DOUBLE) / greatest(wa.w, 1), 4)
+                   AS wcont_a_in_b,
+               ROUND(CAST(i.wi AS DOUBLE) / greatest(wb.w, 1), 4)
+                   AS wcont_b_in_a
+        FROM inter i
+        JOIN wtot wa ON wa.doc_id = i.doc_a
+        JOIN wtot wb ON wb.doc_id = i.doc_b
+    """,
+)
+def dedup_weighted_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.weighted_containment_pairs(docs)
+
+
+@query(
+    "sim_source_centroid_drift",
+    "curation",
+    doc="Per-label embedding centroids + pairwise cosine between them "
+    "(embedding-space drift between corpus slices — the signal that "
+    "two sources/snapshots cover diverging content). Scale shape: "
+    "posexplode to (label, pos, val) then ONE two-phase groupBy to "
+    "per-label component sums; cosine(centroid_a, centroid_b) equals "
+    "cosine of the SUMS (the 1/n factors cancel), so components stay "
+    "EXACT integers (elements scaled 1e6) and the only float op is "
+    "the final division of identical integers on both engines — "
+    "summation order cannot flip the hash. Label count is small, so "
+    "the centroid self-join is broadcast-sized.",
+    oracle="""
+        WITH e AS (SELECT label, unnest(embedding) AS val,
+                          generate_subscripts(embedding, 1) AS pos
+                   FROM embeddings),
+        s AS (SELECT label, pos,
+                     sum(CAST(round(CAST(val AS DOUBLE) * 1000000)
+                              AS BIGINT)) AS sv
+              FROM e GROUP BY label, pos),
+        dot AS (SELECT a.label AS label_a, b.label AS label_b,
+                       sum(a.sv * b.sv) AS num
+                FROM s a JOIN s b ON a.pos = b.pos AND a.label < b.label
+                GROUP BY a.label, b.label),
+        nrm AS (SELECT label, sum(sv * sv) AS d FROM s GROUP BY label)
+        SELECT d.label_a, d.label_b,
+               ROUND(CAST(d.num AS DOUBLE)
+                     / sqrt(CAST(na.d AS DOUBLE) * CAST(nb.d AS DOUBLE)),
+                     6) AS cosine
+        FROM dot d
+        JOIN nrm na ON na.label = d.label_a
+        JOIN nrm nb ON nb.label = d.label_b
+        ORDER BY d.label_a, d.label_b
+    """,
+)
+def sim_source_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.similarity import label_centroid_cosines
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroid_cosines(emb)
+
+
+@query(
+    "text_bpe_fertility",
+    "curation",
+    doc="Tokenizer fertility per language: BPE-ish tokens per "
+    "whitespace word (the compression-quality signal that decides "
+    "whether a tokenizer underserves a language — fertility ~1 for "
+    "well-covered scripts, >>1 where the vocab fragments). Pure "
+    "JVM-side regexp projection + ONE lang-keyed two-phase agg; "
+    "integer token sums, one final rounded division.",
+    oracle="""
+        SELECT lang,
+               CAST(sum(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+                   AS bpe_tokens,
+               CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+')))
+                    AS BIGINT) AS words,
+               ROUND(sum(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) * 1.0
+                     / greatest(sum(len(regexp_extract_all(text,
+                    '[A-Za-z0-9]+'))), 1), 4) AS fertility
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    bpe = F.size(
+        F.regexp_extract_all(
+            t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+        )
+    ).cast("long")
+    words = F.size(
+        F.regexp_extract_all(t, F.lit(r"[A-Za-z0-9]+"), F.lit(0))
+    ).cast("long")
+    return (
+        docs.select("lang", bpe.alias("b"), words.alias("w"))
+        .groupBy("lang")
+        .agg(
+            F.sum("b").cast("long").alias("bpe_tokens"),
+            F.sum("w").cast("long").alias("words"),
+            F.round(
+                F.sum("b") / F.greatest(F.sum("w"), F.lit(1)), 4
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )

@@ -687,3 +687,26 @@ def test_hybrid_rrf_fuses_both_rankings(spark):
     # top-5 -> absent leg contributes 0, rank is null
     assert by_id[3].lex_rank is not None
     assert by_id[3].dense_rank is None
+
+
+def test_label_centroid_cosines_hand_computed(spark):
+    """Two labels with orthogonal mean vectors -> cosine ~0; a third
+    colinear with the first -> cosine 1.0. The integer-sum identity:
+    cosine of centroids equals cosine of per-label component sums."""
+    from tajo_spark.operators.similarity import label_centroid_cosines
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0), (2, [3.0, 0.0, 0.0], 0),
+        (3, [0.0, 2.0, 0.0], 1), (4, [0.0, 4.0, 0.0], 1),
+        (5, [5.0, 0.0, 0.0], 2),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    got = {
+        (r.label_a, r.label_b): r.cosine
+        for r in label_centroid_cosines(emb).collect()
+    }
+    assert got[(0, 1)] == 0.0
+    assert got[(0, 2)] == 1.0
+    assert got[(1, 2)] == 0.0

@@ -894,3 +894,37 @@ def test_asym_banding_respects_df_cap(spark):
         "doc_id LONG, text STRING",
     )
     assert containment_candidate_pairs(docs, max_df=4).count() == 0
+
+
+def test_weighted_containment_discounts_boilerplate(spark):
+    """IDF weighting: a pair sharing only ubiquitous boilerplate
+    scores near zero while a pair sharing rare content scores ~1.0
+    toward the contained side — the separation plain containment
+    can't make."""
+    from tajo_spark.operators.dedup import weighted_containment_pairs
+
+    boiler = "all rights reserved contact us about this site today"
+    rare = "quantum flux capacitor alignment procedure detailed herein"
+    docs = spark.createDataFrame(
+        [
+            (0, rare + " " + boiler),
+            (1, rare + " " + boiler + " extra tail words here now"),
+            # boilerplate-only overlap pair
+            (2, boiler + " unique alpha beta gamma delta epsilon"),
+            (3, boiler + " other zeta eta theta iota kappa"),
+        ]
+        + [(10 + i, boiler + f" filler{i}a filler{i}b filler{i}c")
+           for i in range(6)],
+        "doc_id LONG, text STRING",
+    )
+    rows = {
+        (r.doc_a, r.doc_b): r
+        for r in weighted_containment_pairs(docs).collect()
+    }
+    assert (0, 1) in rows
+    assert rows[(0, 1)].wcont_a_in_b > 0.95  # rare content contained
+    for (a, b), r in rows.items():
+        if (a, b) != (0, 1):
+            # boilerplate-only pairs: low weighted containment even
+            # though their raw shingle overlap is large
+            assert max(r.wcont_a_in_b, r.wcont_b_in_a) < 0.6, (a, b, r)

@@ -105,6 +105,17 @@ QUERIES = [
     "graph_pagerank_neardup",
     # bounded-key histogram groupBy + aggregate-row window
     "sketch_hist_quantiles",
+    # two-stage containment verify over LSH candidates
+    "dedup_containment_pairs",
+    # round-7 additions
+    # rarest-k posting probe (df-capped) + exact verify
+    "dedup_containment_asym",
+    # df groupBy + per-doc weight totals + candidate-bounded inter join
+    "dedup_weighted_containment",
+    # CC label propagation + aggregate-domain size histogram
+    "dedup_cluster_stats",
+    # zero-shuffle regex projection + lang-keyed two-phase agg
+    "text_bpe_fertility",
 ]
 
 
