@@ -151,6 +151,7 @@ HEADLINE = [
     "sim_source_centroid_drift",
     "text_bpe_fertility",
     "multimodal_jpeg_progressive",
+    "multimodal_flac_roundtrip",
     # round-7: one representative per previously-unrepresented registry
     # category, so every category's scale story has a tracked number
     # (tools/audit_coverage.py makes this a standing gate)

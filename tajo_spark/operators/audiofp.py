@@ -78,7 +78,7 @@ def audio_fingerprint(
     SHARED banded-hash Arrow loop (phash.banded_hash_frame — only the
     decode and bits kernels differ from the image hasher).  Clips
     shorter than ``min_len`` samples are dropped."""
-    from tajo_spark.operators.codecs import wav_mono_signal
+    from tajo_spark.operators.codecs import audio_mono_signal
 
     return banded_hash_frame(
         binary_df,
@@ -86,7 +86,7 @@ def audio_fingerprint(
         energy_diff_bits,
         fake,
         min_len,
-        wav_mono_signal,
+        audio_mono_signal,
     )
 
 

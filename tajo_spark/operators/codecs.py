@@ -24,9 +24,17 @@ JPEG decodes for real since round 6 — operators/jpeg.py implements
 baseline sequential T.81 (Huffman + IDCT, subsampling, restart
 markers) from the public spec, and round 7 added progressive (SOF2,
 spectral selection + successive approximation); arithmetic/12-bit
-remain gated there.  Compressed audio (MP3/FLAC) and video stay gated
-(``sniff`` returns ``None`` → the callers' NotImplementedError path);
-deployments carry ffmpeg for those.
+remain gated there.  FLAC decodes for real since round 7 —
+operators/flac.py implements the full RFC 9639 frame/subframe family
+(FIXED + LPC predictors, Rice partitions, stereo decorrelation) with a
+scan-scripted lossless encoder for fixture-free round trips.  MP3 and
+video stay gated (``sniff`` returns ``None`` → the callers'
+NotImplementedError path); deployments carry ffmpeg for those.
+
+The ``audio_*`` dispatchers (audio_header / audio_mono_signal) are the
+audio twin of the image seam: every audio consumer (audio_metadata,
+audiofp fingerprints) routes through them, so WAV and FLAC — and a
+deployed soundfile/ffmpeg — plug in at exactly one place.
 
 The ``image_*`` dispatchers below are the single seam every image
 consumer goes through (metadata, resize, phash, embed): they sniff the
@@ -56,13 +64,16 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def sniff(payload: bytes) -> str | None:
-    """Cheap container sniff: 'png' | 'jpeg' | 'wav' | None (gated)."""
+    """Cheap container sniff: 'png' | 'jpeg' | 'wav' | 'flac' | None
+    (gated)."""
     if payload[:8] == PNG_SIG:
         return "png"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"fLaC":
+        return "flac"
     return None
 
 
@@ -393,3 +404,38 @@ def wav_mono_signal(payload: bytes) -> np.ndarray:
     """WAV bytes → mono samples — the real decode twin of
     audiofp._fake_waveform (same 1-D convention)."""
     return decode_wav(payload)[1]
+
+
+def audio_header(payload: bytes) -> tuple[int, int]:
+    """(sample_rate, n_samples) for any supported audio container —
+    container-dispatched, O(header) per clip (the audio twin of
+    image_header)."""
+    kind = sniff(payload)
+    if kind == "wav":
+        return wav_header(payload)
+    if kind == "flac":
+        from tajo_spark.operators.flac import flac_header
+
+        return flac_header(payload)
+    raise NotImplementedError(
+        "only WAV/PCM and FLAC decode in-container (operators/"
+        "codecs.py, operators/flac.py); deploy with soundfile/ffmpeg "
+        "for MP3 and other compressed audio in this kernel"
+    )
+
+
+def audio_mono_signal(payload: bytes) -> np.ndarray:
+    """Mono int32 samples for any supported audio container — the
+    container-dispatched decode seam every audio consumer (audiofp,
+    metadata) goes through, mirroring image_gray_signal."""
+    kind = sniff(payload)
+    if kind == "wav":
+        return wav_mono_signal(payload)
+    if kind == "flac":
+        from tajo_spark.operators.flac import flac_mono_signal
+
+        return flac_mono_signal(payload)
+    raise NotImplementedError(
+        "only WAV/PCM and FLAC decode in-container; deploy with "
+        "soundfile/ffmpeg for MP3 and other compressed audio"
+    )

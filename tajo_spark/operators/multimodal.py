@@ -188,7 +188,7 @@ def resize_image(binary_df: DataFrame, max_side: int = 224,
 
 
 def decode_audio(batch: pd.DataFrame, fake: bool) -> pd.DataFrame:
-    from tajo_spark.operators.codecs import sniff, wav_header
+    from tajo_spark.operators.codecs import audio_header
 
     rows = []
     for doc_id, payload in zip(batch["doc_id"], batch["content"]):
@@ -197,15 +197,10 @@ def decode_audio(batch: pd.DataFrame, fake: bool) -> pd.DataFrame:
             h = hashlib.md5(payload).digest()
             sr = (8000, 16000, 44100, 48000)[h[0] % 4]
             n = 1000 + int.from_bytes(h[1:4], "big") % 100000
-        elif sniff(payload) == "wav":
-            # real container parse — header only, no frame read
-            sr, n = wav_header(payload)
         else:
-            raise NotImplementedError(
-                "only WAV/PCM decodes in-container (operators/"
-                "codecs.py); deploy with soundfile/ffmpeg for "
-                "compressed audio in this kernel"
-            )
+            # real container parse — header only (WAV or FLAC), no
+            # frame read; MP3/video stay gated inside audio_header
+            sr, n = audio_header(payload)
         rows.append(
             (
                 doc_id,
