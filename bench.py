@@ -152,6 +152,7 @@ HEADLINE = [
     "text_bpe_fertility",
     "multimodal_jpeg_progressive",
     "multimodal_flac_roundtrip",
+    "multimodal_video_real_frames",
     # round-7: one representative per previously-unrepresented registry
     # category, so every category's scale story has a tracked number
     # (tools/audit_coverage.py makes this a standing gate)

@@ -74,6 +74,8 @@ def sniff(payload: bytes) -> str | None:
         return "wav"
     if payload[:4] == b"fLaC":
         return "flac"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     return None
 
 

@@ -11,8 +11,8 @@ via the pure-stdlib codecs in operators/codecs.py + operators/jpeg.py
 (``fake=False`` paths of decode_image/decode_audio/resize_image/
 embed_content — metadata reads parse only the container header,
 O(header) per item; image consumers go through codecs.image_* which
-dispatch on the sniffed container).  Remaining formats (WebP,
-compressed audio, video) raise ``NotImplementedError``
+dispatch on the sniffed container).  Remaining formats (WebP, MP3,
+non-MJPEG video codecs) raise ``NotImplementedError``
 there; a deployment drops PIL/ffmpeg into the same kernel seams.  With
 ``fake=True`` a deterministic fake decoder (seeded by content hash)
 stands in — that twin remains the driver-oracle leg, and the
@@ -232,22 +232,47 @@ def audio_metadata(binary_df: DataFrame, fake: bool = True) -> DataFrame:
 def sample_frames(binary_df: DataFrame, every_n: int = 10,
                   max_frames: int = 8, fake: bool = True) -> DataFrame:
     """Frame-sampling stage (video → frames): one output row per sampled
-    frame; frame count derived from payload size (stub) / container
-    metadata (real). Fan-out happens executor-side inside mapInPandas —
-    no explode of materialized frames through a shuffle."""
+    frame. Fan-out happens executor-side inside mapInPandas — no
+    explode of materialized frames through a shuffle.
+
+    ``fake=False`` runs on REAL video bytes: MJPEG-in-AVI parses via
+    operators/avi.py, only the sampled ``00dc`` chunk spans are read,
+    and each sampled frame decodes through the real JPEG codec —
+    ``frame_key`` is the md5 of the decoded PIXELS, so the row proves
+    an actual decode, not a container skim. Other codecs (H.264 & co)
+    raise NotImplementedError at the same seam; a deployment drops
+    ffmpeg into this kernel with identical batch shape and schema."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not fake:
-            raise NotImplementedError("video codecs unavailable; see module doc")
         for batch in batches:
             rows: list[tuple[Any, ...]] = []
             for doc_id, payload in zip(batch["doc_id"], batch["content"]):
                 payload = bytes(payload)
-                n_frames = min(max_frames, 1 + len(payload) // every_n)
-                key = hashlib.md5(payload).hexdigest()[:8]
-                rows.extend(
-                    (doc_id, i, f"{key}:{i * every_n}") for i in range(n_frames)
+                if fake:
+                    n_frames = min(max_frames, 1 + len(payload) // every_n)
+                    key = hashlib.md5(payload).hexdigest()[:8]
+                    rows.extend(
+                        (doc_id, i, f"{key}:{i * every_n}")
+                        for i in range(n_frames)
+                    )
+                    continue
+                from tajo_spark.operators.avi import (
+                    decode_avi_frames,
+                    video_header,
                 )
+
+                _, _, n_total, _ = video_header(payload)
+                idxs = list(range(0, n_total, every_n))[:max_frames]
+                for i, frame in zip(
+                    idxs, decode_avi_frames(payload, idxs)
+                ):
+                    rows.append(
+                        (
+                            doc_id,
+                            i,
+                            hashlib.md5(frame.tobytes()).hexdigest()[:8],
+                        )
+                    )
             if rows:
                 yield pd.DataFrame(
                     rows, columns=["doc_id", "frame_idx", "frame_key"]

@@ -5682,3 +5682,81 @@ def multimodal_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         roundtrip,
         "doc_id LONG, sample_rate INT, n_samples LONG, lossless INT",
     ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_video_real_frames",
+    "curation",
+    doc="REAL video bytes through the frame-sampling stage "
+    "(operators/avi.py + multimodal.sample_frames(fake=False)): each "
+    "doc synthesizes a deterministic MJPEG-in-AVI clip (frame count "
+    "from doc_id), samples every 2nd frame capped at 3, DECODES each "
+    "sampled frame through the real JPEG codec, and emits per-frame "
+    "geometry + a container-consistency flag (header dims == decoded "
+    "dims). Only sampled chunk spans are read — unsampled frames are "
+    "never materialized. Oracle: closed-form frame-index arithmetic.",
+    oracle="""
+        WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS nf
+                   FROM documents WHERE doc_id < 40),
+        idx AS (SELECT doc_id, unnest(range(0, nf, 2)) AS frame_idx
+                FROM d)
+        SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+               CAST(24 + doc_id % 16 AS INT) AS width,
+               CAST(16 + (doc_id * 3) % 16 AS INT) AS height,
+               CAST(1 AS INT) AS dims_ok
+        FROM idx
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY frame_idx) <= 3
+        ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_video_real_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 40)
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from tajo_spark.operators.avi import (
+            decode_avi_frames,
+            encode_avi_mjpeg,
+            video_header,
+        )
+        from tajo_spark.operators.jpeg import encode_jpeg
+
+        for b in batches:
+            rows = []
+            for did in b["doc_id"]:
+                did = int(did)
+                w = 24 + did % 16
+                h = 16 + (did * 3) % 16
+                nf = 3 + did % 5
+                frames = []
+                for i in range(nf):
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    g = ((yy * 5 + xx * 3 + did + i * 13) % 256).astype(
+                        np.uint8
+                    )
+                    frames.append(encode_jpeg(g, quality=90))
+                avi = encode_avi_mjpeg(frames, fps=5)
+                hw, hh, hn, _ = video_header(avi)
+                idxs = list(range(0, hn, 2))[:3]
+                for i, px in zip(idxs, decode_avi_frames(avi, idxs)):
+                    ok = int(
+                        px.shape[1] == hw == w and px.shape[0] == hh == h
+                    )
+                    rows.append((did, i, hw, hh, ok))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height",
+                         "dims_ok"],
+            )
+
+    return docs.mapInPandas(
+        gen,
+        "doc_id LONG, frame_idx INT, width INT, height INT, dims_ok INT",
+    ).orderBy("doc_id", "frame_idx")

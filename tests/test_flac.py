@@ -223,3 +223,77 @@ def test_audiofp_fingerprint_identical_across_containers(spark):
         for r in audio_fingerprint(df, fake=False).collect()
     }
     assert rows[1] == rows[2]
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-AVI video (operators/avi.py) — the video leg of the same round
+
+
+def _mk_avi(n=6, w=32, h=24, salt=0):
+    from tajo_spark.operators.avi import encode_avi_mjpeg
+    from tajo_spark.operators.jpeg import encode_jpeg
+
+    frames = []
+    for i in range(n):
+        yy, xx = np.mgrid[0:h, 0:w]
+        g = ((yy * 3 + xx * 5 + i * 17 + salt) % 256).astype(np.uint8)
+        frames.append(encode_jpeg(g, quality=90))
+    return frames, encode_avi_mjpeg(frames, fps=5)
+
+
+def test_avi_roundtrip_and_header():
+    from tajo_spark.operators.avi import (
+        avi_frame_jpegs,
+        decode_avi_frames,
+        video_header,
+    )
+    from tajo_spark.operators.jpeg import decode_jpeg
+
+    frames, avi = _mk_avi()
+    assert video_header(avi) == (32, 24, 6, 5.0)
+    assert avi_frame_jpegs(avi) == frames  # byte-exact chunk spans
+    for i, dec in zip([0, 3, 5], decode_avi_frames(avi, [0, 3, 5])):
+        assert np.array_equal(dec, decode_jpeg(frames[i]))
+
+
+def test_avi_rejects_non_avi_and_non_mjpeg():
+    from tajo_spark.operators.avi import parse_avi
+
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        parse_avi(b"RIFFxxxxWAVE" + b"\x00" * 40)
+    _, avi = _mk_avi(2)
+    bad = avi.replace(b"MJPG", b"H264")
+    with pytest.raises(NotImplementedError, match="MJPG only"):
+        parse_avi(bad)
+
+
+def test_avi_sniff():
+    from tajo_spark.operators.codecs import sniff
+
+    _, avi = _mk_avi(1)
+    assert sniff(avi) == "avi"
+
+
+def test_sample_frames_real_decodes_sampled_frames(spark):
+    """fake=False frame sampling on real MJPEG bytes: every_n stride,
+    max_frames cap, and frame_key = md5 of DECODED pixels (identical
+    frames across containers hash identically; distinct frames
+    don't)."""
+    from tajo_spark.operators.jpeg import decode_jpeg
+    from tajo_spark.operators.multimodal import sample_frames
+    import hashlib as hl
+
+    frames, avi = _mk_avi(n=9)
+    df = spark.createDataFrame(
+        [(1, bytearray(avi))], "doc_id LONG, content BINARY"
+    )
+    rows = sorted(
+        (r.frame_idx, r.frame_key)
+        for r in sample_frames(
+            df, every_n=3, max_frames=2, fake=False
+        ).collect()
+    )
+    assert [i for i, _ in rows] == [0, 3]
+    for i, key in rows:
+        want = hl.md5(decode_jpeg(frames[i]).tobytes()).hexdigest()[:8]
+        assert key == want
