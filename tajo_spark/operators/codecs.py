@@ -27,9 +27,12 @@ spectral selection + successive approximation); arithmetic/12-bit
 remain gated there.  FLAC decodes for real since round 7 —
 operators/flac.py implements the full RFC 9639 frame/subframe family
 (FIXED + LPC predictors, Rice partitions, stereo decorrelation) with a
-scan-scripted lossless encoder for fixture-free round trips.  MP3 and
-video stay gated (``sniff`` returns ``None`` → the callers'
-NotImplementedError path); deployments carry ffmpeg for those.
+scan-scripted lossless encoder for fixture-free round trips.  GIF
+(LZW, interlace, animation — operators/gif.py) and MJPEG-in-AVI video
+(operators/avi.py, real frame sampling through the JPEG codec) also
+land in round 7.  MP3 and non-MJPEG video codecs stay gated (``sniff``
+returns ``None`` → the callers' NotImplementedError path); deployments
+carry ffmpeg for those.
 
 The ``audio_*`` dispatchers (audio_header / audio_mono_signal) are the
 audio twin of the image seam: every audio consumer (audio_metadata,
@@ -64,8 +67,8 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def sniff(payload: bytes) -> str | None:
-    """Cheap container sniff: 'png' | 'jpeg' | 'wav' | 'flac' | None
-    (gated)."""
+    """Cheap container sniff: png | jpeg | gif | wav | flac | avi |
+    None (gated: WebP/TIFF/MP3/non-MJPEG video)."""
     if payload[:8] == PNG_SIG:
         return "png"
     if payload[:3] == b"\xff\xd8\xff":
@@ -76,6 +79,8 @@ def sniff(payload: bytes) -> str | None:
         return "flac"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return "avi"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -317,9 +322,14 @@ def image_header(payload: bytes) -> tuple[int, int, int]:
         from tajo_spark.operators.jpeg import jpeg_header
 
         return jpeg_header(payload)
+    if kind == "gif":
+        from tajo_spark.operators.gif import gif_header
+
+        w, h, _n, ch = gif_header(payload)
+        return w, h, ch
     raise NotImplementedError(
-        "unsupported image container (PNG/JPEG decode in-container; "
-        "deploy with PIL/opencv for WebP/GIF/TIFF)"
+        "unsupported image container (PNG/JPEG/GIF decode "
+        "in-container; deploy with PIL/opencv for WebP/TIFF)"
     )
 
 
@@ -333,9 +343,13 @@ def decode_image_px(payload: bytes) -> np.ndarray:
         from tajo_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if kind == "gif":
+        from tajo_spark.operators.gif import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
-        "unsupported image container (PNG/JPEG decode in-container; "
-        "deploy with PIL/opencv for WebP/GIF/TIFF)"
+        "unsupported image container (PNG/JPEG/GIF decode "
+        "in-container; deploy with PIL/opencv for WebP/TIFF)"
     )
 
 

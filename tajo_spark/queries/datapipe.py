@@ -5760,3 +5760,80 @@ def multimodal_video_real_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen,
         "doc_id LONG, frame_idx INT, width INT, height INT, dims_ok INT",
     ).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "multimodal_gif_roundtrip",
+    "curation",
+    doc="REAL GIF bytes through the image seam (operators/gif.py): "
+    "each doc synthesizes a deterministic palette image (animated "
+    "with 1 + doc_id % 3 frames, every 4th interlaced), encodes it "
+    "with the stdlib LZW encoder inside one Arrow mapInPandas stage, "
+    "and decodes it back through codecs.decode_image_px (sniff "
+    "dispatch) — per-doc geometry + frame count + an exact pixel "
+    "round-trip flag. Completes the web image trio (JPEG/PNG/GIF) "
+    "with fixture-free coverage. Oracle: closed-form formulas.",
+    oracle="""
+        SELECT doc_id,
+               CAST(20 + doc_id % 24 AS INT) AS width,
+               CAST(14 + (doc_id * 5) % 20 AS INT) AS height,
+               CAST(1 + doc_id % 3 AS INT) AS n_frames,
+               CAST(1 AS INT) AS px_ok
+        FROM documents WHERE doc_id < 64 ORDER BY doc_id
+    """,
+)
+def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 64)
+    )
+
+    def roundtrip(batches):
+        import numpy as np
+        import pandas as pd
+
+        from tajo_spark.operators.codecs import decode_image_px
+        from tajo_spark.operators.gif import (
+            decode_gif,
+            encode_gif,
+            gif_header,
+        )
+
+        for b in batches:
+            rows = []
+            for did in b["doc_id"]:
+                did = int(did)
+                w = 20 + did % 24
+                h = 14 + (did * 5) % 20
+                nf = 1 + did % 3
+                yy, xx = np.mgrid[0:h, 0:w]
+                frames = [
+                    ((yy * 3 + xx * 7 + did + i * 29) % 256).astype(
+                        np.uint8
+                    )
+                    for i in range(nf)
+                ]
+                enc = encode_gif(frames, interlaced=(did % 4 == 0))
+                gw, gh, gn, _ = gif_header(enc)
+                ok = int(
+                    np.array_equal(
+                        decode_image_px(enc),
+                        np.stack([frames[0]] * 3, axis=2),
+                    )
+                    and np.array_equal(
+                        decode_gif(enc, nf - 1),
+                        np.stack([frames[nf - 1]] * 3, axis=2),
+                    )
+                )
+                rows.append((did, gw, gh, gn, ok))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_frames",
+                         "px_ok"],
+            )
+
+    return docs.mapInPandas(
+        roundtrip,
+        "doc_id LONG, width INT, height INT, n_frames INT, px_ok INT",
+    ).orderBy("doc_id")

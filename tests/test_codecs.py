@@ -301,3 +301,85 @@ def test_audio_metadata_real_wav(wav_corpus):
     assert rows[1].sample_rate == 16000
     assert rows[1].n_samples == 12000
     assert abs(rows[1].duration_s - 0.75) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# GIF (operators/gif.py) — round 7: the third of the web image trio
+
+
+def _giv(h=37, w=53, off=0):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    return ((yy * 3 + xx * 5 + off) % 256).astype(np.uint8)
+
+
+def test_gif_roundtrip_gray_noise_const_interlaced():
+    import numpy as np
+
+    from tajo_spark.operators.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(0)
+    cases = [
+        _giv(),
+        rng.integers(0, 256, size=(64, 80)).astype(np.uint8),  # LZW resets
+        np.full((20, 30), 7, dtype=np.uint8),
+    ]
+    for g in cases:
+        want = np.stack([g, g, g], axis=2)
+        assert np.array_equal(decode_gif(encode_gif(g)), want)
+        assert np.array_equal(
+            decode_gif(encode_gif(g, interlaced=True)), want
+        )
+
+
+def test_gif_animation_frames_and_header():
+    import numpy as np
+
+    from tajo_spark.operators.gif import decode_gif, encode_gif, gif_header
+
+    f0, f1 = _giv(), _giv(off=100)
+    anim = encode_gif([f0, f1])
+    assert gif_header(anim) == (53, 37, 2, 3)
+    assert np.array_equal(decode_gif(anim, 0), np.stack([f0] * 3, 2))
+    assert np.array_equal(decode_gif(anim, 1), np.stack([f1] * 3, 2))
+    import pytest
+
+    with pytest.raises(ValueError, match="only 2 frames"):
+        decode_gif(anim, 5)
+
+
+def test_gif_dispatches_through_image_seam():
+    import numpy as np
+
+    from tajo_spark.operators.codecs import (
+        decode_image_px,
+        image_gray_signal,
+        image_header,
+        png_gray_signal,
+        encode_png,
+        sniff,
+    )
+    from tajo_spark.operators.gif import encode_gif
+
+    g = _giv()
+    enc = encode_gif(g)
+    assert sniff(enc) == "gif"
+    assert image_header(enc) == (53, 37, 3)
+    assert decode_image_px(enc).shape == (37, 53, 3)
+    # same pixels through GIF and PNG agree on the luma signal
+    png = encode_png(np.stack([g, g, g], axis=2))
+    assert np.array_equal(image_gray_signal(enc), png_gray_signal(png))
+
+
+def test_gif_malformed_inputs_raise_valueerror():
+    import pytest
+
+    from tajo_spark.operators.gif import decode_gif, encode_gif
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_gif(b"GIF99a" + b"\x00" * 40)
+    enc = encode_gif(_giv())
+    for cut in (10, 40, len(enc) // 2, len(enc) - 3):
+        with pytest.raises(ValueError):
+            decode_gif(enc[:cut])
