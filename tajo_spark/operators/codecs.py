@@ -11,11 +11,11 @@ beyond the Python standard library:
     ``zlib``-compressed scanlines with five per-row predictors
     (None/Sub/Up/Average/Paeth — RFC 2083 §6); unfiltering is the only
     real work and is implemented row-vectorized in numpy.  Supported:
-    8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette), 4
-    (gray+alpha), 6 (RGBA), non-interlaced.  16-bit depth and Adam7
-    interlacing raise ``NotImplementedError`` (rare in training
-    corpora; a PIL deployment handles them through the same kernel
-    seam).
+    8- and 16-bit depth (16-bit reduced to the high byte for the
+    uint8 pipeline), color types 0 (gray), 2 (RGB), 3 (palette), 4
+    (gray+alpha), 6 (RGBA), and Adam7 interlacing (seven
+    independently filtered passes, de-interleaved on decode) — the
+    full practical PNG surface since round 7.
   * WAV — stdlib ``wave`` handles the RIFF container; 8/16/32-bit PCM
     frames are decoded with numpy and downmixed to mono by integer
     channel mean.
@@ -173,9 +173,19 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass offsets/strides: (x0, y0, dx, dy) per pass
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """PNG bytes → (H, W, C) uint8 array (palette expanded to RGB)."""
+    """PNG bytes → (H, W, C) uint8 array (palette expanded to RGB;
+    16-bit samples reduced to their high byte, the standard 8-bit
+    view; Adam7 interlaced images de-interleaved per pass)."""
     w = h = depth = color = None
+    interlace = 0
     idat: list[bytes] = []
     plte = None
     for ctype, data in _png_chunks(payload):
@@ -183,12 +193,10 @@ def decode_png(payload: bytes) -> np.ndarray:
             w, h, depth, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data[:13]
             )
-            if depth != 8:
+            if depth not in (8, 16):
                 raise NotImplementedError(
-                    f"PNG bit depth {depth} unsupported (8 only)"
+                    f"PNG bit depth {depth} unsupported (8/16 only)"
                 )
-            if interlace:
-                raise NotImplementedError("Adam7 interlacing unsupported")
             if color not in _PNG_CHANNELS:
                 raise ValueError(f"unknown PNG color type {color}")
         elif ctype == b"PLTE":
@@ -198,32 +206,66 @@ def decode_png(payload: bytes) -> np.ndarray:
     if w is None:
         raise ValueError("PNG missing IHDR")
     ch = _PNG_CHANNELS[color]
-    stride = w * ch
+    nbytes = depth // 8
+    bpp = ch * nbytes
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG pixel data length mismatch")
-    px = _unfilter(raw, h, stride, ch).reshape(h, w, ch)
+
+    def to_samples(rows: np.ndarray, hh: int, ww: int) -> np.ndarray:
+        if depth == 8:
+            return rows.reshape(hh, ww, ch)
+        pairs = rows.reshape(hh, ww, ch, 2).astype(np.uint16)
+        return (pairs[..., 0] << 8) | pairs[..., 1]
+
+    if interlace == 0:
+        stride = w * bpp
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG pixel data length mismatch")
+        px = to_samples(_unfilter(raw, h, stride, bpp), h, w)
+    elif interlace == 1:  # Adam7: seven independently-filtered passes
+        px = np.zeros(
+            (h, w, ch), dtype=np.uint16 if depth == 16 else np.uint8
+        )
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            ww = (w - x0 + dx - 1) // dx
+            hh = (h - y0 + dy - 1) // dy
+            if ww <= 0 or hh <= 0:
+                continue
+            stride = ww * bpp
+            n = hh * (stride + 1)
+            if pos + n > len(raw):
+                raise ValueError("PNG interlaced data ran short")
+            sub = _unfilter(raw[pos : pos + n], hh, stride, bpp)
+            pos += n
+            px[y0::dy, x0::dx] = to_samples(sub, hh, ww)
+        if pos != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+    else:
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
         px = plte[px[:, :, 0]]
+    if depth == 16:
+        px = (px >> 8).astype(np.uint8)
     return px
 
 
-def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
-    """(H, W[, C]) uint8 → PNG bytes.  ``filter_type`` applies one
-    predictor to every row (0/1/2/3/4) — exercising each unfilter path
-    in tests is the point; production writers pick per-row."""
-    a = np.asarray(arr, dtype=np.uint8)
-    if a.ndim == 2:
-        a = a[:, :, None]
-    h, w, ch = a.shape
-    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+def _filter_rows(
+    byts: np.ndarray, bpp: int, filter_type: int
+) -> bytes:
+    """Apply one predictor to every row of a (h, stride) byte image —
+    the byte-level inverse of _unfilter (PNG filters operate on bytes
+    regardless of sample depth)."""
+    h, stride = byts.shape
     lines = []
-    prev = np.zeros((w, ch), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    zero = np.zeros(bpp, dtype=np.int32)
     for y in range(h):
-        cur = a[y].astype(np.int32)
-        left = np.vstack([np.zeros((1, ch), dtype=np.int32), cur[:-1]])
+        cur = byts[y].astype(np.int32)
+        left = np.concatenate([zero, cur[:-bpp]]) if stride > bpp else (
+            np.zeros(stride, dtype=np.int32)
+        )
         if filter_type == 0:
             filt = cur
         elif filter_type == 1:
@@ -233,7 +275,9 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
         elif filter_type == 3:
             filt = (cur - ((left + prev) >> 1)) & 0xFF
         elif filter_type == 4:
-            ul = np.vstack([np.zeros((1, ch), dtype=np.int32), prev[:-1]])
+            ul = np.concatenate([zero, prev[:-bpp]]) if stride > bpp else (
+                np.zeros(stride, dtype=np.int32)
+            )
             p = left + prev - ul
             pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
             pred = np.where(
@@ -244,6 +288,48 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
             raise ValueError(f"unknown PNG filter type {filter_type}")
         lines.append(bytes([filter_type]) + filt.astype(np.uint8).tobytes())
         prev = cur
+    return b"".join(lines)
+
+
+def encode_png(
+    arr: np.ndarray,
+    filter_type: int = 0,
+    interlaced: bool = False,
+    depth: int = 8,
+) -> bytes:
+    """(H, W[, C]) uint8 (or uint16 with ``depth=16``) → PNG bytes.
+
+    ``filter_type`` applies one predictor to every row (0-4) —
+    exercising each unfilter path in tests is the point; production
+    writers pick per-row.  ``interlaced=True`` writes Adam7 (seven
+    independently filtered passes); ``depth=16`` writes big-endian
+    16-bit samples."""
+    a = np.asarray(arr, dtype=np.uint16 if depth == 16 else np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    nbytes = depth // 8
+    bpp = ch * nbytes
+
+    def as_bytes(img: np.ndarray) -> np.ndarray:
+        hh, ww = img.shape[:2]
+        if depth == 8:
+            return img.reshape(hh, ww * ch)
+        be = np.empty((hh, ww, ch, 2), dtype=np.uint8)
+        be[..., 0] = (img >> 8).astype(np.uint8)
+        be[..., 1] = (img & 0xFF).astype(np.uint8)
+        return be.reshape(hh, ww * ch * 2)
+
+    if not interlaced:
+        stream = _filter_rows(as_bytes(a), bpp, filter_type)
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = a[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(_filter_rows(as_bytes(sub), bpp, filter_type))
+        stream = b"".join(parts)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -253,8 +339,10 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    idat = zlib.compress(b"".join(lines), 6)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlaced else 0
+    )
+    idat = zlib.compress(stream, 6)
     return (
         PNG_SIG
         + chunk(b"IHDR", ihdr)

@@ -101,14 +101,23 @@ def test_png_unsupported_depth_gated():
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
+    # 16-bit decodes for real since round 7 (high-byte view)
     p16 = (
         PNG_SIG
         + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
-        + chunk(b"IDAT", zlib.compress(bytes(3)))
+        + chunk(b"IDAT", zlib.compress(bytes([0, 0xAB, 0xCD])))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(p16)[0, 0, 0] == 0xAB
+    # sub-byte depths stay gated
+    p4 = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(2)))
         + chunk(b"IEND", b"")
     )
     with pytest.raises(NotImplementedError):
-        decode_png(p16)
+        decode_png(p4)
 
 
 def test_wav_roundtrip_and_stereo_downmix():
@@ -383,3 +392,62 @@ def test_gif_malformed_inputs_raise_valueerror():
     for cut in (10, 40, len(enc) // 2, len(enc) - 3):
         with pytest.raises(ValueError):
             decode_gif(enc[:cut])
+
+
+def test_png_adam7_and_16bit_roundtrip():
+    """Round 7: the last PNG gates close — Adam7 interlace round-trips
+    exactly under every filter type, and 16-bit samples decode to
+    their high byte (the standard 8-bit view)."""
+    import numpy as np
+
+    from tajo_spark.operators.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(1)
+    imgs = [
+        rng.integers(0, 256, (37, 53)).astype(np.uint8),
+        rng.integers(0, 256, (41, 29, 3)).astype(np.uint8),
+        rng.integers(0, 256, (16, 17, 4)).astype(np.uint8),
+        rng.integers(0, 256, (3, 2)).astype(np.uint8),  # < one pass
+    ]
+    for img in imgs:
+        want = img[:, :, None] if img.ndim == 2 else img
+        for ft in range(5):
+            got = decode_png(
+                encode_png(img, filter_type=ft, interlaced=True)
+            )
+            assert np.array_equal(got, want), (img.shape, ft)
+    im16 = rng.integers(0, 1 << 16, (23, 31)).astype(np.uint16)
+    for il in (False, True):
+        got = decode_png(
+            encode_png(im16, filter_type=4, interlaced=il, depth=16)
+        )
+        assert np.array_equal(got[:, :, 0], (im16 >> 8).astype(np.uint8))
+
+
+def test_png_interlaced_truncation_raises():
+    import numpy as np
+    import pytest
+
+    from tajo_spark.operators.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(2)
+    enc = encode_png(
+        rng.integers(0, 256, (40, 40)).astype(np.uint8), interlaced=True
+    )
+    # corrupt the IDAT payload length relationship by re-wrapping a
+    # truncated zlib stream — decode must raise, never mis-scatter
+    import struct
+    import zlib
+
+    # find IDAT, shorten its decompressed content
+    pos = enc.index(b"IDAT") - 4
+    (ln,) = struct.unpack(">I", enc[pos : pos + 4])
+    data = enc[pos + 8 : pos + 8 + ln]
+    short = zlib.compress(zlib.decompress(data)[:-7])
+    chunk = (
+        struct.pack(">I", len(short)) + b"IDAT" + short
+        + struct.pack(">I", zlib.crc32(b"IDAT" + short) & 0xFFFFFFFF)
+    )
+    mutated = enc[:pos] + chunk + enc[pos + 12 + ln:]
+    with pytest.raises(ValueError):
+        decode_png(mutated)
