@@ -1406,16 +1406,33 @@ def label_centroid_cosines(
     everything after (self-join on pos, norms, division) runs on that
     metadata-sized domain.
     """
-    dec = "decimal(38,0)"
+    s = centroid_component_sums(emb, label_col, vec_col)
+    return centroid_cosines_from_sums(s)
+
+
+def centroid_component_sums(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """(label, pos, sv): exact integer component sums (elements scaled
+    1e6) — the MERGEABLE state behind centroid cosines (cell-wise
+    addition composes batches, the property the streaming maintenance
+    twin exploits)."""
     e = emb.select(
         F.col(label_col).alias("label"),
         F.posexplode(vec_col).alias("pos", "val"),
     )
-    s = e.groupBy("label", "pos").agg(
+    return e.groupBy("label", "pos").agg(
         F.sum(
             F.round(F.col("val").cast("double") * 1000000).cast("long")
         ).alias("sv")
     )
+
+
+def centroid_cosines_from_sums(s: DataFrame) -> DataFrame:
+    """Pairwise label cosines from the (label, pos, sv) sum table —
+    cosine(centroid_a, centroid_b) == cosine(sums) since the 1/n
+    factors cancel; all math on the metadata-sized aggregate domain."""
+    dec = "decimal(38,0)"
     a = s.select(
         F.col("label").alias("label_a"), "pos", F.col("sv").alias("sa")
     )

@@ -920,3 +920,72 @@ def hist_ingest_stream(
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
     )
+
+
+def centroid_ingest_stream(
+    emb_stream: DataFrame,
+    sums_path: str,
+    checkpoint_path: str,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+):
+    """Continuous embedding-centroid maintenance: each micro-batch
+    folds its vectors into per-(label, pos) EXACT integer component
+    sums (similarity.centroid_component_sums — elements scaled 1e6,
+    cell-wise addition composes batches losslessly) and merges them
+    into the persisted sum table; drift queries probe the maintained
+    cells through ``centroid_cosines_from_sums`` without touching raw
+    vectors.  State is |labels| x dims rows regardless of stream
+    volume — the histogram/CMS bounded-state property, embedding
+    flavor, and because the sums are exact integers the maintained
+    state equals one batch build over the union BIT FOR BIT (the
+    strongest stream≡batch pin in the family).
+
+    Durability is the CMS/histogram pattern verbatim: versioned
+    ``v=N`` commits, merge from the latest version STRICTLY OLDER
+    than the current batch, prune stale and orphaned-higher versions
+    after success — replay-safe despite the non-idempotent addition.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    from tajo_spark.operators.similarity import centroid_component_sums
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_sums = centroid_component_sums(
+            batch_df, label_col, vec_col
+        )
+        prior = _committed_versions(sums_path, below=batch_id)
+        if prior:
+            old = spark.read.parquet(
+                _os.path.join(sums_path, f"v={prior[-1]}")
+            ).localCheckpoint()
+            merged = (
+                old.unionByName(batch_sums)
+                .groupBy("label", "pos")
+                .agg(F.sum("sv").cast("long").alias("sv"))
+            )
+        else:
+            merged = batch_sums
+        merged.write.mode("overwrite").parquet(
+            _os.path.join(sums_path, f"v={batch_id}")
+        )
+        for v in prior:
+            if v < batch_id - 1:
+                _shutil.rmtree(
+                    _os.path.join(sums_path, f"v={v}"),
+                    ignore_errors=True,
+                )
+        for v in _committed_versions(sums_path):
+            if v > batch_id:
+                _shutil.rmtree(
+                    _os.path.join(sums_path, f"v={v}"),
+                    ignore_errors=True,
+                )
+
+    return (
+        emb_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+    )

@@ -618,3 +618,99 @@ def test_recover_compaction_surfaces_real_failures(tmp_path, monkeypatch):
     )
     with pytest.raises(OSError, match="disk error"):
         _recover_compaction(store)
+
+
+def test_centroid_ingest_stream_equals_batch_bit_for_bit(spark, tmp_path):
+    """Streamed centroid maintenance == one batch build over the full
+    corpus EXACTLY (integer component sums, no float tolerance), the
+    cosines agree through centroid_cosines_from_sums, and a
+    checkpoint-wipe replay converges to the same cells."""
+    import os
+    import re
+    import shutil
+
+    from tajo_spark.operators.similarity import (
+        centroid_component_sums,
+        centroid_cosines_from_sums,
+        label_centroid_cosines,
+    )
+    from tajo_spark.streaming.pipeline import centroid_ingest_stream
+
+    rows1 = [(1, [1.0, 0.25, -0.5], 0), (2, [0.5, -1.0, 0.75], 1)]
+    rows2 = [(3, [0.1, 0.2, 0.3], 0), (4, [-0.4, 0.6, 0.9], 2),
+             (5, [0.8, 0.8, -0.2], 1)]
+    schema = "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sp, ck = str(tmp_path / "sums"), str(tmp_path / "ckpt")
+
+    def latest_cells():
+        latest = max(
+            int(m.group(1))
+            for d in os.listdir(sp)
+            if (m := re.fullmatch(r"v=(\d+)", d))
+            and os.path.exists(os.path.join(sp, d, "_SUCCESS"))
+        )
+        return (
+            spark.read.parquet(os.path.join(sp, f"v={latest}")),
+            {
+                (r.label, r.pos): r.sv
+                for r in spark.read.parquet(
+                    os.path.join(sp, f"v={latest}")
+                ).collect()
+            },
+        )
+
+    q = centroid_ingest_stream(stream, sp, ck)
+    sq = q.start(); sq.processAllAvailable(); sq.stop()
+    full = spark.createDataFrame(rows1 + rows2, schema)
+    batch_cells = {
+        (r.label, r.pos): r.sv
+        for r in centroid_component_sums(full).collect()
+    }
+    sums_df, got = latest_cells()
+    assert got == batch_cells  # exact integer equality
+
+    # cosines through the maintained store == direct batch cosines
+    stream_cos = {
+        (r.label_a, r.label_b): r.cosine
+        for r in centroid_cosines_from_sums(sums_df).collect()
+    }
+    batch_cos = {
+        (r.label_a, r.label_b): r.cosine
+        for r in label_centroid_cosines(full).collect()
+    }
+    assert stream_cos == batch_cos
+
+    # checkpoint wipe: replay converges to the same cells
+    shutil.rmtree(ck)
+    q2 = centroid_ingest_stream(stream, sp, ck)
+    sq2 = q2.start(); sq2.processAllAvailable(); sq2.stop()
+    assert latest_cells()[1] == batch_cells
+
+    # crash debris: partial higher version + orphaned committed future
+    os.makedirs(os.path.join(sp, "v=1"), exist_ok=True)
+    shutil.copytree(os.path.join(sp, "v=0"), os.path.join(sp, "v=9"))
+    spark.createDataFrame(
+        [(6, [0.3, -0.3, 0.6], 0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    q3 = centroid_ingest_stream(stream, sp, ck)
+    sq3 = q3.start(); sq3.processAllAvailable(); sq3.stop()
+    assert not os.path.isdir(os.path.join(sp, "v=9"))
+    full2 = spark.createDataFrame(
+        rows1 + rows2 + [(6, [0.3, -0.3, 0.6], 0)], schema
+    )
+    want2 = {
+        (r.label, r.pos): r.sv
+        for r in centroid_component_sums(full2).collect()
+    }
+    assert latest_cells()[1] == want2
