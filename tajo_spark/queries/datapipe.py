@@ -5837,3 +5837,141 @@ def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         roundtrip,
         "doc_id LONG, width INT, height INT, n_frames INT, px_ok INT",
     ).orderBy("doc_id")
+
+
+@query(
+    "pipeline_corpus_prep_v7",
+    "curation",
+    doc="Round-7 composed curation pipeline: asymmetric-banding "
+    "containment dedup (drop the CONTAINED side of any pair with "
+    "containment >= 0.9 — the snippet-in-page policy the r06 blind "
+    "spot motivated; near-identical pairs keep min doc_id) -> "
+    "per-language tokenizer-fertility manifest over the survivors -> "
+    "per-language length-weighted Efraimidis-Spirakis reservoir (10 "
+    "docs/lang, seed 7). Stage economics: the rarest-k posting probe "
+    "+ exact verify (candidate-bounded), one broadcast-sized drop "
+    "anti-join, one survivor checkpoint feeding both the fertility "
+    "agg and the sampler, ONE lang-keyed window. Every stage is "
+    "individually hash-verified (dedup_containment_asym / "
+    "text_bpe_fertility / sample_weighted_reservoir_by); this pins "
+    "their COMPOSITION.",
+    oracle=f"""
+        WITH ac_norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+        ac_tk AS (SELECT doc_id, string_split(t, ' ') AS w FROM ac_norm),
+        ac_sh AS (SELECT doc_id,
+                      CASE WHEN len(w) >= 3
+                           THEN list_distinct(list_transform(
+                                range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                           ELSE [array_to_string(w, ' ')] END AS s
+               FROM ac_tk),
+        post AS (SELECT doc_id, unnest(s) AS sh FROM ac_sh),
+        dfc AS (SELECT sh, count(*) AS df FROM post GROUP BY sh
+                HAVING count(*) >= 2 AND count(*) <= {dedup.RARE_MAX_DF}),
+        rare AS (SELECT doc_id, sh FROM (
+                    SELECT p.doc_id, p.sh,
+                           row_number() OVER (PARTITION BY p.doc_id
+                                              ORDER BY d.df, p.sh) AS rk
+                    FROM post p JOIN dfc d USING (sh))
+                 WHERE rk <= {dedup.RARE_K}),
+        apairs AS (SELECT DISTINCT
+                        least(r.doc_id, p.doc_id) AS doc_a,
+                        greatest(r.doc_id, p.doc_id) AS doc_b
+                   FROM rare r JOIN post p USING (sh)
+                   WHERE r.doc_id <> p.doc_id),
+        verified AS (
+            SELECT * FROM (
+                SELECT p.doc_a, p.doc_b,
+                       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                             / greatest(len(a.s), 1), 4) AS cab,
+                       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                             / greatest(len(b.s), 1), 4) AS cba
+                FROM apairs p, ac_sh a, ac_sh b
+                WHERE a.doc_id = p.doc_a AND b.doc_id = p.doc_b)
+            WHERE cab >= 0.9 OR cba >= 0.9),
+        drops AS (SELECT DISTINCT
+                      CASE WHEN cab >= 0.9 AND cba >= 0.9
+                           THEN greatest(doc_a, doc_b)
+                           WHEN cab >= 0.9 THEN doc_a
+                           ELSE doc_b END AS doc_id
+                  FROM verified),
+        surv AS (SELECT d.* FROM documents d
+                 WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+                   AND d.n_chars IS NOT NULL AND d.n_chars > 0),
+        fert AS (
+            SELECT lang,
+                   ROUND(sum(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) * 1.0
+                         / greatest(sum(len(regexp_extract_all(text,
+                        '[A-Za-z0-9]+'))), 1), 4) AS fertility
+            FROM surv GROUP BY lang),
+        keyed AS (
+            SELECT doc_id, lang AS grp, n_chars AS w,
+                   ROUND(-ln((CAST(concat('0x',
+                            substr(md5('7:' || CAST(doc_id AS VARCHAR)),
+                                   1, 13)) AS BIGINT) + 1.0)
+                             / 4503599627370496.0)
+                         / n_chars, 9) AS es_key
+            FROM surv),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY grp ORDER BY es_key, doc_id) AS rn
+            FROM keyed)
+        SELECT r.doc_id, r.grp, r.w, r.es_key, f.fertility
+        FROM ranked r JOIN fert f ON f.lang = r.grp
+        WHERE r.rn <= 10
+    """,
+)
+def pipeline_corpus_prep_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.containment_pairs_asym(docs)
+    both = (F.col("cont_a_in_b") >= 0.9) & (F.col("cont_b_in_a") >= 0.9)
+    drops = (
+        pairs.select(
+            F.when(both, F.greatest("doc_a", "doc_b"))
+            .when(F.col("cont_a_in_b") >= 0.9, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+        # stage boundary #1: the drop set is tiny (bounded by the
+        # verified pair count) but its lineage is the whole posting/
+        # verify tree — materialize once, broadcast into the anti-join
+        .localCheckpoint()
+    )
+    surv = (
+        docs.join(F.broadcast(drops), "doc_id", "left_anti")
+        .where(F.col("n_chars").isNotNull() & (F.col("n_chars") > 0))
+        # stage boundary #2: survivors feed BOTH the fertility agg and
+        # the sampler's key projection
+        .localCheckpoint()
+    )
+    t = F.col("text")
+    fert = (
+        surv.select(
+            "lang",
+            F.size(
+                F.regexp_extract_all(
+                    t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+                )
+            ).cast("long").alias("b"),
+            F.size(
+                F.regexp_extract_all(t, F.lit(r"[A-Za-z0-9]+"), F.lit(0))
+            ).cast("long").alias("wd"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.round(
+                F.sum("b") / F.greatest(F.sum("wd"), F.lit(1)), 4
+            ).alias("fertility")
+        )
+    )
+    sample = sampling.weighted_reservoir_by(
+        surv, k_per_group=10, weight_col="n_chars", group_col="lang",
+        seed=7,
+    )
+    return sample.join(
+        F.broadcast(fert), sample.grp == fert.lang
+    ).select("doc_id", "grp", "w", "es_key", "fertility")
