@@ -429,7 +429,14 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    # orders is fact-sized by construction: at 16x its column-pruned
+    # estimate slips UNDER the 64MB static threshold while the real
+    # HashedRelation build is ~400MB — the r06 bug class, orders
+    # flavor, caught by the round-7 memory rung (q18 died marginally
+    # at 2 GiB where r06 measured a slow OK(fit)).  Merge-hinted like
+    # q21's orders leg; the cust join degrades to SMJ, the accepted
+    # constrained-heap trade.
+    orders = nbc(_t(spark, sf_dir, "orders"))
     li = _t(spark, sf_dir, "lineitem")
     # the HAVING side is a per-order aggregate over lineitem —
     # fact-sized by construction, so the static planner must never

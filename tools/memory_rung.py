@@ -79,6 +79,11 @@ def main() -> None:
             ("sim_ann_pq_persisted", emb_dir),
             ("text_bpe_train", docs_dir),
             ("dedup_exact_substring", docs_dir),
+            # round-7 heavy shapes: the candidate-volume-bound verify
+            # joins and the composed pipeline that embeds them
+            ("dedup_containment_asym", docs_dir),
+            ("dedup_weighted_containment", docs_dir),
+            ("pipeline_corpus_prep_v7", docs_dir),
         ]
         # warm codegen at the tiny SF so compilation doesn't pollute
         # walls (same protocol as bench.py)
@@ -92,6 +97,19 @@ def main() -> None:
         spark.sparkContext.setLogLevel("INFO")
         results = []
         for q, sf_dir in plan:
+            # per-query isolation inside the capped JVM: drop cached
+            # blocks and prior broadcasts so query N+1 is not failed
+            # by query N's residue (a broadcast HashedRelation stays
+            # referenced until the ContextCleaner runs — at 2 GiB that
+            # lag alone flipped dedup_weighted_containment to FAIL
+            # while the same query passed in a fresh JVM)
+            spark.catalog.clearCache()
+            for rdd in list(
+                spark.sparkContext._jsc.getPersistentRDDs().values()
+            ):
+                rdd.unpersist()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(2)
             os.write(2, f"\n===RUNG-BEGIN {q}===\n".encode())
             t0 = time.time()
             status = "OK"
