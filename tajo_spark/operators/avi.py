@@ -36,6 +36,8 @@ import struct
 
 import numpy as np
 
+from tajo_spark.operators.codecs import malformed_guard
+
 
 def _chunks(buf: bytes, pos: int, end: int):
     """Yield (fourcc, data_start, data_size) honoring even padding."""
@@ -46,6 +48,7 @@ def _chunks(buf: bytes, pos: int, end: int):
         pos += 8 + size + (size & 1)
 
 
+@malformed_guard("AVI")
 def parse_avi(payload: bytes) -> dict:
     """AVI bytes → header dict + list of (offset, size) MJPEG frame
     spans; raises ValueError on a non-AVI, NotImplementedError on a

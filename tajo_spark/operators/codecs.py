@@ -62,6 +62,41 @@ import numpy as np
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+
+def malformed_guard(kind: str):
+    """Normalize a codec entry point's failure modes to the seam
+    contract: malformed input raises ValueError (gated features keep
+    NotImplementedError), never a raw struct.error / KeyError /
+    IndexError / zlib.error / EOFError — fuzzing found all five
+    escaping on mutated/truncated streams, and an untyped error fails
+    a whole Arrow batch undiagnosably."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapped(*args, **kwargs):
+            try:
+                return fn(*args, **kwargs)
+            except (ValueError, NotImplementedError):
+                raise
+            except (
+                struct.error,
+                KeyError,
+                IndexError,
+                EOFError,
+                OverflowError,
+                zlib.error,
+                wave.Error,
+                RuntimeError,
+            ) as exc:
+                raise ValueError(
+                    f"malformed {kind}: {type(exc).__name__}: {exc}"
+                ) from exc
+
+        return wrapped
+
+    return deco
+
 # channels per PNG color type (3 = palette expands to RGB on decode)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
@@ -102,6 +137,7 @@ def _png_chunks(payload: bytes):
             break
 
 
+@malformed_guard("PNG")
 def png_header(payload: bytes) -> tuple[int, int, int]:
     """(width, height, channels) from IHDR alone — no decompression, so
     metadata extraction stays O(header) per image regardless of pixel
@@ -180,6 +216,7 @@ _ADAM7 = [
 ]
 
 
+@malformed_guard("PNG")
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes → (H, W, C) uint8 array (palette expanded to RGB;
     16-bit samples reduced to their high byte, the standard 8-bit
@@ -222,6 +259,17 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError("PNG pixel data length mismatch")
         px = to_samples(_unfilter(raw, h, stride, bpp), h, w)
     elif interlace == 1:  # Adam7: seven independently-filtered passes
+        # validate the TOTAL expected stream size BEFORE allocating the
+        # canvas: a corrupted IHDR width of ~2e9 would otherwise ask
+        # numpy for a 100+ GiB array before any length check runs
+        expected = 0
+        for x0, y0, dx, dy in _ADAM7:
+            ww = (w - x0 + dx - 1) // dx
+            hh = (h - y0 + dy - 1) // dy
+            if ww > 0 and hh > 0:
+                expected += hh * (ww * bpp + 1)
+        if expected != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
         px = np.zeros(
             (h, w, ch), dtype=np.uint16 if depth == 16 else np.uint8
         )
@@ -461,6 +509,7 @@ def image_gray_signal(payload: bytes) -> np.ndarray:
 # WAV
 
 
+@malformed_guard("WAV")
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     """WAV bytes → (sample_rate, mono int32 samples).
 
@@ -486,6 +535,7 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     return sr, s
 
 
+@malformed_guard("WAV")
 def wav_header(payload: bytes) -> tuple[int, int]:
     """(sample_rate, n_samples) from the container alone — no frame
     read, O(header) per clip (what audio_metadata wants)."""

@@ -35,6 +35,8 @@ import struct
 
 import numpy as np
 
+from tajo_spark.operators.codecs import malformed_guard
+
 GIF_MAGICS = (b"GIF87a", b"GIF89a")
 
 
@@ -184,6 +186,7 @@ def _walk(payload: bytes):
     raise ValueError("truncated GIF (missing trailer)")
 
 
+@malformed_guard("GIF")
 def gif_header(payload: bytes) -> tuple[int, int, int, int]:
     """(width, height, n_frames, channels=3) from the block walk —
     no LZW decode (sub-block spans are skipped, not decompressed)."""
@@ -197,6 +200,7 @@ def gif_header(payload: bytes) -> tuple[int, int, int, int]:
     return w, h, n, 3
 
 
+@malformed_guard("GIF")
 def decode_gif(payload: bytes, frame: int = 0) -> np.ndarray:
     """GIF bytes → (H, W, 3) uint8 RGB of the requested frame,
     composited onto prior frames (keep disposal; transparent pixels

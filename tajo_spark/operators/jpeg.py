@@ -51,6 +51,8 @@ import struct
 
 import numpy as np
 
+from tajo_spark.operators.codecs import malformed_guard
+
 # ---------------------------------------------------------------------------
 # Spec constants (ITU-T T.81 Annex K — public standard tables)
 
@@ -351,10 +353,18 @@ def _parse_sof(marker: int, data: bytes):
     comps = []
     for i in range(ncomp):
         cid, hv, tq = struct.unpack(">BBB", data[6 + 3 * i : 9 + 3 * i])
-        comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+        hs, vs = hv >> 4, hv & 0xF
+        if not (1 <= hs <= 4 and 1 <= vs <= 4):
+            raise ValueError(
+                f"corrupt JPEG: sampling factors {hs}x{vs} out of range"
+            )
+        comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
+    if w == 0 or h == 0:
+        raise ValueError("corrupt JPEG: zero frame dimension")
     return w, h, comps
 
 
+@malformed_guard("JPEG")
 def jpeg_header(payload: bytes) -> tuple[int, int, int]:
     """(width, height, channels) from the SOF segment alone — no
     entropy decode, O(header) per image (what image_metadata wants at
@@ -402,6 +412,7 @@ def _walk_stream(buf: bytes):
 # decode
 
 
+@malformed_guard("JPEG")
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """JPEG bytes → (H, W, C) uint8 array (C = 1 or 3, RGB).
 

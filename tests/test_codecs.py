@@ -451,3 +451,62 @@ def test_png_interlaced_truncation_raises():
     mutated = enc[:pos] + chunk + enc[pos + 12 + ln:]
     with pytest.raises(ValueError):
         decode_png(mutated)
+
+
+def test_codec_fuzz_contract_all_formats():
+    """Standing fuzz gate (round 7): random byte mutations and
+    truncations of every codec's output must raise ONLY
+    ValueError/NotImplementedError (the malformed-input contract) or
+    decode — never struct.error/KeyError/IndexError/zlib.error/
+    EOFError, and never a pre-validation 100 GiB allocation. A heavier
+    offline sweep (20k cases) ran clean; this keeps the contract from
+    regressing."""
+    import numpy as np
+
+    from tajo_spark.operators.avi import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+    )
+    from tajo_spark.operators.flac import decode_flac, encode_flac
+    from tajo_spark.operators.gif import decode_gif, encode_gif
+    from tajo_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(20260815)
+    g = (
+        (np.mgrid[0:24, 0:32][0] * 3 + np.mgrid[0:24, 0:32][1] * 5) % 256
+    ).astype(np.uint8)
+    rgb = np.stack([g, 255 - g, g // 2], axis=2)
+    tone = np.clip(
+        2000 * np.sin(np.arange(3000) / 17.0), -32768, 32767
+    ).astype(np.int64)
+    samples = [
+        (encode_jpeg(rgb, subsample=True), decode_jpeg),
+        (encode_jpeg_progressive(g), decode_jpeg),
+        (encode_flac(tone, 8000), decode_flac),
+        (encode_gif([g, 255 - g], interlaced=True), decode_gif),
+        (encode_png(g, filter_type=4, interlaced=True), decode_png),
+        (encode_wav(tone.astype(np.int16), 8000), decode_wav),
+        (encode_avi_mjpeg([encode_jpeg(g)] * 2, fps=5),
+         lambda p: decode_avi_frames(p)),
+    ]
+    for enc, dec in samples:
+        enc = bytearray(enc)
+        for trial in range(250):
+            mut = bytearray(enc)
+            if trial % 3 == 0:
+                payload = bytes(mut[: int(rng.integers(1, len(mut)))])
+            else:
+                for _ in range(1 + trial % 3):
+                    mut[int(rng.integers(0, len(mut)))] ^= int(
+                        rng.integers(1, 256)
+                    )
+                payload = bytes(mut)
+            try:
+                dec(payload)
+            except (ValueError, NotImplementedError):
+                pass
+            # any other exception type propagates and fails the test
