@@ -61,10 +61,22 @@ def parse_avi(payload: bytes) -> dict:
     }
     frames: list[tuple[int, int]] = []
 
-    def walk(pos: int, end: int) -> None:
+    # Iterative LIST walk (explicit stack): depth is bounded by the
+    # input's own nesting, never the interpreter recursion limit — a
+    # deeply nested LIST chain must raise "malformed AVI", not
+    # RecursionError (codecs.malformed_guard no longer masks those).
+    stack: list[tuple[int, int]] = [(12, len(payload))]
+    while stack:
+        pos, end = stack.pop()
         for fourcc, dstart, dsize in _chunks(payload, pos, end):
             if fourcc == b"LIST":
-                walk(dstart + 4, dstart + dsize)
+                # document-order DFS: park the rest of this level,
+                # descend into the LIST first
+                nxt = dstart + dsize + (dsize & 1)
+                if nxt < end:
+                    stack.append((nxt, end))
+                stack.append((dstart + 4, dstart + dsize))
+                break
             elif fourcc == b"avih":
                 (
                     info["usec_per_frame"], _, _, _, info["n_frames"],
@@ -78,7 +90,6 @@ def parse_avi(payload: bytes) -> dict:
             elif fourcc[2:4] == b"dc":
                 frames.append((dstart, dsize))
 
-    walk(12, len(payload))
     if info["width"] is None:
         raise ValueError("AVI missing avih header")
     if info["codec"] not in (b"MJPG", b"mjpg"):

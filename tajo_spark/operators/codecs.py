@@ -69,7 +69,13 @@ def malformed_guard(kind: str):
     NotImplementedError), never a raw struct.error / KeyError /
     IndexError / zlib.error / EOFError — fuzzing found all five
     escaping on mutated/truncated streams, and an untyped error fails
-    a whole Arrow batch undiagnosably."""
+    a whole Arrow batch undiagnosably.
+
+    Deliberately NOT caught: RuntimeError (incl. RecursionError) —
+    those are codec bugs, not malformed input, and masking them as
+    "malformed" hides the bug (round-7 advice).  Recursive walks in
+    codecs were converted to explicit stacks so input shape can never
+    trip the interpreter recursion limit."""
     import functools
 
     def deco(fn):
@@ -87,7 +93,6 @@ def malformed_guard(kind: str):
                 OverflowError,
                 zlib.error,
                 wave.Error,
-                RuntimeError,
             ) as exc:
                 raise ValueError(
                     f"malformed {kind}: {type(exc).__name__}: {exc}"

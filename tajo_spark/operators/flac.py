@@ -48,6 +48,8 @@ import struct
 
 import numpy as np
 
+from tajo_spark.operators.codecs import malformed_guard
+
 FLAC_MAGIC = b"fLaC"
 
 _SAMPLE_RATES = {
@@ -188,6 +190,7 @@ def parse_streaminfo(payload: bytes) -> dict:
     return info
 
 
+@malformed_guard("FLAC")
 def flac_header(payload: bytes) -> tuple[int, int]:
     """(sample_rate, total_samples) from STREAMINFO alone — O(header)
     per clip (twin of codecs.wav_header for audio_metadata)."""
@@ -256,6 +259,14 @@ def _decode_residual(bits: _Bits, blocksize: int, order: int) -> list[int]:
     escape = (1 << pbits) - 1
     po = bits.read(4)
     nparts = 1 << po
+    if (blocksize >> po) << po != blocksize:
+        # RFC 9639 §9.2.7: partition count must divide the blocksize;
+        # a short residual here would make _decode_subframe index past
+        # the list (round-7 advice: raw IndexError escaped the codec
+        # contract on e.g. blocksize 3000 with po=4).
+        raise ValueError(
+            "corrupt FLAC: partition order does not divide blocksize"
+        )
     out: list[int] = []
     for p in range(nparts):
         n = (blocksize >> po) - (order if p == 0 else 0)
@@ -275,6 +286,7 @@ def _decode_residual(bits: _Bits, blocksize: int, order: int) -> list[int]:
     return out
 
 
+@malformed_guard("FLAC")
 def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
     """FLAC bytes → (sample_rate, samples int32 array of shape
     (n, channels)) — bit-exact lossless decode."""
@@ -368,6 +380,7 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
     return info["sample_rate"], out.astype(np.int32)
 
 
+@malformed_guard("FLAC")
 def flac_mono_signal(payload: bytes) -> np.ndarray:
     """FLAC bytes → mono int32 samples (integer channel mean) — the
     compressed-audio twin of codecs.wav_mono_signal."""
@@ -515,6 +528,11 @@ def _encode_subframe(bw: _BitW, x: np.ndarray, bps: int) -> None:
     # difference), LPC order 4
     scored = []
     for order in (0, 1, 2):
+        if order >= len(x):
+            # a tiny final frame (blocksize <= order) would leave
+            # _write_residual with no admissible partition order
+            # (round-7 advice: best=None unpack crash at 4098 samples)
+            continue
         r = np.diff(x, order) if order else x.copy()
         scored.append((int(np.abs(r).sum()), 0, "fixed", order, None, r))
     lpc = _lpc_coefs(x, 4) if len(x) > 8 else None

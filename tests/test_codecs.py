@@ -510,3 +510,32 @@ def test_codec_fuzz_contract_all_formats():
             except (ValueError, NotImplementedError):
                 pass
             # any other exception type propagates and fails the test
+
+
+def test_malformed_guard_lets_codec_bugs_surface():
+    """r07 advice: RuntimeError (incl. RecursionError) is a codec BUG,
+    not malformed input — the guard must not relabel it."""
+    from tajo_spark.operators.codecs import malformed_guard
+
+    @malformed_guard("X")
+    def buggy(_):
+        raise RuntimeError("internal codec bug")
+
+    with pytest.raises(RuntimeError, match="internal codec bug"):
+        buggy(b"")
+
+
+def test_avi_deep_list_nesting_is_input_bounded_not_recursion():
+    """parse_avi walks LISTs with an explicit stack: a pathologically
+    deep LIST chain must fail as malformed AVI (no avih), never as
+    RecursionError."""
+    from tajo_spark.operators.avi import parse_avi
+    import struct as st
+
+    depth = 20000
+    body = b""
+    for _ in range(depth):
+        body = b"LIST" + st.pack("<I", len(body) + 4) + b"xxxx" + body
+    payload = b"RIFF" + st.pack("<I", len(body) + 4) + b"AVI " + body
+    with pytest.raises(ValueError, match="avih"):
+        parse_avi(payload)

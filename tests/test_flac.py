@@ -297,3 +297,36 @@ def test_sample_frames_real_decodes_sampled_frames(spark):
     for i, key in rows:
         want = hl.md5(decode_jpeg(frames[i]).tobytes()).hexdigest()[:8]
         assert key == want
+
+
+def test_residual_partition_order_must_divide_blocksize():
+    """r07 advice: po that doesn't divide the blocksize produced a
+    short residual list and a raw IndexError downstream; it must be
+    rejected as malformed at the residual reader."""
+    from tajo_spark.operators.flac import _decode_residual
+
+    # method=0 (2 bits) then po=4 (4 bits): byte 0b000100_00
+    bits = _Bits(bytes([0b00010000]) + b"\x00" * 64)
+    with pytest.raises(ValueError, match="does not divide"):
+        _decode_residual(bits, 3000, 0)
+
+
+def test_encode_tiny_nonconstant_final_frame_roundtrips():
+    """r07 advice: 4098 samples with a non-constant 2-sample tail
+    crashed _write_residual (best=None).  Must round-trip exactly."""
+    x = np.zeros(4098, dtype=np.int64)
+    x[-1] = 7
+    x[-2] = -3
+    blob = encode_flac(x, 8000)
+    sr, out = decode_flac(blob)
+    assert sr == 8000
+    np.testing.assert_array_equal(out[:, 0], x)
+
+
+def test_flac_entry_points_wrap_malformed_as_valueerror():
+    """Entry points carry @malformed_guard('FLAC'): any escaping
+    low-level error surfaces as ValueError, never IndexError etc."""
+    junk = b"fLaC" + bytes(50)  # magic but garbage metadata walk
+    for fn in (flac_header, decode_flac, flac_mono_signal):
+        with pytest.raises((ValueError, NotImplementedError)):
+            fn(junk)
