@@ -14,11 +14,12 @@ trap: an uncheckpointed loop re-executes the whole history each pass
 and the plan eventually overwhelms the optimizer). Iteration count is
 bounded by the label-propagation diameter of the largest component —
 for dedup clusters (near-cliques from LSH banding) that is 2-4. For
-adversarial long-chain graphs at 100 TB use the large-star/small-star
-variant (Kiveris et al., "Connected Components in MapReduce and
-Beyond"), which converges in O(log n) rounds with the same per-round
-plan; the simple variant is kept because dedup graphs are shallow and
-its per-round cost is half.
+adversarial long-chain graphs the operator AUTO-SELECTS the
+large-star/small-star variant (Kiveris et al., "Connected Components
+in MapReduce and Beyond", O(log n) rounds on any shape) once simple
+propagation hasn't converged by round ``star_fallback_after``; the
+simple variant stays the first choice because dedup graphs are shallow
+and its per-round cost is half.
 """
 
 from __future__ import annotations
@@ -64,6 +65,7 @@ def connected_components(
     dst: str = "doc_b",
     max_iter: int = 25,
     assume_distinct: bool = False,
+    star_fallback_after: int | None = 6,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; ``component`` is
     the minimum node id reachable from it (a canonical, deterministic
@@ -76,6 +78,17 @@ def connected_components(
     then has no duplicates and the edge-dedup shuffle is pure cost.
     Duplicate edges never change the min-label result, only row volume,
     so this is a safe fast path, not a semantics switch.
+
+    ``star_fallback_after``: min-label propagation needs O(diameter)
+    rounds — right for dedup near-cliques (2-4), wrong for chain-shaped
+    components whose diameter can be millions at 100 TB.  After this
+    many unconverged rounds the operator AUTO-SELECTS the O(log n)
+    large-star/small-star variant, seeding it with the original edges
+    PLUS the (node → current-label) shortcut edges already earned —
+    every label is a reachable node by induction, so the shortcut
+    union has exactly the original components while collapsing the
+    distance already propagated.  ``None`` disables the fallback and
+    restores the raise-on-nonconvergence behavior.
     """
     both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
@@ -93,6 +106,7 @@ def connected_components(
         .localCheckpoint()
     )
     converged = False
+    rounds = 1  # the fused seed above is round 1
     for _ in range(max_iter - 1):
         new_labels = _propagate_round(both, labels)
         # the probe is a filter-scan of the just-materialized
@@ -101,8 +115,20 @@ def connected_components(
         # full join-per-round job here
         converged = new_labels.filter(F.col("__changed")).isEmpty()
         labels = new_labels.drop("__changed")
+        rounds += 1
         if converged:
             break
+        if star_fallback_after is not None and rounds >= star_fallback_after:
+            # diameter is outrunning the round budget: switch to the
+            # O(log n) star algorithm, carrying the distance already
+            # collapsed as (node → label) shortcut edges
+            shortcuts = labels.filter(
+                F.col("node") != F.col("label")
+            ).select(F.col("node").alias("a"), F.col("label").alias("b"))
+            # <= keeps self-loop edges so their nodes stay in the star
+            # variant's node universe (it maps them to themselves)
+            seeded = both.filter(F.col("a") <= F.col("b")).union(shortcuts)
+            return connected_components_star(seeded, src="a", dst="b")
     if not converged:
         # the fused seed counts as round 1, so a loop that never ran
         # (max_iter=1) or exhausted may still hold final labels — probe
@@ -113,7 +139,8 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "(label-propagation diameter exceeds max_iter); raise "
-            "max_iter or use connected_components_star (O(log n) rounds)"
+            "max_iter, enable star_fallback_after, or call "
+            "connected_components_star directly (O(log n) rounds)"
         )
     return labels.select("node", F.col("label").alias("component"))
 

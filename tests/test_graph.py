@@ -159,3 +159,65 @@ def test_pagerank_truncates_lineage(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "ExistingRDD" in plan  # final round checkpointed: O(1) depth
+
+
+def test_auto_fallback_to_star_on_deep_chain(spark):
+    """r07 verdict #3: when min-label propagation hasn't converged by
+    round ~6 the operator must auto-select large-star/small-star
+    instead of burning O(diameter) rounds.  A 120-chain (diameter ≫
+    fallback threshold) must come back correct, via the star path."""
+    import tajo_spark.operators.graph as G
+
+    edges = [(i, i + 1) for i in range(120)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+    called = {}
+    real = G.connected_components_star
+
+    def spy(*a, **k):
+        called["star"] = True
+        return real(*a, **k)
+
+    G.connected_components_star, orig = spy, G.connected_components_star
+    try:
+        got = {
+            r.node: r.component
+            for r in G.connected_components(df, max_iter=60).collect()
+        }
+    finally:
+        G.connected_components_star = orig
+    assert called.get("star"), "fallback did not engage on a deep chain"
+    assert got == {i: 0 for i in range(121)}
+
+
+def test_fallback_preserves_components_with_selfloops_and_islands(spark):
+    # shortcut-seeded star must keep every node of the original edge
+    # set, including self-loop singletons, and must not merge islands
+    from tajo_spark.operators.graph import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(40)]          # chain 0..40
+        + [(100 + i, 101 + i) for i in range(40)]  # chain 100..140
+        + [(999, 999)]                            # self-loop singleton
+    )
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.node: r.component
+        for r in connected_components(df, max_iter=60).collect()
+    }
+    want = {i: 0 for i in range(41)}
+    want.update({100 + i: 100 for i in range(41)})
+    want[999] = 999
+    assert got == want
+
+
+def test_fallback_disabled_still_raises(spark):
+    import pytest
+
+    from tajo_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=8, star_fallback_after=None)
