@@ -1394,12 +1394,20 @@ def weighted_containment_pairs(
     float op is the final division of identical integers.
 
     Scale shape: posting explode (token-linear projection), one df
-    groupBy (two-phase), per-doc weight totals (two-phase), and the
-    intersection weight as candidate-pair explode + equi-join — all
-    banding-bounded, never all-pairs.  N rides as a broadcast 1-row
+    groupBy (two-phase), then the verify leg is sharded on the PAIR
+    key: each candidate pair carries doc_a's (shingle → idf) map and
+    doc_b's shingle array, and the intersection weight is one
+    JVM-side ``aggregate`` of map lookups per pair — no
+    |pairs|×|shingles| row explode, no extra groupBy shuffle (the r07
+    64x ladder measured that explode as the steepest row in the dedup
+    family, 26.3x wall at 64x data).  Everything stays
+    banding-bounded, never all-pairs; N rides as a broadcast 1-row
     aggregate.  Output: (doc_a, doc_b, wcont_a_in_b, wcont_b_in_a).
     """
-    pairs = minhash_candidate_pairs(docs, text_col)
+    # the candidate set is consumed three times (two payload
+    # semi-joins + the final pair join) — materialize once so the
+    # banding pipeline never re-executes per consumer
+    pairs = minhash_candidate_pairs(docs, text_col).localCheckpoint()
     tok = spread_by(docs, "doc_id").select(
         "doc_id",
         F.split(normalize_for_fingerprint(F.col(text_col)), " ").alias("w"),
@@ -1426,32 +1434,62 @@ def weighted_containment_pairs(
         )
     )
     weighted = postings.join(dfc, "sh")
-    wtot = weighted.groupBy("doc_id").agg(F.sum("idf").alias("w"))
-    pa = weighted.select(F.col("doc_id").alias("doc_a"), "sh", "idf")
-    pb = postings.select(F.col("doc_id").alias("doc_b"), "sh")
-    inter = (
-        pairs.join(pa, "doc_a")
-        .join(pb, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum("idf").alias("wi"))
+    # Per-doc payload — one array of "shingle␟idf" strings plus the
+    # exact-integer weight total — built ONLY for docs that actually
+    # appear in a candidate pair (semi-join first): payload volume is
+    # candidate-bounded, not corpus-bounded.  The string encoding is
+    # deliberate: idf is a GLOBAL per-shingle value, so two docs'
+    # entries for the same shingle are byte-identical, and
+    # array_intersect over ATOMIC strings takes Spark's hash-set path
+    # (O(|A|+|B|) per pair) — a map/element_at formulation was
+    # measured 4x slower because GetMapValue is a linear scan
+    # (O(|A|x|B|) per pair).
+    cand = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
-    wa = wtot.select(F.col("doc_id").alias("doc_a"), F.col("w").alias("wa"))
-    wb = wtot.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("wb"))
+    wpay = (
+        weighted.join(cand, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.concat_ws("", "sh", "idf")
+            ).alias("entries"),
+            F.sum("idf").alias("w"),
+        )
+    )
+    a = wpay.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("entries").alias("ea"),
+        F.col("w").alias("wa"),
+    )
+    b = wpay.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("entries").alias("eb"),
+        F.col("w").alias("wb"),
+    )
+    # intersection weight: hash-intersect the entry arrays, parse the
+    # idf back off each shared entry — sum of exact longs, so element
+    # order can never move the driver hash
+    wi = F.aggregate(
+        F.array_intersect("ea", "eb"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.substring_index(x, "", -1).cast("long"),
+    )
     return (
-        inter.join(wa, "doc_a")
-        .join(wb, "doc_b")
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("wi", wi.cast("double"))  # runs once per pair
         .select(
             "doc_a",
             "doc_b",
             F.round(
-                F.col("wi").cast("double")
-                / F.greatest(F.col("wa"), F.lit(1)),
-                4,
+                F.col("wi") / F.greatest(F.col("wa"), F.lit(1)), 4
             ).alias("wcont_a_in_b"),
             F.round(
-                F.col("wi").cast("double")
-                / F.greatest(F.col("wb"), F.lit(1)),
-                4,
+                F.col("wi") / F.greatest(F.col("wb"), F.lit(1)), 4
             ).alias("wcont_b_in_a"),
         )
     )
