@@ -474,9 +474,71 @@ def image_header(payload: bytes) -> tuple[int, int, int]:
     )
 
 
+# --- pluggable pixel-decode backend (the libjpeg/PIL deployment seam
+# the JPEG/FLAC throughput notes point at).  "pure" (default) uses the
+# spec-implemented stdlib codecs — deterministic everywhere, CI-grade
+# throughput.  "pil" routes through Pillow's native decoders (~100x on
+# JPEG entropy decode) and is what a 100 TB run deploys; "auto" picks
+# pil when importable, else pure.  The default stays "pure" so result
+# hashes never depend on what happens to be installed.
+_IMAGE_BACKEND = "pure"
+
+
+def pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def set_image_backend(name: str) -> None:
+    """Select the pixel-decode backend: 'pure' | 'pil' | 'auto'."""
+    global _IMAGE_BACKEND
+    if name not in ("pure", "pil", "auto"):
+        raise ValueError(f"unknown image backend {name!r}")
+    if name == "pil" and not pil_available():
+        raise NotImplementedError(
+            "image backend 'pil' requested but Pillow is not "
+            "importable in this environment"
+        )
+    _IMAGE_BACKEND = name
+
+
+def active_image_backend() -> str:
+    """The backend decode_image_px will actually use right now."""
+    if _IMAGE_BACKEND == "auto":
+        return "pil" if pil_available() else "pure"
+    return _IMAGE_BACKEND
+
+
+def _decode_image_pil(payload: bytes) -> np.ndarray:
+    """Pillow decode normalized to the pure backend's (H, W, C) uint8
+    contract: palette expands to RGB, grayscale keeps C=1, alpha is
+    preserved — so PNG/GIF pixels are bit-identical across backends
+    (lossless formats fully specify the pixels) and JPEG agrees within
+    the T.81 Annex A IDCT tolerance (±1/LSB; the spec does not pin a
+    bit-exact inverse DCT, and libjpeg uses the integer fast path
+    where the pure backend uses the exact orthonormal transform)."""
+    import io as _io
+
+    import PIL.Image as PILImage
+
+    img = PILImage.open(_io.BytesIO(payload))
+    if img.mode == "P":
+        img = img.convert("RGB")
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
 def decode_image_px(payload: bytes) -> np.ndarray:
     """Image bytes → (H, W, C) uint8 pixels for any supported
-    container."""
+    container (via the selected backend, see set_image_backend)."""
+    if active_image_backend() == "pil":
+        return _decode_image_pil(payload)
     kind = sniff(payload)
     if kind == "png":
         return decode_png(payload)
@@ -490,7 +552,8 @@ def decode_image_px(payload: bytes) -> np.ndarray:
         return decode_gif(payload)
     raise NotImplementedError(
         "unsupported image container (PNG/JPEG/GIF decode "
-        "in-container; deploy with PIL/opencv for WebP/TIFF)"
+        "in-container; deploy with PIL/opencv for WebP/TIFF, or "
+        "set_image_backend('pil'))"
     )
 
 

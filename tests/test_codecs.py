@@ -539,3 +539,67 @@ def test_avi_deep_list_nesting_is_input_bounded_not_recursion():
     payload = b"RIFF" + st.pack("<I", len(body) + 4) + b"AVI " + body
     with pytest.raises(ValueError, match="avih"):
         parse_avi(payload)
+
+
+def test_image_backend_seam_defaults_pure_and_gates_pil():
+    """The deployment seam for native decoders (r07 verdict #5): the
+    default backend is the deterministic pure path, 'pil' is refused
+    with a clear gate when Pillow is absent, and 'auto' resolves by
+    availability."""
+    from tajo_spark.operators import codecs as C
+
+    assert C.active_image_backend() in ("pure", "pil")
+    assert C._IMAGE_BACKEND == "pure"  # hash-stable default
+    with pytest.raises(ValueError, match="unknown image backend"):
+        C.set_image_backend("opencv")
+    if not C.pil_available():
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            C.set_image_backend("pil")
+        C.set_image_backend("auto")
+        try:
+            assert C.active_image_backend() == "pure"
+        finally:
+            C.set_image_backend("pure")
+    else:
+        C.set_image_backend("auto")
+        try:
+            assert C.active_image_backend() == "pil"
+        finally:
+            C.set_image_backend("pure")
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "tajo_spark.operators.codecs", fromlist=["pil_available"]
+    ).pil_available(),
+    reason="Pillow not installed in this container (seam gate covers it)",
+)
+def test_pil_backend_identity_on_lossless_formats():
+    """Where Pillow IS deployed: PNG and GIF are lossless, so both
+    backends must produce bit-identical pixels; JPEG must agree within
+    the T.81 IDCT tolerance (the spec does not pin a bit-exact IDCT)."""
+    import numpy as np
+
+    from tajo_spark.operators import codecs as C
+    from tajo_spark.operators.gif import encode_gif
+    from tajo_spark.operators.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (24, 16, 3), dtype=np.uint8)
+    blobs = {
+        "png": C.encode_png(px),
+        "gif": encode_gif(px[:, :, 0][:, :, None].repeat(3, axis=2)),
+        "jpeg": encode_jpeg(px),
+    }
+    for kind, blob in blobs.items():
+        pure = C.decode_image_px(blob)
+        C.set_image_backend("pil")
+        try:
+            pil = C.decode_image_px(blob)
+        finally:
+            C.set_image_backend("pure")
+        assert pil.shape == pure.shape, kind
+        if kind == "jpeg":
+            assert np.abs(pil.astype(int) - pure.astype(int)).max() <= 1
+        else:
+            assert np.array_equal(pil, pure), kind
