@@ -1,22 +1,37 @@
 """Size-gated broadcast hinting.
 
-The reference only broadcasts a join side when its *estimated volume* is
-under a threshold (BroadcastJoinRule.java:44-65 checks the stage's input
-volume against ``SessionVars`` BROADCAST_*_JOIN_THRESHOLD, defaulting to
-a few MB).  An unconditional ``F.broadcast()`` hint in Spark does NOT do
-that: a hint *overrides* ``spark.sql.autoBroadcastJoinThreshold``, so a
-relation that grows with the corpus (TPC-H ``part``/``supplier``, a
-per-part aggregate over ``lineitem``) would still be broadcast at 100 TB
-— OOMing executors or hitting the 8 GB broadcast hard limit instead of
-degrading to a shuffle join.
+The reference only broadcasts a join side when its volume is under a
+threshold (BroadcastJoinRule.java:44-65 checks the stage's INPUT volume
+against ``SessionVars`` BROADCAST_*_JOIN_THRESHOLD) — and because Tajo
+runs stages sequentially, the volume it gates on is the *actual* bytes
+the stage consumed, not an estimate.  The engine-wide policy
+(session.py) gets the same honesty in three layers:
 
-``broadcast_if_dim`` restores the reference's size-gated semantics: it
-consults Catalyst's optimized-plan size estimate (file-size based for
-scans, CBO/heuristic-propagated for derived plans — computed on the
-driver, no job runs) and only attaches the hint when the estimate is
-under the bound.  Oversized or unknown-size relations are returned
-unhinted, leaving the decision to AQE, which re-plans with *actual*
-runtime sizes and will still broadcast when genuinely small.
+  * ``spark.sql.sources.fileCompressionFactor = 8`` — the static
+    planner's estimate for a parquet leg is compressed file size ×
+    pruned-width ratio, which UNDERSTATES the broadcast build cost by
+    ~8x (decode ~4-6x on these tables + HashedRelation overhead ~2x).
+    Twice (r06 lineitem self-join leg, r07 q18 orders leg) the memory
+    rung watched that lie pick a ~400 MB un-spillable build under a
+    capped heap.  Inflating the estimate to decoded-cost units kills
+    the class at its root while keeping static broadcasts for
+    genuinely small sides (an outright static ban was measured 43%
+    slower across the bench — every dim join paid an extra exchange).
+  * static + AQE ``autoBroadcastJoinThreshold = 64MB`` (in inflated /
+    measured units respectively — statically ~8 MB of raw pruned
+    parquet) — AQE re-checks every shuffle join from MEASURED sizes
+    and upgrades or demotes at runtime.
+  * Explicit hints below for relations that are dimension-sized — an
+    unconditional ``F.broadcast()`` overrides the static threshold, so
+    it may only ever be attached to something that cannot be
+    fact-sized.
+
+``broadcast_if_dim`` is that explicit path: it hints only when BOTH
+Catalyst's optimized-plan estimate AND the plan's largest UNPRUNED leaf
+scan are under the bound.  The leaf check is what the r06/r07 bug class
+taught: a derived estimate under the bound means nothing when the
+lineage bottoms out in a fact-scale scan — those stay unhinted and AQE
+decides from runtime sizes.
 
 Fixed-cardinality dims (region=5 rows, nation=25 rows) and one-row
 aggregates may keep unconditional hints — they cannot grow with scale.
@@ -27,12 +42,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Safe upper bound for a *hinted* broadcast build side.  Catalyst's
-# estimate for a parquet scan is the compressed file size; 64 MiB
-# compressed stays well under executor/driver headroom once decoded,
-# and matches the session's autoBroadcastJoinThreshold (session.py) so
-# the hint never claims more than AQE itself would allow.
-BROADCAST_DIM_MAX_BYTES = 64 * 1024 * 1024
+# Safe upper bound for a *hinted* broadcast build side, in the SAME
+# inflated (decoded-cost) units plan_size_bytes now reports under
+# fileCompressionFactor=8: 256 MiB inflated ≈ 32 MiB of raw parquet ≈
+# a few hundred MB decoded — comfortable on production executors,
+# looser than the automatic threshold because a hint is a deliberate
+# per-site claim, and still lineage-checked below.
+BROADCAST_DIM_MAX_BYTES = 256 * 1024 * 1024
 
 
 def plan_size_bytes(df: DataFrame) -> int | None:
@@ -53,41 +69,49 @@ def plan_size_bytes(df: DataFrame) -> int | None:
         return None
 
 
+def max_leaf_bytes(df: DataFrame) -> int | None:
+    """Largest UNPRUNED leaf-relation size estimate in the plan.
+
+    Walks the ANALYZED logical plan (column pruning has not run yet,
+    so a leaf's ``sizeInBytes`` is the relation's full file size, not
+    the optimistic pruned-width number the r06/r07 memory rungs caught
+    lying).  Driver-side only.  ``None`` when no leaf reports a size.
+    """
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        worst = None
+        for i in range(leaves.size()):
+            s = leaves.apply(i).stats().sizeInBytes()
+            s = s if isinstance(s, int) else int(str(s))
+            if worst is None or s > worst:
+                worst = s
+        return worst
+    except Exception:
+        return None
+
+
 def broadcast_if_dim(
     df: DataFrame, max_bytes: int = BROADCAST_DIM_MAX_BYTES
 ) -> DataFrame:
-    """Hint ``broadcast(df)`` only when the plan-size estimate allows it.
+    """Hint ``broadcast(df)`` only when it is provably dimension-sized.
 
-    Use for relations whose cardinality grows with the corpus (TPC-H
-    part/supplier, per-key aggregates over a fact table).  Under the
-    bound → hinted broadcast (saves AQE a stage at small SF).  Over the
-    bound, or unknown → unhinted; AQE decides from runtime sizes, so the
-    plan degrades gracefully to shuffle join at 100 TB instead of OOMing
-    on a forced broadcast.
+    Two gates, both required (see module docstring for the bug class):
+
+    1. optimized-plan estimate ≤ ``max_bytes`` — the relation looks
+       small after pruning/filtering;
+    2. every leaf scan in its lineage ≤ ``max_bytes`` UNPRUNED — the
+       estimate cannot be a pruned-width lie about a fact table.
+
+    Under both → hinted broadcast (saves the probe-side shuffle AQE
+    would need).  Anything else → unhinted; AQE decides from runtime
+    sizes, so a genuinely-small fact aggregate still broadcasts at
+    execution time while a misestimated one degrades to a spillable
+    shuffle join instead of an un-spillable broadcast build.
     """
     size = plan_size_bytes(df)
-    if size is not None and 0 <= size <= max_bytes:
-        return F.broadcast(df)
-    return df
-
-
-def never_broadcast(df: DataFrame) -> DataFrame:
-    """SHUFFLE_MERGE-hint a relation that is fact-sized BY CONSTRUCTION
-    (a fact-table self-join leg, a per-key aggregate over the biggest
-    table) so the static planner can never choose to broadcast it.
-
-    Why the gate isn't enough: ``broadcast_if_dim`` withholds OUR hint,
-    but Spark's own static threshold still compares Catalyst's
-    file-size × column-pruning estimate against
-    ``autoBroadcastJoinThreshold`` — and that estimate is optimistic
-    for a skinny projection of a wide parquet fact table.  Measured in
-    the round-6 memory rung: at 16x data the static planner broadcast
-    a 3-column lineitem self-join leg (~10M rows as a HashedRelation);
-    the build then died with "Not enough memory to build and broadcast
-    the table" under a 2-4 GiB heap — broadcast builds are the ONE
-    join path that cannot spill.  The merge hint removes the static
-    decision; the join degrades to sort-merge, which spills.  The cost
-    at small SF is bounded (one extra shuffle of a side that was small
-    THERE), and correctness at 100 TB is not negotiable.
-    """
-    return df.hint("shuffle_merge")
+    if size is None or not 0 <= size <= max_bytes:
+        return df
+    leaf = max_leaf_bytes(df)
+    if leaf is None or leaf > max_bytes:
+        return df
+    return F.broadcast(df)

@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 
 from tajo_spark.catalog import load_table
 from tajo_spark.plans.hints import broadcast_if_dim as bdim
-from tajo_spark.plans.hints import never_broadcast as nbc
 from tajo_spark.queries.registry import query
 
 
@@ -429,21 +428,16 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
-    # orders is fact-sized by construction: at 16x its column-pruned
-    # estimate slips UNDER the 64MB static threshold while the real
-    # HashedRelation build is ~400MB — the r06 bug class, orders
-    # flavor, caught by the round-7 memory rung (q18 died marginally
-    # at 2 GiB where r06 measured a slow OK(fit)).  Merge-hinted like
-    # q21's orders leg; the cust join degrades to SMJ, the accepted
-    # constrained-heap trade.
-    orders = nbc(_t(spark, sf_dir, "orders"))
+    # No hints here: orders and the per-order HAVING aggregate are
+    # fact-sized by construction, and the session policy (session.py,
+    # plans/hints.py module docstring) bans static estimate-based
+    # broadcasts engine-wide — the r06/r07 memory rungs caught the
+    # column-pruned estimate slipping under the threshold while the
+    # real HashedRelation was ~400 MB (un-spillable build OOM).  AQE
+    # still upgrades genuinely-small sides from MEASURED sizes.
+    orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    # the HAVING side is a per-order aggregate over lineitem —
-    # fact-sized by construction, so the static planner must never
-    # broadcast it (r06 memory rung: the broadcast build is the one
-    # join path that can't spill); AQE still upgrades from RUNTIME
-    # sizes when the filtered aggregate is genuinely small
-    big = nbc(
+    big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("tot"))
         .filter(F.col("tot") > 300)
@@ -1059,23 +1053,22 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
-    # orders and both lineitem self-join legs are fact-sized by
-    # construction: merge-hinted so the static planner's optimistic
-    # column-pruned estimate can never pick a broadcast build (r06
-    # memory rung: at 16x it broadcast the 3-column lineitem leg and
-    # died in the un-spillable broadcast build under a capped heap)
+    # No hints on orders / the lineitem self-join legs: the session
+    # policy bans static estimate-based broadcasts engine-wide (the
+    # r06 memory rung watched the static planner broadcast the
+    # 3-column lineitem leg from a pruned-width estimate and die in
+    # the un-spillable build under a capped heap); AQE upgrades from
+    # runtime sizes where a side is genuinely small.
     l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
     base = (
-        l1.join(nbc(orders), l1.l_orderkey == orders.o_orderkey)
+        l1.join(orders, l1.l_orderkey == orders.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate"))
         .select("l_orderkey", "l_suppkey", "o_orderdate")
     )
-    l2 = nbc(
-        li.select(
-            F.col("l_orderkey").alias("x_orderkey"),
-            F.col("l_suppkey").alias("x_suppkey"),
-            F.col("l_shipdate").alias("x_shipdate"),
-        )
+    l2 = li.select(
+        F.col("l_orderkey").alias("x_orderkey"),
+        F.col("l_suppkey").alias("x_suppkey"),
+        F.col("l_shipdate").alias("x_shipdate"),
     )
     with_other = base.join(
         l2,

@@ -71,7 +71,35 @@ def build_spark(
         .config("spark.sql.cbo.joinReorder.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # Systemic broadcast guard (r06+r07 memory rungs both caught the
+        # same bug class: Catalyst's STATIC size estimate — compressed
+        # file size × column-pruning ratio — slipped under the
+        # threshold for a skinny projection / per-key aggregate of a
+        # parquet fact, and the broadcast HashedRelation build is the
+        # one join path that cannot spill).  Fix at the root,
+        # engine-wide, in three layers:
+        #   * fileCompressionFactor=8 makes the static estimate HONEST
+        #     about what a broadcast build actually costs: these
+        #     parquet tables decode at ~4-6x their file size (measured:
+        #     lineitem sf0.1 is 10.8 MB on disk, ~60 MB as rows) and
+        #     HashedRelation adds ~2x on top — the exact ~8x lie that
+        #     let a "35 MB" lineitem leg become a ~400 MB un-spillable
+        #     build at 16x data.  (A fully-disabled static planner was
+        #     measured 43% slower across the bench — every dim join
+        #     paid an extra exchange — so honesty beats prohibition.)
+        #   * thresholds stay 64 MB but now compare against INFLATED
+        #     estimates — statically that means ~8 MB of raw pruned
+        #     parquet (≈ a few-hundred-MB decoded ceiling never
+        #     crossed; the r06/r07 offenders land at 115-280 MB
+        #     inflated at 16x and are declined).  AQE re-checks every
+        #     shuffle join from MEASURED sizes and upgrades or demotes
+        #     — the honest analogue of the reference gating on actual
+        #     stage input volume (BroadcastJoinRule.java:44-65).
+        #   * explicit dim hints stay size-gated AND lineage-checked
+        #     (plans/hints.py::broadcast_if_dim).
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.sql.sources.fileCompressionFactor", "8")
         # Runtime row-level filtering: when one join side is selective,
         # inject a bloom filter into the other side's scan — at 100 TB
         # this prunes shuffle input before it is ever materialized (the
@@ -90,6 +118,17 @@ def build_spark(
         # registry query's generated classes resident; cost is class
         # metadata only.
         .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # Tajo CHAR/VARCHAR semantics, measured from the reference's
+        # own goldens (TestInsertQuery.java:953-965): a char(1) column
+        # stores 'abcde' UN-truncated — length is advisory.  Spark's
+        # enforced char/varchar would raise EXCEED_LIMIT_LENGTH, so
+        # treat both as STRING (the pre-3.1 behavior flag).
+        .config("spark.sql.legacy.charVarcharAsString", "true")
+        # Tajo INSERT with a target column list fills the unmentioned
+        # columns with NULL (InsertNode projection); Spark needs this
+        # flag to do the same instead of arity-erroring.
+        .config("spark.sql.defaultColumn.useNullsForMissingDefaultValues",
+                "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():
@@ -119,9 +158,10 @@ def cluster_conf(
     * ``files.maxPartitionBytes``: scan-split granularity; bigger
       splits amortize task overhead once the cluster has enough tasks
       to stay busy (3-4 waves over total cores).
-    * ``autoBroadcastJoinThreshold`` stays at the local profile's
-      64 MB: broadcast cost scales with executor count, the threshold
-      should NOT grow with the cluster.
+    * broadcast thresholds stay at the local profile's values (static
+      estimate-based broadcast off, AQE runtime threshold 64 MB):
+      broadcast cost scales with executor count, the threshold should
+      NOT grow with the cluster.
 
     Returns a plain dict usable as ``--conf k=v`` lines or
     ``build_spark(extra_conf=...)``; everything else in

@@ -165,18 +165,47 @@ def test_broadcast_if_dim_size_gate(spark):
     assert "BroadcastHashJoin" in plan_of(hinted)
 
     # same relation over the bound (max_bytes=0 simulates the 100 TB
-    # part table) → NO hint; with auto-broadcast disabled the initial
-    # plan must be a shuffle join, proving nothing forces a broadcast
+    # part table) → NO hint; with the automatic threshold off the
+    # initial plan must be a shuffle join, proving nothing forces a
+    # broadcast
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         gated = li.join(
-            broadcast_if_dim(part, max_bytes=0), li.l_partkey == part.p_partkey
+            broadcast_if_dim(part, max_bytes=0),
+            li.l_partkey == part.p_partkey,
         )
         plan = plan_of(gated)
         assert "BroadcastHashJoin" not in plan, plan
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_broadcast_if_dim_distrusts_fact_lineage(spark):
+    """The r06/r07 memory-rung bug class: a skinny projection /
+    per-key aggregate of a wide parquet fact gets an optimized-plan
+    estimate UNDER the bound while the unpruned relation is far over
+    it.  broadcast_if_dim must refuse the hint whenever any lineage
+    leaf exceeds the bound, even though the derived estimate passes —
+    AQE decides those from measured runtime sizes instead."""
+    from tajo_spark.plans.hints import (
+        broadcast_if_dim, max_leaf_bytes, plan_size_bytes,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    skinny = li.select("l_orderkey", "l_suppkey")
+    est, leaf = plan_size_bytes(skinny), max_leaf_bytes(skinny)
+    assert est is not None and leaf is not None and est < leaf, (est, leaf)
+    # a bound between the pruned estimate and the unpruned leaf size is
+    # exactly the window the static planner got wrong at 16x data
+    bound = (est + leaf) // 2
+    gated = broadcast_if_dim(skinny, max_bytes=bound)
+    assert "ResolvedHint" not in gated._jdf.queryExecution().analyzed().toString()
+    # a true dim (leaf == itself, under the bound) still gets the hint
+    nation = load_table(spark, SF_DIR, "nation")
+    hinted = broadcast_if_dim(nation)
+    assert "broadcast" in hinted._jdf.queryExecution().analyzed().toString().lower()
 
 
 def test_tpch_no_unconditional_broadcast_of_growing_tables():
@@ -254,29 +283,92 @@ def test_quantized_scores_single_scan_broadcast(spark):
     assert plan.count("Scan parquet") <= 4
 
 
-def test_fact_self_joins_never_statically_broadcast(spark):
-    """r06 memory rung finding: the static planner's column-pruned
-    estimate chose a broadcast build for a 16x lineitem self-join leg
-    and died in the un-spillable broadcast build under a capped heap.
-    The fact-sized-by-construction sides of q18/q21 are merge-hinted
-    (plans/hints.py::never_broadcast), so the STATIC plan must show
-    sort-merge for those joins even at tiny SF where everything looks
-    broadcastable; AQE remains free to upgrade from runtime sizes."""
+def test_plan_estimates_are_decode_honest(spark):
+    """The r06/r07 memory-rung bug class at its root: Catalyst's
+    default static estimate for a parquet leg is COMPRESSED file size,
+    which understates the un-spillable broadcast-build cost by ~8x
+    (decode + HashedRelation overhead).  session.py sets
+    fileCompressionFactor=8 so estimates carry decoded-cost units —
+    pin that the scan estimate is ~8x the file on disk."""
+    import os
+
+    from tajo_spark.plans.hints import plan_size_bytes
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    fsize = os.path.getsize(os.path.join(SF_DIR, "lineitem.parquet"))
+    est = plan_size_bytes(li)
+    assert est is not None
+    assert 7 * fsize <= est <= 9 * fsize, (fsize, est)
+
+
+def test_fact_legs_never_statically_broadcast_at_rung_scale(spark):
+    """r06+r07 memory rung finding: the static planner's column-pruned
+    estimate chose a broadcast build for a fact join leg (lineitem
+    self-join in r06, q18's orders leg in r07) and the real ~400 MB
+    HashedRelation died un-spillably under a capped heap.  The guard is
+    engine-wide and hint-free: decode-honest estimates (x8) cross the
+    64 MB threshold at rung scale where the old compressed-pruned
+    estimate stayed under it.  Simulated here at test SF by scaling the
+    threshold down by the same ratio as the 16x rung scales data up:
+    the q18/q21 fact legs must plan sort-merge while the nation-sized
+    dims still statically broadcast."""
     from tajo_spark.queries.tpch import tpch_q18, tpch_q21
     from tests.conftest import SF_DIR
 
-    plan21 = (
-        tpch_q21(spark, SF_DIR)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    for line in plan21.splitlines():
-        if "LeftSemi" in line or "LeftAnti" in line:
-            assert "BroadcastHashJoin" not in line, line
+    import os
 
-    plan18 = (
-        tpch_q18(spark, SF_DIR)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    for line in plan18.splitlines():
-        if "LeftSemi" in line:
-            assert "BroadcastHashJoin" not in line, line
+    # 16x-rung-equivalent threshold for this SF: at the rung, orders
+    # grows 16x against a fixed 32 MB bound — equivalently, hold the
+    # data and shrink the bound 16x relative to bench SF (sf0.1 is
+    # 10x this test SF; net: orders' inflated pruned estimate must
+    # cross it, nation's must not)
+    orders_raw = os.path.getsize(os.path.join(SF_DIR, "orders.parquet"))
+    rung_threshold = max(orders_raw, 65536)  # < orders x8, >> nation x8
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(rung_threshold))
+    try:
+        for q, legs in ((tpch_q21, ("LeftSemi", "LeftAnti")),
+                        (tpch_q18, ("LeftSemi",))):
+            plan = (
+                q(spark, SF_DIR)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            for line in plan.splitlines():
+                if any(leg in line for leg in legs):
+                    assert "BroadcastHashJoin" not in line, line
+        # dims stay statically broadcast under the same bound
+        cust = load_table(spark, SF_DIR, "customer").select("c_custkey")
+        nation = load_table(spark, SF_DIR, "nation")
+        j = cust.join(nation, cust.c_custkey == nation.n_nationkey)
+        assert "BroadcastHashJoin" in (
+            j._jdf.queryExecution().sparkPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_aqe_upgrades_small_sides_from_runtime_sizes(spark):
+    """When the static planner declines a broadcast (estimate over the
+    threshold), AQE must still upgrade genuinely-small sides from
+    MEASURED shuffle sizes (the honest analogue of the reference
+    gating on actual stage input volume, BroadcastJoinRule.java:44-65)
+    — so declining a lying estimate costs one exchange, never the
+    broadcast itself.  Simulated by disabling the static threshold."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, SF_DIR, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        part = load_table(spark, SF_DIR, "part").select("p_partkey")
+        j = li.join(part, li.l_partkey == part.p_partkey)
+        static = j._jdf.queryExecution().sparkPlan().toString()
+        assert "BroadcastHashJoin" not in static, static
+        # collect() executes THIS DataFrame's QueryExecution (a write
+        # wraps a fresh one whose adaptive plan we couldn't inspect)
+        j.collect()
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final, final
+        assert "BroadcastHashJoin" in final, final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)

@@ -47,6 +47,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--heap", default="2g")
     ap.add_argument("--mult", type=int, default=16)
+    ap.add_argument(
+        "--spot64",
+        action="store_true",
+        help="additionally run the r07 broadcast-bug offender (tpch_q18) "
+        "at 64x — the guard must hold one ladder rung past where it "
+        "last failed",
+    )
     args = ap.parse_args()
 
     # fd-level stderr redirect: the JVM inherits fd 2, so log4j output
@@ -85,11 +92,32 @@ def main() -> None:
             ("dedup_weighted_containment", docs_dir),
             ("pipeline_corpus_prep_v7", docs_dir),
         ]
+        if args.spot64:
+            tpch64 = SL.stage_tpch(64, root)
+            plan.append(("tpch_q18@64x", tpch64))
+            plan.append(("tpch_q21@64x", tpch64))
+        # Shuffle partitions must SCALE WITH DATA, never stay pinned to
+        # the core count (cluster_conf derives exactly this; AQE
+        # coalesces down but never splits up).  First measured here:
+        # q21@64x with partitions pinned at 8 put ~500 MB of decoded
+        # lineitem in each 256 MB task slot and died in the
+        # spill-MERGE phase (UnsafeSorterSpillReader buffers, one per
+        # spill file) — not a planner bug, a task-sizing bug.  The 16x
+        # rows keep the r06/r07 geometry (8) for comparability; the
+        # 64x spots get the 4x-scaled 32.
+        base_parts = os.environ.get("SPARK_GRAFT_CPUS", "8")
+        part_for = {
+            q: ("32" if q.endswith("@64x") else base_parts)
+            for q, _ in plan
+        }
         # warm codegen at the tiny SF so compilation doesn't pollute
         # walls (same protocol as bench.py)
+        def qfn(label):
+            return qs[label.split("@")[0]]
+
         for q, _ in plan:
             try:
-                qs[q](spark, "/root/testdata/sf0.001").write.format(
+                qfn(q)(spark, "/root/testdata/sf0.001").write.format(
                     "noop"
                 ).mode("overwrite").save()
             except Exception:
@@ -110,11 +138,12 @@ def main() -> None:
                 rdd.unpersist()
             spark.sparkContext._jvm.System.gc()
             time.sleep(2)
+            spark.conf.set("spark.sql.shuffle.partitions", part_for[q])
             os.write(2, f"\n===RUNG-BEGIN {q}===\n".encode())
             t0 = time.time()
             status = "OK"
             try:
-                qs[q](spark, sf_dir).write.format("noop").mode(
+                qfn(q)(spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
             except Exception as exc:
