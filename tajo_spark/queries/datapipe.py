@@ -683,7 +683,10 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "datapipe",
     doc="Sessionization (30-min gap) via lag + running-sum windows; one "
     "shuffle on user_id. Reference has zero stateful operators "
-    "(SURVEY.md §2.10) — beyond-reference.",
+    "(SURVEY.md §2.10) — beyond-reference. Streaming twins: "
+    "session_windows (native gap-merge, late-data + crash-restart "
+    "bit-exact pin in tests/test_streaming.py) and "
+    "stateful_sessionize (applyInPandasWithState).",
     oracle="""
         WITH flagged AS (
             SELECT user_id, event_id, ts, value,

@@ -143,10 +143,16 @@ def session_windows(events: DataFrame, gap: str = SESSION_GAP,
             F.count(F.lit(1)).alias("n_events"),
             (F.sum(F.round(F.col("value") * 10000).cast("long")) / 10000.0)
             .alias("session_value"),
+            # the LAST EVENT's ts — win.end is last+gap, so this is
+            # what makes the stream bit-identical to the batch
+            # operator's session_end (= max ts), the identity the
+            # late-data/restart pin in test_streaming.py asserts
+            F.max("ts").alias("last_ts"),
         )
         .select(
             F.col("win.start").alias("session_start"),
             F.col("win.end").alias("session_end"),
+            "last_ts",
             "user_id",
             "n_events",
             "session_value",

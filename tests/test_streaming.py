@@ -714,3 +714,91 @@ def test_centroid_ingest_stream_equals_batch_bit_for_bit(spark, tmp_path):
         for r in centroid_component_sums(full2).collect()
     }
     assert latest_cells()[1] == want2
+
+
+def test_session_windows_late_data_bitexact_across_restart(spark, tmp_path):
+    """r07 stretch: gap-based session windows with LATE data and a
+    crash/restart at a micro-batch boundary must be bit-identical to
+    the batch sessionizer over the full event set — (user, start,
+    last_ts, n, value) per session, not just counts.
+
+    Timeline: batch 1 sees users 1/2; batch 2 (after a restart from
+    the same checkpoint) delivers a LATE event inside user 1's open
+    session (within the 1 h watermark), a new-session event 40 min
+    later, and a far-future flush event that advances the watermark
+    past every real session's close."""
+    import datetime as dt
+
+    from tajo_spark.operators.sessionize import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, mins, uid, val):
+        return (
+            eid,
+            t0 + dt.timedelta(minutes=mins),
+            uid,
+            "click",
+            val,
+            "{}",
+        )
+
+    file_a = [ev(1, 0, 1, 1.0), ev(2, 10, 1, 2.0), ev(3, 0, 2, 0.5)]
+    file_b = [
+        ev(4, 5, 1, 0.25),       # late: merges into user 1's session
+        ev(5, 50, 1, 1.0),       # 40 min after user 1's last → new session
+        ev(6, 20, 2, 0.5),       # 20 min gap → same user-2 session
+        ev(7, 14400, 99, 0.0),   # +10 days: watermark flush
+    ]
+    ddl = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+    src = tmp_path / "sessions_src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(rows, name):
+        spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(
+            str(tmp_path / name)
+        )
+        import shutil as sh
+
+        for f in (tmp_path / name).glob("*.parquet"):
+            sh.copy(str(f), str(src / f"{name}.parquet"))
+
+    def drain():
+        q = (
+            P.session_windows(spark.readStream.schema(ddl).parquet(str(src)))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    land(file_a, "a")
+    drain()                      # batch 1, then "crash" (query stopped)
+    land(file_b, "b")
+    drain()                      # restart from checkpoint, late data merges
+    drain()                      # no-data restart: watermark-only flush
+
+    got = {
+        (r.user_id, r.session_start, r.last_ts, r.n_events,
+         float(r.session_value))
+        for r in spark.read.parquet(out).filter("user_id != 99").collect()
+    }
+    exp = {
+        (r.user_id, r.session_start, r.session_end, r.n_events,
+         float(r.session_value))
+        for r in sessionize(
+            spark.createDataFrame(file_a + file_b, ddl)
+        ).filter("user_id != 99").collect()
+    }
+    assert got == exp
+    assert len(got) == 3  # u1 merged session, u1 second session, u2
