@@ -161,6 +161,10 @@ def main() -> None:
     ap.add_argument("--tpch", action="store_true",
                     help="ladder TPC-H bodies over multiplied fact "
                          "tables (lineitem/orders), catalog constant")
+    ap.add_argument("--chain", action="store_true",
+                    help="ladder connected components over CHAIN-shaped "
+                         "graphs (diameter == n): simple propagation's "
+                         "worst case vs the auto-selected star variant")
     ap.add_argument("--pq", action="store_true",
                     help="ladder persisted-index batch probes (int8 "
                          "IVF vs IVF-PQ) — fixed 512-query batch, "
@@ -181,6 +185,9 @@ def main() -> None:
         return
     if args.pq:
         pq_ladder(mults)
+        return
+    if args.chain:
+        chain_ladder(mults)
         return
     if args.queries:
         keep = set(args.queries.split(","))
@@ -519,3 +526,40 @@ def pq_ladder(mults: list[int]) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def chain_ladder(mults: list[int]) -> None:
+    """Connected components over chain graphs (diameter == node count,
+    the shape min-label propagation cannot finish): the auto-selected
+    large-star/small-star fallback (graph.py, r07 verdict #3) must
+    keep ROUNDS ~O(log n) — wall per rung should grow ~linearly with
+    the chain, not with diameter/rounds."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tajo_spark.operators.graph import connected_components
+    from tajo_spark.session import build_spark
+
+    spark = build_spark(app_name="chain_ladder")
+    base_n = 20_000
+    print("| chain nodes | wall | components found | log2(n) |")
+    print("|---|---|---|---|")
+    for mult in mults:
+        n = base_n * mult
+        edges = spark.range(n).select(
+            F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+        )
+        t0 = time.time()
+        ncomp = (
+            connected_components(edges)
+            .agg(F.countDistinct("component"))
+            .collect()[0][0]
+        )
+        wall = time.time() - t0
+        assert ncomp == 1, ncomp
+        print(
+            f"| {n:,} | {wall:.1f} s | {ncomp} | {math.log2(n):.1f} |",
+            flush=True,
+        )
+    spark.stop()
