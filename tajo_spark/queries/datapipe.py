@@ -3555,7 +3555,7 @@ def sim_ivf_q8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
             FROM embeddings),
         q AS (SELECT vec_id AS q_id, v AS qv FROM vecs
-              WHERE vec_id % 50 = 0),
+              WHERE vec_id % 50 = 0 AND vec_id < 1000),
         scored AS (
             SELECT q.q_id, c.vec_id,
                    round(list_dot_product(q.qv, c.v)
@@ -3574,7 +3574,7 @@ def sim_ivf_q8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+    q = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 1000)).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
     return similarity.ann_join(q, emb, k=3)
@@ -3618,7 +3618,7 @@ def sim_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     * sqrt(list_dot_product(c.cv, c.cv))), 6)
                                  DESC, c.centroid_id) AS rn
                 FROM vecs e CROSS JOIN cents c
-                WHERE e.vec_id % 50 = 0) t
+                WHERE e.vec_id % 50 = 0 AND e.vec_id < 1000) t
             WHERE rn <= 4),
         scored AS (
             SELECT q.q_id, s.vec_id,
@@ -3638,7 +3638,7 @@ def sim_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_ann_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+    q = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 1000)).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
     return similarity.ann_join_ivf(q, emb, k=3, n_centroids=16, nprobe=4)
@@ -3695,7 +3695,7 @@ def sim_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
             FROM embeddings),
         q AS (SELECT vec_id AS q_id, v AS qv FROM vecs
-              WHERE vec_id % 50 = 0),
+              WHERE vec_id % 50 = 0 AND vec_id < 1000),
         scored AS (
             SELECT q.q_id, c.vec_id,
                    round(list_dot_product(q.qv, c.v)
@@ -3722,7 +3722,7 @@ def sim_ann_q8_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     path, model = _ivfq8_index(spark, sf_dir, n_centroids=8)
-    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+    q = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 1000)).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
     probe = ann_join_q8_persisted(
@@ -3792,7 +3792,7 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str, n_centroids: int):
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
             FROM embeddings),
         q AS (SELECT vec_id AS q_id, v AS qv FROM vecs
-              WHERE vec_id % 50 = 0),
+              WHERE vec_id % 50 = 0 AND vec_id < 1000),
         scored AS (
             SELECT q.q_id, c.vec_id,
                    round(list_dot_product(q.qv, c.v)
@@ -3817,7 +3817,7 @@ def sim_ann_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     path, model, codebooks = _ivfpq_index(spark, sf_dir, n_centroids=8)
-    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+    q = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 1000)).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
     probe = ann_join_pq_persisted(
@@ -3853,7 +3853,7 @@ def sim_ann_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT CAST(count(*) AS BIGINT) AS n_queries,
                TRUE AS k_bounded_ok
-        FROM embeddings WHERE vec_id % 50 = 0
+        FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 1000
     """,
 )
 def sim_ann_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3861,7 +3861,7 @@ def sim_ann_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     path, model, codebooks = _ivfpq_index(spark, sf_dir, n_centroids=8)
-    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+    q = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 1000)).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
     probe = ann_join_pq_persisted(

@@ -524,8 +524,6 @@ def pq_ladder(mults: list[int]) -> None:
         print(f"| {mult}x | {b8:.2f} s | {bpq:.2f} s | {w8:.2f} s | {wpq:.2f} s |")
 
 
-if __name__ == "__main__":
-    main()
 
 
 def chain_ladder(mults: list[int]) -> None:
@@ -563,3 +561,7 @@ def chain_ladder(mults: list[int]) -> None:
             flush=True,
         )
     spark.stop()
+
+
+if __name__ == "__main__":
+    main()
