@@ -154,6 +154,7 @@ HEADLINE = [
     "multimodal_flac_roundtrip",
     "multimodal_video_real_frames",
     "multimodal_gif_roundtrip",
+    "multimodal_image_resize",
     "pipeline_corpus_prep_v7",
     # round-7: one representative per previously-unrepresented registry
     # category, so every category's scale story has a tracked number

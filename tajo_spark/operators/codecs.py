@@ -585,11 +585,18 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     16/32-bit are signed little-endian; channels downmix by integer
     mean.  Returns int32 so downstream int64 energy math never
     overflows."""
-    with wave.open(io.BytesIO(payload), "rb") as wf:
-        sr = wf.getframerate()
-        nch = wf.getnchannels()
-        width = wf.getsampwidth()
-        frames = wf.readframes(wf.getnframes())
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            sr = wf.getframerate()
+            nch = wf.getnchannels()
+            width = wf.getsampwidth()
+            frames = wf.readframes(wf.getnframes())
+    except RuntimeError as exc:
+        # stdlib wave raises a BARE RuntimeError when a chunk size
+        # field seeks past EOF (wave.py Chunk.skip) — at this one
+        # boundary RuntimeError IS malformed input, not a codec bug,
+        # so convert narrowly here rather than in malformed_guard
+        raise ValueError("malformed WAV: chunk size past EOF") from exc
     if width == 1:
         s = np.frombuffer(frames, dtype=np.uint8).astype(np.int32) - 128
     elif width == 2:
@@ -607,8 +614,13 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
 def wav_header(payload: bytes) -> tuple[int, int]:
     """(sample_rate, n_samples) from the container alone — no frame
     read, O(header) per clip (what audio_metadata wants)."""
-    with wave.open(io.BytesIO(payload), "rb") as wf:
-        return wf.getframerate(), wf.getnframes()
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            return wf.getframerate(), wf.getnframes()
+    except RuntimeError as exc:
+        # see decode_wav: stdlib wave's chunk skip raises a bare
+        # RuntimeError on a size field pointing past EOF
+        raise ValueError("malformed WAV: chunk size past EOF") from exc
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:

@@ -1805,6 +1805,115 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "multimodal_image_resize",
+    "curation",
+    doc="REAL resize stage end-to-end (operators/multimodal.py::"
+    "resize_image fake=False): each doc synthesizes a deterministic "
+    "gradient PNG (dims from doc_id), the production Arrow "
+    "mapInPandas stage decodes it, block-mean downsamples to "
+    "max_side=8 (codecs.block_mean_resize — exact integer area "
+    "average), re-encodes PNG, and a second decode stage checksums "
+    "the resized pixels. The oracle replays the whole arithmetic in "
+    "pure SQL — scale/floor dim rule, floor-boundary block "
+    "partition, per-block integer mean — via a number-table join, so "
+    "the driver hash-checks 200 geometries of the real "
+    "decode→resize→encode→decode path. Bounded work at every sf "
+    "(doc_id < 200); payloads never transit a shuffle.",
+    oracle="""
+        WITH nums AS (SELECT r.range AS n FROM range(0, 64) r),
+        dims AS (
+            SELECT doc_id,
+                   16 + doc_id % 32 AS w,
+                   16 + (doc_id * 7) % 24 AS h,
+                   GREATEST(1, CAST(FLOOR((16 + doc_id % 32)
+                       * LEAST(1.0, 8.0 / GREATEST(16 + doc_id % 32,
+                                  16 + (doc_id * 7) % 24))) AS INT)) AS rw,
+                   GREATEST(1, CAST(FLOOR((16 + (doc_id * 7) % 24)
+                       * LEAST(1.0, 8.0 / GREATEST(16 + doc_id % 32,
+                                  16 + (doc_id * 7) % 24))) AS INT)) AS rh
+            FROM documents WHERE doc_id < 200),
+        blocks AS (
+            SELECT d.doc_id, d.rw, d.rh, i.n AS i, j.n AS j,
+                   (i.n * d.h) // d.rh AS y0,
+                   ((i.n + 1) * d.h) // d.rh AS y1,
+                   (j.n * d.w) // d.rw AS x0,
+                   ((j.n + 1) * d.w) // d.rw AS x1
+            FROM dims d
+            JOIN nums i ON i.n < d.rh
+            JOIN nums j ON j.n < d.rw),
+        px AS (
+            SELECT b.doc_id, b.rw, b.rh, b.i, b.j,
+                   (b.y1 - b.y0) * (b.x1 - b.x0) AS area,
+                   (y.n * 5 + x.n * 3 + b.doc_id) % 256 AS v
+            FROM blocks b
+            JOIN nums y ON y.n >= b.y0 AND y.n < b.y1
+            JOIN nums x ON x.n >= b.x0 AND x.n < b.x1),
+        m AS (
+            SELECT doc_id, rw, rh, i, j, sum(v) // max(area) AS mean
+            FROM px GROUP BY doc_id, rw, rh, i, j)
+        SELECT doc_id,
+               CAST(max(rw) AS INT) AS width,
+               CAST(max(rh) AS INT) AS height,
+               CAST(sum(mean) AS BIGINT) AS px_sum
+        FROM m GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tajo_spark.operators.multimodal import resize_image
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from tajo_spark.operators.codecs import encode_png
+
+        for b in batches:
+            rows = []
+            for did in b["doc_id"]:
+                did = int(did)
+                w = 16 + did % 32
+                h = 16 + (did * 7) % 24
+                yy, xx = np.mgrid[0:h, 0:w]
+                g = ((yy * 5 + xx * 3 + did) % 256).astype(np.uint8)
+                rows.append((did, bytearray(encode_png(g))))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    binary = docs.mapInPandas(gen, "doc_id LONG, content BINARY")
+    resized = resize_image(binary, max_side=8, fake=False)
+
+    def sums(batches):
+        import numpy as np
+        import pandas as pd
+
+        from tajo_spark.operators.codecs import decode_png
+
+        for b in batches:
+            rows = []
+            for did, w, h, payload in zip(
+                b["doc_id"], b["width"], b["height"], b["resized"]
+            ):
+                px = decode_png(bytes(payload))
+                rows.append(
+                    (int(did), int(w), int(h),
+                     int(px.sum(dtype=np.int64)))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "px_sum"]
+            )
+
+    out = resized.mapInPandas(
+        sums, "doc_id LONG, width INT, height INT, px_sum LONG"
+    )
+    return out.orderBy("doc_id")
+
+
 def _pagerank_oracle_iter(i: int) -> str:
     """One unrolled PageRank iteration of the graph_pagerank oracle."""
     return f"""

@@ -525,6 +525,26 @@ def test_malformed_guard_lets_codec_bugs_surface():
         buggy(b"")
 
 
+def test_wav_chunk_size_past_eof_is_malformed_not_runtimeerror():
+    """r08 struct-fuzz find: stdlib wave raises a BARE RuntimeError
+    when a chunk size field seeks past EOF (wave.py Chunk.skip).  At
+    the stdlib-parse boundary that IS malformed input — decode_wav /
+    wav_header convert it narrowly there (the generic guard still
+    lets our own RuntimeErrors surface, see the test above)."""
+    from tajo_spark.operators.codecs import (
+        decode_wav,
+        encode_wav,
+        wav_header,
+    )
+
+    enc = encode_wav(np.arange(100, dtype=np.int16), 8000)
+    # blow out the fmt-chunk size field so the parser seeks past EOF
+    mut = enc[:38] + b"\xff\xff\xff\xff" + enc[42:]
+    for fn in (decode_wav, wav_header):
+        with pytest.raises(ValueError, match="malformed WAV"):
+            fn(mut)
+
+
 def test_avi_deep_list_nesting_is_input_bounded_not_recursion():
     """parse_avi walks LISTs with an explicit stack: a pathologically
     deep LIST chain must fail as malformed AVI (no avih), never as
