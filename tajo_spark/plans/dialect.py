@@ -1522,6 +1522,10 @@ def name_unaliased_text_literals(sql: str) -> str:
         c = masked[i]
         if c == "'":
             m = _SQSTRING_RE.match(sql, i)
+            if m is None:  # defensive: translate() pre-checks this
+                raise ValueError(
+                    f"unterminated string literal at offset {i}"
+                )
             end = m.end()
             ok = in_sel.get(depth) and last.get(depth) in (",", "SELECT")
             out.append(m.group(0))
@@ -1923,12 +1927,38 @@ def shared_expression_rewrites(s: str) -> str:
     return s
 
 
+def _check_strings_terminated(sql: str) -> None:
+    """Reject an unterminated string literal up front (r08 fuzz find:
+    every rewrite below assumes _SQSTRING_RE can close any literal it
+    opens, and a dangling quote crashed name_unaliased_text_literals).
+    Quotes inside -- and /* */ comments don't count."""
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            m = _SQSTRING_RE.match(sql, i)
+            if m is None:
+                raise ValueError(
+                    f"unterminated string literal at offset {i}"
+                )
+            i = m.end()
+        elif c == "-" and sql.startswith("--", i):
+            j = sql.find("\n", i)
+            i = n if j < 0 else j + 1
+        elif c == "/" and sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+        else:
+            i += 1
+
+
 def translate(sql: str) -> str:
     """Full statement rewrite (session statements excluded — those are
     routed by ``parse_session_statement`` first)."""
     # a prior translate whose caller never executed may have left a
     # stale CTAS domain-check entry; this statement owns the channel
     _PENDING_CTAS_CHECK.clear()
+    _check_strings_terminated(sql)
     s = sql.strip().rstrip(";")
     s = translate_quoted_identifiers(s)
     # named windows are inlined FIRST so every OVER carries a full spec

@@ -78,24 +78,47 @@ def _write_str(out: io.BytesIO, s: str) -> None:
 
 
 class _Decoder:
+    """Bounds-checked binary reader: every primitive raises ValueError
+    on truncation or an implausible length instead of letting a raw
+    IndexError/struct.error escape a scan task (r08 fuzz sweep,
+    tools/fuzz_avro.py — mutated varint length fields are the easiest
+    thing to blow out in this format)."""
+
     __slots__ = ("buf", "pos")
 
     def __init__(self, buf: bytes, pos: int = 0) -> None:
         self.buf = buf
         self.pos = pos
 
+    def read_byte(self) -> int:
+        if self.pos >= len(self.buf):
+            raise ValueError("truncated Avro data")
+        b = self.buf[self.pos]
+        self.pos += 1
+        return b
+
     def read_long(self) -> int:
         n = shift = 0
+        buf, pos, end = self.buf, self.pos, len(self.buf)
         while True:
-            b = self.buf[self.pos]
-            self.pos += 1
+            if pos >= end:
+                raise ValueError("truncated Avro varint")
+            b = buf[pos]
+            pos += 1
             n |= (b & 0x7F) << shift
             if not b & 0x80:
+                self.pos = pos
                 return _unzigzag(n)
             shift += 7
+            if shift > 63:  # a zigzag long is at most 10 bytes
+                raise ValueError("Avro varint longer than 64 bits")
 
     def read_bytes(self) -> bytes:
         ln = self.read_long()
+        if ln < 0 or self.pos + ln > len(self.buf):
+            raise ValueError(
+                f"Avro bytes length {ln} exceeds remaining input"
+            )
         out = self.buf[self.pos : self.pos + ln]
         self.pos += ln
         return bytes(out)
@@ -104,6 +127,10 @@ class _Decoder:
         return self.read_bytes().decode("utf-8")
 
     def read_fixed(self, n: int) -> bytes:
+        if n < 0 or self.pos + n > len(self.buf):
+            raise ValueError(
+                f"Avro fixed length {n} exceeds remaining input"
+            )
         out = self.buf[self.pos : self.pos + n]
         self.pos += n
         return bytes(out)
@@ -224,23 +251,29 @@ def spark_to_avro_schema(schema: T.StructType, name: str = "topLevelRecord"):
 # ---------------------------------------------------------------------------
 
 
+def _check_count(count: int, dec: _Decoder) -> None:
+    """Bound a decoded repeat count by the bytes that remain: items
+    consume ≥0 bytes each, so a count wildly past the remaining input
+    is corrupt (a fuzzed 2^50 count must not become a 2^50 loop).  The
+    slack admits legitimate zero-byte items (null arrays) in sane
+    numbers."""
+    if count > len(dec.buf) - dec.pos + 65536:
+        raise ValueError(f"implausible Avro repeat count {count}")
+
+
 def _decode_value(schema, dec: _Decoder):
     if isinstance(schema, str):
         if schema == "null":
             return None
         if schema == "boolean":
-            b = dec.buf[dec.pos]
-            dec.pos += 1
-            return b == 1
+            return dec.read_byte() == 1
         if schema in ("int", "long"):
             return dec.read_long()
         if schema == "float":
-            v = struct.unpack_from("<f", dec.buf, dec.pos)[0]
-            dec.pos += 4
+            v = struct.unpack("<f", dec.read_fixed(4))[0]
             return v
         if schema == "double":
-            v = struct.unpack_from("<d", dec.buf, dec.pos)[0]
-            dec.pos += 8
+            v = struct.unpack("<d", dec.read_fixed(8))[0]
             return v
         if schema == "bytes":
             return dec.read_bytes()
@@ -248,8 +281,10 @@ def _decode_value(schema, dec: _Decoder):
             return dec.read_str()
         raise NotImplementedError(schema)
     if isinstance(schema, list):  # union: branch index then value
-        branch = schema[dec.read_long()]
-        return _decode_value(branch, dec)
+        bi = dec.read_long()
+        if not 0 <= bi < len(schema):
+            raise ValueError(f"Avro union branch {bi} out of range")
+        return _decode_value(schema[bi], dec)
     t = schema["type"]
     logical = schema.get("logicalType")
     if logical == "date":
@@ -274,7 +309,11 @@ def _decode_value(schema, dec: _Decoder):
         # for nested records; the top level is unpacked by the caller
         return {f["name"]: _decode_value(f["type"], dec) for f in schema["fields"]}
     if t == "enum":
-        return schema["symbols"][dec.read_long()]
+        si = dec.read_long()
+        syms = schema["symbols"]
+        if not 0 <= si < len(syms):
+            raise ValueError(f"Avro enum index {si} out of range")
+        return syms[si]
     if t == "fixed":
         return dec.read_fixed(schema["size"])
     if t == "array":
@@ -286,6 +325,7 @@ def _decode_value(schema, dec: _Decoder):
             if count < 0:
                 count = -count
                 dec.read_long()  # block byte size, unused
+            _check_count(count, dec)
             for _ in range(count):
                 out.append(_decode_value(schema["items"], dec))
     if t == "map":
@@ -297,6 +337,7 @@ def _decode_value(schema, dec: _Decoder):
             if count < 0:
                 count = -count
                 dec.read_long()
+            _check_count(count, dec)
             for _ in range(count):
                 # bind the key BEFORE decoding the value: Python
                 # evaluates the assignment RHS first, which would consume
@@ -417,33 +458,102 @@ def parse_header(buf: bytes):
         if count < 0:
             count = -count
             dec.read_long()
+        _check_count(count, dec)
         for _ in range(count):
             k = dec.read_str()
             meta[k] = dec.read_bytes()
     sync = dec.read_fixed(SYNC_SIZE)
+    if "avro.schema" not in meta:
+        raise ValueError("Avro header missing avro.schema metadata")
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    _validate_schema(schema)
     codec = meta.get("avro.codec", b"null").decode("utf-8")
     return schema, codec, sync, dec.pos
+
+
+_PRIMITIVES = frozenset(
+    ("null", "boolean", "int", "long", "float", "double", "bytes",
+     "string")
+)
+
+
+def _validate_schema(schema, depth: int = 0) -> None:
+    """Structural check of a parsed Avro schema so _decode_value can
+    trust its shape: malformed schemas (fuzzed headers) raise
+    ValueError here instead of KeyError/IndexError mid-decode;
+    valid-but-unsupported constructs keep NotImplementedError."""
+    if depth > 64:
+        raise ValueError("Avro schema nesting too deep")
+    if isinstance(schema, str):
+        if schema not in _PRIMITIVES:
+            raise NotImplementedError(
+                f"unsupported/named Avro type reference {schema!r}"
+            )
+        return
+    if isinstance(schema, list):
+        for branch in schema:
+            _validate_schema(branch, depth + 1)
+        return
+    if not isinstance(schema, dict):
+        raise ValueError(f"malformed Avro schema node: {type(schema)}")
+    if "type" not in schema:
+        raise ValueError("Avro schema node missing 'type'")
+    t = schema["type"]
+    if t == "record":
+        fields = schema.get("fields")
+        if not isinstance(fields, list):
+            raise ValueError("Avro record schema missing 'fields' list")
+        for f in fields:
+            if not isinstance(f, dict) or "name" not in f \
+                    or "type" not in f:
+                raise ValueError("malformed Avro record field")
+            _validate_schema(f["type"], depth + 1)
+    elif t == "enum":
+        syms = schema.get("symbols")
+        if not isinstance(syms, list) or not syms:
+            raise ValueError("Avro enum schema missing 'symbols'")
+    elif t == "fixed":
+        if not isinstance(schema.get("size"), int) \
+                or schema["size"] < 0:
+            raise ValueError("Avro fixed schema missing valid 'size'")
+    elif t == "array":
+        if "items" not in schema:
+            raise ValueError("Avro array schema missing 'items'")
+        _validate_schema(schema["items"], depth + 1)
+    elif t == "map":
+        if "values" not in schema:
+            raise ValueError("Avro map schema missing 'values'")
+        _validate_schema(schema["values"], depth + 1)
+    else:
+        _validate_schema(t, depth + 1)
 
 
 def decode_container(buf: bytes):
     """Yield decoded row tuples from a full container file's bytes."""
     schema, codec, sync, pos = parse_header(buf)
-    if schema.get("type") != "record":
+    if not isinstance(schema, dict) or schema.get("type") != "record":
         raise NotImplementedError("top-level Avro schema must be a record")
     dec = _Decoder(buf, pos)
     n = len(buf)
     while dec.pos < n:
         rows = dec.read_long()
         size = dec.read_long()
+        if rows < 0:
+            raise ValueError(f"negative Avro block row count {rows}")
         block = dec.read_fixed(size)
         if codec == "deflate":
-            block = zlib.decompress(block, -15)
+            try:
+                block = zlib.decompress(block, -15)
+            except zlib.error as exc:
+                raise ValueError(
+                    f"corrupt Avro deflate block: {exc}"
+                ) from exc
         elif codec != "null":
             raise NotImplementedError(f"Avro codec {codec!r}")
         if dec.read_fixed(SYNC_SIZE) != sync:
             raise ValueError("sync marker mismatch (corrupt block)")
         bdec = _Decoder(block)
+        _check_count(rows, bdec)
         names = [f["name"] for f in schema["fields"]]
         for _ in range(rows):
             rec = _decode_value(schema, bdec)
@@ -722,14 +832,24 @@ def _decode_range(fs, fpath: str, start: int, end: int):
             data_start = win.base + dec.pos
             win.ensure(data_start + blen + SYNC_SIZE)
             dec = _Decoder(win.buf, data_start - win.base)
+            if n_rows < 0:
+                raise ValueError(
+                    f"negative Avro block row count {n_rows}"
+                )
             block = dec.read_fixed(blen)
             if codec == "deflate":
-                block = zlib.decompress(block, -15)
+                try:
+                    block = zlib.decompress(block, -15)
+                except zlib.error as exc:
+                    raise ValueError(
+                        f"corrupt Avro deflate block: {exc}"
+                    ) from exc
             elif codec != "null":
                 raise NotImplementedError(f"Avro codec {codec!r}")
             if dec.read_fixed(SYNC_SIZE) != sync:
                 raise ValueError("sync marker mismatch (corrupt block)")
             bdec = _Decoder(block)
+            _check_count(n_rows, bdec)
             for _ in range(n_rows):
                 rec = _decode_value(schema, bdec)
                 yield tuple(rec[n] for n in names)

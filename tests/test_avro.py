@@ -268,3 +268,47 @@ def test_encode_null_in_non_nullable_field_raises():
 
     with pytest.raises(ValueError, match="non-nullable"):
         avro_py._encode_value("double", None, _io.BytesIO())
+
+
+def test_malformed_container_contract():
+    """r08 fuzz sweep (tools/fuzz_avro.py): mutated/truncated container
+    bytes raise ValueError/NotImplementedError only — the bounds-checked
+    _Decoder primitives, schema validation, and repeat-count guards keep
+    raw IndexError/KeyError/struct.error/zlib.error from failing a scan
+    task undiagnosably."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    avs = avro_py.spark_to_avro_schema(schema)
+    enc = avro_py.encode_container(
+        [(i, f"n{i}") for i in range(50)], avs, codec="deflate"
+    )
+
+    def run(payload):
+        avro_py.parse_header(payload)
+        list(avro_py.decode_container(payload))
+
+    # the three classes the sweep caught live (plus truncation):
+    cases = [
+        enc[:18] + b"\xff\xff\xff\xff" + enc[22:],   # blown varint field
+        enc[:18] + b"\x00" + enc[19:],               # schema key corrupted
+        enc[:40],                                    # truncated header
+        enc[: len(enc) // 2],                        # truncated mid-block
+        enc[:100] + b"\x00" * 40 + enc[140:],        # zeroed span
+    ]
+    for i, payload in enumerate(cases):
+        try:
+            run(payload)
+        except (ValueError, NotImplementedError):
+            pass
+        # any other exception type propagates and fails the test
+
+    # huge repeat count must be rejected, not looped
+    with pytest.raises(ValueError, match="implausible|truncated|exceeds"):
+        dec = avro_py._Decoder(b"\x00" * 8)
+        avro_py._check_count(1 << 50, dec)

@@ -54,6 +54,19 @@ def test_partition_by_column_translation():
     assert "PARTITIONED BY (dt)" in out
 
 
+def test_unterminated_string_literal_is_valueerror():
+    """r08 dialect-fuzz find: a dangling quote crashed
+    name_unaliased_text_literals with AttributeError deep in the
+    rewrite chain.  translate() now rejects it up front; quotes inside
+    comments don't count."""
+    with pytest.raises(ValueError, match="unterminated string literal"):
+        dialect.translate("select 'oops from lineitem")
+    # apostrophes inside -- and /* */ comments are not literals
+    assert dialect.translate(
+        "select 1 -- don't trip\nfrom t /* it's fine */"
+    )
+
+
 def test_similar_to_translation():
     out = dialect.translate("SELECT * FROM t WHERE x SIMILAR TO 'ab%c_'")
     assert "RLIKE '^(?:ab.*c.)$'" in out
