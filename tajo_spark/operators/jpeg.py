@@ -173,9 +173,21 @@ _DCT_C = np.cos((2 * _n + 1) * _k * np.pi / 16) * np.where(
 del _k, _n
 
 
-def _build_decode_table(bits: list[int], vals: list[int]) -> dict:
-    """Canonical Huffman assignment (T.81 Annex C): {(length, code):
-    symbol}."""
+class _HuffTable:
+    """Canonical Huffman table with a 16-bit peek LUT: lut[v] packs
+    (symbol << 5) | code_length for the code that prefixes the 16-bit
+    window v (0 = no valid code) — one lookup decodes a symbol instead
+    of up to 16 bit-by-bit tree steps (r08 throughput pass)."""
+
+    __slots__ = ("map", "lut")
+
+    def __init__(self, table: dict, lut: list[int]):
+        self.map = table
+        self.lut = lut
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> _HuffTable:
+    """Canonical Huffman assignment (T.81 Annex C)."""
     table: dict[tuple[int, int], int] = {}
     code = 0
     vi = 0
@@ -187,14 +199,21 @@ def _build_decode_table(bits: list[int], vals: list[int]) -> dict:
             vi += 1
             code += 1
         code <<= 1
-    return table
+    lut = np.zeros(65536, dtype=np.int32)
+    for (length, cd), sym in table.items():
+        base = cd << (16 - length)
+        if base >= 65536:
+            raise ValueError("corrupt JPEG Huffman table (overfull)")
+        lut[base : base + (1 << (16 - length))] = (sym << 5) | length
+    return _HuffTable(table, lut.tolist())
 
 
 def _build_encode_table(bits: list[int], vals: list[int]) -> dict:
     """Inverse mapping for the encoder: {symbol: (code, length)}."""
     return {
         sym: (code, length)
-        for (length, code), sym in _build_decode_table(bits, vals).items()
+        for (length, code), sym in
+        _build_decode_table(bits, vals).map.items()
     }
 
 
@@ -251,14 +270,18 @@ class _BitReader:
         self.acc &= (1 << self.n) - 1
         return v
 
-    def decode(self, table: dict) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read(1)
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid JPEG Huffman code")
+    def decode(self, table: _HuffTable) -> int:
+        # valid streams always have a marker byte ahead (EOI at the
+        # least), so _fill's pad-with-1s branch lets the window reach
+        # 16 bits at scan end; only true truncation raises
+        while self.n < 16:
+            self._fill()
+        e = table.lut[(self.acc >> (self.n - 16)) & 0xFFFF]
+        if e == 0:
+            raise ValueError("invalid JPEG Huffman code")
+        self.n -= e & 31
+        self.acc &= (1 << self.n) - 1
+        return e >> 5
 
     def restart(self) -> None:
         """Byte-align, consume the RSTn marker, reset bit state."""
