@@ -804,29 +804,43 @@ def _quality_scale(qt: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((qt * s + 50) // 100, 1, 255).astype(np.int64)
 
 
-def _encode_block(
+def _plane_zigzag_coefs(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(H, W) padded float plane → (bh, bw, 64) zigzag-ordered
+    quantized coefficients: ALL blocks' FDCT in one einsum instead of
+    one 8x8 matmul per block (r08 throughput pass — the per-block
+    numpy dispatch was half the encoder's wall)."""
+    hh, ww = plane.shape
+    bh, bw_ = hh // 8, ww // 8
+    blocks = (plane - 128.0).reshape(bh, 8, bw_, 8).transpose(0, 2, 1, 3)
+    f = np.einsum("ij,nmjk,lk->nmil", _DCT_C, blocks, _DCT_C,
+                  optimize=True)
+    quant = np.rint(f.reshape(bh, bw_, 64) / q).astype(np.int64)
+    return quant[:, :, ZIGZAG]
+
+
+def _encode_block_zz(
     bw: _BitWriter,
-    block: np.ndarray,
-    q: np.ndarray,
+    zz: list[int],
     pred: int,
     dc_tab: dict,
     ac_tab: dict,
 ) -> int:
-    f = _DCT_C @ (block.astype(np.float64) - 128.0) @ _DCT_C.T
-    quant = np.rint(f.flatten() / q).astype(np.int64)
-    zz = quant[ZIGZAG]
-    # DC
-    diff = int(zz[0]) - pred
-    s = int(abs(diff)).bit_length()
+    # DC — symbol code and magnitude bits fused into ONE write
+    diff = zz[0] - pred
+    s = abs(diff).bit_length()
     code, ln = dc_tab[s]
-    bw.write(code, ln)
     if s:
-        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        bw.write((code << s) | (diff if diff > 0
+                                else diff + (1 << s) - 1), ln + s)
+    else:
+        bw.write(code, ln)
     # AC
+    last_nz = 63
+    while last_nz and zz[last_nz] == 0:
+        last_nz -= 1
     run = 0
-    last_nz = max(np.nonzero(zz[1:])[0], default=-1) + 1
     for k in range(1, last_nz + 1):
-        v = int(zz[k])
+        v = zz[k]
         if v == 0:
             run += 1
             continue
@@ -836,13 +850,13 @@ def _encode_block(
             run -= 16
         s = abs(v).bit_length()
         code, ln = ac_tab[(run << 4) | s]
-        bw.write(code, ln)
-        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        bw.write((code << s) | (v if v > 0 else v + (1 << s) - 1),
+                 ln + s)
         run = 0
     if last_nz < 63:
         code, ln = ac_tab[0x00]  # EOB
         bw.write(code, ln)
-    return int(zz[0])
+    return zz[0]
 
 
 def _pad_to(a: np.ndarray, rows: int, cols: int) -> np.ndarray:
@@ -931,6 +945,10 @@ def encode_jpeg(
     ] * (nch - 1)
     qts = [q_luma] + [q_chroma] * (nch - 1)
 
+    # batched front end: every block's quantized zigzag row up front
+    zz_planes = [
+        _plane_zigzag_coefs(prepped[ci], qts[ci]) for ci in range(nch)
+    ]
     bw = _BitWriter()
     pred = [0] * nch
     rst = 0
@@ -945,12 +963,10 @@ def encode_jpeg(
             hs, vs = hv[ci]
             for by in range(vs):
                 for bx in range(hs):
-                    y0 = (my * vs + by) * 8
-                    x0 = (mx * hs + bx) * 8
-                    pred[ci] = _encode_block(
+                    pred[ci] = _encode_block_zz(
                         bw,
-                        prepped[ci][y0 : y0 + 8, x0 : x0 + 8],
-                        qts[ci],
+                        zz_planes[ci][my * vs + by,
+                                      mx * hs + bx].tolist(),
                         pred[ci],
                         dc_enc[ci],
                         ac_enc[ci],
@@ -1264,21 +1280,10 @@ def encode_jpeg_progressive(
     for ci in range(nch):
         p = prepped[ci]
         bh_, bw_ = p.shape[0] // 8, p.shape[1] // 8
-        quant = np.zeros((bh_, bw_, 64), dtype=np.int64)
-        # per-block FDCT in the baseline encoder's exact expression
-        # order (see the IDCT note in _decode_progressive): identical
-        # quantized coefficients => identical decoded pixels
-        for by in range(bh_):
-            for bx in range(bw_):
-                f = (
-                    _DCT_C
-                    @ (p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0)
-                    @ _DCT_C.T
-                )
-                quant[by, bx] = np.rint(f.flatten() / qts[ci]).astype(
-                    np.int64
-                )
-        coefs[ci] = quant[:, :, ZIGZAG]  # raster -> zigzag order
+        # the SAME batched front end as the baseline encoder, so
+        # coefficient identity (=> identical decoded pixels) holds by
+        # construction rather than by matching expression order
+        coefs[ci] = _plane_zigzag_coefs(p, qts[ci])
         ch_ = -(-(h * hv[ci][1]) // vmax)
         cw_ = -(-(w * hv[ci][0]) // hmax)
         bdims[ci] = (-(-ch_ // 8), -(-cw_ // 8))

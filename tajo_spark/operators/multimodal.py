@@ -21,8 +21,10 @@ column pruning) is identical on both paths.
 
 Scale notes:
   * ``mapInPandas`` streams Arrow record batches — peak memory is one
-    batch (spark.sql.execution.arrow.maxRecordsPerBatch), not one
-    partition.
+    batch, bounded in BYTES, not just rows (Spark 4.x defaults:
+    arrow.maxBytesPerBatch 64 MB AND maxRecordsPerBatch 10k,
+    whichever trips first — so megabyte-scale media payloads cannot
+    inflate a 10k-row batch into gigabytes), not one partition.
   * Binary payloads are pruned unless referenced: metadata-only
     queries never deserialize media bytes (parquet column pruning).
   * Feature extraction emits fixed-width vectors → downstream joins/
