@@ -249,6 +249,9 @@ def decode_gif(payload: bytes, frame: int = 0) -> np.ndarray:
 # encode (test/fixture helper — real LZW output)
 
 
+_BYTE1 = [bytes([i]) for i in range(256)]
+
+
 def _lzw_encode(idx: np.ndarray, min_code: int) -> bytes:
     clear = 1 << min_code
     eoi = clear + 1
@@ -273,8 +276,9 @@ def _lzw_encode(idx: np.ndarray, min_code: int) -> bytes:
     next_code = eoi + 1
     emit(clear)
     cur = b""
-    for px in idx:
-        nxt = cur + bytes([int(px)])
+    one = _BYTE1  # single-byte cache; iterating .tobytes() yields ints
+    for px in idx.tobytes():
+        nxt = cur + one[px]
         if nxt in table:
             cur = nxt
             continue
@@ -288,7 +292,7 @@ def _lzw_encode(idx: np.ndarray, min_code: int) -> bytes:
             table = {bytes([i]): i for i in range(clear)}
             next_code = eoi + 1
             width = min_code + 1
-        cur = bytes([int(px)])
+        cur = one[px]
     if cur:
         emit(table[cur])
     emit(eoi)

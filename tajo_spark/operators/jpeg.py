@@ -174,16 +174,20 @@ del _k, _n
 
 
 class _HuffTable:
-    """Canonical Huffman table with a 16-bit peek LUT: lut[v] packs
-    (symbol << 5) | code_length for the code that prefixes the 16-bit
-    window v (0 = no valid code) — one lookup decodes a symbol instead
-    of up to 16 bit-by-bit tree steps (r08 throughput pass)."""
+    """Canonical Huffman table with a 9-bit first-level peek LUT:
+    lut9[v] packs (symbol << 5) | code_length for the code prefixing
+    the 9-bit window v (0 = longer than 9 bits or invalid; fall back
+    to the canonical map).  One list lookup decodes the vast majority
+    of symbols instead of up to 16 bit-by-bit tree steps, while the
+    512-entry build stays cheap enough for per-scan tables on tiny
+    images (a 2^16 LUT's build cost dominated small-image decode —
+    caught by the bench, not the single-big-image microbench)."""
 
-    __slots__ = ("map", "lut")
+    __slots__ = ("map", "lut9")
 
-    def __init__(self, table: dict, lut: list[int]):
+    def __init__(self, table: dict, lut9: list[int]):
         self.map = table
-        self.lut = lut
+        self.lut9 = lut9
 
 
 def _build_decode_table(bits: list[int], vals: list[int]) -> _HuffTable:
@@ -199,13 +203,16 @@ def _build_decode_table(bits: list[int], vals: list[int]) -> _HuffTable:
             vi += 1
             code += 1
         code <<= 1
-    lut = np.zeros(65536, dtype=np.int32)
+    lut9 = [0] * 512
     for (length, cd), sym in table.items():
-        base = cd << (16 - length)
-        if base >= 65536:
+        if cd >= (1 << length):
             raise ValueError("corrupt JPEG Huffman table (overfull)")
-        lut[base : base + (1 << (16 - length))] = (sym << 5) | length
-    return _HuffTable(table, lut.tolist())
+        if length <= 9:
+            base = cd << (9 - length)
+            entry = (sym << 5) | length
+            for i in range(base, base + (1 << (9 - length))):
+                lut9[i] = entry
+    return _HuffTable(table, lut9)
 
 
 def _build_encode_table(bits: list[int], vals: list[int]) -> dict:
@@ -276,12 +283,20 @@ class _BitReader:
         # 16 bits at scan end; only true truncation raises
         while self.n < 16:
             self._fill()
-        e = table.lut[(self.acc >> (self.n - 16)) & 0xFFFF]
-        if e == 0:
-            raise ValueError("invalid JPEG Huffman code")
-        self.n -= e & 31
-        self.acc &= (1 << self.n) - 1
-        return e >> 5
+        win = (self.acc >> (self.n - 16)) & 0xFFFF
+        e = table.lut9[win >> 7]
+        if e:
+            self.n -= e & 31
+            self.acc &= (1 << self.n) - 1
+            return e >> 5
+        m = table.map
+        for length in range(10, 17):
+            sym = m.get((length, win >> (16 - length)))
+            if sym is not None:
+                self.n -= length
+                self.acc &= (1 << self.n) - 1
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
 
     def restart(self) -> None:
         """Byte-align, consume the RSTn marker, reset bit state."""
