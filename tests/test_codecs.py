@@ -623,3 +623,53 @@ def test_pil_backend_identity_on_lossless_formats():
             assert np.abs(pil.astype(int) - pure.astype(int)).max() <= 1
         else:
             assert np.array_equal(pil, pure), kind
+
+
+def test_codec_shape_edges_roundtrip():
+    """Standing subset of tools/fuzz_codecs.py phase 1 (r08): the
+    shape edges where encoders historically crashed or went lossy —
+    FLAC tiny final frames (r07 advice crash class) and non-dividing
+    blocksizes, Adam7/16-bit PNG below the pass strides, interlaced
+    multi-frame GIF, sub-block and MCU-straddling JPEG. The heavy grid
+    runs offline; this pins the classes."""
+    import numpy as np
+
+    from tajo_spark.operators.flac import decode_flac, encode_flac
+    from tajo_spark.operators.gif import decode_gif, encode_gif
+    from tajo_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    # FLAC: length straddles frame boundary with distinct tail values
+    for n, bs in [(3, 16), (17, 16), (4098, 4096), (3001, 1000)]:
+        sig = np.clip(3000 * np.sin(np.arange(n) / 7.0), -32768,
+                      32767).astype(np.int64)
+        if n >= 2:
+            sig[-1], sig[-2] = 31000, -31000
+        sr, out = decode_flac(encode_flac(sig, 8000, blocksize=bs))
+        assert out.reshape(-1).tolist() == sig.tolist(), (n, bs)
+    # stereo mid/side with tiny final frame
+    st = np.stack([sig, -sig // 3], axis=1)
+    sr, out = decode_flac(encode_flac(st, 8000, blocksize=1000))
+    assert out.astype(np.int64).tolist() == st.tolist()
+
+    # PNG: 16-bit + Adam7 below the 8px pass strides, every filter
+    g16 = ((np.add.outer(np.arange(3) * 7, np.arange(5) * 11) * 997)
+           % 65536).astype(np.uint16)
+    for ft in range(5):
+        enc = encode_png(g16, filter_type=ft, interlaced=True, depth=16)
+        out = decode_png(enc)
+        assert np.array_equal(out[:, :, 0], (g16 >> 8).astype(np.uint8))
+
+    # GIF: interlaced multi-frame below the interlace strides
+    frames = [((np.add.outer(np.arange(3), np.arange(4)) * 31 + i * 17)
+               % 256).astype(np.uint8) for i in range(3)]
+    enc = encode_gif(frames, interlaced=True)
+    for i, fr in enumerate(frames):
+        assert np.array_equal(decode_gif(enc, frame=i)[:, :, 0], fr)
+
+    # JPEG: sub-block and MCU-straddling dims survive encode+decode
+    for h, w in [(1, 1), (7, 7), (9, 9), (15, 17)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        g = ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+        rgb = np.stack([g, 255 - g, g // 2], axis=2)
+        assert decode_jpeg(encode_jpeg(rgb, subsample=True)).shape[:2] \
+            == (h, w)
