@@ -620,11 +620,12 @@ def _planes_to_image(
 # approximation, implemented from the public spec's flowcharts)
 
 
-def _refine_nonzero(reader: _BitReader, cf: np.ndarray, k: int, al: int):
+def _refine_nonzero(reader: _BitReader, cf: list, k: int, al: int):
     """Correction bit for a history-nonzero coefficient (G.1.2.3):
-    a 1-bit appends bit ``al`` to the magnitude, keeping the sign."""
+    a 1-bit appends bit ``al`` to the magnitude, keeping the sign.
+    ``cf`` is the block's plain-int row (see the AC scan driver)."""
     p1 = 1 << al
-    if reader.read(1) and (abs(int(cf[k])) & p1) == 0:
+    if reader.read(1) and (abs(cf[k]) & p1) == 0:
         cf[k] += p1 if cf[k] > 0 else -p1
 
 
@@ -777,14 +778,21 @@ def _decode_progressive(
             bh_, bw_ = bdims[c["id"]]
             eobrun = 0
             fn = _ac_first if ah == 0 else _ac_refine
+            # run the whole scan over plain-int rows: per-coefficient
+            # numpy scalar access dominated refinement scans (~200us
+            # per block); one bulk tolist/write-back per scan instead.
+            # NB: the coefs plane is MCU-padded — the scan visits only
+            # the bdims sub-rectangle, so slice it explicitly
+            sub = coefs[c["id"]][:bh_, :bw_]
+            rows = sub.reshape(-1, 64).tolist()
             for iu in range(bh_ * bw_):
                 if ri and iu and iu % ri == 0:
                     reader.restart()
                     eobrun = 0
-                by, bx = divmod(iu, bw_)
-                eobrun = fn(
-                    reader, act, coefs[c["id"]][by, bx], ss, se, al, eobrun
-                )
+                eobrun = fn(reader, act, rows[iu], ss, se, al, eobrun)
+            coefs[c["id"]][:bh_, :bw_] = np.asarray(
+                rows, dtype=np.int64
+            ).reshape(bh_, bw_, 64)
 
     planes = {}
     for c in comps:

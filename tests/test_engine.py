@@ -54,6 +54,40 @@ def test_partition_by_column_translation():
     assert "PARTITIONED BY (dt)" in out
 
 
+def test_dialect_fuzz_contract_standing_gate():
+    """Standing subset of tools/fuzz_dialect.py (r08): mutated golden
+    SQL through the pure-Python pre-Spark stages must raise
+    ValueError/NotImplementedError only — never IndexError/KeyError/
+    AttributeError/TypeError, which would fail Engine.execute_sql
+    undiagnosably before Spark parses.  The 5k-case sweep runs
+    offline; this pins the contract at ~200 cases from a fixed seed."""
+    import glob
+    import random
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import fuzz_dialect
+
+    rng = random.Random(20260816)
+    files = sorted(
+        glob.glob(f"{fuzz_dialect.Q_ROOT}/**/*.sql", recursive=True)
+    )
+    rng.shuffle(files)
+    cases = 0
+    for src in files[:40]:
+        sql = open(src, encoding="utf-8", errors="replace").read()
+        for mut in fuzz_dialect.mutants(sql, rng, 5):
+            cases += 1
+            for _name, fn in fuzz_dialect.stages(mut):
+                try:
+                    fn()
+                except (ValueError, NotImplementedError):
+                    pass
+                # anything else propagates and fails the test
+    assert cases >= 150
+
+
 def test_unterminated_string_literal_is_valueerror():
     """r08 dialect-fuzz find: a dangling quote crashed
     name_unaliased_text_literals with AttributeError deep in the
