@@ -547,13 +547,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     vmax = max(c["v"] for c in scan)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    planes = {
-        c["id"]: np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]))
-        for c in scan
-    }
     pred = {c["id"]: 0 for c in scan}
     reader = _BitReader(payload, entropy_pos)
 
+    # entropy-decode every block's quantized coefficients into plain-int
+    # zigzag rows first; dequant + IDCT run batched afterwards (one
+    # einsum per component instead of an 8x8 matmul per block — the
+    # decode twin of the encoder's _plane_zigzag_coefs, r08 pass)
+    rows = {c["id"]: [] for c in scan}
+    pos = {c["id"]: [] for c in scan}
     for imcu in range(mcux * mcuy):
         if ri and imcu and imcu % ri == 0:
             reader.restart()
@@ -561,13 +563,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         my, mx = divmod(imcu, mcux)
         for c in scan:
             dct, act = dc_tables[c["dc"]], ac_tables[c["ac"]]
-            q = qt[c["tq"]]
             for by in range(c["v"]):
                 for bx in range(c["h"]):
-                    coef = np.zeros(64, dtype=np.float64)
+                    row = [0] * 64
                     s = reader.decode(dct)
                     pred[c["id"]] += _extend(reader.read(s), s)
-                    coef[0] = pred[c["id"]] * q[0]
+                    row[0] = pred[c["id"]]
                     k = 1
                     while k < 64:
                         rs = reader.decode(act)
@@ -582,13 +583,30 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                             raise ValueError(
                                 "corrupt JPEG: AC run past block end"
                             )
-                        zz = ZIGZAG[k]
-                        coef[zz] = _extend(reader.read(size), size) * q[zz]
+                        row[k] = _extend(reader.read(size), size)
                         k += 1
-                    block = _DCT_C.T @ coef.reshape(8, 8) @ _DCT_C
-                    y0 = (my * c["v"] + by) * 8
-                    x0 = (mx * c["h"] + bx) * 8
-                    planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
+                    rows[c["id"]].append(row)
+                    pos[c["id"]].append(
+                        ((my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8)
+                    )
+
+    planes = {}
+    for c in scan:
+        cid = c["id"]
+        ph, pw = mcuy * 8 * c["v"], mcux * 8 * c["h"]
+        plane = np.zeros((ph, pw))
+        if rows[cid]:
+            zz = np.asarray(rows[cid], dtype=np.float64)
+            nat = np.empty_like(zz)
+            nat[:, ZIGZAG] = zz  # zigzag-k order -> natural order
+            nat *= qt[c["tq"]]
+            blocks = np.einsum(
+                "ji,njk,kl->nil", _DCT_C,
+                nat.reshape(-1, 8, 8), _DCT_C, optimize=True,
+            )
+            for (y0, x0), blk in zip(pos[cid], blocks):
+                plane[y0 : y0 + 8, x0 : x0 + 8] = blk
+        planes[cid] = plane
 
     return _planes_to_image(planes, scan, hmax, vmax, w, h)
 
