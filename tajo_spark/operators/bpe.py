@@ -12,8 +12,14 @@ WORD-FREQUENCY DICTIONARY, not the raw corpus):
   two-phase groupBy for pair frequencies, a TakeOrdered(1) for the best
   pair (the ONLY driver-visible value per round — one (pair, freq)
   scalar, never data), then a pure-HOF fold rewrites each word's symbol
-  array with the merge applied. Lineage is truncated per round via
-  ``localCheckpoint`` exactly like connected components.
+  array with the merge applied. The fold is LAZY: rounds compose their
+  folds onto the checkpointed dictionary's plan, and lineage is only
+  truncated via ``localCheckpoint`` once ~32 folds have accumulated
+  (same expression-depth cap rationale as :func:`apply_bpe`'s
+  ``fold_chunk``). Short trainings — including the bench query's
+  8-merge demo — therefore pay exactly ONE Spark job per round (the
+  TakeOrdered), not two; wall time at demo vocab sizes is
+  scheduler-latency-bound, so halving the job count halves it.
 * The merge fold is left-to-right non-overlapping (the standard BPE
   greedy pass): after ``(a,a)→aa`` the new symbol never re-merges with
   the next ``a`` in the same round, because the fold compares the
@@ -125,11 +131,56 @@ def _select_batch(
     return batch
 
 
+def _merge_local(pieces: list[str], a: str, b: str) -> list[str]:
+    """Pure-Python twin of :func:`_merge_pair` (same left-to-right
+    non-overlapping fold, comparing against the ORIGINAL ``a``)."""
+    merged = a + b
+    out: list[str] = []
+    for x in pieces:
+        if out and out[-1] == a and x == b:
+            out[-1] = merged
+        else:
+            out.append(x)
+    return out
+
+
+def _train_local(
+    words: list[tuple[int, list[str]]], n_merges: int, batch_k: int
+) -> list[tuple[int, str, str, int]]:
+    """Driver-local twin of the distributed merge loop — SAME rounds,
+    SAME candidate truncation, SAME batched admission, so the merge
+    sequence is bit-identical to the distributed path by construction
+    (pinned in tests/test_bpe.py). Used only below the
+    ``local_dict_max_rows`` gate in :func:`train_bpe`.
+    """
+    import collections
+
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < n_merges:
+        k = min(batch_k, n_merges - len(merges))
+        pairs: collections.Counter = collections.Counter()
+        for cnt, pieces in words:
+            for i in range(len(pieces) - 1):
+                pairs[(pieces[i], pieces[i + 1])] += cnt
+        cands = sorted(
+            ((a, b, f) for (a, b), f in pairs.items() if f >= 2),
+            key=lambda t: (-t[2], t[0], t[1]),
+        )[: max(4 * k, 8)]
+        batch = _select_batch(cands, k)
+        if not batch:
+            break
+        for a, b, freq in batch:
+            merges.append((len(merges) + 1, a, b, freq))
+            words = [(cnt, _merge_local(p, a, b)) for cnt, p in words]
+    return merges
+
+
 def train_bpe(
     docs: DataFrame,
     n_merges: int = 8,
     text_col: str = "text",
     batch_k: int = 1,
+    local_dict_max_rows: int = 65536,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns
     ``[(rank, left, right, freq), ...]`` in merge order.
@@ -148,13 +199,35 @@ def train_bpe(
     but admits up to 64 merges, collapsing a 32k-vocab train to
     ~hundreds of rounds; the collect stays metadata-sized (top ~4k
     candidate rows, not data).
+
+    ``local_dict_max_rows`` gates a driver-local fast path, the same
+    adaptive move as broadcast-join gating: the word-frequency
+    DICTIONARY is the only relation the merge loop ever touches, so
+    when it fits comfortably in driver memory (~100 B/row → the
+    default 65536-row gate is ~6 MB, the same order as the broadcast
+    threshold) the loop runs locally in ONE extra Spark job (the
+    dictionary collect) instead of one TakeOrdered job per round. The
+    local loop is a bit-identical twin of the distributed one (same
+    candidate truncation, same batched admission — tests/test_bpe.py
+    pins the equivalence), and above the gate the distributed path is
+    unchanged: at 100 TB the dictionary is ~10⁸ rows and stays on the
+    cluster. Set to 0 to force the distributed path.
     """
     state = (
         word_freq(docs, text_col)
         .select("cnt", _initial_symbols().alias("pieces"))
         .localCheckpoint()
     )
+    if local_dict_max_rows > 0:
+        head = state.limit(local_dict_max_rows + 1).collect()
+        if len(head) <= local_dict_max_rows:
+            return _train_local(
+                [(int(r.cnt), list(r.pieces)) for r in head],
+                n_merges,
+                batch_k,
+            )
     merges: list[tuple[int, str, str, int]] = []
+    pending_folds = 0  # merge folds applied since the last truncation
     while len(merges) < n_merges:
         k = min(batch_k, n_merges - len(merges))
         top = (
@@ -177,7 +250,19 @@ def train_bpe(
         for a, b, freq in batch:
             merges.append((len(merges) + 1, a, b, freq))
             pieces = _merge_pair(pieces, a, b)
-        state = state.select("cnt", pieces.alias("pieces")).localCheckpoint()
+        state = state.select("cnt", pieces.alias("pieces"))
+        pending_folds += len(batch)
+        if pending_folds >= 32 and len(merges) < n_merges:
+            # Cap expression depth only when it has actually built up:
+            # every un-truncated round re-nests its folds into the next
+            # round's pair-count plan, and ~32 nested HOF folds is the
+            # comfortable codegen ceiling (apply_bpe chunks at 64). The
+            # checkpoint materializes only the Zipf-small dictionary,
+            # but at demo vocab sizes (n_merges=8 in the bench query)
+            # the job it launches is pure scheduler overhead — so short
+            # trainings never checkpoint past the initial dictionary.
+            state = state.localCheckpoint()
+            pending_folds = 0
     return merges
 
 

@@ -176,6 +176,35 @@ def test_bpe_batched_strict_stop_blocks_interacting_pairs(spark):
     assert got == want, (got, want)
 
 
+def test_bpe_local_fast_path_is_bit_identical_to_distributed(spark):
+    # the size-gated driver-local merge loop (local_dict_max_rows)
+    # must reproduce the distributed path's merge sequence EXACTLY —
+    # including candidate truncation, batched admission, and the
+    # documented boundary-tie behavior — for every batch_k
+    corpora = [TEXTS, ["azy " * 5 + "azw " * 2 + "cd " * 5]]
+    for texts in corpora:
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id INT, text STRING"
+        )
+        for k in (1, 2, 8):
+            local = train_bpe(docs, n_merges=6, batch_k=k)
+            dist = train_bpe(
+                docs, n_merges=6, batch_k=k, local_dict_max_rows=0
+            )
+            assert local == dist, (k, local, dist)
+
+
+def test_bpe_local_gate_overflows_to_distributed(spark):
+    # a dictionary bigger than the gate must take the distributed path
+    # and still produce the same merges (gate=1 forces overflow here)
+    docs = spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id INT, text STRING"
+    )
+    got = train_bpe(docs, n_merges=4, batch_k=2, local_dict_max_rows=1)
+    want = train_bpe(docs, n_merges=4, batch_k=2)
+    assert got == want
+
+
 def test_bpe_apply_chunked_folds_match_single_fold(spark):
     # expression-depth capping (localCheckpoint every fold_chunk
     # merges) must not change the encode result
