@@ -170,6 +170,36 @@ HEADLINE = [
 ]
 
 
+def _host_speed_probe(spark) -> float:
+    """Fixed-work probe measured in the SAME process as the queries:
+    four sequential tiny shuffle jobs — the scheduler-latency +
+    shuffle-overhead shape that a loaded bench host inflates most
+    (r08: text_bpe_train +170 % on the driver host vs +4 % overall).
+    Budgets in perf_budgets.json are calibrated against this probe's
+    reference time (`_probe_reference_sec`, measured on the builder
+    host); the breach check scales every budget by
+    clamp(probe/reference, 1.0, 3.0) so host load can neither
+    manufacture breaches (slow host → budgets stretch) nor mask real
+    regressions (factor never drops below 1; a >3× slowdown is a host
+    problem the raw timings expose anyway).
+    """
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _j in range(4):
+            (
+                spark.range(0, 1_000_000, 1, 32)
+                .selectExpr("id % 97 AS k")
+                .groupBy("k")
+                .count()
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -237,6 +267,10 @@ def main() -> None:
     # the measured SF untimed (which would pre-warm the page cache and
     # make timings incomparable across hosts)
 
+    # Calibrate the host-speed factor right before the measured passes
+    # (post-warmup, post-JIT — the same regime the queries run in).
+    probe_sec = _host_speed_probe(spark)
+
     # Two measured passes, report the per-query minimum: steady-state
     # throughput is the quantity comparable to the reference's
     # long-running-query regime (a query compiles/JITs once, then runs
@@ -270,6 +304,10 @@ def main() -> None:
         # min-of-two steady-state)
         "methodology": "min_of_2_passes_after_sf0.001_codegen_warmup",
         "measured_passes": 2,
+        # same-process host-speed probe (see _host_speed_probe): lets
+        # cross-host budget comparison separate engine regressions
+        # from bench-host load
+        "host_probe_sec": probe_sec,
     }
     # Full per-query map goes to a file; stdout gets a COMPACT final
     # line.  The driver records only a bounded tail of stdout, and the
@@ -281,13 +319,21 @@ def main() -> None:
     with open(os.path.join(here, "bench_results.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
     breaches = []
+    host_factor = 1.0
     try:
         with open(os.path.join(here, "perf_budgets.json")) as f:
             budgets = json.load(f)
+        probe_ref = budgets.get("_probe_reference_sec")
+        if isinstance(probe_ref, (int, float)) and probe_ref > 0:
+            host_factor = round(
+                min(3.0, max(1.0, probe_sec / probe_ref)), 3
+            )
         breaches = [
             name
             for name, limit in budgets.items()
-            if isinstance(limit, (int, float)) and timings.get(name, 0.0) > limit
+            if not name.startswith("_")
+            and isinstance(limit, (int, float))
+            and timings.get(name, 0.0) > limit * host_factor
         ]
     except Exception as exc:  # budget accounting must never fail the bench
         print(f"  budget check skipped: {exc}", file=sys.stderr)
@@ -301,6 +347,8 @@ def main() -> None:
                 "n_queries": len(timings),
                 "breaches": len(breaches),
                 "breach_names": breaches[:10],
+                "host_probe_sec": probe_sec,
+                "host_factor": host_factor,
                 "queries_file": "bench_results.json",
                 "methodology": full["methodology"],
             }

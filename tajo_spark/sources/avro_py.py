@@ -11,11 +11,14 @@ schema JSON + codec, sync-marker-delimited blocks of binary-encoded
 rows) in pure Python, executed distributed:
 
 * **read**: one driver-side header peek resolves the writer schema →
-  Spark schema; then ``binaryFile`` scan → Arrow ``mapInPandas``
-  decode, one task per file — the same per-fragment granularity as the
-  reference's scanner (Avro files split on sync markers; a production
-  extension would scan markers for sub-file splits, but fragment-per-
-  file matches AvroScanner's unit of work).
+  Spark schema. Small files go through a ``binaryFile`` scan → Arrow
+  ``mapInArrow`` decode (Spark packs many small files per task). Files
+  larger than the session's ``spark.sql.files.maxPartitionBytes`` are
+  AUTOMATICALLY split on their sync markers into byte-range fragments
+  (the Hadoop input-split contract: a task owns exactly the blocks
+  anchored in its range), so one multi-GB container file fans out
+  across executors — an upgrade over the reference's fragment-per-file
+  unit (AvroScanner.java:53).
 * **write**: every partition encodes its Arrow batches into ONE
   container file streamed through ``pyarrow.fs`` (so local, HDFS and
   S3 URIs all work executor-side), emitting a manifest row per file —
@@ -704,22 +707,73 @@ def _rows_to_batch(rows: list[tuple], spark_schema: T.StructType):
     )
 
 
-def read_avro(
-    spark: SparkSession, path: str, split_bytes: int | None = None
-) -> DataFrame:
-    """Distributed Avro scan (AvroScanner.java:53 parity).
+def _session_split_bytes(spark: SparkSession) -> int:
+    """The session's scan-split size (``spark.sql.files.maxPartitionBytes``,
+    default 128 MiB) so Avro fragments match parquet fragment granularity.
+    Accepts Spark's byte-suffix spellings (``134217728b``, ``128m``…)."""
+    raw = str(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    ).strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("pb", 1 << 50), ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20),
+        ("kb", 1 << 10), ("p", 1 << 50), ("t", 1 << 40), ("g", 1 << 30),
+        ("m", 1 << 20), ("k", 1 << 10), ("b", 1),
+    ):
+        if raw.endswith(suffix):
+            raw, mult = raw[: -len(suffix)], m
+            break
+    return int(raw) * mult
 
-    Default: binaryFile source + Arrow decode, one task per container
-    file — the reference scanner's fragment granularity. With
-    ``split_bytes`` set, large files split on SYNC MARKERS into
-    byte-range fragments (the Hadoop input-split shape): the driver
-    plans (file, start, end) ranges from file sizes only, and each task
-    seeks into its range, scans to the first block anchor it owns, and
-    decodes just those blocks — so one multi-GB container file fans out
-    across executors instead of serializing through one task.
+
+def _list_avro_files(path: str) -> list[tuple[str, int]]:
+    """[(path, size)] of the .avro files under ``path`` — metadata
+    listing only, no data reads."""
+    import pyarrow.fs as pafs
+
+    fs, p = _fs_for(path)
+    info = fs.get_file_info(p)
+    if info.type == pafs.FileType.Directory:
+        return sorted(
+            (f.path, f.size)
+            for f in fs.get_file_info(pafs.FileSelector(p, recursive=True))
+            if f.is_file and f.path.endswith(".avro")
+        )
+    return [(p, info.size)]
+
+
+def read_avro(
+    spark: SparkSession,
+    path: str,
+    split_bytes: int | str | None = "auto",
+) -> DataFrame:
+    """Distributed Avro scan (AvroScanner.java:53 parity, upgraded to
+    Hadoop-style input splits).
+
+    ``split_bytes="auto"`` (the default): if every file fits inside
+    the session's ``spark.sql.files.maxPartitionBytes``, read via the
+    binaryFile source + Arrow decode, one-or-more files per task —
+    Spark packs small files, and per-file decode is exactly the
+    reference scanner's fragment granularity. Any larger file is
+    instead split on SYNC MARKERS into byte-range fragments: the
+    driver plans (file, start, end) ranges from file sizes only, and
+    each task seeks into its range, scans to the first block anchor it
+    owns, and decodes just those blocks — so one multi-GB container
+    file fans out across executors instead of serializing through one
+    task. An int forces that split size; ``None`` forces
+    whole-file-per-task.
     """
     avro_schema = _peek_schema(path)
     spark_schema = _spark_schema_of(avro_schema)
+
+    files: list[tuple[str, int]] | None = None
+    if split_bytes == "auto":
+        limit = _session_split_bytes(spark)
+        files = _list_avro_files(path)
+        if not files or max(sz for _, sz in files) <= limit:
+            split_bytes = None  # small files: let binaryFile pack them
+        else:
+            split_bytes = limit
 
     if split_bytes is None:
         bf = (
@@ -738,20 +792,11 @@ def read_avro(
         return bf.mapInArrow(decode, schema=spark_schema)
 
     # --- split planning: metadata only, no data reads ----------------
-    import pyarrow.fs as pafs
-
-    fs, p = _fs_for(path)
-    info = fs.get_file_info(p)
-    if info.type == pafs.FileType.Directory:
-        files = [
-            (f.path, f.size)
-            for f in fs.get_file_info(pafs.FileSelector(p, recursive=True))
-            if f.is_file and f.path.endswith(".avro")
-        ]
-    else:
-        files = [(p, info.size)]
+    fs, _p = _fs_for(path)
+    if files is None:
+        files = _list_avro_files(path)
     splits = []
-    for fpath, size in sorted(files):
+    for fpath, size in files:
         start = 0
         while start < size:
             splits.append((fpath, start, min(start + split_bytes, size)))

@@ -158,6 +158,50 @@ def test_read_is_distributed_per_file(spark, tmp_path):
     assert back.agg(F.sum("x")).collect()[0][0] == sum(range(1000))
 
 
+def test_auto_split_engages_past_max_partition_bytes(spark, tmp_path):
+    # the DEFAULT read path must fan a file bigger than the session's
+    # spark.sql.files.maxPartitionBytes out across sync-marker splits
+    # automatically (no split_bytes argument), and leave smaller files
+    # on the whole-file binaryFile path
+    import glob
+    import os
+
+    df = spark.range(0, 20_000).coalesce(1).select(F.col("id").alias("x"))
+    path = str(tmp_path / "auto_split_avro")
+    avro_py.write_avro(df, path, codec="null")
+    fsize = os.path.getsize(glob.glob(path + "/*.avro")[0])
+    key = "spark.sql.files.maxPartitionBytes"
+    saved = spark.conf.get(key)
+    try:
+        spark.conf.set(key, str(max(fsize // 5, 1)))
+        back = avro_py.read_avro(spark, path)  # auto
+        assert back.rdd.getNumPartitions() >= 5
+        assert sorted(r.x for r in back.collect()) == list(range(20_000))
+        # a limit above the file size keeps whole-file granularity
+        spark.conf.set(key, str(fsize * 2))
+        whole = avro_py.read_avro(spark, path)
+        assert whole.count() == 20_000
+    finally:
+        spark.conf.set(key, saved)
+
+
+def test_session_split_bytes_parses_suffixes(spark):
+    key = "spark.sql.files.maxPartitionBytes"
+    saved = spark.conf.get(key)
+    try:
+        for raw, want in (
+            ("134217728b", 134217728),
+            ("128m", 128 << 20),
+            ("1g", 1 << 30),
+            ("64MB", 64 << 20),
+            ("4096", 4096),
+        ):
+            spark.conf.set(key, raw)
+            assert avro_py._session_split_bytes(spark) == want, raw
+    finally:
+        spark.conf.set(key, saved)
+
+
 def test_split_read_partitions_one_file(spark, tmp_path):
     # sync-marker byte-range splits (the Hadoop input-split shape): a
     # single container file read under a small split size must fan out
