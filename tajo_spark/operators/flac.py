@@ -24,6 +24,19 @@ Gated (``NotImplementedError``): nothing within FLAC itself; MP3 and
 video remain gated in operators/multimodal.py (a deployment carries
 ffmpeg in the same kernel seam).
 
+Accepted-stream envelope (ADVICE r08): the vectorized Rice decoder
+rejects any single unary quotient above 2^20 as ``corrupt FLAC:
+runaway unary code``. This is a deliberate DoS guard, not a spec
+limit — a spec-legal stream could in principle Rice-code an extreme
+residual at k=0 as millions of unary zero bits, but no real encoder
+emits one: a residual needing >2^20 unary bits costs 128 KiB to code
+ONE sample, where the escape mechanism (raw-verbatim partition) codes
+it in ≤32 bits, and partitions under any sane parameter choice keep
+quotients in single digits. 2^20 bounds decoder memory for the
+unary-index expansion at ~8 MiB per pathological partition while
+sitting ~6 orders of magnitude above anything a standards-following
+encoder produces.
+
 The encoder exists so tests need no binary fixtures: fixed 4096
 blocksize, per-block predictor choice (CONSTANT / FIXED 0-2 / LPC
 order 4 via Levinson-Durbin with 12-bit coefficient quantization —

@@ -43,6 +43,17 @@ PNG unfilter.
 
 Reference parity: apache/tajo has no media operators; this extends the
 multimodal surface the training-data brief requires.
+
+Malformed-input contract (ADVICE r08): the LUT-based entropy decoder
+keeps a 16-bit lookahead window, padding with 1-bits when it reaches a
+MARKER byte (so valid streams — which always terminate in at least an
+EOI marker — decode to the last coefficient). A stream truncated at
+hard EOF with no trailing marker raises ``truncated JPEG entropy
+data`` where the old bit-serial decoder could sometimes limp to the
+end of a symbol. Such streams are already malformed per T.81 (§B.2:
+an image ends with EOI), so the strictness change only moves WHERE on
+the acceptance boundary a broken file fails — corrupt in, error out,
+never wrong pixels.
 """
 
 from __future__ import annotations

@@ -827,13 +827,22 @@ def _translate_pg_codec(sql: str) -> str:
 # Single-quoted SQL string literal (with '' escapes) — segments the
 # statement so structural rewrites never touch string data.
 _SQSTRING_RE = re.compile(r"'(?:[^']|'')*'")
+# one-pass lexer alternation: a '...' literal OR a `...` quoted
+# identifier (`` escapes a backtick, as translate_quoted_identifiers
+# emits). Left-to-right matching means whichever opens first wins —
+# so a backtick inside a literal, or an apostrophe inside a quoted
+# identifier (SELECT "o'brien" → `o'brien`, ADVICE r08), never opens
+# a phantom span.
+_QUOTED_SPAN_RE = re.compile(r"'(?:[^']|'')*'|`(?:[^`]|``)*`")
 
 
 def _outside_strings(sql: str, fn) -> str:
     """Apply ``fn`` to every segment of ``sql`` that lies outside
-    single-quoted string literals (literals pass through verbatim)."""
+    single-quoted string literals and backtick-quoted identifiers
+    (both pass through verbatim — rewrites must touch neither literal
+    text nor identifier names)."""
     out, last = [], 0
-    for m in _SQSTRING_RE.finditer(sql):
+    for m in _QUOTED_SPAN_RE.finditer(sql):
         out.append(fn(sql[last : m.start()]))
         out.append(m.group(0))
         last = m.end()
@@ -1038,10 +1047,13 @@ _AS_ALIAS_RE = re.compile(
 
 
 def _mask_string_bodies(sql: str) -> str:
-    """Same length as ``sql`` with string-literal bodies blanked, so
-    keyword/identifier scans never match inside literals."""
-    return _SQSTRING_RE.sub(
-        lambda m: "'" + " " * (len(m.group(0)) - 2) + "'", sql
+    """Same length as ``sql`` with the bodies of string literals AND
+    backtick-quoted identifiers blanked, so keyword/identifier scans
+    never match inside either (a keyword or apostrophe inside
+    `o'brien`-style quoted identifiers must be invisible to scans)."""
+    return _QUOTED_SPAN_RE.sub(
+        lambda m: m.group(0)[0] + " " * (len(m.group(0)) - 2) + m.group(0)[-1],
+        sql,
     )
 
 
@@ -1931,11 +1943,24 @@ def _check_strings_terminated(sql: str) -> None:
     """Reject an unterminated string literal up front (r08 fuzz find:
     every rewrite below assumes _SQSTRING_RE can close any literal it
     opens, and a dangling quote crashed name_unaliased_text_literals).
-    Quotes inside -- and /* */ comments don't count."""
+    Quotes inside -- and /* */ comments and inside "..."-delimited
+    identifiers (SELECT "o'brien" is legal SQL — ADVICE r08) don't
+    count."""
     i, n = 0, len(sql)
     while i < n:
         c = sql[i]
-        if c == "'":
+        if c in '"`':
+            # quoted identifier ("" / `` escape a quote inside it)
+            j = i + 1
+            while j < n:
+                if sql[j] == c:
+                    if sql.startswith(c + c, j):
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = n if j >= n else j + 1
+        elif c == "'":
             m = _SQSTRING_RE.match(sql, i)
             if m is None:
                 raise ValueError(

@@ -101,6 +101,29 @@ def test_unterminated_string_literal_is_valueerror():
     )
 
 
+def test_apostrophe_inside_quoted_identifier_is_legal():
+    """ADVICE r08: SELECT "o'brien" FROM t is legal ANSI SQL — the
+    apostrophe lives inside a double-quoted identifier and must not
+    read as an unterminated string literal anywhere in the rewrite
+    chain (terminator check, string masking, literal naming)."""
+    assert (
+        dialect.translate("SELECT \"o'brien\" FROM t")
+        == "SELECT `o'brien` FROM t"
+    )
+    # doubled "" escape plus an apostrophe, as an alias
+    assert dialect.translate('SELECT 1 AS "a""b\'c"') == (
+        "SELECT 1 AS `a\"b'c`"
+    )
+    # keywords inside quoted identifiers are invisible to scans
+    assert (
+        dialect.translate('SELECT "from" FROM t') == "SELECT `from` FROM t"
+    )
+    # and backticks inside string literals never open identifier spans
+    assert dialect.translate(
+        "SELECT 'a `tick` inside' AS x, col FROM t"
+    ) == "SELECT 'a `tick` inside' AS x, col FROM t"
+
+
 def test_similar_to_translation():
     out = dialect.translate("SELECT * FROM t WHERE x SIMILAR TO 'ab%c_'")
     assert "RLIKE '^(?:ab.*c.)$'" in out
