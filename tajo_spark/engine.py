@@ -361,12 +361,67 @@ class Engine:
                     f"with declared {tgt_t}"
                 )
 
+    _INTEGRAL_TYPES = frozenset(("tinyint", "smallint", "int", "bigint"))
+
+    def _tajo_typed_division(self, sql: str) -> str:
+        """Tajo types ``/`` from the catalog (ExprAnnotator.java):
+        INTn / INTn is truncating integer division; Spark's ``/``
+        always yields DOUBLE. For each division in the TOP-LEVEL
+        select list, an analysis-only probe (append
+        ``struct(X, Y) AS marker``, LIMIT-0 style — no job) asks the
+        analyzer for the operands' types in the query's own scope; a
+        site whose BOTH operands are provably integral rewrites to
+        Spark's ``div`` (verified Java truncation-toward-zero
+        semantics: -7 div 2 = -3). Sites the probe cannot type —
+        subquery-scoped operands, set-operation branches, anything
+        unparseable — are left on ``/`` unchanged, so the rewrite can
+        only ever move a site TOWARD the reference's semantics
+        (goldens: TestInnerJoinQuery/testJoinCoReferredEvalsWithSame
+        Exprs1/2, previously known-divergence). Divisions outside the
+        top-level select list (WHERE, subqueries) keep Spark typing —
+        documented residual in tools/golden_results.py.
+        """
+        try:
+            sites, insert_at = dialect.top_level_division_sites(sql)
+        except Exception:
+            return sql
+        if not sites or insert_at < 0:
+            return sql
+        integral: list[tuple[int, int, int, int, int]] = []
+        for ls, le, slash, rs, re_ in sites:
+            x, y = sql[ls:le], sql[rs:re_]
+            for wrap in ("struct({x}, {y})", "struct(min({x}), min({y}))"):
+                probe = (
+                    sql[:insert_at]
+                    + ", "
+                    + wrap.format(x=x, y=y)
+                    + " AS __tajodiv_probe "
+                    + sql[insert_at:]
+                )
+                try:
+                    schema = self.spark.sql(probe).schema
+                    fld = schema["__tajodiv_probe"].dataType
+                    kinds = [f.dataType.simpleString() for f in fld.fields]
+                except Exception:
+                    continue
+                if all(k in self._INTEGRAL_TYPES for k in kinds):
+                    integral.append((ls, le, slash, rs, re_))
+                break  # first analyzable probe decides the site
+        out = sql
+        for _ls, _le, slash, _rs, _re in sorted(
+            integral, key=lambda s: -s[2]
+        ):
+            out = out[:slash] + " div " + out[slash + 1 :]
+        return out
+
     def _sql(self, translated: str) -> DataFrame:
         """spark.sql with the mixed-UDAF fallback (agg_fallback.py):
         Tajo runs Python UDAFs and built-in aggregates in one per-group
         loop; Spark refuses that placement, so on that exact error the
         statement retries with built-ins rewritten to pandas twins."""
         translated = agg_fallback.inject_zero_arg_constants(translated)
+        if "/" in translated:
+            translated = self._tajo_typed_division(translated)
         try:
             df = self.spark.sql(translated)
         except Exception as exc:

@@ -1939,6 +1939,191 @@ def shared_expression_rewrites(s: str) -> str:
     return s
 
 
+_DIV_KEYWORDS = frozenset(
+    "when then else end and or not in all any some exists between is as on "
+    "where select distinct case from join over by escape union intersect "
+    "except like ilike rlike similar to having group order limit".split()
+)
+
+
+def _blank_comments(masked: str) -> str:
+    """Additionally blank -- and /* */ comment bodies (same length)."""
+    out = list(masked)
+    i, n = 0, len(masked)
+    while i < n:
+        if masked.startswith("--", i):
+            j = masked.find("\n", i)
+            j = n if j < 0 else j
+            for k in range(i, j):
+                out[k] = " "
+            i = j
+        elif masked.startswith("/*", i):
+            j = masked.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            for k in range(i, j):
+                out[k] = " "
+            i = j
+        else:
+            i += 1
+    return "".join(out)
+
+
+def _div_operand_left(masked: str, i: int) -> tuple[int, int] | None:
+    """(start, end) span of the tightest left operand of the '/' at
+    ``i``, or None when the shape is not recognized (caller skips)."""
+    j = i - 1
+    while j >= 0 and masked[j].isspace():
+        j -= 1
+    if j < 0:
+        return None
+    end = j + 1
+    if masked[j] == ")":
+        depth = 1
+        j -= 1
+        while j >= 0 and depth:
+            if masked[j] == ")":
+                depth += 1
+            elif masked[j] == "(":
+                depth -= 1
+            j -= 1
+        if depth:
+            return None
+        # an adjacent-or-spaced name before '(' is a function call —
+        # unless it is a keyword (CASE WHEN (x)/2 ...)
+        k = j
+        while k >= 0 and masked[k].isspace():
+            k -= 1
+        name_end = k + 1
+        while k >= 0 and (masked[k].isalnum() or masked[k] in "_."):
+            k -= 1
+        name = masked[k + 1 : name_end]
+        if name and name.lower() not in _DIV_KEYWORDS:
+            return (k + 1, end)
+        return (j + 1, end)
+    if masked[j].isalnum() or masked[j] in "_.":
+        while j >= 0 and (masked[j].isalnum() or masked[j] in "_."):
+            j -= 1
+        return (j + 1, end)
+    return None
+
+
+def _div_operand_right(masked: str, i: int) -> tuple[int, int] | None:
+    """(start, end) span of the tightest right operand of the '/' at
+    ``i`` (an optional sign, then a literal/identifier/call/paren)."""
+    n = len(masked)
+    j = i + 1
+    while j < n and masked[j].isspace():
+        j += 1
+    if j >= n:
+        return None
+    start = j
+    if masked[j] in "+-":
+        j += 1
+        while j < n and masked[j].isspace():
+            j += 1
+        if j >= n:
+            return None
+    if masked[j] == "(":
+        depth = 1
+        j += 1
+        while j < n and depth:
+            if masked[j] == "(":
+                depth += 1
+            elif masked[j] == ")":
+                depth -= 1
+            j += 1
+        return None if depth else (start, j)
+    if masked[j].isalnum() or masked[j] in "_.":
+        while j < n and (masked[j].isalnum() or masked[j] in "_."):
+            j += 1
+        k = j
+        while k < n and masked[k].isspace():
+            k += 1
+        if k < n and masked[k] == "(":
+            word = masked[start:j].lower()
+            if word in _DIV_KEYWORDS:
+                return (start, j)
+            depth = 1
+            k += 1
+            while k < n and depth:
+                if masked[k] == "(":
+                    depth += 1
+                elif masked[k] == ")":
+                    depth -= 1
+                k += 1
+            return None if depth else (start, k)
+        return (start, j)
+    return None
+
+
+def top_level_division_sites(
+    sql: str,
+) -> tuple[list[tuple[int, int, int, int, int]], int]:
+    """Division sites in the TOP-LEVEL select list, for the engine's
+    Tajo typed-division rewrite (ExprAnnotator.java types ``/`` from
+    the catalog: INTn / INTn stays integral in Tajo, while Spark's
+    ``/`` always yields DOUBLE).
+
+    Returns ``([(lstart, lend, slash, rstart, rend), ...], insert_at)``
+    where ``insert_at`` is the offset at which a probe select item can
+    be appended (just before the top-level FROM, or at the end of the
+    select list of a FROM-less statement). Sites inside strings,
+    quoted identifiers, comments, subqueries-with-their-own-scope and
+    chained divisions are conservatively skipped by the caller's
+    analysis probe (it simply fails to type them).
+    """
+    masked = _blank_comments(_mask_string_bodies(sql))
+    m = re.match(r"\s*SELECT\b", masked, re.IGNORECASE)
+    if not m:
+        return [], -1
+    list_start = m.end()
+    depth = 0
+    insert_at = len(sql)
+    i = list_start
+    n = len(masked)
+    while i < n:
+        c = masked[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth < 0:
+                insert_at = i
+                break
+        elif depth == 0 and c in "FfWwGgOoLlUuIiEeHh":
+            kw = re.match(
+                r"(FROM|WHERE|GROUP|ORDER|LIMIT|UNION|INTERSECT|EXCEPT"
+                r"|HAVING|WINDOW)\b",
+                masked[i:],
+                re.IGNORECASE,
+            )
+            if kw and (i == 0 or not (masked[i - 1].isalnum() or masked[i - 1] == "_")):
+                insert_at = i
+                break
+        i += 1
+    sites: list[tuple[int, int, int, int, int]] = []
+    for j in range(list_start, insert_at):
+        if masked[j] != "/":
+            continue
+        left = _div_operand_left(masked, j)
+        right = _div_operand_right(masked, j)
+        if left is None or right is None:
+            continue
+        # chained a/b/c: the textual tightest operands misbind — skip
+        before = left[0] - 1
+        while before >= 0 and masked[before].isspace():
+            before -= 1
+        after = right[1]
+        while after < n and masked[after].isspace():
+            after += 1
+        if (before >= 0 and masked[before] == "/") or (
+            after < n and masked[after] == "/"
+        ):
+            continue
+        sites.append((left[0], left[1], j, right[0], right[1]))
+    return sites, insert_at
+
+
 def _check_strings_terminated(sql: str) -> None:
     """Reject an unterminated string literal up front (r08 fuzz find:
     every rewrite below assumes _SQSTRING_RE can close any literal it

@@ -3798,7 +3798,12 @@ def sim_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "KMeans partition is not SQL-reproducible, so the exact "
     "brute-force leg is hash-checked and the probe rides as a recall "
     "contract (>= 0.8 of the exact top-5 at nprobe=4/8 — measured "
-    "0.86/0.88 at sf0.01/sf0.1; curves in SCALE.md).",
+    "0.86/0.88 at sf0.01/sf0.1; curves in SCALE.md). The streaming "
+    "twin of this index is streaming/ann_ingest.py: frozen-quantizer "
+    "micro-batch appends, and (r09) gated_ingest_stream composes the "
+    "full near-dup-gate → IVF-assign → idempotent-append pipeline, "
+    "bit-exact to its sequential batch composition under crash-replay "
+    "(pins in tests/test_streaming.py::test_gated_ann_ingest_*).",
     oracle="""
         WITH vecs AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -115,6 +115,212 @@ def ivf_ingest_stream(
 
 
 # ---------------------------------------------------------------------------
+# Capstone composition (VERDICT r08 #8): streaming near-dup gate →
+# IVF-assign → persisted-index append, the full similarity-family
+# pipeline as ONE restartable stream.  New embeddings only enter the
+# index if they are not near-duplicates of anything already indexed
+# (semantic dedup at ingest — the pattern that keeps a 100 TB corpus
+# index from accreting re-crawls), and the stream is a bit-exact twin
+# of the sequential batch composition (pinned in tests/test_streaming.py).
+
+
+def neardup_gate_batch(
+    batch: DataFrame,
+    model,
+    index_path: str,
+    batch_id: int,
+    tau: float = 0.92,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Survivors of one micro-batch under the two-stage near-dup gate.
+
+    Gate A (vs the index): a vector whose int8 cosine against ANY
+    indexed vector in its ``nprobe`` nearest centroid partitions is
+    ≥ ``tau`` is dropped.  The scan EXCLUDES this batch's own
+    ``__batch_id`` partitions, so a crash-replayed batch gates against
+    exactly the state it originally saw — replay recomputes the same
+    survivors and the partition overwrite stays idempotent.
+
+    Gate B (within the batch): among batch rows sharing a probed
+    centroid, a vector is dropped if ANY lower-``vec_id`` batch row
+    scores ≥ ``tau`` against it (greedy-by-id, evaluated in parallel —
+    deterministic without sequential survivor chaining; the classic
+    chain a~b, b~c, a≁c therefore keeps only ``a``, matching the
+    batch twin by construction).
+
+    Both gates score on the SAME int8-quantized vectors the index
+    stores, so stream and batch twins see bit-identical floats.  Like
+    any nprobe-bounded probe, a true near-dup hiding in an unprobed
+    centroid escapes the gate — the standard IVF recall trade
+    (operators/similarity.py nprobe docs), dialed by ``nprobe``.
+    """
+    import numpy as np
+
+    from tajo_spark.operators.similarity import _as_double, dot
+
+    spark = batch.sparkSession
+    centers = model.clusterCenters()
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "centroid_id INT, cv ARRAY<DOUBLE>",
+    ).agg(F.collect_list(F.struct("centroid_id", "cv")).alias("__cents"))
+    d2 = lambda s: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("__qn"), s.cv, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probes_arr = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.transform(
+                    F.col("__cents"),
+                    lambda s: F.struct(
+                        (-F.round(d2(s), 9)).alias("negd"),
+                        (-s.centroid_id).alias("neg_id"),
+                    ),
+                )
+            )
+        ),
+        1,
+        nprobe,
+    )
+    q = (
+        batch.select(
+            "vec_id", _as_double(F.col("embedding")).alias("qv")
+        )
+        .withColumn(
+            "__qn",
+            F.transform(
+                F.col("qv"),
+                lambda x: x
+                / F.greatest(
+                    F.sqrt(dot(F.col("qv"), F.col("qv"))), F.lit(1e-12)
+                ),
+            ),
+        )
+        .join(F.broadcast(cents))
+        .select("vec_id", F.explode(probes_arr).alias("__p"))
+        .select(
+            "vec_id",
+            (-F.col("__p.neg_id")).cast("int").alias("centroid_id"),
+        )
+    )
+    q8 = batch.select(
+        "vec_id", _as_double(quantize_int8(F.col("embedding"))).alias("__qv8")
+    ).withColumn("__qn8", F.sqrt(dot(F.col("__qv8"), F.col("__qv8"))))
+    probes = q.join(q8, "vec_id").localCheckpoint()  # reused 3x below
+    probed = [
+        int(r.centroid_id)
+        for r in probes.select("centroid_id").distinct().collect()
+    ]  # metadata-sized: bounded by n_centroids
+    cos8 = lambda cv, cn, qv, qn: F.when(  # noqa: E731
+        cn * qn != 0, dot(cv, qv) / (cn * qn)
+    ).otherwise(F.lit(0.0))
+
+    # Gate A: probe the persisted index, excluding this batch's own
+    # partitions (replay safety)
+    idx = (
+        spark.read.parquet(index_path)
+        .filter(
+            F.col("centroid_id").isin(probed)
+            & (F.col("__batch_id") != F.lit(batch_id))
+        )
+        .select(
+            "centroid_id", _as_double(F.col("q8")).alias("__cv")
+        )
+        .withColumn("__cn", F.sqrt(dot(F.col("__cv"), F.col("__cv"))))
+    )
+    dup_vs_index = (
+        idx.join(F.broadcast(probes), "centroid_id")
+        .filter(
+            cos8(
+                F.col("__cv"), F.col("__cn"), F.col("__qv8"), F.col("__qn8")
+            )
+            >= F.lit(tau)
+        )
+        .select("vec_id")
+        .distinct()
+    )
+
+    # Gate B: greedy-by-id within the batch, candidates = pairs
+    # sharing a probed centroid
+    left = probes.select(
+        F.col("vec_id").alias("__lid"),
+        "centroid_id",
+        F.col("__qv8").alias("__lv"),
+        F.col("__qn8").alias("__ln"),
+    )
+    right = probes.select(
+        F.col("vec_id").alias("__rid"),
+        "centroid_id",
+        F.col("__qv8").alias("__rv"),
+        F.col("__qn8").alias("__rn"),
+    )
+    dup_in_batch = (
+        left.join(right, "centroid_id")
+        .filter(F.col("__lid") < F.col("__rid"))
+        .filter(
+            cos8(F.col("__lv"), F.col("__ln"), F.col("__rv"), F.col("__rn"))
+            >= F.lit(tau)
+        )
+        .select(F.col("__rid").alias("vec_id"))
+        .distinct()
+    )
+
+    return batch.join(
+        dup_vs_index.union(dup_in_batch).distinct(), "vec_id", "left_anti"
+    )
+
+
+def gated_ingest_batch(
+    batch: DataFrame,
+    model,
+    index_path: str,
+    batch_id: int,
+    tau: float = 0.92,
+    nprobe: int = 2,
+) -> None:
+    """One micro-batch of the gated pipeline: near-dup gate →
+    IVF-assign → idempotent partition-overwrite append.  A batch whose
+    every vector is gated away writes nothing (its ``(centroid,
+    batch)`` partitions never exist, matching a replay that also
+    gates everything)."""
+    survivors = neardup_gate_batch(
+        batch, model, index_path, batch_id, tau=tau, nprobe=nprobe
+    )
+    if survivors.isEmpty():
+        return
+    ivf_append_batch(survivors, model, index_path, batch_id)
+
+
+def gated_ingest_stream(
+    stream_df: DataFrame,
+    model,
+    index_path: str,
+    checkpoint: str,
+    tau: float = 0.92,
+    nprobe: int = 2,
+):
+    """The streaming twin: foreachBatch over
+    :func:`gated_ingest_batch`, restartable from the checkpoint with
+    replayed batch ids gating against pre-batch state and overwriting
+    their own partitions.  Returns the unstarted writer."""
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        gated_ingest_batch(
+            batch, model, index_path, batch_id, tau=tau, nprobe=nprobe
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF-PQ ingest: same frozen-quantizer contract, one level deeper — the
 # PQ codebooks are fitted once at bootstrap alongside the coarse
 # centroids and new vectors are only ENCODED (assignment + residual

@@ -124,6 +124,36 @@ def test_apostrophe_inside_quoted_identifier_is_legal():
     ) == "SELECT 'a `tick` inside' AS x, col FROM t"
 
 
+def test_tajo_typed_integer_division(spark, engine):
+    """ExprAnnotator.java types ``/`` from the catalog: INTn / INTn is
+    truncating integer division in Tajo (Java semantics). The engine's
+    analysis-probe rewrite must flip provably-integral top-level
+    select-list sites to ``div`` — and ONLY those."""
+    spark.createDataFrame(
+        [(1, 2, 1.5), (7, 2, 3.0), (-7, 2, 1.0)], "a INT, b INT, f DOUBLE"
+    ).createOrReplaceTempView("divt")
+    got = {
+        tuple(r)
+        for r in engine.execute_sql(
+            "SELECT (a + b) / 2 AS r FROM divt"
+        ).collect()
+    }
+    assert got == {(1,), (4,), (-2,)}  # Java truncation toward zero
+    # mixed types stay double division
+    got = engine.execute_sql("SELECT f / b AS r FROM divt WHERE a = 7").collect()
+    assert got[0].r == 1.5
+    # aggregate operands resolve through the min() probe variant
+    got = engine.execute_sql(
+        "SELECT sum(a) / count(*) AS r FROM divt WHERE a > 0"
+    ).collect()
+    assert got[0].r == 4
+    # chained division keeps standard typing (textual operand misbind)
+    got = engine.execute_sql(
+        "SELECT a / b / 2 AS r FROM divt WHERE a = 7"
+    ).collect()
+    assert got[0].r == 1.75
+
+
 def test_similar_to_translation():
     out = dialect.translate("SELECT * FROM t WHERE x SIMILAR TO 'ab%c_'")
     assert "RLIKE '^(?:ab.*c.)$'" in out

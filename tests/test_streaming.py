@@ -802,3 +802,113 @@ def test_session_windows_late_data_bitexact_across_restart(spark, tmp_path):
     }
     assert got == exp
     assert len(got) == 3  # u1 merged session, u1 second session, u2
+
+
+# ---------------------------------------------------------------------------
+# Capstone: streaming near-dup gate → IVF-assign → persisted-index
+# append (streaming/ann_ingest.py gated_ingest_*) — the similarity
+# family composed end-to-end as one restartable stream, bit-exact to
+# the sequential batch composition (VERDICT r08 #8).
+
+
+def _gate_corpus(spark):
+    """Deterministic synthetic embeddings: 200 boot + 2 batch files
+    with planted near-dups (exact copies → int8 cosine 1.0) among
+    random-gaussian vectors (dim 32: random cosines ≈ ±0.18, far from
+    tau=0.92)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((230, 32))
+
+    def df(ids_vecs):
+        return spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in ids_vecs],
+            "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+        )
+
+    boot = df((i, base[i]) for i in range(200))
+    # batch 0: 10 novel + 2 exact copies of boot vectors (gated by A)
+    b0 = df(
+        [(300 + j, base[200 + j]) for j in range(10)]
+        + [(350, base[5]), (351, base[17])]
+    )
+    # batch 1: 10 novel + 1 copy of a batch-0 SURVIVOR (gated by A
+    # once batch 0 is indexed) + an in-batch dup pair (gated by B:
+    # 461 keeps, 462 drops)
+    b1 = df(
+        [(400 + j, base[210 + j]) for j in range(10)]
+        + [(450, base[201])]
+        + [(461, base[220]), (462, base[220])]
+    )
+    return boot, b0, b1
+
+
+def _index_rows(spark, path):
+    return {
+        (r.vec_id, r.centroid_id, tuple(r.q8), r["__batch_id"])
+        for r in spark.read.parquet(path)
+        .select("vec_id", "centroid_id", "q8", "__batch_id")
+        .collect()
+    }
+
+
+def test_gated_ann_ingest_stream_equals_batch_composition(spark, tmp_path):
+    import os
+
+    from tajo_spark.streaming import ann_ingest as AI
+
+    boot, b0, b1 = _gate_corpus(spark)
+    # stream leg: two parquet files → two micro-batches (ids 0, 1)
+    s_index = str(tmp_path / "s_index")
+    model = AI.ivf_ingest_init(boot, s_index, n_centroids=8)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b0.coalesce(1).write.mode("append").parquet(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<DOUBLE>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = AI.gated_ingest_stream(
+        stream, model, s_index, str(tmp_path / "ckpt")
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    # batch twin: same batches, same ids, sequential composition
+    # (same frozen model, fresh index directory)
+    b_index = str(tmp_path / "b_index")
+    AI.ivf_append_batch(boot, model, b_index, batch_id=-1)
+    AI.gated_ingest_batch(b0, model, b_index, batch_id=0)
+    AI.gated_ingest_batch(b1, model, b_index, batch_id=1)
+
+    got, want = _index_rows(spark, s_index), _index_rows(spark, b_index)
+    assert got == want  # bit-exact stream ≡ batch, q8 payload included
+
+    ids = {v for v, *_ in got}
+    assert {350, 351} & ids == set()  # gate A: copies of boot dropped
+    assert 450 not in ids  # gate A: copy of a batch-0 survivor dropped
+    assert 461 in ids and 462 not in ids  # gate B: greedy-by-id
+    assert {300 + j for j in range(10)} <= ids  # novels all kept
+    assert {400 + j for j in range(10)} <= ids
+
+
+def test_gated_ingest_replay_is_idempotent_and_gates_same(spark, tmp_path):
+    from tajo_spark.streaming import ann_ingest as AI
+
+    boot, b0, b1 = _gate_corpus(spark)
+    index = str(tmp_path / "index")
+    model = AI.ivf_ingest_init(boot, index, n_centroids=8)
+    AI.gated_ingest_batch(b0, model, index, batch_id=0)
+    AI.gated_ingest_batch(b1, model, index, batch_id=1)
+    before = _index_rows(spark, index)
+
+    # crash-replay of batch 0 AFTER batch 1 landed: the gate excludes
+    # batch 0's own partitions but sees boot AND batch 1 — batch 0's
+    # survivors contain no near-dups of batch 1 (novel gaussians), so
+    # the replay recomputes the identical survivor set and overwrites
+    # its own partitions byte-for-byte
+    AI.gated_ingest_batch(b0, model, index, batch_id=0)
+    assert _index_rows(spark, index) == before
