@@ -377,9 +377,13 @@ class Engine:
         unparseable — are left on ``/`` unchanged, so the rewrite can
         only ever move a site TOWARD the reference's semantics
         (goldens: TestInnerJoinQuery/testJoinCoReferredEvalsWithSame
-        Exprs1/2, previously known-divergence). Divisions outside the
-        top-level select list (WHERE, subqueries) keep Spark typing —
-        documented residual in tools/golden_results.py.
+        Exprs1/2, previously known-divergence). Covered clauses:
+        select list, WHERE, GROUP BY, HAVING, ORDER BY (same name
+        scope as the probe). Residual: divisions inside subqueries
+        (own scope — the probe cannot type them from the top level)
+        and in set-operation statements (the appended probe item
+        breaks branch arity, so every site skips); both keep Spark
+        double typing, and no reference golden exercises either.
         """
         try:
             sites, insert_at = dialect.top_level_division_sites(sql)

@@ -2067,10 +2067,13 @@ def top_level_division_sites(
     Returns ``([(lstart, lend, slash, rstart, rend), ...], insert_at)``
     where ``insert_at`` is the offset at which a probe select item can
     be appended (just before the top-level FROM, or at the end of the
-    select list of a FROM-less statement). Sites inside strings,
-    quoted identifiers, comments, subqueries-with-their-own-scope and
-    chained divisions are conservatively skipped by the caller's
-    analysis probe (it simply fails to type them).
+    select list of a FROM-less statement). Sites are found in the
+    whole top-level statement — select list, WHERE, GROUP BY, HAVING,
+    ORDER BY — since those clauses share the select list's name scope
+    and so type correctly under a select-list probe; sites inside
+    SUBQUERY spans (their own scope), strings, quoted identifiers,
+    comments and chained divisions are skipped (or left for the
+    caller's analysis probe to fail on harmlessly).
     """
     masked = _blank_comments(_mask_string_bodies(sql))
     m = re.match(r"\s*SELECT\b", masked, re.IGNORECASE)
@@ -2101,9 +2104,31 @@ def top_level_division_sites(
                 insert_at = i
                 break
         i += 1
+    # scan the whole top-level statement, but stop at a top-level set
+    # operator (the second branch's scope is not the first's) and
+    # exclude subquery interiors: a '(' whose first token is SELECT
+    # opens a new name scope
+    excluded = [False] * n
+    for sub in re.finditer(r"\(\s*(?:SELECT|VALUES)\b", masked, re.IGNORECASE):
+        d, k = 1, sub.start() + 1
+        while k < n and d:
+            if masked[k] == "(":
+                d += 1
+            elif masked[k] == ")":
+                d -= 1
+            k += 1
+        for p in range(sub.start(), k):
+            excluded[p] = True
+    scan_end = len(sql)
+    for setop in re.finditer(
+        r"\b(UNION|INTERSECT|EXCEPT)\b", masked[insert_at:], re.IGNORECASE
+    ):
+        if not excluded[insert_at + setop.start()]:
+            scan_end = insert_at + setop.start()
+            break
     sites: list[tuple[int, int, int, int, int]] = []
-    for j in range(list_start, insert_at):
-        if masked[j] != "/":
+    for j in range(list_start, scan_end):
+        if masked[j] != "/" or excluded[j]:
             continue
         left = _div_operand_left(masked, j)
         right = _div_operand_right(masked, j)

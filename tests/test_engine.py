@@ -152,6 +152,16 @@ def test_tajo_typed_integer_division(spark, engine):
         "SELECT a / b / 2 AS r FROM divt WHERE a = 7"
     ).collect()
     assert got[0].r == 1.75
+    # WHERE shares the select scope: 7/2=3 under Java truncation
+    got = engine.execute_sql(
+        "SELECT a FROM divt WHERE a / b = 3"
+    ).collect()
+    assert [r.a for r in got] == [7]
+    # subquery sites keep Spark typing (own scope — documented residual)
+    got = engine.execute_sql(
+        "SELECT a FROM divt WHERE a IN (SELECT a FROM divt WHERE a / b = 3.5)"
+    ).collect()
+    assert [r.a for r in got] == [7]
 
 
 def test_similar_to_translation():

@@ -162,10 +162,11 @@ KNOWN_DIVERGENCES = {
     # answer-match: Engine._tajo_typed_division types each top-level
     # select-list '/' with an analysis-only probe and rewrites
     # provably-integral sites to Spark's `div` (Java truncation, the
-    # ExprAnnotator.java semantics). Residual scope: divisions in
-    # WHERE clauses / subquery select lists keep Spark double typing
-    # (no golden exercises them; the probe cannot type those scopes
-    # from the top level).
+    # ExprAnnotator.java semantics) — covering select list, WHERE,
+    # GROUP BY, HAVING and ORDER BY. Residual scope: divisions inside
+    # subqueries and in set-operation statements keep Spark double
+    # typing (no golden exercises them; the probe cannot type those
+    # scopes from the top level).
     # Tajo pushes a filter on a non-partition column BELOW a window
     # operator (rank computed after the subquery filter); the standard
     # evaluation order (and Spark) ranks first, filters after.
