@@ -912,3 +912,11 @@ def test_gated_ingest_replay_is_idempotent_and_gates_same(spark, tmp_path):
     # its own partitions byte-for-byte
     AI.gated_ingest_batch(b0, model, index, batch_id=0)
     assert _index_rows(spark, index) == before
+
+    # scale pin: the gate's index scan prunes directories on BOTH
+    # partition keys — probed centroids and the own-batch exclusion
+    surv = AI.neardup_gate_batch(b0, model, index, batch_id=0)
+    surv.count()
+    plan = surv._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "centroid_id" in pf and "__batch_id" in pf, plan
