@@ -382,8 +382,11 @@ class Engine:
         scope as the probe). Residual: divisions inside subqueries
         (own scope — the probe cannot type them from the top level)
         and in set-operation statements (the appended probe item
-        breaks branch arity, so every site skips); both keep Spark
-        double typing, and no reference golden exercises either.
+        breaks branch arity, so every site skips); likewise
+        WITH-prefixed statements and the select bodies of CTAS/INSERT
+        (the site finder keys on a bare leading SELECT). All residuals
+        keep Spark double typing, and no reference golden exercises
+        any of them.
         """
         try:
             sites, insert_at = dialect.top_level_division_sites(sql)
