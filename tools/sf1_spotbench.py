@@ -52,7 +52,18 @@ HEAVY = [
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument(
+        "--tpch-all",
+        action="store_true",
+        help="sweep ALL of tpch_q1..q22 at --mult x instead of the "
+        "heavy-family list (the relational-side scale table)",
+    )
     args = ap.parse_args()
+    heavy = (
+        [(f"tpch_q{i}", "tpch") for i in range(1, 23)]
+        if args.tpch_all
+        else HEAVY
+    )
 
     import scaling_ladder as SL
 
@@ -70,13 +81,17 @@ def main() -> None:
 
     root = tempfile.mkdtemp(prefix="tajo_spark_sf1_")
     try:
-        dirs = {
-            "docs": SL.stage(args.mult, root),
-            "emb": SL.stage_emb(args.mult, root),
-            "tpch": SL.stage_tpch(args.mult, root),
-        }
+        dirs = (
+            {"tpch": SL.stage_tpch(args.mult, root)}
+            if args.tpch_all
+            else {
+                "docs": SL.stage(args.mult, root),
+                "emb": SL.stage_emb(args.mult, root),
+                "tpch": SL.stage_tpch(args.mult, root),
+            }
+        )
         # codegen warmup at tiny SF (same protocol as bench.py)
-        for q, _ in HEAVY:
+        for q, _ in heavy:
             try:
                 qs[q](spark, "/root/testdata/sf0.001").write.format(
                     "noop"
@@ -85,7 +100,7 @@ def main() -> None:
                 pass
         print(f"| query | sf0.1 wall | {args.mult}x wall | ratio |")
         print("|---|---|---|---|")
-        for q, which in HEAVY:
+        for q, which in heavy:
             t0 = time.time()
             status = ""
             try:
