@@ -395,8 +395,15 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     supp = _t(spark, sf_dir, "supplier")
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(_disc_price()), 2).alias("total_revenue")
+    # materialize the revenue view once: it feeds BOTH the join and the
+    # max-subquery, Catalyst does not reuse the exchange across the two
+    # consumers (0 ReusedExchange in the executed plan), and without
+    # this the 3-month lineitem scan + aggregation run twice. The
+    # checkpoint is |suppliers| rows — dimension-sized at any SF.
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(_disc_price()), 2).alias("total_revenue"))
+        .localCheckpoint()
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
