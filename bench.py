@@ -200,6 +200,27 @@ def _host_speed_probe(spark) -> float:
     return round(best, 3)
 
 
+def budget_breaches(
+    budgets: dict, timings: dict[str, float], probe_sec: float
+) -> tuple[list[str], float]:
+    """(breach names, applied host factor) under the host-normalized
+    budget rule: factor = clamp(probe / _probe_reference_sec, 1, 3),
+    breach when timing > budget * factor. Keys starting with '_' are
+    metadata, never budgets. Pure so tests can pin the semantics."""
+    host_factor = 1.0
+    probe_ref = budgets.get("_probe_reference_sec")
+    if isinstance(probe_ref, (int, float)) and probe_ref > 0:
+        host_factor = round(min(3.0, max(1.0, probe_sec / probe_ref)), 3)
+    names = [
+        name
+        for name, limit in budgets.items()
+        if not name.startswith("_")
+        and isinstance(limit, (int, float))
+        and timings.get(name, 0.0) > limit * host_factor
+    ]
+    return names, host_factor
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -323,18 +344,7 @@ def main() -> None:
     try:
         with open(os.path.join(here, "perf_budgets.json")) as f:
             budgets = json.load(f)
-        probe_ref = budgets.get("_probe_reference_sec")
-        if isinstance(probe_ref, (int, float)) and probe_ref > 0:
-            host_factor = round(
-                min(3.0, max(1.0, probe_sec / probe_ref)), 3
-            )
-        breaches = [
-            name
-            for name, limit in budgets.items()
-            if not name.startswith("_")
-            and isinstance(limit, (int, float))
-            and timings.get(name, 0.0) > limit * host_factor
-        ]
+        breaches, host_factor = budget_breaches(budgets, timings, probe_sec)
     except Exception as exc:  # budget accounting must never fail the bench
         print(f"  budget check skipped: {exc}", file=sys.stderr)
     print(
