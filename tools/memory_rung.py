@@ -65,10 +65,23 @@ def main() -> None:
     from __spark_entry__ import queries
     from tajo_spark.session import build_spark
 
+    # GCLocker retry budget (r09 rung finding): the vectorized parquet
+    # reader's ~1 MB array allocations race snappy-java's
+    # GetPrimitiveArrayCritical sections; at an adversarial 2 GiB heap
+    # the JVM's default of 2 retries can abort the WHOLE JVM
+    # ("Retried waiting for GCLocker too often") on a loaded host —
+    # observed killing q21@64x in this round's re-run where r08's run
+    # of identical code passed. Raising the retry budget converts the
+    # flake into ordinary GC waits; same guidance applies to real
+    # small-heap executors running snappy-compressed scans.
+    gclocker = (
+        "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64"
+    )
     spark = build_spark(
         app_name="memory_rung",
         extra_conf={
             "spark.driver.memory": args.heap,
+            "spark.driver.extraJavaOptions": gclocker,
             # keep result transfer out of the measurement: noop sink
         },
     )
@@ -124,7 +137,43 @@ def main() -> None:
                 pass
         spark.sparkContext.setLogLevel("INFO")
         results = []
+        swapped = False
         for q, sf_dir in plan:
+            if q.endswith("@64x") and not swapped:
+                # Slots must scale with heap (the r09 companion to
+                # r08's partitions-scale-with-data rule): local[32] on
+                # a 2 GiB heap is 64 MB/slot — a geometry
+                # session.cluster_conf can never produce (its floor is
+                # ~4 GB/slot at the 4-core/16 GB default) and at 64x
+                # data 32 concurrent consumers exhaust the pool faster
+                # than spilling can free it (UNABLE_TO_ACQUIRE ... got
+                # 0). The 64x spots therefore run at ~256 MB/slot, the
+                # production-shaped floor; 16x rows keep local[32] for
+                # round-over-round comparability.
+                heap_mb = 1024 * int(re.sub(r"[^0-9]", "", args.heap) or 2)
+                if args.heap.lower().endswith(("m", "mb")):
+                    heap_mb = int(re.sub(r"[^0-9]", "", args.heap))
+                slots = max(4, heap_mb // 256)
+                spark.sparkContext.setLogLevel("WARN")
+                spark.stop()
+                spark = build_spark(
+                    app_name="memory_rung_64x",
+                    master=f"local[{slots}]",
+                    extra_conf={
+                        "spark.driver.memory": args.heap,
+                        "spark.driver.extraJavaOptions": gclocker,
+                    },
+                )
+                for wq, _ in plan:
+                    if wq.endswith("@64x"):
+                        try:
+                            qfn(wq)(spark, "/root/testdata/sf0.001").write.format(
+                                "noop"
+                            ).mode("overwrite").save()
+                        except Exception:
+                            pass
+                spark.sparkContext.setLogLevel("INFO")
+                swapped = True
             # per-query isolation inside the capped JVM: drop cached
             # blocks and prior broadcasts so query N+1 is not failed
             # by query N's residue (a broadcast HashedRelation stays
