@@ -163,6 +163,16 @@ def cluster_conf(
       broadcast cost scales with executor count, the threshold should
       NOT grow with the cluster.
 
+    Two measured floors from the 2 GiB memory rung (SCALE.md round-9):
+    keep ≥ ~256 MB of executor memory PER TASK SLOT (below that,
+    concurrent consumers exhaust the unified pool faster than spilling
+    frees it — ``UNABLE_TO_ACQUIRE``; the 4-core/16 GB default here is
+    4 GB/slot), and on small-heap executors scanning snappy parquet add
+    ``-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64``
+    to ``spark.executor.extraJavaOptions`` — the JVM's default of two
+    GCLocker retries can abort the executor outright when vectorized-
+    reader allocations race snappy-java's JNI critical sections.
+
     Returns a plain dict usable as ``--conf k=v`` lines or
     ``build_spark(extra_conf=...)``; everything else in
     :func:`build_spark` is scale-independent.
