@@ -223,3 +223,33 @@ def test_bpe_apply_chunked_folds_match_single_fold(spark):
         for r in apply_bpe(docs, merges, fold_chunk=2).collect()
     }
     assert one == chunked
+
+
+def test_local_trainer_property_matches_reference():
+    """Property pin (pure Python, no Spark): the driver-local merge
+    loop at batch_k=1 IS the textbook sequential algorithm — on random
+    corpora it must reproduce _reference_bpe's merge sequence exactly,
+    including tie-breaks, truncation interplay, and early stop."""
+    import random
+
+    from tajo_spark.operators.bpe import END_MARK, _train_local
+
+    rng = random.Random(11)
+    alphabet = "abcde"
+    for trial in range(50):
+        words = [
+            "".join(
+                rng.choice(alphabet)
+                for _ in range(rng.randint(1, 6))
+            )
+            for _ in range(rng.randint(1, 30))
+        ]
+        text = " ".join(words)
+        wf = collections.Counter(w for w in text.split() if w)
+        local_words = [
+            (c, list(w) + [END_MARK]) for w, c in sorted(wf.items())
+        ]
+        n = rng.randint(1, 10)
+        got = _train_local(local_words, n_merges=n, batch_k=1)
+        want = _reference_bpe([text], n)
+        assert got == want, (trial, text, got, want)
