@@ -73,6 +73,14 @@ SESSION_VARS: dict[str, SessionVarSpec] = {
     "TIMEZONE": SessionVarSpec("spark.sql.session.timeZone",
                                "time_zone.rst parity"),
     "SESSION_EXPIRY_TIME": SessionVarSpec(None, "driver-managed"),
+    "SELF_DESC_TEXT_TYPING": SessionVarSpec(
+        None,
+        "engine-local (r09 VERDICT task 5): when on, schemaless "
+        "self-describing JSON tables read every primitive as TEXT "
+        "(SelfDescSchemaBuildPhase.java:52-55 — the reference types "
+        "self-desc primitives as TEXT and re-parses per query) via "
+        "Spark's primitivesAsString; default off keeps typed inference",
+    ),
     "CODEGEN": SessionVarSpec(
         "spark.sql.codegen.wholeStage",
         "SessionVars.java:140 — whole-stage codegen is the superset",
@@ -363,7 +371,7 @@ class Engine:
 
     _INTEGRAL_TYPES = frozenset(("tinyint", "smallint", "int", "bigint"))
 
-    def _tajo_typed_division(self, sql: str) -> str:
+    def _tajo_typed_division(self, sql: str, depth: int = 0) -> str:
         """Tajo types ``/`` from the catalog (ExprAnnotator.java):
         INTn / INTn is truncating integer division; Spark's ``/``
         always yields DOUBLE. For each division in the TOP-LEVEL
@@ -379,15 +387,37 @@ class Engine:
         (goldens: TestInnerJoinQuery/testJoinCoReferredEvalsWithSame
         Exprs1/2, previously known-divergence). Covered clauses:
         select list, WHERE, GROUP BY, HAVING, ORDER BY (same name
-        scope as the probe). Residual: divisions inside subqueries
-        (own scope — the probe cannot type them from the top level)
-        and in set-operation statements (the appended probe item
-        breaks branch arity, so every site skips); likewise
-        WITH-prefixed statements and the select bodies of CTAS/INSERT
-        (the site finder keys on a bare leading SELECT). All residuals
-        keep Spark double typing, and no reference golden exercises
-        any of them.
+        scope as the probe). Subquery and CTE bodies — every outermost
+        ``(SELECT ...)`` span — are recursed into as standalone
+        statements with their own probes (r09 task 4): an uncorrelated
+        body types against the catalog on its own; a correlated body's
+        probe fails analysis and its sites stay on ``/``. Residual:
+        set-operation branches (the appended probe item breaks branch
+        arity, so every site in either branch skips), correlated
+        subqueries, and the unparenthesized select bodies of
+        CTAS/INSERT (the site finder keys on a bare leading SELECT;
+        parenthesized subqueries inside them still recurse). All
+        residuals keep Spark double typing, and no reference golden
+        exercises any of them.
         """
+        out = self._typed_division_one_scope(sql)
+        if depth < 4:
+            try:
+                spans = dialect.outer_select_spans(out)
+            except Exception:
+                return out
+            for start, end in reversed(spans):
+                inner = out[start + 1 : end - 1]
+                if "/" not in inner:
+                    continue
+                new_inner = self._tajo_typed_division(inner, depth + 1)
+                if new_inner != inner:
+                    out = out[: start + 1] + new_inner + out[end - 1 :]
+        return out
+
+    def _typed_division_one_scope(self, sql: str) -> str:
+        """The single-scope probe+rewrite body of
+        :meth:`_tajo_typed_division` (which owns the scope recursion)."""
         try:
             sites, insert_at = dialect.top_level_division_sites(sql)
         except Exception:
@@ -627,6 +657,15 @@ class Engine:
             self._external_paths[name] = (path, "avro")
             return
         reader = self.spark.read.format(spark_fmt)
+        if (
+            spark_fmt == "json"
+            and not schema
+            and self.session_vars.get(
+                "SELF_DESC_TEXT_TYPING", ""
+            ).lower() in ("true", "on", "1")
+        ):
+            # reference self-desc typing: every primitive is TEXT
+            reader = reader.option("primitivesAsString", "true")
         for k, v in (options or {}).items():
             sk = dialect.OPTION_MAP.get(k.lower(), k)
             if sk == "header":  # Tajo counts header lines; Spark wants bool

@@ -1295,6 +1295,16 @@ def best_of_cluster_dedup(
     works for any orderable ``doc_id`` type, numeric or string.
     Returns the surviving corpus as ``(doc_id, qscore)``.
 
+    r10 (the 5.6x-at-10x spot-bench row): the member frame is consumed
+    by THREE downstream legs (max-agg, tie-break join, drop set), and
+    it previously carried a corpus-wide quality projection — so the
+    classifier re-evaluated over the whole corpus once per leg, 4x per
+    run with the output leg.  Now quality is computed only for cluster
+    MEMBERS (score after the component join, not before) and the
+    members frame — bounded by the duplicate population, a small
+    fraction of the corpus — is localCheckpointed once; the corpus-wide
+    projection runs exactly once, in the returned survivor frame.
+
     Like the rest of the near-dup pipeline (signatures, banding,
     components), the corpus key is the ``doc_id`` column — a
     differently-keyed frame should alias its key first rather than
@@ -1309,12 +1319,23 @@ def best_of_cluster_dedup(
         .select("doc_a", "doc_b")
     )
     comp = connected_components(verified, assume_distinct=True)
+    # score AFTER the component join so the classifier runs over
+    # members only, and pin the members frame (three consumers below);
+    # it is duplicate-population-sized, a small fraction of the corpus
+    members = (
+        comp.join(
+            docs.select("doc_id", text_col), comp.node == F.col("doc_id")
+        )
+        .select(
+            "component",
+            "doc_id",
+            T.quality_classifier_score(F.col(text_col)).alias("qscore"),
+        )
+        .localCheckpoint()
+    )
     q = docs.select(
         F.col("doc_id"),
         T.quality_classifier_score(F.col(text_col)).alias("qscore"),
-    )
-    members = comp.join(q, comp.node == q.doc_id).select(
-        "component", "doc_id", "qscore"
     )
     # argmax(qscore), tie -> min doc_id — expressed engine-neutrally
     # for ANY orderable id type (a negated-id struct-max would silently

@@ -2073,7 +2073,10 @@ def top_level_division_sites(
     and so type correctly under a select-list probe; sites inside
     SUBQUERY spans (their own scope), strings, quoted identifiers,
     comments and chained divisions are skipped (or left for the
-    caller's analysis probe to fail on harmlessly).
+    caller's analysis probe to fail on harmlessly). A same-precedence
+    chain on the LEFT ('f * a / b') widens the reported left span to
+    the whole chain ('f * a'), because that is the expression a
+    left-associative 'div' will actually bind (ADVICE r09).
     """
     masked = _blank_comments(_mask_string_bodies(sql))
     m = re.match(r"\s*SELECT\b", masked, re.IGNORECASE)
@@ -2135,18 +2138,85 @@ def top_level_division_sites(
         if left is None or right is None:
             continue
         # chained a/b/c: the textual tightest operands misbind — skip
-        before = left[0] - 1
-        while before >= 0 and masked[before].isspace():
-            before -= 1
         after = right[1]
         while after < n and masked[after].isspace():
             after += 1
-        if (before >= 0 and masked[before] == "/") or (
-            after < n and masked[after] == "/"
-        ):
+        if after < n and masked[after] == "/":
+            continue
+        # same-precedence operator to the LEFT: 'f * a div b' parses
+        # left-associatively as '(f*a) div b', so the tight operand
+        # (a) is NOT what div binds (ADVICE r09 — a DOUBLE f turned a
+        # previously-running query into a DATATYPE_MISMATCH failure).
+        # Extend the left operand across the whole multiplicative
+        # chain so the probe types exactly the expression 'div' will
+        # receive; a '/' inside the chain means this site's binding
+        # depends on another site's rewrite — skip it (chained-division
+        # rule above). The tight RIGHT operand is already what div
+        # binds under left-associativity, so no mirror walk is needed.
+        bad_chain = False
+        while True:
+            before = left[0] - 1
+            while before >= 0 and masked[before].isspace():
+                before -= 1
+            if before < 0:
+                break
+            ch = masked[before]
+            if ch == "/":
+                bad_chain = True
+                break
+            if ch in "*%":
+                prev = _div_operand_left(masked, before)
+                if prev is None:
+                    bad_chain = True
+                    break
+                left = (prev[0], left[1])
+                continue
+            if ch.isalnum() or ch == "_":
+                w = before
+                while w >= 0 and (masked[w].isalnum() or masked[w] == "_"):
+                    w -= 1
+                if masked[w + 1 : before + 1].lower() == "div":
+                    prev = _div_operand_left(masked, w + 1)
+                    if prev is None:
+                        bad_chain = True
+                        break
+                    left = (prev[0], left[1])
+                    continue
+            break
+        if bad_chain:
             continue
         sites.append((left[0], left[1], j, right[0], right[1]))
     return sites, insert_at
+
+
+def outer_select_spans(sql: str) -> list[tuple[int, int]]:
+    """Outermost ``(SELECT ...)`` spans (offsets of both parens,
+    end exclusive) — subquery and CTE bodies, each of which is a name
+    scope of its own. The engine's typed-division rewrite recurses into
+    each span's interior as a standalone statement (r09 VERDICT task 4):
+    an uncorrelated body analyzes against the catalog on its own, while
+    a correlated body's probe fails analysis and leaves its sites on
+    ``/`` (the documented fail-safe direction). Nested subqueries are
+    reached by the recursion, not listed here."""
+    masked = _blank_comments(_mask_string_bodies(sql))
+    n = len(masked)
+    spans: list[tuple[int, int]] = []
+    taken_until = -1
+    for sub in re.finditer(r"\(\s*SELECT\b", masked, re.IGNORECASE):
+        if sub.start() < taken_until:
+            continue
+        d, k = 1, sub.start() + 1
+        while k < n and d:
+            if masked[k] == "(":
+                d += 1
+            elif masked[k] == ")":
+                d -= 1
+            k += 1
+        if d:
+            continue
+        spans.append((sub.start(), k))
+        taken_until = k
+    return spans
 
 
 def _check_strings_terminated(sql: str) -> None:

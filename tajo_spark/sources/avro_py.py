@@ -619,6 +619,30 @@ def _fs_for(path: str):
     return pafs.FileSystem.from_uri(path)
 
 
+def _expand_glob(fs, p: str) -> list[tuple[str, int]]:
+    """Driver-side glob expansion (pyarrow.fs has no native glob):
+    list the deepest non-glob parent recursively and fnmatch full
+    paths. Metadata only — no data reads."""
+    import fnmatch
+
+    import pyarrow.fs as pafs
+
+    parts = p.split("/")
+    for i, seg in enumerate(parts):
+        if any(c in seg for c in "*?["):
+            break
+    else:
+        return []
+    base = "/".join(parts[:i]) or "/"
+    if fs.get_file_info(base).type != pafs.FileType.Directory:
+        return []
+    return sorted(
+        (f.path, f.size)
+        for f in fs.get_file_info(pafs.FileSelector(base, recursive=True))
+        if f.is_file and fnmatch.fnmatch(f.path, p)
+    )
+
+
 def _peek_schema(path: str):
     """Driver-side header read of ONE file to resolve the schema —
     SelfDescSchemaBuildPhase parity (the reference infers Avro schemas
@@ -636,6 +660,14 @@ def _peek_schema(path: str):
         if not files:
             raise FileNotFoundError(f"no .avro files under {path}")
         p = sorted(files)[0]
+    elif info.type != pafs.FileType.File:
+        # glob pattern: pyarrow reports NotFound for 'dir/*.avro'
+        # (ADVICE r09) — expand driver-side against the deepest
+        # non-glob parent and peek the first match
+        files = _expand_glob(fs, p)
+        if not files:
+            raise FileNotFoundError(f"no files match {path}")
+        p = files[0][0]
     with fs.open_input_file(p) as f:
         head = f.read(1 << 20)  # header is tiny; 1 MiB is generous
     schema, _codec, _sync, _pos = parse_header(head)
@@ -739,6 +771,12 @@ def _list_avro_files(path: str) -> list[tuple[str, int]]:
             for f in fs.get_file_info(pafs.FileSelector(p, recursive=True))
             if f.is_file and f.path.endswith(".avro")
         )
+    if info.type != pafs.FileType.File or info.size is None:
+        # glob pattern / missing path: pyarrow reports NotFound with
+        # size=None (ADVICE r09 — max() over None sizes raised
+        # TypeError). Expand the glob driver-side; an empty result
+        # makes 'auto' fall back to the binaryFile path.
+        return _expand_glob(fs, p)
     return [(p, info.size)]
 
 

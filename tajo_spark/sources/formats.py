@@ -73,14 +73,22 @@ def write_delimited(
 
 # --- JSON lines --------------------------------------------------------------
 def read_json_lines(
-    spark: SparkSession, path: str, schema: str | None = None
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    text_typing: bool = False,
 ) -> DataFrame:
     """Schema omitted → inference on read, the Spark-native equivalent of
     the reference's self-describing-table planning phase
-    (SelfDescSchemaBuildPhase.java:52-55)."""
+    (SelfDescSchemaBuildPhase.java:52-55). ``text_typing=True``
+    reproduces the reference's typing exactly — every primitive reads
+    as TEXT and queries re-parse (the engine's SELF_DESC_TEXT_TYPING
+    session var; ignored when a schema is given)."""
     reader = spark.read
     if schema:
         reader = reader.schema(schema)
+    elif text_typing:
+        reader = reader.option("primitivesAsString", "true")
     return reader.json(path)
 
 

@@ -185,6 +185,26 @@ def test_auto_split_engages_past_max_partition_bytes(spark, tmp_path):
         spark.conf.set(key, saved)
 
 
+def test_glob_path_reads_under_auto_default(spark, tmp_path):
+    # ADVICE r09: the 'auto' default's driver-side listing got
+    # FileType.NotFound (size=None) for a glob and raised TypeError;
+    # globs must expand driver-side (big files still split) or fall
+    # back to the binaryFile path
+    df = spark.range(7).select(F.col("id").alias("x"))
+    path = str(tmp_path / "glob_avro")
+    avro_py.write_avro(df, path)
+    for pat in ("/*.avro", "/part-*.avro"):
+        back = avro_py.read_avro(spark, path + pat)  # auto
+        assert sorted(r.x for r in back.collect()) == list(range(7))
+    # a glob matching nothing raises cleanly, not TypeError
+    with pytest.raises(FileNotFoundError):
+        avro_py.read_avro(spark, path + "/nope-*.avro")
+    # expansion is metadata-only and sized (split planning needs sizes)
+    fs, p = avro_py._fs_for(path + "/*.avro")
+    files = avro_py._expand_glob(fs, p)
+    assert files and all(sz > 0 for _f, sz in files)
+
+
 def test_session_split_bytes_parses_suffixes(spark):
     key = "spark.sql.files.maxPartitionBytes"
     saved = spark.conf.get(key)

@@ -51,6 +51,18 @@ def test_factor_clamped_at_3x():
     assert names == ["q_fast"]
 
 
+def test_suspect_cap_reflags_breaches_at_1_5x():
+    # ADVICE r09: no external-load corroboration → the caller re-runs
+    # with max_factor=1.5, so a 2x probe can no longer hide a 1.9s
+    # timing under a 1.0s budget
+    names, factor = bench.budget_breaches(
+        BUDGETS, {"q_fast": 1.9, "q_slow": 2.9}, probe_sec=3.2,
+        max_factor=1.5,
+    )
+    assert factor == 1.5
+    assert names == ["q_fast"]
+
+
 def test_metadata_keys_and_missing_timings_are_ignored():
     names, factor = bench.budget_breaches(BUDGETS, {}, probe_sec=1.6)
     assert names == []

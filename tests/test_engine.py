@@ -157,11 +157,48 @@ def test_tajo_typed_integer_division(spark, engine):
         "SELECT a FROM divt WHERE a / b = 3"
     ).collect()
     assert [r.a for r in got] == [7]
-    # subquery sites keep Spark typing (own scope — documented residual)
+    # subquery scopes now recurse (r09 task 4): the IN-subquery's own
+    # probe types a/b integral, so 7/2 = 3 under Java truncation and
+    # the 3.5 comparison matches nothing (Spark typing gave 3.5 = [7])
     got = engine.execute_sql(
         "SELECT a FROM divt WHERE a IN (SELECT a FROM divt WHERE a / b = 3.5)"
     ).collect()
+    assert [r.a for r in got] == []
+    got = engine.execute_sql(
+        "SELECT a FROM divt WHERE a IN (SELECT a FROM divt WHERE a / b = 3)"
+    ).collect()
     assert [r.a for r in got] == [7]
+    # CTE bodies are parenthesized SELECT spans — same recursion
+    got = engine.execute_sql(
+        "WITH c AS (SELECT a / b AS r FROM divt WHERE a = -7) "
+        "SELECT r FROM c"
+    ).collect()
+    assert got[0].r == -3  # truncation toward zero, not floor
+    # correlated bodies fail their own probe and stay on '/' (fail-safe)
+    got = engine.execute_sql(
+        "SELECT a FROM divt d WHERE EXISTS (SELECT 1 FROM divt i "
+        "WHERE i.a / d.b = 3.5 AND i.a = 7)"
+    ).collect()
+    assert sorted(r.a for r in got) == [-7, 1, 7]
+    # ADVICE r09: a same-precedence chain on the left must widen the
+    # probed operand — 'f * a div b' parses as '(f*a) div b', so the
+    # old tight-operand probe (a, b) mis-typed a DOUBLE site integral
+    # and hard-failed with DATATYPE_MISMATCH
+    got = engine.execute_sql(
+        "SELECT f * a / b AS r FROM divt WHERE a = 7"
+    ).collect()
+    assert got[0].r == 10.5  # stays double division
+    # all-integral chain: the widened probe types (a*b, b) integral
+    # and the left-associative rewrite IS Tajo's semantics
+    got = engine.execute_sql(
+        "SELECT a * b / b AS r FROM divt WHERE a = -7"
+    ).collect()
+    assert got[0].r == -7
+    # a '/' inside the left chain depends on another site — skipped
+    got = engine.execute_sql(
+        "SELECT a / b * b / 2 AS r FROM divt WHERE a = 7"
+    ).collect()
+    assert got[0].r == 3.0  # ((7 div 2)*2)/2.0: site2 left on '/'
 
 
 def test_similar_to_translation():
@@ -219,6 +256,41 @@ def test_engine_csv_roundtrip(engine, tmp_path):
     rows = engine.execute_sql("SELECT * FROM csv_ext").collect()
     assert rows[0].id == 1 and rows[0].name == "alpha"
     engine.drop_table("csv_ext")
+
+
+def test_self_desc_text_typing_session_var(engine, tmp_path):
+    """SELF_DESC_TEXT_TYPING (r09 task 5): reference self-describing
+    tables type every JSON primitive as TEXT
+    (SelfDescSchemaBuildPhase.java:52-55); default off keeps Spark's
+    typed inference."""
+    p = str(tmp_path / "sd.json")
+    with open(p, "w") as f:
+        f.write('{"n": 7, "b": true, "s": "x"}\n')
+    # default: typed inference
+    engine.create_external_table("sd_typed", p, "JSON")
+    sch = {f.name: f.dataType.simpleString()
+           for f in engine.execute_sql("SELECT * FROM sd_typed").schema}
+    assert sch == {"n": "bigint", "b": "boolean", "s": "string"}
+    # var on: all primitives TEXT
+    engine.execute_sql("SET SESSION SELF_DESC_TEXT_TYPING TO true")
+    try:
+        engine.create_external_table("sd_text", p, "JSON")
+        sch = {f.name: f.dataType.simpleString()
+               for f in engine.execute_sql("SELECT * FROM sd_text").schema}
+        assert sch == {"n": "string", "b": "string", "s": "string"}
+        row = engine.execute_sql(
+            "SELECT n, b FROM sd_text"
+        ).collect()[0]
+        assert row.n == "7" and row.b == "true"
+    finally:
+        engine.execute_sql("SET SESSION SELF_DESC_TEXT_TYPING TO false")
+        engine.drop_table("sd_typed")
+        engine.drop_table("sd_text")
+    # formats.read_json_lines mirrors the same switch
+    from tajo_spark.sources import formats
+
+    df = formats.read_json_lines(engine.spark, p, text_typing=True)
+    assert all(f.dataType.simpleString() == "string" for f in df.schema)
 
 
 def test_engine_session_vars(engine):

@@ -137,6 +137,40 @@ def test_registry_md_is_fresh():
     )
 
 
+def test_round_artifacts_are_git_tracked():
+    """Standing gate for the 3-round-running hygiene wart (VERDICT r09
+    task 1): the round number LEAKCHECK.json carries must have
+    git-TRACKED CORRECTNESS_r{N}.json and BENCH_r{N}.json siblings.
+    Red means a driver round landed whose evidence artifacts were never
+    committed — commit them and regenerate REGISTRY.md."""
+    import subprocess
+
+    leak = REPO_ROOT / "LEAKCHECK.json"
+    if not leak.exists():
+        return  # pre-first-round tree
+    rnd = json.loads(leak.read_text()).get("round")
+    if not isinstance(rnd, int):
+        return
+    tracked = set(
+        subprocess.run(
+            ["git", "-C", str(REPO_ROOT), "ls-files",
+             "CORRECTNESS_r*.json", "BENCH_r*.json", "LEAKCHECK.json"],
+            capture_output=True, text=True, timeout=30, check=True,
+        ).stdout.split()
+    )
+    missing = [
+        name
+        for name in (f"CORRECTNESS_r{rnd:02d}.json", f"BENCH_r{rnd:02d}.json")
+        if (REPO_ROOT / name).exists() and name not in tracked
+    ]
+    assert missing == [], (
+        f"round-{rnd} driver artifacts exist but are untracked: "
+        f"{missing} — `git add` them (and regenerate REGISTRY.md) so "
+        "evidence derivation sees them"
+    )
+    assert "LEAKCHECK.json" in tracked
+
+
 def test_freshness_survives_an_untracked_driver_artifact():
     """Simulate the exact race that reddened r05 and r06: the driver
     drops a strictly-newer CORRECTNESS artifact into the working tree

@@ -920,3 +920,89 @@ def test_gated_ingest_replay_is_idempotent_and_gates_same(spark, tmp_path):
     plan = surv._jdf.queryExecution().executedPlan().toString()
     pf = plan.split("PartitionFilters")[1].split("]")[0]
     assert "centroid_id" in pf and "__batch_id" in pf, plan
+
+
+def test_ivf_compact_index_rolls_up_batches(spark, tmp_path):
+    """Sustained-ingest maintenance (r09 VERDICT task 6): many
+    micro-batch appends accrete one file per (centroid, batch);
+    ivf_compact_index must consolidate committed batches into ONE
+    generation with one file per centroid, preserve probe results
+    bit-exactly, keep directory pruning, and be idempotently
+    re-runnable (the crash-between-phases recovery)."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from tajo_spark.operators.similarity import ivf_q8_shortlist
+    from tajo_spark.streaming import ann_ingest as AI
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40 + 12 * 5, 32))
+
+    def df(lo, hi):
+        return spark.createDataFrame(
+            [(int(i), [float(x) for x in base[i]]) for i in range(lo, hi)],
+            "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+        )
+
+    index = str(tmp_path / "index")
+    model = AI.ivf_ingest_init(df(0, 40), index, n_centroids=4)
+    for b in range(12):
+        AI.ivf_append_batch(
+            df(40 + 12 * b // 3, 40 + 12 * (b + 1) // 3 + 8),
+            model, index, batch_id=b,
+        )
+    qv = [float(x) for x in base[3]]
+    before = [
+        (r.vec_id, round(r["__q8_cos"], 9))
+        for r in ivf_q8_shortlist(
+            spark, index, model, qv, k=5, nprobe=2
+        ).collect()
+    ]
+    files_before = len(glob.glob(index + "/centroid_id=*/__batch_id=*/*.parquet"))
+
+    stats = AI.ivf_compact_index(spark, index, upto_batch_id=11)
+    assert stats["generation"] == -13
+    assert stats["consolidated_batches"] == 13  # 12 batches + bootstrap
+
+    # one generation left, one file per centroid dir
+    bdirs = {
+        os.path.basename(p)
+        for p in glob.glob(index + "/centroid_id=*/__batch_id=*")
+    }
+    assert bdirs == {"__batch_id=-13"}
+    for cdir in glob.glob(index + "/centroid_id=*"):
+        leafs = glob.glob(cdir + "/__batch_id=-13/*.parquet")
+        assert len(leafs) == 1, cdir
+    files_after = len(glob.glob(index + "/centroid_id=*/__batch_id=*/*.parquet"))
+    assert files_after < files_before
+
+    # probe results bit-exact across compaction, pruning intact
+    probe_df = ivf_q8_shortlist(spark, index, model, qv, k=5, nprobe=2)
+    after = [
+        (r.vec_id, round(r["__q8_cos"], 9)) for r in probe_df.collect()
+    ]
+    assert after == before
+    plan = probe_df._jdf.queryExecution().executedPlan().toString()
+    assert "centroid_id" in plan.split("PartitionFilters")[1].split("]")[0]
+
+    # idempotent re-run (crash-recovery path): nothing left to fold,
+    # identical state
+    stats2 = AI.ivf_compact_index(spark, index, upto_batch_id=11)
+    assert stats2["consolidated_batches"] == 0
+    assert [
+        (r.vec_id, round(r["__q8_cos"], 9))
+        for r in ivf_q8_shortlist(
+            spark, index, model, qv, k=5, nprobe=2
+        ).collect()
+    ] == before
+
+    # ingest continues after compaction: a later batch appends its own
+    # partitions alongside the generation and is itself foldable
+    AI.ivf_append_batch(df(0, 4).selectExpr(
+        "vec_id + 1000 AS vec_id", "embedding"
+    ), model, index, batch_id=12)
+    stats3 = AI.ivf_compact_index(spark, index, upto_batch_id=12)
+    assert stats3["generation"] == -14
+    assert stats3["consolidated_batches"] == 2  # gen -13 + batch 12

@@ -178,18 +178,10 @@ KNOWN_DIVERGENCES = {
         "[reference-bug] reference pushes the outer filter below rank() — standard "
         "order ranks all rows first"
     ),
-    # Tajo's self-describing tables read every JSON primitive as TEXT
-    # and re-parse per query (booleans render 'false', twitter-format
-    # dates parse as timestamps, text<->int comparisons coerce); this
-    # engine uses Spark's typed schema inference.
-    "TestSelectNestedRecord/testSelect2": (
-        "[dialect-documented] self-desc JSON: reference reads primitives as TEXT; this "
-        "engine infers types"
-    ),
-    "TestQueryOnSelfDescTable/testJoinWithSchemaFullTable4": (
-        "[dialect-documented] self-desc JSON: text-typed favourites_count <> first_name "
-        "comparison coerces differently under typed inference"
-    ),
+    # (r09 task 5: the two [dialect-documented] self-desc JSON entries
+    # — testSelect2, testJoinWithSchemaFullTable4 — left this list:
+    # FILE_FIXTURES now stages them with the reference's own typing,
+    # via SELF_DESC_TEXT_TYPING semantics and tweets_ddl.sql.)
 }
 
 # ---------------------------------------------------------------------------
@@ -338,7 +330,86 @@ def _tz_rows(table_zone_offset_hours: int):
 _SEL = DS_ROOT + "/TestSelectQuery"
 _SRT = DS_ROOT + "/TestSortQuery"
 _MB_DDL = "id int, name string, score float, type string"
+# The reference's tweets DDL (TestSelectNestedRecord/tweets_ddl.sql),
+# translated type-for-type: RECORD→STRUCT, TEXT→STRING, BOOL→BOOLEAN;
+# created_at fields are declared TIMESTAMP over twitter-format strings,
+# which Tajo's serde parses — Spark needs the matching timestampFormat.
+_TWEETS_DDL = (
+    "coordinates STRING, favorited STRING, truncated STRING, "
+    "created_at TIMESTAMP, id_str STRING, in_reply_to_user_id_str STRING, "
+    "contributors STRING, text STRING, "
+    "metadata STRUCT<iso_language_code: STRING, result_type: STRING>, "
+    "retweet_count INT, in_reply_to_status_id_str STRING, id STRING, "
+    "geo STRING, retweeted STRING, in_reply_to_user_id STRING, "
+    "place STRING, user STRUCT<"
+    "profile_sidebar_fill_color: STRING, "
+    "profile_sidebar_border_color: STRING, "
+    "profile_background_tile: STRING, name: STRING, "
+    "profile_image_url: STRING, created_at: TIMESTAMP, location: STRING, "
+    "follow_request_sent: STRING, profile_link_color: STRING, "
+    "is_translator: STRING, id_str: STRING, default_profile: STRING, "
+    "contributors_enabled: STRING, favourites_count: INT, url: STRING, "
+    "profile_image_url_https: STRING, utc_offset: INT, id: BIGINT, "
+    "profile_use_background_image: STRING, listed_count: INT, "
+    "profile_text_color: STRING, lang: STRING, followers_count: INT, "
+    "protected: STRING, notifications: STRING, "
+    "profile_background_image_url_https: STRING, "
+    "profile_background_color: STRING, verified: STRING, "
+    "geo_enabled: STRING, time_zone: STRING, description: STRING, "
+    "default_profile_image: STRING, profile_background_image_url: STRING, "
+    "statuses_count: INT, friends_count: INT, following: STRING, "
+    "show_all_inline_media: STRING, screen_name: STRING>, "
+    "in_reply_to_screen_name STRING, source STRING, "
+    "in_reply_to_status_id STRING"
+)
+_TWITTER_TS = {"timestampFormat": "EEE MMM dd HH:mm:ss Z yyyy"}
+
 FILE_FIXTURES: dict[str, dict] = {
+    # r09 VERDICT task 5 — was [dialect-documented] known-divergence:
+    # the reference types self-desc primitives as TEXT
+    # (SelfDescSchemaBuildPhase.java:52-55), so favourites_count <>
+    # first_name compares as TEXT<->TEXT; restage the self-desc views
+    # under the engine's SELF_DESC_TEXT_TYPING=on semantics
+    "TestQueryOnSelfDescTable/testJoinWithSchemaFullTable4": {
+        "tables": {
+            "self_desc_table1": (
+                "json", DS_ROOT + "/TestQueryOnSelfDescTable/sample1", True
+            ),
+            "self_desc_table3": (
+                "json", DS_ROOT + "/TestQueryOnSelfDescTable/tweets", True
+            ),
+        },
+        "restore": {
+            "self_desc_table1": (
+                "json", DS_ROOT + "/TestQueryOnSelfDescTable/sample1", False
+            ),
+            "self_desc_table3": (
+                "json", DS_ROOT + "/TestQueryOnSelfDescTable/tweets", False
+            ),
+        },
+    },
+    # was [dialect-documented] known-divergence: TestSelectNestedRecord
+    # stages tweets with a DECLARED schema (tweets_ddl.sql — created_at
+    # TIMESTAMP over twitter-format strings, favourites_count INTEGER),
+    # not self-describing inference; stage the reference's own DDL
+    "TestSelectNestedRecord/testSelect2": {
+        # twitter's 'EEE MMM dd' day/month names need the
+        # SimpleDateFormat parser (Spark >=3 rejects EEE in parsing)
+        "conf": {"spark.sql.legacy.timeParserPolicy": "LEGACY"},
+        "tables": {
+            "tweets": (
+                "json_schema",
+                DS_ROOT + "/TestSelectNestedRecord/tweets",
+                _TWEETS_DDL,
+                _TWITTER_TS,
+            ),
+        },
+        "restore": {
+            "tweets": (
+                "json", DS_ROOT + "/TestSelectNestedRecord/tweets", False
+            ),
+        },
+    },
     # multibytes_delimiter_table{1,3}_ddl.sql ('||') over
     # multibytes_delimiter1; {2,4} ('ㅎ') over multibytes_delimiter2
     # (TestSelectQuery.java:681-725)
@@ -553,6 +624,26 @@ def _stage_one(spark, name: str, spec: tuple) -> None:
     if kind == "parquet":
         df = spark.read.parquet(spec[1])
         df.coalesce(1).createOrReplaceTempView(name)
+        return
+    if kind == "json":
+        # (path, text_typing): text_typing=True is the engine's
+        # SELF_DESC_TEXT_TYPING session var semantics — the reference
+        # types every self-desc primitive as TEXT
+        # (SelfDescSchemaBuildPhase.java:52-55)
+        _, path, text_typing = spec
+        reader = spark.read
+        if text_typing:
+            reader = reader.option("primitivesAsString", "true")
+        reader.json(path).createOrReplaceTempView(name)
+        return
+    if kind == "json_schema":
+        # (path, spark-DDL, reader options) — the reference's
+        # CREATE EXTERNAL TABLE ... USING JSON with a declared schema
+        _, path, ddl, opts = spec
+        reader = spark.read.schema(ddl)
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        reader.json(path).createOrReplaceTempView(name)
         return
     if kind == "text":
         _, path, ddl, delim, nullv = spec
@@ -894,19 +985,21 @@ def main() -> None:
         if cur_suite != suite:
             apply_suite_overlay(spark, suite)
             cur_suite = suite
-        # per-file session-conf overlay (e.g. spark.sql.caseSensitive
-        # for the "TABLE1"/"tablE1" coexistence file) — set BEFORE
-        # staging so view registration happens under the override,
-        # restored in the finally below
-        saved_conf: dict[str, str | None] = {}
-        for ck, cv in fixture.get("conf", {}).items():
-            saved_conf[ck] = spark.conf.get(ck, None)
-            spark.conf.set(ck, cv)
-        for name, spec in fixture.get("tables", {}).items():
-            _stage_one(spark, name, spec)
         body = re.sub(r"\bdefault\.", "", body, flags=re.IGNORECASE)
         tz_before = spark.conf.get("spark.sql.session.timeZone", None)
+        saved_conf: dict[str, str | None] = {}
         try:
+            # per-file session-conf overlay (e.g. spark.sql.caseSensitive
+            # for the "TABLE1"/"tablE1" coexistence file) — set BEFORE
+            # staging so view registration happens under the override;
+            # set and staged INSIDE the try so a staging failure still
+            # restores the overlay in the finally (ADVICE r09: a leak
+            # here changes every subsequent file's results)
+            for ck, cv in fixture.get("conf", {}).items():
+                saved_conf[ck] = spark.conf.get(ck, None)
+                spark.conf.set(ck, cv)
+            for name, spec in fixture.get("tables", {}).items():
+                _stage_one(spark, name, spec)
             for name in fixture.get("creates", ()):
                 # a fresh in-memory catalog doesn't know about table
                 # dirs a PREVIOUS harness process left in the warehouse
@@ -953,6 +1046,13 @@ def main() -> None:
                     spark.createDataFrame(gen[1], gen[0]).coalesce(
                         1
                     ).createOrReplaceTempView(name.lower())
+            # non-generic views (e.g. the self-desc JSON tables) carry
+            # an explicit restore spec reproducing the suite staging
+            for name, spec in fixture.get("restore", {}).items():
+                try:
+                    _stage_one(spark, name, spec)
+                except Exception:
+                    pass
         has_order = "order by" in low
         cat = compare(header, rows, golden, has_order)
         if cat == "value-diff" and f"{suite}/{stem}" in KNOWN_DIVERGENCES:

@@ -31,17 +31,26 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
-# the 10 heaviest budget rows (bench_results.json r07 ranking), one
-# per heavy family: composed pipeline, containment (asym + weighted),
-# cluster survivor choice (graph), PQ/IVF persisted ANN, k-means,
-# BPE train+encode, tar export w/ consumer verify
+# the heaviest budget rows (bench_results.json r07 ranking), one per
+# heavy family: composed pipeline, containment (asym + weighted),
+# cluster survivor choice (graph), PQ persisted ANN, k-means,
+# BPE train+encode, tar export w/ consumer verify.
+#
+# r09 VERDICT task 2: the persisted-ANN row is SPLIT into its two
+# production legs — `sim_ann_pq_build` (index build, once per corpus
+# version; measured with the per-process memo cleared) and
+# `sim_ann_pq_probe` (steady-state serving against the warm index, the
+# production-repeated number). The old single row timed build + exact
+# brute-force leg + probe in whichever run hit the cold memo, which is
+# why r08 AND r09 each needed a "measurement pressure" adjudication.
 HEAVY = [
     ("pipeline_corpus_prep_v7", "docs"),
     ("dedup_containment_asym", "docs"),
     ("dedup_weighted_containment", "docs"),
     ("dedup_best_by_centrality", "docs"),
     ("dedup_best_of_cluster", "docs"),
-    ("sim_ann_pq_persisted", "emb"),
+    ("sim_ann_pq_build", "emb"),
+    ("sim_ann_pq_probe", "emb"),
     ("sim_kmeans_lloyd", "emb"),
     ("text_bpe_train", "docs"),
     ("export_tar_verify", "docs"),
@@ -73,9 +82,12 @@ def main() -> None:
     spark = build_spark(app_name="sf1_spotbench")
     qs = queries()
     baseline = {}
+    baseline_full = {}
     try:
-        baseline = json.load(open(os.path.join(REPO, "bench_results.json")))
-        baseline = baseline.get("queries", baseline)
+        baseline_full = json.load(
+            open(os.path.join(REPO, "bench_results.json"))
+        )
+        baseline = baseline_full.get("queries", baseline_full)
     except Exception:
         pass
 
@@ -90,30 +102,101 @@ def main() -> None:
                 "tpch": SL.stage_tpch(args.mult, root),
             }
         )
+        from tajo_spark.queries import datapipe as DP
+
+        def run_one(q: str, sf_dir: str) -> str:
+            """Execute one measured leg; raises on failure."""
+            if q == "sim_ann_pq_build":
+                # build-once leg: clear the per-process memo so the
+                # timed call IS the build (KMeans + codebooks + encode
+                # + partitioned persist)
+                DP._IVFPQ_INDEX.clear()
+                DP._ivfpq_index(spark, sf_dir, n_centroids=8)
+                return ""
+            # sim_ann_pq_probe rides the registry body: by protocol it
+            # runs AFTER the build leg, so the memoized index is warm
+            # and the timing is steady-state serving only
+            qs[q](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            return ""
+
         # codegen warmup at tiny SF (same protocol as bench.py)
         for q, _ in heavy:
             try:
-                qs[q](spark, "/root/testdata/sf0.001").write.format(
-                    "noop"
-                ).mode("overwrite").save()
+                run_one(q, "/root/testdata/sf0.001")
             except Exception:
                 pass
-        print(f"| query | sf0.1 wall | {args.mult}x wall | ratio |")
+
+        # host-speed probe AFTER warmup, same regime as the measured
+        # runs (r09 VERDICT task 8: raw one-shot walls needed prose
+        # adjudication every round — normalize like bench.py does)
+        import bench as B
+
+        probe_sec = B._host_speed_probe(spark)
+        host_factor = 1.0
+        base_factor = 1.0
+        try:
+            budgets = json.load(
+                open(os.path.join(REPO, "perf_budgets.json"))
+            )
+            ref = budgets.get("_probe_reference_sec")
+            if ref:
+                host_factor = round(min(3.0, max(1.0, probe_sec / ref)), 3)
+                base_probe = baseline_full.get("host_probe_sec")
+                if base_probe:
+                    base_factor = round(
+                        min(3.0, max(1.0, base_probe / ref)), 3
+                    )
+        except Exception:
+            pass
+
+        rows = {}
+        print(
+            f"| query | sf0.1 wall | {args.mult}x wall | ratio "
+            f"(host-normalized) |"
+        )
         print("|---|---|---|---|")
         for q, which in heavy:
             t0 = time.time()
             status = ""
             try:
-                qs[q](spark, dirs[which]).write.format("noop").mode(
-                    "overwrite"
-                ).save()
+                run_one(q, dirs[which])
             except Exception as exc:
                 status = f" FAIL({str(exc).splitlines()[0][:50]})"
             wall = time.time() - t0
             base = baseline.get(q)
-            ratio = f"{wall / base:.1f}x" if base else "—"
+            # normalize each side by ITS run's host factor so the
+            # ratio compares engine work, not bench-host load
+            ratio_norm = (
+                (wall / host_factor) / (base / base_factor)
+                if base
+                else None
+            )
+            ratio = f"{ratio_norm:.1f}x" if base else "—"
             base_s = f"{base:.2f} s" if base else "—"
             print(f"| `{q}` | {base_s} | {wall:.2f} s | {ratio}{status} |")
+            rows[q] = {
+                "wall_sec": round(wall, 3),
+                "base_sec": base,
+                "ratio_norm": round(ratio_norm, 2) if ratio_norm else None,
+                "status": status.strip() or "ok",
+            }
+        out = {
+            "mult": args.mult,
+            "host_probe_sec": probe_sec,
+            "host_factor": host_factor,
+            "baseline_host_factor": base_factor,
+            "queries": rows,
+        }
+        with open(
+            os.path.join(REPO, "sf1_spotbench.json"), "w"
+        ) as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        print(
+            f"\nhost_probe={probe_sec}s factor={host_factor} "
+            f"(baseline factor={base_factor}) → sf1_spotbench.json"
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
         spark.stop()
