@@ -267,6 +267,22 @@ class Engine:
             else:
                 self.drop_index(idx.name)
             return None
+        m_ex = _re.match(
+            r"^\s*EXPLAIN\s+(GLOBAL\s+)?(SELECT\b[\s\S]*)$",
+            sql,
+            _re.IGNORECASE,
+        )
+        if m_ex is not None:
+            # Tajo returns EXPLAIN output as a one-column result set
+            # named 'explain' (QueryExecutor.java:126)
+            text = (
+                self.explain_global(m_ex.group(2))
+                if m_ex.group(1)
+                else self.explain(m_ex.group(2))
+            )
+            return self.spark.createDataFrame(
+                [(line,) for line in text.split("\n")], "explain STRING"
+            ).coalesce(1)
         m_rc = _re.match(
             r"^\s*ALTER\s+TABLE\s+([\w.\"`]+)\s+RENAME\s+COLUMN\s+"
             r"([\w\"`]+)\s+TO\s+([\w\"`]+)\s*$",
@@ -371,7 +387,9 @@ class Engine:
 
     _INTEGRAL_TYPES = frozenset(("tinyint", "smallint", "int", "bigint"))
 
-    def _tajo_typed_division(self, sql: str, depth: int = 0) -> str:
+    def _tajo_typed_division(
+        self, sql: str, depth: int = 0, prefix: str = ""
+    ) -> str:
         """Tajo types ``/`` from the catalog (ExprAnnotator.java):
         INTn / INTn is truncating integer division; Spark's ``/``
         always yields DOUBLE. For each division in the TOP-LEVEL
@@ -391,16 +409,43 @@ class Engine:
         ``(SELECT ...)`` span — are recursed into as standalone
         statements with their own probes (r09 task 4): an uncorrelated
         body types against the catalog on its own; a correlated body's
-        probe fails analysis and its sites stay on ``/``. Residual:
-        set-operation branches (the appended probe item breaks branch
-        arity, so every site in either branch skips), correlated
-        subqueries, and the unparenthesized select bodies of
+        probe fails analysis and its sites stay on ``/``. Set-operation
+        BRANCHES probe standalone per branch (r10 —
+        dialect.setop_branch_spans: a lone branch has no arity
+        contract, so the appended probe item analyzes fine), and a
+        WITH statement's main body probes with the WITH clause as a
+        PREFIX so CTE names resolve (dialect.with_main_start).
+        Residual: correlated subqueries (their probe cannot analyze
+        standalone) and the unparenthesized select bodies of
         CTAS/INSERT (the site finder keys on a bare leading SELECT;
         parenthesized subqueries inside them still recurse). All
         residuals keep Spark double typing, and no reference golden
         exercises any of them.
         """
-        out = self._typed_division_one_scope(sql)
+        out = self._typed_division_one_scope(sql, prefix)
+        if depth < 4 and not prefix:
+            try:
+                mstart = dialect.with_main_start(out)
+            except Exception:
+                mstart = None
+            if mstart is not None and "/" in out[mstart:]:
+                seg = out[mstart:]
+                new_seg = self._tajo_typed_division(
+                    seg, depth + 1, prefix=out[:mstart]
+                )
+                out = out[:mstart] + new_seg
+        if depth < 4:
+            try:
+                branches = dialect.setop_branch_spans(out)
+            except Exception:
+                branches = []
+            for start, end in reversed(branches):
+                seg = out[start:end]
+                if "/" not in seg:
+                    continue
+                new_seg = self._typed_division_one_scope(seg, prefix)
+                if new_seg != seg:
+                    out = out[:start] + new_seg + out[end:]
         if depth < 4:
             try:
                 spans = dialect.outer_select_spans(out)
@@ -415,9 +460,11 @@ class Engine:
                     out = out[: start + 1] + new_inner + out[end - 1 :]
         return out
 
-    def _typed_division_one_scope(self, sql: str) -> str:
+    def _typed_division_one_scope(self, sql: str, prefix: str = "") -> str:
         """The single-scope probe+rewrite body of
-        :meth:`_tajo_typed_division` (which owns the scope recursion)."""
+        :meth:`_tajo_typed_division` (which owns the scope recursion).
+        ``prefix`` is prepended to every probe statement (a WITH clause
+        whose CTE names the scope references) but never rewritten."""
         try:
             sites, insert_at = dialect.top_level_division_sites(sql)
         except Exception:
@@ -433,7 +480,9 @@ class Engine:
                 f"struct({sql[ls:le]}, {sql[rs:re_]}) AS __tajodiv_p{i}"
                 for i, (ls, le, _s, rs, re_) in enumerate(sites)
             )
-            probe = sql[:insert_at] + ", " + items + " " + sql[insert_at:]
+            probe = (
+                prefix + sql[:insert_at] + ", " + items + " " + sql[insert_at:]
+            )
             try:
                 schema = self.spark.sql(probe).schema
                 for i, site in enumerate(sites):
@@ -450,7 +499,8 @@ class Engine:
             x, y = sql[ls:le], sql[rs:re_]
             for wrap in ("struct({x}, {y})", "struct(min({x}), min({y}))"):
                 probe = (
-                    sql[:insert_at]
+                    prefix
+                    + sql[:insert_at]
                     + ", "
                     + wrap.format(x=x, y=y)
                     + " AS __tajodiv_probe "
@@ -560,15 +610,35 @@ class Engine:
         return [self.execute_sql(stmt) for stmt in split_statements(script)]
 
     def explain(self, sql: str, mode: str = "formatted") -> str:
-        """EXPLAIN [GLOBAL] parity (QueryExecutor.java:126): the formatted
-        physical plan, which at cluster scale includes the exchange
-        (shuffle) structure — the MasterPlan DAG equivalent."""
+        """EXPLAIN parity (QueryExecutor.java:126): Tajo's logical-plan
+        dump when the statement is the single-scan projection shape
+        Tajo's own golden pins (plans/explain_tajo.render_logical,
+        byte-exact vs testExplainSelect.result); otherwise the formatted
+        Catalyst physical plan — the honest surface for plans the
+        reference could not produce."""
+        from tajo_spark.plans import explain_tajo
+
+        tajo = explain_tajo.render_logical(self.spark, sql)
+        if tajo is not None:
+            return tajo
         df = self._sql(dialect.translate(sql))
         return df._jdf.queryExecution().explainString(
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 mode
             )
         )
+
+    def explain_global(self, sql: str) -> str:
+        """EXPLAIN GLOBAL parity (QueryExecutor.java:126 → MasterPlan
+        dump): the distributed stage DAG in Tajo's rendering —
+        Execution Block Graph, Order of Execution, one plan section
+        per block — derived from the REAL Catalyst physical plan
+        (blocks are the exchange-delimited stage slices; broadcasts
+        stay inside their consuming block, BroadcastJoinRule parity)."""
+        from tajo_spark.plans import explain_tajo
+
+        df = self._sql(dialect.translate(sql))
+        return explain_tajo.render_global(df)
 
     # ---- session variables -------------------------------------------------
     def _apply_directive(self, d: dialect.SessionDirective) -> None:

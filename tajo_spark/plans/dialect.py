@@ -2219,6 +2219,110 @@ def outer_select_spans(sql: str) -> list[tuple[int, int]]:
     return spans
 
 
+def setop_branch_spans(sql: str) -> list[tuple[int, int]]:
+    """Top-level bare-SELECT branch spans of a set-operation statement
+    (``[(start, end)] ``; empty when there is no top-level set operator
+    or the statement doesn't lead with SELECT). Used by the engine's
+    typed-division rewrite (r10): each branch is its own probe scope —
+    probing the branch STANDALONE sidesteps the arity problem that made
+    set-op statements a residual (an appended probe item breaks UNION
+    branch arity, but a lone branch has no arity contract). Branches
+    that are parenthesized ride the subquery recursion instead."""
+    masked = _blank_comments(_mask_string_bodies(sql))
+    if not re.match(r"\s*SELECT\b", masked, re.IGNORECASE):
+        return []
+    n = len(masked)
+    depth = 0
+    bounds: list[tuple[int, int]] = []
+    i = 0
+    while i < n:
+        c = masked[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and c in "UuIiEe":
+            kw = re.match(
+                r"(UNION|INTERSECT|EXCEPT)\b(\s+(ALL|DISTINCT)\b)?",
+                masked[i:],
+                re.IGNORECASE,
+            )
+            if kw and (
+                i == 0
+                or not (masked[i - 1].isalnum() or masked[i - 1] == "_")
+            ):
+                bounds.append((i, i + kw.end()))
+                i += kw.end()
+                continue
+        i += 1
+    if not bounds:
+        return []
+    spans: list[tuple[int, int]] = []
+    prev = 0
+    for s, e in bounds:
+        spans.append((prev, s))
+        prev = e
+    spans.append((prev, n))
+    out: list[tuple[int, int]] = []
+    for s, e in spans:
+        while s < e and masked[s].isspace():
+            s += 1
+        if re.match(r"SELECT\b", masked[s:e], re.IGNORECASE):
+            out.append((s, e))
+    return out
+
+
+def with_main_start(sql: str) -> int | None:
+    """Offset where the main statement begins after a top-level WITH
+    clause (each ``name [(cols)] AS ( body )`` consumed, comma-chained),
+    or None when the shape isn't recognized or the main statement isn't
+    a SELECT. The engine's typed-division rewrite probes the main body
+    with the WITH clause as a PREFIX so CTE names resolve (r10 — closes
+    the WITH-statement residual)."""
+    masked = _blank_comments(_mask_string_bodies(sql))
+    m = re.match(r"\s*WITH\s+(RECURSIVE\s+)?", masked, re.IGNORECASE)
+    if not m:
+        return None
+    i, n = m.end(), len(masked)
+    while True:
+        m2 = re.match(r'[\w"`]+\s*', masked[i:])
+        if not m2 or m2.end() == 0:
+            return None
+        i += m2.end()
+        if i < n and masked[i] == "(":  # optional column alias list
+            d, i = 1, i + 1
+            while i < n and d:
+                if masked[i] == "(":
+                    d += 1
+                elif masked[i] == ")":
+                    d -= 1
+                i += 1
+            while i < n and masked[i].isspace():
+                i += 1
+        m3 = re.match(r"AS\s*\(", masked[i:], re.IGNORECASE)
+        if not m3:
+            return None
+        i += m3.end()
+        d = 1
+        while i < n and d:
+            if masked[i] == "(":
+                d += 1
+            elif masked[i] == ")":
+                d -= 1
+            i += 1
+        if d:
+            return None
+        while i < n and masked[i].isspace():
+            i += 1
+        if i < n and masked[i] == ",":
+            i += 1
+            while i < n and masked[i].isspace():
+                i += 1
+            continue
+        break
+    return i if re.match(r"SELECT\b", masked[i:], re.IGNORECASE) else None
+
+
 def _check_strings_terminated(sql: str) -> None:
     """Reject an unterminated string literal up front (r08 fuzz find:
     every rewrite below assumes _SQSTRING_RE can close any literal it

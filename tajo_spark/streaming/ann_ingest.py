@@ -60,14 +60,29 @@ def assign_with_frozen_centroids(batch: DataFrame, model) -> DataFrame:
 
 
 def ivf_append_batch(
-    batch: DataFrame, model, index_path: str, batch_id: int
+    batch: DataFrame,
+    model,
+    index_path: str,
+    batch_id: int,
+    coalesce: int | None = None,
 ) -> None:
     """Append one ingest batch to the quantized index, idempotently:
     dynamic partition overwrite replaces exactly the
     ``(centroid_id, __batch_id)`` directories this batch produces, so
-    a replay of the same ``batch_id`` rewrites rather than duplicates."""
+    a replay of the same ``batch_id`` rewrites rather than duplicates.
+
+    ``coalesce`` bounds the batch's write parallelism WITHOUT a shuffle
+    (file count per append = write partitions x centroids touched; the
+    ingest rung measured a 200-row batch inheriting 32 source
+    partitions and writing ~174 files). Pass ``coalesce=1`` for
+    micro-batches; leave None for bulk loads where parallel writers
+    matter more than file count — `ivf_compact_index` folds the
+    residue either way."""
+    assigned = assign_with_frozen_centroids(batch, model)
+    if coalesce is not None:
+        assigned = assigned.coalesce(coalesce)
     (
-        assign_with_frozen_centroids(batch, model)
+        assigned
         .select(
             "vec_id",
             quantize_int8(F.col("embedding")).alias("q8"),

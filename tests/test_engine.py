@@ -180,6 +180,27 @@ def test_tajo_typed_integer_division(spark, engine):
         "WHERE i.a / d.b = 3.5 AND i.a = 7)"
     ).collect()
     assert sorted(r.a for r in got) == [-7, 1, 7]
+    # r10: set-op branches probe standalone — BOTH branches rewrite
+    got = {
+        r.r
+        for r in engine.execute_sql(
+            "SELECT a / b AS r FROM divt WHERE a = 7 "
+            "UNION ALL SELECT a / 2 AS r FROM divt WHERE a = -7"
+        ).collect()
+    }
+    assert got == {3, -3}  # 7 div 2, -7 div 2 (toward zero)
+    # r10: WITH main bodies probe with the CTE prefix attached
+    got = engine.execute_sql(
+        "WITH c AS (SELECT a, b FROM divt WHERE a = 7) "
+        "SELECT a / b AS r FROM c"
+    ).collect()
+    assert got[0].r == 3
+    # mixed types through a CTE stay double
+    got = engine.execute_sql(
+        "WITH c AS (SELECT f, b FROM divt WHERE a = 7) "
+        "SELECT f / b AS r FROM c"
+    ).collect()
+    assert got[0].r == 1.5
     # ADVICE r09: a same-precedence chain on the left must widen the
     # probed operand — 'f * a div b' parses as '(f*a) div b', so the
     # old tight-operand probe (a, b) mis-typed a DOUBLE site integral
@@ -199,6 +220,42 @@ def test_tajo_typed_integer_division(spark, engine):
         "SELECT a / b * b / 2 AS r FROM divt WHERE a = 7"
     ).collect()
     assert got[0].r == 3.0  # ((7 div 2)*2)/2.0: site2 left on '/'
+
+
+def test_division_scope_scanners_pure():
+    """Text-walker pins for the r10 typed-division scope extensions
+    (no Spark): set-op branch spans, WITH main-body offset."""
+    s = "SELECT a/b FROM t UNION ALL SELECT c/d FROM u ORDER BY 1"
+    spans = dialect.setop_branch_spans(s)
+    assert [s[a:b].strip() for a, b in spans] == [
+        "SELECT a/b FROM t",
+        "SELECT c/d FROM u ORDER BY 1",
+    ]
+    # set-ops inside parens/subqueries are NOT branch boundaries
+    assert dialect.setop_branch_spans(
+        "SELECT x FROM (SELECT 1 UNION SELECT 2) q"
+    ) == []
+    # parenthesized branches ride the subquery recursion instead
+    got = dialect.setop_branch_spans("(SELECT 1) UNION SELECT 2")
+    assert got == [] or all(
+        "(SELECT 1)" not in "(SELECT 1) UNION SELECT 2"[a:b]
+        for a, b in got
+    )
+    w = (
+        "WITH a (x) AS (SELECT 1), b AS (SELECT 2 FROM (SELECT 3) q) "
+        "SELECT x / 2 FROM a"
+    )
+    off = dialect.with_main_start(w)
+    assert w[off:] == "SELECT x / 2 FROM a"
+    assert dialect.with_main_start("SELECT 1") is None
+    # a WITH whose main statement is not SELECT is unrecognized
+    assert dialect.with_main_start(
+        "WITH c AS (SELECT 1) INSERT INTO t SELECT * FROM c"
+    ) is None
+    # string/comment bodies can't fake keywords
+    assert dialect.setop_branch_spans(
+        "SELECT ' UNION ' AS s FROM t"
+    ) == []
 
 
 def test_similar_to_translation():
@@ -315,6 +372,47 @@ def test_engine_explain_has_exchange_structure(engine, spark):
         "SELECT l_returnflag, sum(l_quantity) FROM lineitem GROUP BY l_returnflag"
     )
     assert "Exchange" in plan or "Aggregate" in plan
+
+
+def test_explain_tajo_logical_dump_and_global_dag(engine, spark):
+    """r09 task 9: plain EXPLAIN renders Tajo's logical dump for the
+    single-scan projection shape (byte-matched against the reference's
+    testExplainSelect.result by the golden runner); EXPLAIN GLOBAL
+    renders the stage DAG in Tajo's Execution Block Graph frame with
+    blocks split at shuffle exchanges and broadcasts kept inline."""
+    from tajo_spark.catalog import register_tables
+
+    register_tables(spark, SF_DIR, ("lineitem",))
+    out = engine.explain("select l_orderkey, l_partkey from lineitem")
+    assert out.startswith("SCAN(0) on default.lineitem\n")
+    assert "  => target list: default.lineitem.l_orderkey (INT8)" in out
+    assert "=> in schema: {(" in out  # testdata arity, alphabetized
+    # statement-level routing: EXPLAIN comes back as Tajo's one-column
+    # 'explain' result set
+    rows = engine.execute_sql(
+        "explain select l_orderkey, l_partkey from lineitem"
+    ).collect()
+    assert rows[0].explain == "SCAN(0) on default.lineitem"
+    # EXPLAIN GLOBAL: block per shuffle stage, broadcast inline
+    spark.range(100_000).selectExpr("id % 7 AS k", "id AS v") \
+        .createOrReplaceTempView("eg_big")
+    spark.range(100_000).selectExpr("id AS w") \
+        .createOrReplaceTempView("eg_big2")
+    g = engine.explain_global(
+        "select b.k, count(*) c from eg_big b join eg_big2 n "
+        "on b.v = n.w group by b.k order by c"
+    )
+    assert "Execution Block Graph (TERMINAL" in g
+    assert "Order of Execution" in g
+    assert "SHUFFLE(hashpartitioning" in g  # group-by stage boundary
+    assert "[broadcast]" in g  # small side inlined, not a stage
+    assert "SHUFFLE(rangepartitioning" in g  # global sort boundary
+    # every referenced block id has a section
+    import re as _re2
+
+    ids = set(_re2.findall(r"eb_\d+_0000_\d{6}", g))
+    for b in ids:
+        assert f"Block Id: {b} [" in g
 
 
 # --------------------------------------------------------------------------

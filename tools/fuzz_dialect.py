@@ -69,6 +69,12 @@ def stages(sql: str):
     yield "index", lambda: dialect.parse_index_statement(sql)
     yield "translate", lambda: (dialect.translate(sql),
                                 dialect.pop_ctas_check())
+    # typed-division scope scanners (r10): pure text walkers the engine
+    # wraps in try/except — the contract is the same no-surprise set
+    yield "div_sites", lambda: dialect.top_level_division_sites(sql)
+    yield "div_subq", lambda: dialect.outer_select_spans(sql)
+    yield "div_setop", lambda: dialect.setop_branch_spans(sql)
+    yield "div_with", lambda: dialect.with_main_start(sql)
 
 
 def main() -> int:

@@ -98,6 +98,13 @@ def main() -> None:
             ("dedup_best_of_cluster", docs_dir),
             ("sim_ann_pq_persisted", emb_dir),
             ("text_bpe_train", docs_dir),
+            # r09 VERDICT task 7: the registry body's ~6 MB dictionary
+            # gate routes this corpus through the driver-local merge
+            # loop, so the 2 GiB row was measuring the local path;
+            # this row forces local_dict_max_rows=0 so the DISTRIBUTED
+            # merge loop (the 100 TB path) carries its own spill
+            # evidence like every other heavy shape
+            ("text_bpe_train@dist", docs_dir),
             ("dedup_exact_substring", docs_dir),
             # round-7 heavy shapes: the candidate-volume-bound verify
             # joins and the composed pipeline that embeds them
@@ -125,7 +132,21 @@ def main() -> None:
         }
         # warm codegen at the tiny SF so compilation doesn't pollute
         # walls (same protocol as bench.py)
+        def _bpe_dist(spark_, sf_dir_):
+            from tajo_spark.catalog import load_table
+            from tajo_spark.operators.bpe import train_bpe
+
+            docs = load_table(spark_, sf_dir_, "documents")
+            merges = train_bpe(
+                docs, n_merges=8, batch_k=8, local_dict_max_rows=0
+            )
+            return spark_.createDataFrame(
+                [(len(merges),)], "n_merges BIGINT"
+            )
+
         def qfn(label):
+            if label.startswith("text_bpe_train@dist"):
+                return _bpe_dist
             return qs[label.split("@")[0]]
 
         for q, _ in plan:
