@@ -1355,16 +1355,39 @@ def kmeans_lloyd(
     )
 
     def _assign(cent_df: DataFrame) -> DataFrame:
-        scored = e.crossJoin(F.broadcast(cent_df)).withColumn(
-            "sq_dist",
-            F.aggregate(
-                F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
+        # MAP-ONLY argmin (r10 — was the 5.2x-at-10x leg): the k
+        # centroids fold into ONE array row, broadcast, and each
+        # vector takes array_min over per-centroid (sq_dist, cid)
+        # structs — bit-identical to the previous
+        # groupBy(id, v).min(struct) (same zip_with/aggregate distance
+        # expression, same lexicographic struct ordering, and
+        # array_min is element-order-independent) but the per-
+        # iteration k*N-row shuffle WITH THE VECTOR IN THE KEY is
+        # gone: each Lloyd pass is now one scan + the bounded
+        # (cid x dim) update aggregate.
+        cent_arr = cent_df.agg(
+            F.collect_list(F.struct("cid", "c")).alias("__cents")
         )
-        best = scored.groupBy(id_col, "v").agg(
-            F.min(F.struct("sq_dist", "cid")).alias("b")
+        best = e.crossJoin(F.broadcast(cent_arr)).select(
+            id_col,
+            "v",
+            F.array_min(
+                F.transform(
+                    "__cents",
+                    lambda s: F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("v"),
+                                s["c"],
+                                lambda a, b: (a - b) * (a - b),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ).alias("sq_dist"),
+                        s["cid"].alias("cid"),
+                    ),
+                )
+            ).alias("b"),
         )
         return best.select(
             id_col, "v", F.col("b.cid").alias("cid"),
