@@ -368,6 +368,7 @@ def gated_ingest_batch(
     batch_id: int,
     tau: float = 0.92,
     nprobe: int = 2,
+    coalesce: int | None = None,
 ) -> None:
     """One micro-batch of the gated pipeline: near-dup gate →
     IVF-assign → idempotent partition-overwrite append.  A batch whose
@@ -379,7 +380,9 @@ def gated_ingest_batch(
     )
     if survivors.isEmpty():
         return
-    ivf_append_batch(survivors, model, index_path, batch_id)
+    ivf_append_batch(
+        survivors, model, index_path, batch_id, coalesce=coalesce
+    )
 
 
 def gated_ingest_stream(
@@ -389,6 +392,7 @@ def gated_ingest_stream(
     checkpoint: str,
     tau: float = 0.92,
     nprobe: int = 2,
+    coalesce: int | None = None,
 ):
     """The streaming twin: foreachBatch over
     :func:`gated_ingest_batch`, restartable from the checkpoint with
@@ -399,7 +403,8 @@ def gated_ingest_stream(
         if batch.isEmpty():
             return
         gated_ingest_batch(
-            batch, model, index_path, batch_id, tau=tau, nprobe=nprobe
+            batch, model, index_path, batch_id, tau=tau, nprobe=nprobe,
+            coalesce=coalesce,
         )
 
     return (
