@@ -621,25 +621,34 @@ def _fs_for(path: str):
 
 def _expand_glob(fs, p: str) -> list[tuple[str, int]]:
     """Driver-side glob expansion (pyarrow.fs has no native glob):
-    list the deepest non-glob parent recursively and fnmatch full
-    paths. Metadata only — no data reads."""
+    list the deepest non-glob parent recursively and match SEGMENT-wise
+    (glob semantics: ``*``/``?`` never cross ``/`` — plain fnmatch on
+    the full path would let ``dir/*.avro`` swallow subdirectory files).
+    Metadata only — no data reads."""
     import fnmatch
 
     import pyarrow.fs as pafs
 
-    parts = p.split("/")
-    for i, seg in enumerate(parts):
+    pat_parts = p.split("/")
+    for i, seg in enumerate(pat_parts):
         if any(c in seg for c in "*?["):
             break
     else:
         return []
-    base = "/".join(parts[:i]) or "/"
+    base = "/".join(pat_parts[:i]) or "/"
     if fs.get_file_info(base).type != pafs.FileType.Directory:
         return []
+
+    def _matches(path: str) -> bool:
+        parts = path.split("/")
+        return len(parts) == len(pat_parts) and all(
+            fnmatch.fnmatchcase(a, b) for a, b in zip(parts, pat_parts)
+        )
+
     return sorted(
         (f.path, f.size)
         for f in fs.get_file_info(pafs.FileSelector(base, recursive=True))
-        if f.is_file and fnmatch.fnmatch(f.path, p)
+        if f.is_file and _matches(f.path)
     )
 
 

@@ -186,6 +186,9 @@ def test_auto_split_engages_past_max_partition_bytes(spark, tmp_path):
 
 
 def test_glob_path_reads_under_auto_default(spark, tmp_path):
+    import glob as glob_mod
+    import os
+
     # ADVICE r09: the 'auto' default's driver-side listing got
     # FileType.NotFound (size=None) for a glob and raised TypeError;
     # globs must expand driver-side (big files still split) or fall
@@ -203,6 +206,16 @@ def test_glob_path_reads_under_auto_default(spark, tmp_path):
     fs, p = avro_py._fs_for(path + "/*.avro")
     files = avro_py._expand_glob(fs, p)
     assert files and all(sz > 0 for _f, sz in files)
+    # glob semantics: '*' never crosses '/' — a decoy one level down
+    # must not match dir/*.avro
+    import shutil
+
+    sub = path + "/deeper"
+    os.makedirs(sub, exist_ok=True)
+    shutil.copy(glob_mod.glob(path + "/*.avro")[0], sub + "/decoy.avro")
+    deeper = {f for f, _ in avro_py._expand_glob(*avro_py._fs_for(path + "/*.avro"))}
+    assert not any("deeper" in f for f in deeper)
+    assert avro_py._expand_glob(*avro_py._fs_for(path + "/*/decoy.avro"))
 
 
 def test_session_split_bytes_parses_suffixes(spark):
