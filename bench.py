@@ -156,6 +156,7 @@ HEADLINE = [
     "multimodal_gif_roundtrip",
     "multimodal_image_resize",
     "pipeline_corpus_prep_v7",
+    "pipeline_attrition_report",
     # round-7: one representative per previously-unrepresented registry
     # category, so every category's scale story has a tracked number
     # (tools/audit_coverage.py makes this a standing gate)

@@ -6092,3 +6092,123 @@ def pipeline_corpus_prep_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample.join(
         F.broadcast(fert), sample.grp == fert.lang
     ).select("doc_id", "grp", "w", "es_key", "fertility")
+
+
+@query(
+    "pipeline_attrition_report",
+    "curation",
+    doc="Per-stage attrition ledger for a composed curation pipeline "
+    "(operators/attrition.py::first_drop_attrition — the RefinedWeb "
+    "'removal rate per stage' table, Penedo et al. 2023, as a "
+    "first-class operator): every document is charged to the FIRST "
+    "stage that would drop it — null text, exact dedup (min-doc_id "
+    "survivor), then the five Gopher rules in audit order — and ONE "
+    "bounded aggregate yields (stage, docs, tokens, fractions). "
+    "Scale shape: per-row rules are zero-shuffle projections inlined "
+    "on the scan, the dedup marker is a min-doc_id window over the "
+    "md5 fingerprint on the SAME scan (uniform hash keys, one "
+    "shuffle), and the first-match fold is a nested CASE — the whole "
+    "ledger is ONE corpus scan + the dedup hash shuffle the pipeline "
+    "pays anyway, never one pass per stage (the join-composed first "
+    "cut read the corpus 4x; plan-pinned single-scan in "
+    "tests/test_attrition.py). Set-valued stages that can't inline "
+    "(near-dup graphs, decontamination) enter as drop-set frames via "
+    "first_drop_attrition's DataFrame spec arm.",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, text,
+                   (doc_id <> min(doc_id) OVER (PARTITION BY md5(text)))
+                       AS is_dup
+            FROM documents),
+        t AS (
+            SELECT doc_id, is_dup,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE string_split_regex(trim(lower(text)), '\\s+')
+                   END AS w
+            FROM d),
+        m AS (
+            SELECT doc_id, is_dup, w,
+                   CAST(coalesce(len(w), 0) AS BIGINT) AS n,
+                   CAST(coalesce(list_sum(list_transform(
+                        w, x -> length(x))), 0) AS BIGINT) AS total_len,
+                   CAST(coalesce(len(list_filter(w,
+                        x -> regexp_matches(x, '[a-z]'))), 0) AS BIGINT)
+                       AS alpha,
+                   CAST(coalesce(len(list_filter(w,
+                        x -> contains(x, '#') OR contains(x, '...'))), 0)
+                        AS BIGINT) AS symbolish,
+                   CAST(coalesce(len(list_intersect(list_distinct(w),
+                        ['the','be','to','of','and','that','have','with'])),
+                        0) AS BIGINT) AS stop_hits
+            FROM t),
+        f AS (
+            SELECT CASE
+                     WHEN w IS NULL THEN 0
+                     WHEN is_dup THEN 1
+                     WHEN NOT (n >= 50 AND n <= 100000) THEN 2
+                     WHEN NOT (total_len >= 3 * n AND total_len <= 10 * n)
+                         THEN 3
+                     WHEN NOT (alpha * 10 >= n * 8) THEN 4
+                     WHEN NOT (symbolish * 10 < n) THEN 5
+                     WHEN NOT (stop_hits >= 2) THEN 6
+                     ELSE 7
+                   END AS stage_pos,
+                   n
+            FROM m),
+        lab AS (SELECT * FROM (VALUES
+            (0, 'null_text'), (1, 'exact_dup'), (2, 'gopher_word_count'),
+            (3, 'gopher_mean_len'), (4, 'gopher_alpha'),
+            (5, 'gopher_symbol'), (6, 'gopher_stopwords'), (7, 'kept'))
+            AS v(stage_pos, stage)),
+        agg AS (
+            SELECT stage_pos, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n) AS BIGINT) AS n_tokens
+            FROM f GROUP BY stage_pos)
+        SELECT CAST(agg.stage_pos AS INTEGER) AS stage_pos,
+               lab.stage AS stage, n_docs, n_tokens,
+               round(n_docs / CAST((SELECT sum(n_docs) FROM agg) AS DOUBLE),
+                     6) AS frac_docs,
+               round(n_tokens / greatest(
+                     CAST((SELECT sum(n_tokens) FROM agg) AS DOUBLE), 1),
+                     6) AS frac_tokens
+        FROM agg JOIN lab USING (stage_pos)
+        ORDER BY stage_pos
+    """,
+)
+def pipeline_attrition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from tajo_spark.operators import attrition
+    from tajo_spark.operators.text import gopher_flags
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    flags = gopher_flags(F.col("text"))
+    w = W.partitionBy(F.md5("text"))
+    base = docs.select(
+        "doc_id",
+        "text",
+        # ANSI off: size(NULL)=-1, so null text must pin tokens to 0
+        # (the null_text stage wins the CASE, but the token SUM would
+        # still see the -1)
+        F.when(F.col("text").isNull(), F.lit(0).cast("long"))
+        .otherwise(flags["n_words"])
+        .alias("n_words"),
+        *[
+            flags[k].alias(k)
+            for k in (
+                "rule_word_count", "rule_mean_len", "rule_alpha",
+                "rule_symbol", "rule_stopwords",
+            )
+        ],
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("__is_dup"),
+    )
+    stages = [
+        ("null_text", F.col("text").isNull()),
+        ("exact_dup", F.col("__is_dup")),
+        ("gopher_word_count", ~F.col("rule_word_count")),
+        ("gopher_mean_len", ~F.col("rule_mean_len")),
+        ("gopher_alpha", ~F.col("rule_alpha")),
+        ("gopher_symbol", ~F.col("rule_symbol")),
+        ("gopher_stopwords", ~F.col("rule_stopwords")),
+    ]
+    return attrition.first_drop_attrition(base, stages, token_col="n_words")
