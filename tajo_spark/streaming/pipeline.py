@@ -995,3 +995,50 @@ def centroid_ingest_stream(
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
     )
+
+
+def attrition_stream(
+    stream_df: DataFrame,
+    stages: list,
+    ledger_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+):
+    """Streaming twin of ``operators/attrition.first_drop_attrition``:
+    each micro-batch's per-stage funnel appends to a partitioned
+    ledger table — the live "where is my data going" feed a 100 TB
+    ingest dashboard reads, produced by the SAME column logic as the
+    batch report (stream ≡ batch by construction for row-rule stages;
+    DataFrame drop-set stages join each batch against the same static
+    frame).
+
+    Idempotent like every sink here: rows land under
+    ``__batch_id=<id>`` with dynamic partition overwrite, so a
+    crash-replayed batch rewrites its own partition. The ledger is
+    ≤ |stages|+1 rows per batch — metadata-sized forever; reading it
+    grouped by stage (sum n_docs/n_tokens) reproduces the batch
+    report over everything ingested. Returns the unstarted writer.
+    """
+    from tajo_spark.operators.attrition import first_drop_attrition
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        (
+            first_drop_attrition(
+                batch, stages, id_col=id_col, token_col=token_col
+            )
+            .withColumn("__batch_id", F.lit(batch_id).cast("long"))
+            .coalesce(1)
+            .write.partitionBy("__batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(ledger_path)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

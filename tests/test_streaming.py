@@ -1006,3 +1006,84 @@ def test_ivf_compact_index_rolls_up_batches(spark, tmp_path):
     stats3 = AI.ivf_compact_index(spark, index, upto_batch_id=12)
     assert stats3["generation"] == -14
     assert stats3["consolidated_batches"] == 2  # gen -13 + batch 12
+
+
+def test_attrition_stream_ledger_sums_to_batch_report(spark, tmp_path):
+    """Streaming attrition twin (streaming/pipeline.py::
+    attrition_stream): the per-batch ledgers, summed by stage, must
+    reproduce the one-shot batch report's counts; a fresh-checkpoint
+    re-run (same batch ids) overwrites its own partitions and changes
+    nothing (crash-replay idempotence)."""
+    import os
+
+    from pyspark.sql import functions as SF
+
+    from tajo_spark.operators.attrition import first_drop_attrition
+    from tajo_spark.streaming import pipeline as SP
+
+    rows = [
+        (i, ("the good doc " * 5) if i % 3 else "tiny", i)
+        for i in range(40)
+    ]
+    ddl = "doc_id INT, text STRING, n_toks INT"
+    docs = spark.createDataFrame(rows, ddl)
+    blocked = spark.createDataFrame([(7,), (8,)], "doc_id INT")
+    stages = [
+        ("tiny", SF.length("text") < 10),
+        ("blocklist", blocked),
+    ]
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    docs.filter("doc_id < 20").coalesce(1).write.mode("append").parquet(src)
+    docs.filter("doc_id >= 20").coalesce(1).write.mode("append").parquet(src)
+    ledger = str(tmp_path / "ledger")
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = SP.attrition_stream(
+        stream, stages, ledger, str(tmp_path / "ck"), token_col="n_toks"
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r.stage: (r.n, r.t)
+        for r in spark.read.parquet(ledger)
+        .groupBy("stage")
+        .agg(
+            SF.sum("n_docs").alias("n"), SF.sum("n_tokens").alias("t")
+        )
+        .collect()
+    }
+    want = {
+        r.stage: (r.n_docs, r.n_tokens)
+        for r in first_drop_attrition(
+            docs, stages, token_col="n_toks"
+        ).collect()
+    }
+    assert got == want
+    assert set(got) == {"tiny", "blocklist", "kept"}
+    # two batches x three stages, each batch's ledger metadata-sized
+    per_batch = spark.read.parquet(ledger).groupBy("__batch_id").count()
+    assert {r["__batch_id"] for r in per_batch.collect()} == {0, 1}
+
+    # fresh checkpoint, same source: batch ids restart at 0 and the
+    # dynamic overwrite rewrites the same partitions byte-for-byte
+    q2 = SP.attrition_stream(
+        stream, stages, ledger, str(tmp_path / "ck2"), token_col="n_toks"
+    ).start()
+    q2.processAllAvailable()
+    q2.stop()
+    got2 = {
+        r.stage: (r.n, r.t)
+        for r in spark.read.parquet(ledger)
+        .groupBy("stage")
+        .agg(
+            SF.sum("n_docs").alias("n"), SF.sum("n_tokens").alias("t")
+        )
+        .collect()
+    }
+    assert got2 == want
