@@ -102,32 +102,40 @@ def render_global(df) -> str:
         # DAG the scheduler starts from (AQE may later coalesce)
         jplan = jplan.initialPlan()
 
-    blocks: list[list[str]] = []  # leaf-first
+    # blocks in POST-ORDER (children numbered before parents — Tajo's
+    # execution order), each with its plan lines and child-block ids,
+    # so a join of two shuffled inputs renders as SIBLING blocks under
+    # their consumer, not a fake chain
+    blocks: list[tuple[list[str], list[int]]] = []
 
-    def walk(node, depth: int, block: list[str]) -> None:
-        name = node.nodeName()
-        simple = node.simpleString(100)
-        if "Exchange" in name and "Broadcast" not in name:
-            # stage boundary: everything BELOW this exchange is its
-            # own execution block
-            child_block: list[str] = []
-            for i in range(node.children().size()):
-                walk(node.children().apply(i), 0, child_block)
-            blocks.append(child_block)
-            block.append(
-                "  " * depth
-                + f"SHUFFLE({simple.split(' ', 1)[-1][:80]}) "
-                + f"<= {_block_id(len(blocks))}"
-            )
-            return
-        marker = " [broadcast]" if "Broadcast" in name else ""
-        block.append("  " * depth + simple[:120] + marker)
-        for i in range(node.children().size()):
-            walk(node.children().apply(i), depth + 1, block)
+    def walk_block(node) -> int:
+        lines: list[str] = []
+        kids: list[int] = []
 
-    root_block: list[str] = []
-    walk(jplan, 0, root_block)
-    blocks.append(root_block)
+        def walk(n, depth: int) -> None:
+            name = n.nodeName()
+            simple = n.simpleString(100)
+            if "Exchange" in name and "Broadcast" not in name:
+                # stage boundary: everything BELOW this exchange is
+                # its own execution block (post-order id)
+                cid = walk_block(n.children().apply(0))
+                kids.append(cid)
+                lines.append(
+                    "  " * depth
+                    + f"SHUFFLE({simple.split(' ', 1)[-1][:80]}) "
+                    + f"<= {_block_id(cid)}"
+                )
+                return
+            marker = " [broadcast]" if "Broadcast" in name else ""
+            lines.append("  " * depth + simple[:120] + marker)
+            for i in range(n.children().size()):
+                walk(n.children().apply(i), depth + 1)
+
+        walk(node, 0)
+        blocks.append((lines, kids))
+        return len(blocks)
+
+    root_id = walk_block(jplan)
     n = len(blocks)
     terminal = _block_id(n + 1)
 
@@ -137,17 +145,23 @@ def render_global(df) -> str:
         f"Execution Block Graph (TERMINAL - {terminal})",
         bar,
         f"|-{terminal}",
-        f"   |-{_block_id(n)}",
     ]
-    for i in range(n - 1, 0, -1):
-        out.append("   " * (n - i + 1) + f"|-{_block_id(i)}")
+
+    def render_tree(bid: int, depth: int) -> None:
+        out.append("   " * depth + f"|-{_block_id(bid)}")
+        for kid in blocks[bid - 1][1]:
+            render_tree(kid, depth + 1)
+
+    render_tree(root_id, 1)
     out += [bar, "Order of Execution", bar]
     for i in range(1, n + 1):
         out.append(f"{i}: {_block_id(i)}")
     out.append(f"{n + 1}: {terminal}")
     out.append(bar)
-    for i, block in enumerate(blocks, start=1):
-        role = "ROOT" if i == n else ("LEAF" if i == 1 else "INTERMEDIATE")
+    for i, (lines, kids) in enumerate(blocks, start=1):
+        role = (
+            "ROOT" if i == root_id else ("LEAF" if not kids else "INTERMEDIATE")
+        )
         out += [
             "",
             "=" * 55,
@@ -155,7 +169,7 @@ def render_global(df) -> str:
             "=" * 55,
             "",
         ]
-        out += block
+        out += lines
     out += [
         "",
         "=" * 55,

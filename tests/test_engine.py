@@ -413,6 +413,26 @@ def test_explain_tajo_logical_dump_and_global_dag(engine, spark):
     ids = set(_re2.findall(r"eb_\d+_0000_\d{6}", g))
     for b in ids:
         assert f"Block Id: {b} [" in g
+    # a join of two SHUFFLED inputs renders its producer blocks as
+    # SIBLINGS in the graph (same indent under the consumer), not a
+    # fake chain
+    engine.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        g2 = engine.explain_global(
+            "select b.k, count(*) c from eg_big b join eg_big2 n "
+            "on b.v = n.w group by b.k"
+        )
+    finally:
+        engine.spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", "64MB"
+        )
+    graph = g2.split("Order of Execution")[0]
+    indents = [
+        len(ln) - len(ln.lstrip())
+        for ln in graph.splitlines()
+        if ln.strip().startswith("|-eb_")
+    ]
+    assert indents.count(max(indents)) == 2  # the two leaf siblings
 
 
 # --------------------------------------------------------------------------
