@@ -422,7 +422,17 @@ class Engine:
         residuals keep Spark double typing, and no reference golden
         exercises any of them.
         """
-        out = self._typed_division_one_scope(sql, prefix)
+        try:
+            branches = dialect.setop_branch_spans(sql)
+        except Exception:
+            branches = []
+        # a set-op statement's whole-statement probe is DOOMED (the
+        # appended item breaks branch arity), so skip straight to the
+        # per-branch pass instead of burning 1 batched + 2-per-site
+        # failed analyzer calls first (r10 review finding)
+        out = sql if branches else self._typed_division_one_scope(
+            sql, prefix
+        )
         if depth < 4 and not prefix:
             try:
                 mstart = dialect.with_main_start(out)

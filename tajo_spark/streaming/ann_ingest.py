@@ -23,9 +23,11 @@ the ANN index:
   ``nprobe`` probed centroid directories regardless of how many
   ingest batches have accumulated.  Small-file buildup from many
   micro-batches (one file per (centroid, batch)) is rolled up by
-  `ivf_compact_index`, which consolidates committed batches into one
-  generation with one file per centroid — the sustained-ingest rung in
-  SCALE.md measures probe latency flat across 100 batches + compaction.
+  `compact_index_batches`, which folds committed batches into the base
+  generation with one file per centroid (dedup-fold on ``vec_id`` so a
+  crash anywhere in the delete phase is repaired by re-running) — the
+  sustained-ingest rung in SCALE.md measures the probe-latency decay
+  across 100 batches and its restoration by one fold.
 """
 
 from __future__ import annotations
@@ -76,7 +78,7 @@ def ivf_append_batch(
     ingest rung measured a 200-row batch inheriting 32 source
     partitions and writing ~174 files). Pass ``coalesce=1`` for
     micro-batches; leave None for bulk loads where parallel writers
-    matter more than file count — `ivf_compact_index` folds the
+    matter more than file count — `compact_index_batches` folds the
     residue either way."""
     assigned = assign_with_frozen_centroids(batch, model)
     if coalesce is not None:
@@ -107,79 +109,6 @@ def ivf_ingest_init(
     _, model = ivf_assign(emb, n_centroids=n_centroids, seed=seed)
     ivf_append_batch(emb, model, index_path, batch_id=-1)
     return model
-
-
-def ivf_compact_index(
-    spark, index_path: str, upto_batch_id: int
-) -> dict:
-    """Roll accumulated ingest batches up into ONE consolidated
-    generation — the maintenance pass that keeps probe latency flat as
-    micro-batches accrete (the module docstring's small-file problem;
-    per-leaf compaction can't help because each batch owns its own
-    ``__batch_id=…`` leaf).
-
-    Protocol (two-phase, crash-recoverable — same shape as the dedup
-    signature-store compaction, operators/dedup.py):
-
-    1. read every batch with ``__batch_id <= upto_batch_id`` (the
-       bootstrap ``-1`` and prior consolidated generations included)
-       and rewrite it under the deterministic generation id
-       ``-(upto_batch_id + 2)``, one file per centroid partition
-       (``repartition(centroid_id)``), via dynamic partition overwrite;
-    2. delete the source ``__batch_id`` directories.
-
-    A crash between the phases leaves duplicates visible to probes for
-    the repair window; re-running with the SAME ``upto_batch_id``
-    rewrites the identical generation (its own dirs are excluded from
-    the input, so the rewrite is a pure function of the still-present
-    sources) and completes the delete. Only compact batches the stream
-    checkpoint has committed: a replay of a consolidated batch id would
-    find its partitions gone and re-append, breaking idempotence —
-    identical caveat to the signature-store compaction's crash window.
-
-    Returns {"generation", "consolidated_batches", "rows"}.
-    """
-    import pyarrow.fs as pafs
-
-    gen = -(upto_batch_id + 2)
-    idx = spark.read.parquet(index_path)
-    ids = [
-        int(r["__batch_id"])
-        for r in idx.select("__batch_id").distinct().collect()
-    ]  # partition-column listing: metadata-sized
-    olds = sorted(b for b in ids if b <= upto_batch_id and b != gen)
-    if not olds:
-        return {"generation": gen, "consolidated_batches": 0, "rows": 0}
-    src = idx.filter(F.col("__batch_id").isin(olds)).select(
-        "vec_id", "q8", "centroid_id"
-    )
-    n = src.count()
-    (
-        src.withColumn("__batch_id", F.lit(gen).cast("long"))
-        .repartition("centroid_id")
-        .write.partitionBy("centroid_id", "__batch_id")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
-        .parquet(index_path)
-    )
-    fs, root = pafs.FileSystem.from_uri(index_path)
-    old_names = {f"__batch_id={b}" for b in olds}
-    for cinfo in fs.get_file_info(pafs.FileSelector(root)):
-        if cinfo.type != pafs.FileType.Directory or not (
-            cinfo.base_name.startswith("centroid_id=")
-        ):
-            continue
-        for binfo in fs.get_file_info(pafs.FileSelector(cinfo.path)):
-            if (
-                binfo.type == pafs.FileType.Directory
-                and binfo.base_name in old_names
-            ):
-                fs.delete_dir(binfo.path)
-    return {
-        "generation": gen,
-        "consolidated_batches": len(olds),
-        "rows": int(n),
-    }
 
 
 def ivf_ingest_stream(
@@ -546,7 +475,13 @@ def compact_index_batches(
     )
     before = df.count()
     (
-        df.write.partitionBy("centroid_id", "__batch_id")
+        # repartition(centroid_id) so the fold leaves ONE file per
+        # centroid directory (r10 sustained-ingest rung: probe latency
+        # tracks FILE count, 882→5185 ms across 100 micro-batches at
+        # near-constant rows; without this the fold inherits the read
+        # parallelism and writes files-per-centroid x tasks)
+        df.repartition("centroid_id")
+        .write.partitionBy("centroid_id", "__batch_id")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")
         .parquet(index_path)

@@ -922,13 +922,14 @@ def test_gated_ingest_replay_is_idempotent_and_gates_same(spark, tmp_path):
     assert "centroid_id" in pf and "__batch_id" in pf, plan
 
 
-def test_ivf_compact_index_rolls_up_batches(spark, tmp_path):
+def test_compact_index_batches_single_file_per_centroid(spark, tmp_path):
     """Sustained-ingest maintenance (r09 VERDICT task 6): many
     micro-batch appends accrete one file per (centroid, batch);
-    ivf_compact_index must consolidate committed batches into ONE
-    generation with one file per centroid, preserve probe results
-    bit-exactly, keep directory pruning, and be idempotently
-    re-runnable (the crash-between-phases recovery)."""
+    compact_index_batches must fold committed batches into the base
+    generation with ONE file per centroid (the r10 repartition — probe
+    latency tracks file count), preserve probe results bit-exactly,
+    keep directory pruning, and be idempotently re-runnable (its
+    vec_id dedup-fold repairs a crash anywhere in the delete phase)."""
     import glob
     import os
 
@@ -938,7 +939,7 @@ def test_ivf_compact_index_rolls_up_batches(spark, tmp_path):
     from tajo_spark.streaming import ann_ingest as AI
 
     rng = np.random.default_rng(11)
-    base = rng.standard_normal((40 + 12 * 5, 32))
+    base = rng.standard_normal((40 + 12 * 8, 32))
 
     def df(lo, hi):
         return spark.createDataFrame(
@@ -949,9 +950,11 @@ def test_ivf_compact_index_rolls_up_batches(spark, tmp_path):
     index = str(tmp_path / "index")
     model = AI.ivf_ingest_init(df(0, 40), index, n_centroids=4)
     for b in range(12):
+        # disjoint id ranges: vec_id is unique in the index by
+        # construction (the dedup gate enforces it in production, and
+        # compact_index_batches' fold relies on it)
         AI.ivf_append_batch(
-            df(40 + 12 * b // 3, 40 + 12 * (b + 1) // 3 + 8),
-            model, index, batch_id=b,
+            df(40 + 8 * b, 40 + 8 * (b + 1)), model, index, batch_id=b
         )
     qv = [float(x) for x in base[3]]
     before = [
@@ -962,18 +965,19 @@ def test_ivf_compact_index_rolls_up_batches(spark, tmp_path):
     ]
     files_before = len(glob.glob(index + "/centroid_id=*/__batch_id=*/*.parquet"))
 
-    stats = AI.ivf_compact_index(spark, index, upto_batch_id=11)
-    assert stats["generation"] == -13
-    assert stats["consolidated_batches"] == 13  # 12 batches + bootstrap
+    stats = AI.compact_index_batches(spark, index, upto_batch_id=11)
+    # one dir per (centroid, batch) touched — at least the 12 batches
+    assert stats["batch_dirs_removed"] >= 12
+    assert stats["rows_after"] == stats["rows_folded"]
 
-    # one generation left, one file per centroid dir
+    # only the base generation left, ONE file per centroid dir
     bdirs = {
         os.path.basename(p)
         for p in glob.glob(index + "/centroid_id=*/__batch_id=*")
     }
-    assert bdirs == {"__batch_id=-13"}
+    assert bdirs == {"__batch_id=-1"}
     for cdir in glob.glob(index + "/centroid_id=*"):
-        leafs = glob.glob(cdir + "/__batch_id=-13/*.parquet")
+        leafs = glob.glob(cdir + "/__batch_id=-1/*.parquet")
         assert len(leafs) == 1, cdir
     files_after = len(glob.glob(index + "/centroid_id=*/__batch_id=*/*.parquet"))
     assert files_after < files_before
@@ -987,10 +991,11 @@ def test_ivf_compact_index_rolls_up_batches(spark, tmp_path):
     plan = probe_df._jdf.queryExecution().executedPlan().toString()
     assert "centroid_id" in plan.split("PartitionFilters")[1].split("]")[0]
 
-    # idempotent re-run (crash-recovery path): nothing left to fold,
-    # identical state
-    stats2 = AI.ivf_compact_index(spark, index, upto_batch_id=11)
-    assert stats2["consolidated_batches"] == 0
+    # idempotent re-run (crash-recovery path): the vec_id dedup-fold
+    # rewrites the identical base, removes nothing, changes nothing
+    stats2 = AI.compact_index_batches(spark, index, upto_batch_id=11)
+    assert stats2["batch_dirs_removed"] == 0
+    assert stats2["rows_folded"] == stats["rows_folded"]
     assert [
         (r.vec_id, round(r["__q8_cos"], 9))
         for r in ivf_q8_shortlist(
@@ -999,13 +1004,13 @@ def test_ivf_compact_index_rolls_up_batches(spark, tmp_path):
     ] == before
 
     # ingest continues after compaction: a later batch appends its own
-    # partitions alongside the generation and is itself foldable
+    # partitions alongside the base and is itself foldable
     AI.ivf_append_batch(df(0, 4).selectExpr(
         "vec_id + 1000 AS vec_id", "embedding"
     ), model, index, batch_id=12)
-    stats3 = AI.ivf_compact_index(spark, index, upto_batch_id=12)
-    assert stats3["generation"] == -14
-    assert stats3["consolidated_batches"] == 2  # gen -13 + batch 12
+    stats3 = AI.compact_index_batches(spark, index, upto_batch_id=12)
+    assert stats3["batch_dirs_removed"] >= 1  # batch 12's dirs folded
+    assert stats3["rows_folded"] == stats["rows_folded"] + 4
 
 
 def test_attrition_stream_ledger_sums_to_batch_report(spark, tmp_path):

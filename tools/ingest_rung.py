@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Sustained-ingest rung for the streaming ANN index (r09 VERDICT
 task 6): prove probe latency stays FLAT as micro-batches accumulate,
-and that one `ivf_compact_index` cycle restores the file count without
+and that one `compact_index_batches` fold restores the file count without
 changing probe results.
 
 Protocol: bootstrap a 20k-vector index (dim 64, 16 centroids), append
@@ -103,10 +103,12 @@ def main() -> None:
 
     _, res_before = probe()
     t0 = time.perf_counter()
-    stats = AI.ivf_compact_index(spark, index, upto_batch_id=args.batches - 1)
+    stats = AI.compact_index_batches(spark, index, upto_batch_id=args.batches - 1)
     compact_wall = time.perf_counter() - t0
     w, res_after = probe()
-    rows.append((f"after compaction (gen {stats['generation']})", w, nfiles()))
+    rows.append(
+        (f"after compact_index_batches (base fold)", w, nfiles())
+    )
     identical = res_before == res_after
 
     print("| state | probe median (5x) | index files |")
@@ -116,7 +118,8 @@ def main() -> None:
     print(
         f"\ningest wall for {args.batches} batches: {ingest_wall:.1f}s; "
         f"compaction: {compact_wall:.1f}s folding "
-        f"{stats['consolidated_batches']} batches / {stats['rows']} rows; "
+        f"{stats['batch_dirs_removed']} batch dirs / "
+        f"{stats['rows_folded']} rows; "
         f"probe results bit-identical across compaction: {identical}"
     )
     print(
