@@ -464,9 +464,6 @@ def compact_index_batches(
     the crash-rerun would bake every leftover batch's rows into the
     base twice, permanently.
     """
-    import os
-    import shutil
-
     df = (
         spark.read.parquet(index_path)
         .filter(F.col("__batch_id") <= upto_batch_id)
@@ -486,17 +483,27 @@ def compact_index_batches(
         .mode("overwrite")
         .parquet(index_path)
     )
+    # delete phase via pyarrow.fs so the same code runs against an
+    # object store (every sink here writes through Spark's
+    # scheme-dispatched writers; the maintenance pass must match —
+    # same seam as operators/fsio.py)
+    import pyarrow.fs as pafs
+
+    fs, root = pafs.FileSystem.from_uri(index_path)
     removed = 0
-    for cent_dir in os.listdir(index_path):
-        full = os.path.join(index_path, cent_dir)
-        if not (os.path.isdir(full) and cent_dir.startswith("centroid_id=")):
+    for cinfo in fs.get_file_info(pafs.FileSelector(root)):
+        if cinfo.type != pafs.FileType.Directory or not (
+            cinfo.base_name.startswith("centroid_id=")
+        ):
             continue
-        for batch_dir in os.listdir(full):
-            if not batch_dir.startswith("__batch_id="):
+        for binfo in fs.get_file_info(pafs.FileSelector(cinfo.path)):
+            if binfo.type != pafs.FileType.Directory or not (
+                binfo.base_name.startswith("__batch_id=")
+            ):
                 continue
-            bid = int(batch_dir.split("=", 1)[1])
+            bid = int(binfo.base_name.split("=", 1)[1])
             if -1 < bid <= upto_batch_id:
-                shutil.rmtree(os.path.join(full, batch_dir))
+                fs.delete_dir(binfo.path)
                 removed += 1
     after = spark.read.parquet(index_path).filter(
         F.col("__batch_id") <= upto_batch_id
