@@ -48,9 +48,15 @@ def first_drop_attrition(
     INPUT corpus, rounded to 6, so the column sums to 1 and the table
     reads as a funnel.
     """
+    names = [name for name, _ in stages]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate stage names: {sorted(names)}")
     markers: list[tuple[str, str]] = []
-    for name, spec in stages:
-        col = f"__drop_{name}"
+    for i, (name, spec) in enumerate(stages):
+        # positional marker names: a raw f"__drop_{name}" collided on
+        # duplicate stage names (silently mischarging rows) and broke
+        # column resolution for dotted names (r10 review)
+        col = f"__drop_{i}"
         if isinstance(spec, DataFrame):
             hits = (
                 spec.select(F.col(id_col))

@@ -115,9 +115,16 @@ def render_global(df) -> str:
         def walk(n, depth: int) -> None:
             name = n.nodeName()
             simple = n.simpleString(100)
-            if "Exchange" in name and "Broadcast" not in name:
+            if (
+                "Exchange" in name
+                and "Broadcast" not in name
+                and n.children().size() > 0
+            ):
                 # stage boundary: everything BELOW this exchange is
-                # its own execution block (post-order id)
+                # its own execution block (post-order id). A childless
+                # ReusedExchange (AQE off + exchange reuse) falls
+                # through to the plain-line branch instead of crashing
+                # on children().apply(0) (r10 review).
                 cid = walk_block(n.children().apply(0))
                 kids.append(cid)
                 lines.append(

@@ -6184,9 +6184,13 @@ def pipeline_attrition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     flags = gopher_flags(F.col("text"))
     w = W.partitionBy(F.md5("text"))
+    # every stage predicate is computed BEFORE the window so the md5
+    # exchange carries only (doc_id, key, n_words, 7 booleans) — never
+    # the text payload, which at 100 TB would make the "one shuffle"
+    # corpus-sized in bytes (r10 review)
     base = docs.select(
         "doc_id",
-        "text",
+        F.col("text").isNull().alias("__is_null"),
         # ANSI off: size(NULL)=-1, so null text must pin tokens to 0
         # (the null_text stage wins the CASE, but the token SUM would
         # still see the -1)
@@ -6203,7 +6207,7 @@ def pipeline_attrition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") != F.min("doc_id").over(w)).alias("__is_dup"),
     )
     stages = [
-        ("null_text", F.col("text").isNull()),
+        ("null_text", F.col("__is_null")),
         ("exact_dup", F.col("__is_dup")),
         ("gopher_word_count", ~F.col("rule_word_count")),
         ("gopher_mean_len", ~F.col("rule_mean_len")),

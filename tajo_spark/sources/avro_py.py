@@ -638,18 +638,30 @@ def _expand_glob(fs, p: str) -> list[tuple[str, int]]:
     base = "/".join(pat_parts[:i]) or "/"
     if fs.get_file_info(base).type != pafs.FileType.Directory:
         return []
-
-    def _matches(path: str) -> bool:
-        parts = path.split("/")
-        return len(parts) == len(pat_parts) and all(
-            fnmatch.fnmatchcase(a, b) for a, b in zip(parts, pat_parts)
-        )
-
-    return sorted(
-        (f.path, f.size)
-        for f in fs.get_file_info(pafs.FileSelector(base, recursive=True))
-        if f.is_file and _matches(f.path)
-    )
+    # level-by-level listing: segment matching makes only fixed-depth
+    # paths matchable, so a recursive listing of the whole prefix
+    # (r10 review: millions of LIST results under a deep warehouse
+    # tree for 'warehouse/*.avro') buys nothing — walk one pattern
+    # segment at a time, descending only into matching directories
+    frontier = [base]
+    for depth, seg in enumerate(pat_parts[i:]):
+        last = depth == len(pat_parts) - i - 1
+        nxt: list = []
+        out: list[tuple[str, int]] = []
+        for d in frontier:
+            for f in fs.get_file_info(pafs.FileSelector(d)):
+                if not fnmatch.fnmatchcase(f.base_name, seg):
+                    continue
+                if last and f.is_file:
+                    out.append((f.path, f.size))
+                elif not last and f.type == pafs.FileType.Directory:
+                    nxt.append(f.path)
+        if last:
+            return sorted(out)
+        frontier = nxt
+        if not frontier:
+            return []
+    return []
 
 
 def _peek_schema(path: str):

@@ -502,7 +502,12 @@ def compact_index_batches(
             ):
                 continue
             bid = int(binfo.base_name.split("=", 1)[1])
-            if -1 < bid <= upto_batch_id:
+            # delete every folded source EXCEPT the base itself —
+            # including legacy negative generation ids (r10 review: a
+            # '-1 < bid' guard left e.g. __batch_id=-13 dirs on disk
+            # forever after their rows were folded, duplicating every
+            # vector for all subsequent probes)
+            if bid != -1 and bid <= upto_batch_id:
                 fs.delete_dir(binfo.path)
                 removed += 1
     after = spark.read.parquet(index_path).filter(

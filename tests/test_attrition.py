@@ -83,3 +83,19 @@ def test_registry_attrition_is_single_scan(spark):
     # ledger is ordered by pipeline position with kept last
     poss = [r.stage_pos for r in df.collect()]
     assert poss == sorted(poss)
+
+
+def test_duplicate_and_dotted_stage_names(spark):
+    import pytest as _pt
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id INT, text STRING")
+    with _pt.raises(ValueError, match="duplicate stage names"):
+        first_drop_attrition(
+            docs,
+            [("dup", F.lit(False)), ("dup", F.lit(True))],
+        )
+    # dotted names are labels, not column paths (positional markers)
+    out = first_drop_attrition(
+        docs, [("gopher.alpha", F.lit(True))]
+    )
+    assert [r.stage for r in out.collect()] == ["gopher.alpha"]

@@ -1092,3 +1092,44 @@ def test_attrition_stream_ledger_sums_to_batch_report(spark, tmp_path):
         .collect()
     }
     assert got2 == want
+
+
+def test_compact_folds_and_deletes_legacy_negative_generations(
+    spark, tmp_path
+):
+    """r10 review: a legacy consolidated generation (negative
+    __batch_id from the retired compactor API) must be FOLDED into the
+    base and its directory DELETED — a '-1 < bid' delete guard left it
+    on disk with its rows duplicated into the base forever."""
+    import glob
+
+    import numpy as np
+
+    from tajo_spark.streaming import ann_ingest as AI
+
+    rng = np.random.default_rng(3)
+
+    def df(lo, hi):
+        return spark.createDataFrame(
+            [
+                (int(i), [float(x) for x in rng.standard_normal(16)])
+                for i in range(lo, hi)
+            ],
+            "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+        )
+
+    index = str(tmp_path / "index")
+    model = AI.ivf_ingest_init(df(0, 50), index, n_centroids=4)
+    # simulate the legacy layout: a generation dir with its own rows
+    AI.ivf_append_batch(df(100, 110), model, index, batch_id=-13)
+    AI.ivf_append_batch(df(200, 210), model, index, batch_id=0)
+
+    AI.compact_index_batches(spark, index, upto_batch_id=0)
+    bdirs = {
+        p.rsplit("/", 1)[-1]
+        for p in glob.glob(index + "/centroid_id=*/__batch_id=*")
+    }
+    assert bdirs == {"__batch_id=-1"}  # legacy gen dir gone
+    rows = spark.read.parquet(index).select("vec_id").collect()
+    ids = sorted(r.vec_id for r in rows)
+    assert len(ids) == len(set(ids)) == 70  # folded once, no dupes
