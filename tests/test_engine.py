@@ -1057,3 +1057,25 @@ def test_cluster_conf_sizing():
     assert int(small["spark.sql.shuffle.partitions"]) == 40
     # broadcast threshold intentionally absent: it must not scale up
     assert "spark.sql.autoBroadcastJoinThreshold" not in conf
+
+
+def test_explain_global_survives_reused_exchange(engine, spark):
+    """AQE off + exchange reuse inserts a CHILDLESS ReusedExchange
+    node; the block walker must render it inline instead of crashing
+    on children().apply(0) (r10 review)."""
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        spark.range(10_000).selectExpr("id % 5 k", "id v") \
+            .createOrReplaceTempView("reuse_t")
+        g = engine.explain_global(
+            "select a.k, a.c, b.c from "
+            "(select k, count(*) c from reuse_t group by k) a join "
+            "(select k, count(*) c from reuse_t group by k) b on a.k = b.k"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+    assert "ReusedExchange" in g
+    assert "Execution Block Graph" in g
