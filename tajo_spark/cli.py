@@ -208,6 +208,15 @@ def main(argv: list[str] | None = None) -> int:
         metavar="PORT",
         help="serve the REST API (rest.py) instead of a shell",
     )
+    p.add_argument(
+        "--serve-jdbc",
+        nargs="?",
+        const=26002,  # the reference's client RPC port (TajoConf.java:138)
+        type=int,
+        metavar="PORT",
+        help="serve the HiveServer2-protocol JDBC endpoint "
+        "(Engine.serve_jdbc) instead of a shell",
+    )
     a = p.parse_args(argv)
 
     if a.serve is not None:
@@ -217,6 +226,17 @@ def main(argv: list[str] | None = None) -> int:
         server = make_server(Engine(), host="127.0.0.1", port=a.serve)
         print(f"REST API on http://127.0.0.1:{server.server_address[1]}")
         server.serve_forever()
+        return 0
+
+    if a.serve_jdbc is not None:
+        import time as _time
+
+        from tajo_spark.engine import Engine
+
+        Engine().serve_jdbc(port=a.serve_jdbc)
+        print(f"JDBC (HiveServer2 protocol) on jdbc:hive2://127.0.0.1:{a.serve_jdbc}")
+        while True:  # foreground like --serve; Ctrl-C stops
+            _time.sleep(3600)
         return 0
 
     cli = Cli()

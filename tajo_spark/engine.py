@@ -412,15 +412,28 @@ class Engine:
         probe fails analysis and its sites stay on ``/``. Set-operation
         BRANCHES probe standalone per branch (r10 —
         dialect.setop_branch_spans: a lone branch has no arity
-        contract, so the appended probe item analyzes fine), and a
-        WITH statement's main body probes with the WITH clause as a
-        PREFIX so CTE names resolve (dialect.with_main_start).
+        contract, so the appended probe item analyzes fine). A WITH
+        statement is handled structurally (r11, ADVICE r10): the main
+        body probes with the whole WITH clause as a PREFIX, each CTE
+        body probes with the PRECEDING CTEs as its prefix
+        (dialect.cte_body_spans), and subquery recursion threads the
+        enclosing scope's prefix — so a scope referencing a CTE name
+        always types from the CTE's schema, never from a same-named
+        catalog table, and main-body subqueries are probed exactly
+        once.
         Residual: correlated subqueries (their probe cannot analyze
         standalone) and the unparenthesized select bodies of
         CTAS/INSERT (the site finder keys on a bare leading SELECT;
         parenthesized subqueries inside them still recurse). All
-        residuals keep Spark double typing, and no reference golden
-        exercises any of them.
+        residuals keep Spark double typing, no reference golden
+        exercises any of them — and the correlated case is VACUOUS as
+        a parity matter: the reference throws
+        NotImplementedException("Correlated subquery") the moment a
+        column binds to an outer block (NameResolver.java:160-167;
+        EXISTS dies even earlier, ExprAnnotator.java:412), so no Tajo
+        typing exists for the fail-safe to diverge from (proof pinned
+        in tests/test_engine.py::
+        test_typed_division_correlated_residual_is_unreachable_in_reference).
         """
         try:
             branches = dialect.setop_branch_spans(sql)
@@ -433,17 +446,47 @@ class Engine:
         out = sql if branches else self._typed_division_one_scope(
             sql, prefix
         )
+        mstart = None
         if depth < 4 and not prefix:
             try:
                 mstart = dialect.with_main_start(out)
             except Exception:
                 mstart = None
-            if mstart is not None and "/" in out[mstart:]:
+        if mstart is not None:
+            # WITH statement: handle the main body and each CTE body
+            # STRUCTURALLY, each probed with the prefix that binds
+            # exactly the CTE names visible in its scope — the main
+            # body sees the whole WITH clause, CTE body k sees CTEs
+            # 1..k-1 (ADVICE r10 medium: a standalone probe of a scope
+            # that references a CTE name could bind a same-named
+            # catalog table and type the division from the wrong
+            # schema). This replaces the flat subquery-spans pass for
+            # WITH statements, which both probed main-body subqueries
+            # twice (ADVICE r10 low) and probed CTE bodies prefix-less.
+            if "/" in out[mstart:]:
                 seg = out[mstart:]
                 new_seg = self._tajo_typed_division(
                     seg, depth + 1, prefix=out[:mstart]
                 )
                 out = out[:mstart] + new_seg
+            try:
+                ctes = dialect.cte_body_spans(out)
+            except Exception:
+                ctes = []
+            # reversed: rewrites only touch text at/after each body, so
+            # earlier offsets (and the prefix text) stay valid
+            for k in range(len(ctes) - 1, -1, -1):
+                bstart, bend, _def_end = ctes[k]
+                inner = out[bstart:bend]
+                if "/" not in inner:
+                    continue
+                pfx = (out[: ctes[k - 1][2]] + " ") if k else ""
+                new_inner = self._tajo_typed_division(
+                    inner, depth + 1, prefix=pfx
+                )
+                if new_inner != inner:
+                    out = out[:bstart] + new_inner + out[bend:]
+            return out
         if depth < 4:
             try:
                 branches = dialect.setop_branch_spans(out)
@@ -465,7 +508,12 @@ class Engine:
                 inner = out[start + 1 : end - 1]
                 if "/" not in inner:
                     continue
-                new_inner = self._tajo_typed_division(inner, depth + 1)
+                # prefix threads through so a subquery referencing a
+                # CTE name probes in the scope that binds it (ADVICE
+                # r10 medium)
+                new_inner = self._tajo_typed_division(
+                    inner, depth + 1, prefix=prefix
+                )
                 if new_inner != inner:
                     out = out[: start + 1] + new_inner + out[end - 1 :]
         return out
@@ -915,3 +963,43 @@ class Engine:
         if pattern:
             fns = [f for f in fns if pattern.lower() in f.lower()]
         return sorted(fns)
+
+    # ---- JDBC wire protocol --------------------------------------------
+    def serve_jdbc(self, port: int = 26002, host: str = "127.0.0.1"):
+        """JDBC wire-protocol entry point — the reference's fourth
+        client surface (tajo-jdbc TajoDriver.java:25 exposes
+        ``jdbc:tajo://host:port`` to BI tools; default client port
+        26002, tajo-common/.../conf/TajoConf.java:138
+        TAJO_MASTER_CLIENT_RPC_ADDRESS).
+        Spark's idiomatic twin is the embedded HiveServer2-protocol
+        Thrift server: any HiveServer2 JDBC/ODBC driver connects with
+        ``jdbc:hive2://host:port`` and queries run on THIS engine's
+        session — temp views, registered UDFs, and session state
+        included, because ``build_spark`` pins
+        ``spark.sql.hive.thriftServer.singleSession=true`` (one shared
+        catalog for all clients, the TajoMaster deployment shape).
+
+        Returns the server handle (call ``.stop()`` to shut down).
+        Classpath-gated like the Kafka JVM source: raises RuntimeError
+        with the deployment recipe when the spark-hive-thriftserver
+        jar is absent (it ships with the pyspark wheel used here)."""
+        jvm = self.spark._jvm
+        try:
+            jvm.java.lang.Class.forName(
+                "org.apache.spark.sql.hive.thriftserver.HiveThriftServer2"
+            )
+        except Exception as exc:  # pragma: no cover - jar ships here
+            raise RuntimeError(
+                "JDBC entry point needs spark-hive-thriftserver on the "
+                "driver classpath (ships with the pyspark wheel; for a "
+                "bare-Spark deployment add the "
+                "spark-hive-thriftserver_2.13 jar matching your Spark "
+                "version)."
+            ) from exc
+        # HiveConf-read settings: must be on the session conf before
+        # start (the server snapshots them at init)
+        self.spark.conf.set("hive.server2.thrift.port", str(port))
+        self.spark.conf.set("hive.server2.thrift.bind.host", host)
+        return jvm.org.apache.spark.sql.hive.thriftserver.HiveThriftServer2.startWithContext(
+            self.spark._jsparkSession.sqlContext()
+        )

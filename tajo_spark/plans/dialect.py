@@ -2272,18 +2272,21 @@ def setop_branch_spans(sql: str) -> list[tuple[int, int]]:
     return out
 
 
-def with_main_start(sql: str) -> int | None:
-    """Offset where the main statement begins after a top-level WITH
-    clause (each ``name [(cols)] AS ( body )`` consumed, comma-chained),
-    or None when the shape isn't recognized or the main statement isn't
-    a SELECT. The engine's typed-division rewrite probes the main body
-    with the WITH clause as a PREFIX so CTE names resolve (r10 — closes
-    the WITH-statement residual)."""
+def _with_clause_walk(
+    sql: str,
+) -> tuple[list[tuple[int, int, int]], int | None] | None:
+    """Walk a top-level WITH clause (each ``name [(cols)] AS ( body )``
+    consumed, comma-chained). Returns ``(ctes, main_start)`` where each
+    CTE is ``(body_start, body_end, def_end)`` — the span INSIDE its
+    parens plus the offset just past its closing paren — and
+    ``main_start`` is the main statement's offset (None when it isn't a
+    SELECT). Returns None when the statement isn't a recognized WITH."""
     masked = _blank_comments(_mask_string_bodies(sql))
     m = re.match(r"\s*WITH\s+(RECURSIVE\s+)?", masked, re.IGNORECASE)
     if not m:
         return None
     i, n = m.end(), len(masked)
+    ctes: list[tuple[int, int, int]] = []
     while True:
         m2 = re.match(r'[\w"`]+\s*', masked[i:])
         if not m2 or m2.end() == 0:
@@ -2303,6 +2306,7 @@ def with_main_start(sql: str) -> int | None:
         if not m3:
             return None
         i += m3.end()
+        body_start = i
         d = 1
         while i < n and d:
             if masked[i] == "(":
@@ -2312,6 +2316,7 @@ def with_main_start(sql: str) -> int | None:
             i += 1
         if d:
             return None
+        ctes.append((body_start, i - 1, i))
         while i < n and masked[i].isspace():
             i += 1
         if i < n and masked[i] == ",":
@@ -2320,7 +2325,28 @@ def with_main_start(sql: str) -> int | None:
                 i += 1
             continue
         break
-    return i if re.match(r"SELECT\b", masked[i:], re.IGNORECASE) else None
+    main = i if re.match(r"SELECT\b", masked[i:], re.IGNORECASE) else None
+    return ctes, main
+
+
+def with_main_start(sql: str) -> int | None:
+    """Offset where the main statement begins after a top-level WITH
+    clause, or None when the shape isn't recognized or the main
+    statement isn't a SELECT. The engine's typed-division rewrite
+    probes the main body with the WITH clause as a PREFIX so CTE names
+    resolve (r10 — closes the WITH-statement residual)."""
+    r = _with_clause_walk(sql)
+    return None if r is None else r[1]
+
+
+def cte_body_spans(sql: str) -> list[tuple[int, int, int]]:
+    """Each top-level CTE's ``(body_start, body_end, def_end)`` — the
+    body span inside its parens plus the offset just past its closing
+    paren. The engine probes CTE body k with ``sql[:def_end(k-1)]`` as
+    a prefix so chained CTE references type from the CTE schema, never
+    from a same-named catalog table (ADVICE r10 medium)."""
+    r = _with_clause_walk(sql)
+    return [] if r is None else r[0]
 
 
 def _check_strings_terminated(sql: str) -> None:

@@ -69,6 +69,13 @@ def build_spark(
         .config("spark.sql.timeType.enabled", "true")
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.cbo.joinReorder.enabled", "true")
+        # JDBC entry point (Engine.serve_jdbc / tsql --serve-jdbc):
+        # every connection to the embedded Thrift server shares THIS
+        # session — the reference's deployment shape (one TajoMaster
+        # catalog serves all TajoDriver clients, TajoDriver.java:25).
+        # Static conf, so it must be set at build time; costs nothing
+        # when no server is started.
+        .config("spark.sql.hive.thriftServer.singleSession", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         # Systemic broadcast guard (r06+r07 memory rungs both caught the

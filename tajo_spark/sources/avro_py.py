@@ -635,7 +635,13 @@ def _expand_glob(fs, p: str) -> list[tuple[str, int]]:
             break
     else:
         return []
-    base = "/".join(pat_parts[:i]) or "/"
+    base = "/".join(pat_parts[:i])
+    if not base:
+        # no non-glob parent (glob in the first segment, or a relative
+        # pattern): refusing beats the old "/" fallback, which listed
+        # the filesystem root — a bucket-level listing (or error) on an
+        # object store, a huge walk on a local FS (ADVICE r10)
+        return []
     if fs.get_file_info(base).type != pafs.FileType.Directory:
         return []
     # level-by-level listing: segment matching makes only fixed-depth

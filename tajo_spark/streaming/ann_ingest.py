@@ -112,17 +112,34 @@ def ivf_ingest_init(
 
 
 def ivf_ingest_stream(
-    stream_df: DataFrame, model, index_path: str, checkpoint: str
+    stream_df: DataFrame,
+    model,
+    index_path: str,
+    checkpoint: str,
+    compact_every: int | None = None,
+    max_batch_dirs: int | None = None,
 ):
     """foreachBatch writer appending each micro-batch of (vec_id,
     embedding) rows to the index.  Restartable: the checkpoint tracks
     source progress, and replayed batch ids overwrite their own
     partitions.  Returns the unstarted ``DataStreamWriter`` (caller
-    `.start()`s it — same convention as `incremental_dedup_stream`)."""
+    `.start()`s it — same convention as `incremental_dedup_stream`).
+
+    ``compact_every`` / ``max_batch_dirs`` arm :func:`maybe_compact` at
+    the head of every micro-batch — the r10 sustained-ingest rung
+    measured probe latency degrading ~5x over 100 micro-batches from
+    small-file buildup and documented "compact every O(50) batches or
+    on SLO breach" as the maintenance rule, but nothing *triggered* the
+    fold; with these armed, the stream maintains itself (sawtooth
+    steady state measured in SCALE.md)."""
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        maybe_compact(
+            batch.sparkSession, index_path, batch_id,
+            compact_every=compact_every, max_batch_dirs=max_batch_dirs,
+        )
         ivf_append_batch(batch, model, index_path, batch_id)
 
     return (
@@ -322,15 +339,27 @@ def gated_ingest_stream(
     tau: float = 0.92,
     nprobe: int = 2,
     coalesce: int | None = None,
+    compact_every: int | None = None,
+    max_batch_dirs: int | None = None,
 ):
     """The streaming twin: foreachBatch over
     :func:`gated_ingest_batch`, restartable from the checkpoint with
     replayed batch ids gating against pre-batch state and overwriting
-    their own partitions.  Returns the unstarted writer."""
+    their own partitions.  Returns the unstarted writer.
+
+    Auto-compaction (``compact_every`` / ``max_batch_dirs``) runs
+    BEFORE the gate, so the gate's index probe reads the freshly
+    folded base — the fold changes directory layout, never the row
+    set (dedup on ``vec_id``), so gate decisions and replays are
+    unaffected (pinned in tests/test_ann_ingest.py)."""
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        maybe_compact(
+            batch.sparkSession, index_path, batch_id,
+            compact_every=compact_every, max_batch_dirs=max_batch_dirs,
+        )
         gated_ingest_batch(
             batch, model, index_path, batch_id, tau=tau, nprobe=nprobe,
             coalesce=coalesce,
@@ -415,15 +444,25 @@ def pq_ingest_init(
 
 
 def pq_ingest_stream(
-    stream_df: DataFrame, model, codebooks, index_path: str, checkpoint: str
+    stream_df: DataFrame,
+    model,
+    codebooks,
+    index_path: str,
+    checkpoint: str,
+    compact_every: int | None = None,
+    max_batch_dirs: int | None = None,
 ):
     """foreachBatch writer appending micro-batches to the IVF-PQ index
     under the frozen (centroids, codebooks) pair.  Same restart/replay
-    contract as `ivf_ingest_stream`."""
+    contract as `ivf_ingest_stream`, same auto-compaction arming."""
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        maybe_compact(
+            batch.sparkSession, index_path, batch_id,
+            compact_every=compact_every, max_batch_dirs=max_batch_dirs,
+        )
         pq_append_batch(batch, model, codebooks, index_path, batch_id)
 
     return (
@@ -501,7 +540,15 @@ def compact_index_batches(
                 binfo.base_name.startswith("__batch_id=")
             ):
                 continue
-            bid = int(binfo.base_name.split("=", 1)[1])
+            try:
+                bid = int(binfo.base_name.split("=", 1)[1])
+            except ValueError:
+                # a non-numeric partition dir (null batch id →
+                # __HIVE_DEFAULT_PARTITION__, or a stray dir) must not
+                # abort the delete phase after some directories were
+                # already removed — skip it; its rows were never
+                # selected by the numeric fold filter anyway
+                continue
             # delete every folded source EXCEPT the base itself —
             # including legacy negative generation ids (r10 review: a
             # '-1 < bid' guard left e.g. __batch_id=-13 dirs on disk
@@ -518,3 +565,76 @@ def compact_index_batches(
         "rows_after": after,
         "batch_dirs_removed": removed,
     }
+
+
+def count_batch_dirs(index_path: str) -> int:
+    """Number of ``(centroid_id, __batch_id)`` leaf directories in the
+    index — the quantity the sustained-ingest rung showed probe latency
+    tracks (one small parquet file per leaf under micro-batch ingest).
+    One filesystem listing, no Spark job; cheap relative to any
+    micro-batch.  Missing/empty index → 0."""
+    import pyarrow.fs as pafs
+
+    fs, root = pafs.FileSystem.from_uri(index_path)
+    try:
+        children = fs.get_file_info(pafs.FileSelector(root))
+    except (FileNotFoundError, OSError):
+        return 0
+    n = 0
+    for cinfo in children:
+        if cinfo.type != pafs.FileType.Directory or not (
+            cinfo.base_name.startswith("centroid_id=")
+        ):
+            continue
+        for binfo in fs.get_file_info(pafs.FileSelector(cinfo.path)):
+            if binfo.type == pafs.FileType.Directory and (
+                binfo.base_name.startswith("__batch_id=")
+            ):
+                n += 1
+    return n
+
+
+def maybe_compact(
+    spark,
+    index_path: str,
+    batch_id: int,
+    compact_every: int | None = None,
+    max_batch_dirs: int | None = None,
+) -> dict | None:
+    """Auto-compaction trigger for the ingest streams — evaluated at
+    the head of every foreachBatch invocation.
+
+    Fires when either arm trips:
+
+    * ``compact_every=N`` — every N committed batches
+      (``batch_id % N == 0``; batch ids are monotone across restarts,
+      so the cadence survives stream restarts without extra state);
+    * ``max_batch_dirs=M`` — when the index's ``(centroid, batch)``
+      leaf-directory count exceeds M (the SLO-breach arm: directory
+      count is the probe-latency proxy the rung measured, and one
+      listing is far cheaper than a degraded probe).
+
+    Replay-safety contract: when foreachBatch runs batch ``N``, every
+    batch id ``< N`` is committed in the checkpoint (Structured
+    Streaming commits batch N-1 before invoking N, and a replayed N
+    means N-1 committed before the crash), so folding
+    ``upto_batch_id = N - 1`` can never fold a batch that will replay.
+    The one in-flight batch (``N`` itself, possibly a replay) still
+    overwrites only its own ``__batch_id=N`` directories, which the
+    fold never touches.  Returns the compaction stats dict (plus the
+    trigger that fired) or None when nothing fired."""
+    if batch_id <= 0:
+        return None  # nothing committed below batch 0 but the base
+    trigger = None
+    if compact_every is not None and batch_id % compact_every == 0:
+        trigger = "every"
+    elif max_batch_dirs is not None and (
+        count_batch_dirs(index_path) > max_batch_dirs
+    ):
+        trigger = "dirs"
+    if trigger is None:
+        return None
+    stats = compact_index_batches(spark, index_path, batch_id - 1)
+    stats["trigger"] = trigger
+    stats["fired_at_batch"] = batch_id
+    return stats

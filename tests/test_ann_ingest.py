@@ -272,6 +272,143 @@ def test_compact_index_batches_folds_and_preserves_probes(spark, tmp_path):
     assert probe_after == probe_before
 
 
+def test_auto_compaction_fires_in_stream_and_bounds_dirs(spark, tmp_path):
+    # compact_every=2 over 6 micro-batches -> the fold fires at batch
+    # ids 2 and 4 (two full maintenance cycles inside one stream run).
+    # The self-maintaining stream must end with a bounded directory
+    # tree, the full row set, no duplicates, and probe results
+    # identical to an unmaintained twin.
+    from tajo_spark.operators.pq import ann_join_pq_persisted
+
+    emb = _corpus(spark)
+    boot = emb.filter(F.col("vec_id") < 200)
+    rest = emb.filter(F.col("vec_id") >= 200)
+
+    def run(index, ckpt, src, **kw):
+        import os as _os
+
+        _os.makedirs(src)
+        for lo in range(200, 500, 50):  # 6 single-file micro-batches
+            rest.filter(
+                F.col("vec_id").between(lo, lo + 49)
+            ).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = AI.pq_ingest_stream(stream, model, codebooks, index, ckpt, **kw).start()
+        q.processAllAvailable()
+        q.stop()
+
+    idx_auto = str(tmp_path / "auto")
+    model, codebooks = AI.pq_ingest_init(boot, idx_auto, n_centroids=4)
+    run(idx_auto, str(tmp_path / "ckpt_a"), str(tmp_path / "src_a"),
+        compact_every=2)
+
+    idx_raw = str(tmp_path / "raw")
+    AI.pq_append_batch(boot, model, codebooks, idx_raw, batch_id=-1)
+    run(idx_raw, str(tmp_path / "ckpt_r"), str(tmp_path / "src_r"))
+
+    # fold fired: only batches >= the last fold horizon survive as
+    # distinct dirs (base -1 plus batches 4,5 after the batch-4 fold)
+    assert AI.count_batch_dirs(idx_auto) < AI.count_batch_dirs(idx_raw)
+    got = spark.read.parquet(idx_auto)
+    assert got.count() == emb.count()
+    assert got.groupBy("vec_id").count().filter(F.col("count") > 1).isEmpty()
+    surviving = {
+        r[0] for r in got.select("__batch_id").distinct().collect()
+    }
+    assert surviving == {-1, 4, 5}  # batches 0-3 folded into the base
+
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    probe = lambda idx: sorted(  # noqa: E731
+        (r.q_id, r.rank, r.vec_id)
+        for r in ann_join_pq_persisted(
+            spark, idx, model, codebooks, q, emb, k=5, nprobe=4,
+            expand=1000,
+        ).collect()
+    )
+    assert probe(idx_auto) == probe(idx_raw)
+
+
+def test_auto_compaction_dir_threshold_arm(spark, tmp_path):
+    # the SLO arm: max_batch_dirs fires the fold when the leaf count
+    # exceeds the threshold, independent of batch-id cadence.
+    emb = _corpus(spark)
+    index = str(tmp_path / "thresh")
+    model = AI.ivf_ingest_init(
+        emb.filter(F.col("vec_id") < 200), index, n_centroids=4
+    )
+    for b in range(3):
+        AI.ivf_append_batch(
+            emb.filter(F.col("vec_id").between(200 + 100 * b, 299 + 100 * b)),
+            model, index, batch_id=b,
+        )
+    dirs = AI.count_batch_dirs(index)
+    assert dirs > 8  # base + 3 batches x 4 centroids
+    # under threshold: no fire
+    assert AI.maybe_compact(spark, index, 3, max_batch_dirs=dirs) is None
+    stats = AI.maybe_compact(spark, index, 3, max_batch_dirs=8)
+    assert stats is not None and stats["trigger"] == "dirs"
+    # folded upto batch 2; base only (4 centroid dirs) remains
+    assert AI.count_batch_dirs(index) == 4
+    assert spark.read.parquet(index).count() == emb.count()
+
+
+def test_maybe_compact_never_folds_the_inflight_batch(spark, tmp_path):
+    # the replay contract: maybe_compact at batch N folds strictly
+    # below N, so a crash-replay of batch N still overwrites its own
+    # directories and nothing is double-counted.
+    emb = _corpus(spark)
+    index = str(tmp_path / "horizon")
+    model = AI.ivf_ingest_init(
+        emb.filter(F.col("vec_id") < 300), index, n_centroids=4
+    )
+    late = emb.filter(F.col("vec_id") >= 300)
+    AI.ivf_append_batch(late, model, index, batch_id=3)
+    # batch 4 arrives; the cadence arm fires and folds upto batch 3
+    stats = AI.maybe_compact(spark, index, 4, compact_every=4)
+    assert stats is not None and stats["trigger"] == "every"
+    AI.ivf_append_batch(late, model, index, batch_id=4)
+    n1 = spark.read.parquet(index).count()
+    # crash-replay of batch 4: compaction fires AGAIN on the replay
+    # (same batch id, same horizon) then the append overwrites its own
+    # partitions — still no duplicates
+    AI.maybe_compact(spark, index, 4, compact_every=4)
+    AI.ivf_append_batch(late, model, index, batch_id=4)
+    assert spark.read.parquet(index).count() == n1
+    assert (
+        spark.read.parquet(index)
+        .groupBy("vec_id").count().filter(F.col("count") > 1).isEmpty()
+    )
+
+
+def test_compact_skips_non_numeric_batch_dir(spark, tmp_path):
+    # ADVICE r10: a stray non-numeric __batch_id directory must not
+    # abort the delete phase mid-removal.
+    import os as _os
+
+    emb = _corpus(spark)
+    index = str(tmp_path / "stray")
+    model = AI.ivf_ingest_init(
+        emb.filter(F.col("vec_id") < 300), index, n_centroids=4
+    )
+    AI.ivf_append_batch(
+        emb.filter(F.col("vec_id") >= 300), model, index, batch_id=0
+    )
+    cdir = next(
+        d for d in _os.listdir(index) if d.startswith("centroid_id=")
+    )
+    stray = _os.path.join(index, cdir, "__batch_id=__HIVE_DEFAULT_PARTITION__")
+    _os.makedirs(stray)
+    stats = AI.compact_index_batches(spark, index, upto_batch_id=0)
+    assert stats["batch_dirs_removed"] > 0
+    assert _os.path.isdir(stray)  # skipped, not crashed on
+
+
 def test_compact_rerun_after_simulated_crash_does_not_duplicate(spark, tmp_path):
     # crash window: new base written but old batch dirs not yet removed
     # -> a re-run must collapse each vector back to ONE row, not bake

@@ -216,6 +216,14 @@ def test_glob_path_reads_under_auto_default(spark, tmp_path):
     deeper = {f for f, _ in avro_py._expand_glob(*avro_py._fs_for(path + "/*.avro"))}
     assert not any("deeper" in f for f in deeper)
     assert avro_py._expand_glob(*avro_py._fs_for(path + "/*/decoy.avro"))
+    # ADVICE r10: a glob in the first path segment has no non-glob
+    # parent — must return [] rather than fall back to listing the
+    # filesystem root (object-store bucket listing / huge local walk)
+    import pyarrow.fs as pafs
+
+    local = pafs.LocalFileSystem()
+    assert avro_py._expand_glob(local, "*.avro") == []
+    assert avro_py._expand_glob(local, "part-*/x.avro") == []
 
 
 def test_session_split_bytes_parses_suffixes(spark):

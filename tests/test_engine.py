@@ -222,6 +222,93 @@ def test_tajo_typed_integer_division(spark, engine):
     assert got[0].r == 3.0  # ((7 div 2)*2)/2.0: site2 left on '/'
 
 
+def test_typed_division_cte_scope_binding(spark, engine):
+    """ADVICE r10 medium: a scope that references a CTE name must type
+    its divisions from the CTE's schema — never from a same-named
+    catalog table — and chained CTE bodies must see their predecessors.
+    Execution always binds the CTE (SQL scoping), so a probe that binds
+    the catalog table either misses a rewrite (silent Spark typing) or
+    fabricates one (div on doubles → DATATYPE_MISMATCH hard fail)."""
+    spark.createDataFrame(
+        [(7, 2)], "a INT, b INT"
+    ).createOrReplaceTempView("divt3")
+    # catalog table 'ctsh' is DOUBLE; the CTE shadowing it is INT —
+    # the subquery's probe must type from the CTE (prefix threaded)
+    spark.createDataFrame(
+        [(7.0, 2.0)], "a DOUBLE, b DOUBLE"
+    ).createOrReplaceTempView("ctsh")
+    got = engine.execute_sql(
+        "WITH ctsh AS (SELECT a, b FROM divt3) "
+        "SELECT (SELECT max(a / b) FROM ctsh) AS r"
+    ).collect()
+    assert got[0].r == 3  # CTE ints → truncating div, not 3.5
+    # reverse shadow (the hard-fail class): catalog table INT, CTE
+    # DOUBLE — a probe binding the catalog table would rewrite to div
+    # and the real query would then fail DATATYPE_MISMATCH on doubles
+    spark.createDataFrame(
+        [(7, 2)], "a INT, b INT"
+    ).createOrReplaceTempView("ctsh2")
+    got = engine.execute_sql(
+        "WITH ctsh2 AS (SELECT 7.0 AS a, 2.0 AS b) "
+        "SELECT (SELECT max(a / b) FROM ctsh2) AS r"
+    ).collect()
+    assert got[0].r == 3.5  # stays double division, no hard fail
+    # chained CTEs: body k probes with CTEs 1..k-1 as its prefix, so
+    # x/y inside the second body types from the FIRST CTE's schema
+    got = engine.execute_sql(
+        "WITH c1 AS (SELECT 7 AS x, 2 AS y), "
+        "c2 AS (SELECT x / y AS q FROM c1) "
+        "SELECT q FROM c2"
+    ).collect()
+    assert got[0].q == 3
+    # ...even when a DOUBLE catalog table shadows the first CTE's name
+    spark.createDataFrame(
+        [(7.0, 2.0)], "x DOUBLE, y DOUBLE"
+    ).createOrReplaceTempView("c3")
+    got = engine.execute_sql(
+        "WITH c3 AS (SELECT 7 AS x, 2 AS y), "
+        "c4 AS (SELECT x / y AS q FROM c3) "
+        "SELECT q FROM c4"
+    ).collect()
+    assert got[0].q == 3
+
+
+def test_typed_division_correlated_residual_is_unreachable_in_reference(
+    spark, engine
+):
+    """Closes the last typed-division residual (VERDICT r10 task 6) as
+    a can't-bind proof rather than a divergence: a correlated
+    subquery's probe cannot analyze standalone, so its ``/`` keeps
+    Spark double typing — and that is semantically VACUOUS parity-wise
+    because the reference cannot execute ANY correlated subquery:
+    NameResolver.java:160-167 throws
+    NotImplementedException("Correlated subquery") the moment a column
+    resolves to an outer block, and ExprAnnotator.java:412 throws
+    NotImplementedException("EXISTS clause") before that. There is no
+    Tajo typing for these shapes to diverge from; executing them at
+    all is superset behavior (SURVEY §2.2)."""
+    spark.createDataFrame(
+        [(7, 2), (4, 2)], "a INT, b INT"
+    ).createOrReplaceTempView("divt4")
+    # correlated scalar subquery with an all-integral division on the
+    # outer reference: the probe fail-safes, so Spark typing
+    # (7/2 = 3.5) decides the inner match — a rewrite to div would
+    # have yielded 3 and matched nothing
+    got = engine.execute_sql(
+        "SELECT a FROM divt4 d WHERE "
+        "(SELECT count(*) FROM divt4 i WHERE i.a / d.b = 3.5) > 0"
+    ).collect()
+    assert sorted(r.a for r in got) == [4, 7]  # Spark typing, executes fine
+    # the same division UNCORRELATED rewrites (both operands typed from
+    # the subquery's own scope) — proving the fail-safe is scoped to
+    # exactly the reference-unreachable shape
+    got = engine.execute_sql(
+        "SELECT a FROM divt4 d WHERE "
+        "(SELECT count(*) FROM divt4 i WHERE i.a / i.b = 3.5) > 0"
+    ).collect()
+    assert got == []  # 7 div 2 = 3 and 4 div 2 = 2, never 3.5
+
+
 def test_division_scope_scanners_pure():
     """Text-walker pins for the r10 typed-division scope extensions
     (no Spark): set-op branch spans, WITH main-body offset."""

@@ -133,6 +133,24 @@ def test_pipeline_corpus_prep_plan_shape(spark):
     assert "partial" in plan.lower()  # map-side combine before the agg shuffle
 
 
+def test_asof_join_plan_is_union_window_single_key_shuffle(spark):
+    # r10 watch item adjudication: asof_join_events_orders moved
+    # 0.76 s -> 1.09 s in BENCH_r10; re-measured warm at sf0.1 the walls
+    # are 0.57-0.82 s and the plan is unchanged — jitter, not a
+    # regression. Pin the shape so a real plan change can't hide behind
+    # the noise floor again: union + ONE window over ONE hash exchange
+    # on the key; the only other exchange is the oracle-mandated
+    # (custkey, orderdate) dedup agg. No join operator of any kind.
+    from tajo_spark.queries.registry import all_queries
+
+    df = all_queries()["asof_join_events_orders"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Union") == 1
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
 def test_approx_percentile_within_tolerance(spark):
     from tajo_spark.queries.registry import all_queries
 

@@ -39,6 +39,15 @@ def main() -> None:
     ap.add_argument("--batch-rows", type=int, default=200)
     ap.add_argument("--boot-rows", type=int, default=20_000)
     ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument(
+        "--auto-every",
+        type=int,
+        default=None,
+        help="arm maybe_compact(compact_every=N) at the head of every "
+        "batch — the self-maintaining stream mode (r10 VERDICT task 2); "
+        "probes are sampled either side of each fold to show the "
+        "sawtooth steady state",
+    )
     args = ap.parse_args()
 
     import numpy as np
@@ -86,10 +95,26 @@ def main() -> None:
     model = AI.ivf_ingest_init(df(args.boot_rows, 0), index, n_centroids=16)
     probe()  # codegen warmup
 
-    marks = {10, 50, args.batches}
+    if args.auto_every:
+        # sample either side of every fold: batch id k*N fires the fold
+        # at its head, so "after k*N batches" (recorded at the END of
+        # batch id k*N - 1) is the sawtooth peak and "after k*N + 1
+        # batches" the post-fold trough (base + 1 fresh batch)
+        marks = {args.batches}
+        for k in range(1, args.batches // args.auto_every + 1):
+            marks |= {k * args.auto_every, k * args.auto_every + 1}
+    else:
+        marks = {10, 50, args.batches}
     rows = []
+    folds = []
     t_ingest0 = time.perf_counter()
     for b in range(args.batches):
+        if args.auto_every:
+            st = AI.maybe_compact(
+                spark, index, b, compact_every=args.auto_every
+            )
+            if st:
+                folds.append(st)
         AI.ivf_append_batch(
             df(args.batch_rows, 1_000_000 + b * args.batch_rows),
             model,
@@ -122,6 +147,16 @@ def main() -> None:
         f"{stats['rows_folded']} rows; "
         f"probe results bit-identical across compaction: {identical}"
     )
+    if folds:
+        print(
+            f"auto-compaction fired {len(folds)}x "
+            f"(every {args.auto_every} batches): "
+            + "; ".join(
+                f"batch {s['fired_at_batch']}: {s['batch_dirs_removed']} "
+                f"dirs folded"
+                for s in folds
+            )
+        )
     print(
         json.dumps(
             {
