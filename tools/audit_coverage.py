@@ -16,6 +16,12 @@ Hard rules (each violation is one line in the report):
      are driver-hash-gated for correctness, not wall-clock tracked).
   4. Every budget row corresponds to a registered query (no orphaned
      budgets masking a renamed/retired query).
+  5. Every registry query has a measured wall-clock row that is at most
+     2 rounds stale — from the driver bench (bench.HEADLINE runs every
+     round) or from the rotation bench (tools/bench_rotation.py over
+     the long tail, bench_rotation.json). A regression in a
+     never-measured query was invisible until it hit a driver round
+     (VERDICT r10 task 7).
 
 Usage: python tools/audit_coverage.py   (exit 1 + report on violation)
 tests/test_audit_coverage.py runs the same audit in CI.
@@ -67,6 +73,32 @@ def audit() -> list[str]:
             )
     for b in sorted(budgets - set(REGISTRY)):
         problems.append(f"budget row {b!r} has no registered query")
+    # rule 5: full wall-clock coverage, max staleness 2 rounds
+    from bench_rotation import current_round
+
+    try:
+        rotation = json.load(
+            open(os.path.join(REPO, "bench_rotation.json"))
+        )
+    except Exception:
+        rotation = {}
+    rnd = current_round()
+    for n in sorted(REGISTRY):
+        if n in in_bench:
+            continue  # driver bench measures these every round
+        ent = rotation.get(n)
+        if ent is None:
+            problems.append(
+                f"query {n!r} has no wall-clock row anywhere — run "
+                "tools/bench_rotation.py"
+            )
+        elif rnd - ent.get("round", 0) > 2:
+            problems.append(
+                f"query {n!r} rotation wall is {rnd - ent['round']} "
+                "rounds stale — run tools/bench_rotation.py"
+            )
+    for n in sorted(set(rotation) - set(REGISTRY)):
+        problems.append(f"rotation row {n!r} has no registered query")
     return problems
 
 
