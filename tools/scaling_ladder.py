@@ -34,6 +34,10 @@ BASE_SF = "/root/testdata/sf0.1"
 QUERIES = [
     # scan-bound projection (classifier): should be ~linear
     "text_quality_classifier",
+    # one-scan attrition ledger (rules inline + dedup-marker window on
+    # the same scan, nested-CASE fold to a ≤|stages|+1-row ledger):
+    # should be ~linear, scan-bound (r11 — the r10 operator's 64x rung)
+    "pipeline_attrition_report",
     # explode + count shuffle + top-k: ~linear in corpus, k fixed
     "text_ngram_topk",
     # signature + banded candidate shuffle: ~linear, one shuffle
