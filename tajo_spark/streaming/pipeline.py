@@ -1004,6 +1004,7 @@ def attrition_stream(
     checkpoint: str,
     id_col: str = "doc_id",
     token_col: str | None = None,
+    compact_every: int | None = None,
 ):
     """Streaming twin of ``operators/attrition.first_drop_attrition``:
     each micro-batch's per-stage funnel appends to a partitioned
@@ -1016,19 +1017,40 @@ def attrition_stream(
     Idempotent like every sink here: rows land under
     ``__batch_id=<id>`` with dynamic partition overwrite, so a
     crash-replayed batch rewrites its own partition. The ledger is
-    ≤ |stages|+1 rows per batch — metadata-sized forever; reading it
-    grouped by stage (sum n_docs/n_tokens) reproduces the batch
-    report over everything ingested. Returns the unstarted writer.
+    ≤ |stages|+1 rows per batch — metadata-sized in ROWS forever, but
+    its read cost tracks batch-PARTITION count (r11 rung: the
+    dashboard groupBy-stage read grew 200 → 436 ms across 25 → 100
+    accumulated batches, pure listing/small-file overhead — the same
+    mechanism the ANN ingest rung measured at 5x). ``compact_every=N``
+    arms :func:`compact_ledger_batches` at the head of every Nth
+    batch, folding committed partitions into the ``__batch_id=-1``
+    base; ``__src_batch_id`` (a regular column stamping every row with
+    its producing batch) is what makes the fold's crash-rerun
+    idempotent. Reading grouped by stage (sum n_docs/n_tokens)
+    reproduces the batch report over everything ingested, folded or
+    not. Returns the unstarted writer.
     """
     from tajo_spark.operators.attrition import first_drop_attrition
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        if (
+            compact_every is not None
+            and batch_id > 0
+            and batch_id % compact_every == 0
+        ):
+            # same horizon contract as ann_ingest.maybe_compact: when
+            # foreachBatch runs batch N, every id < N is committed and
+            # can never replay, so folding N-1 is always safe
+            compact_ledger_batches(
+                batch.sparkSession, ledger_path, batch_id - 1
+            )
         (
             first_drop_attrition(
                 batch, stages, id_col=id_col, token_col=token_col
             )
+            .withColumn("__src_batch_id", F.lit(batch_id).cast("long"))
             .withColumn("__batch_id", F.lit(batch_id).cast("long"))
             .coalesce(1)
             .write.partitionBy("__batch_id")
@@ -1042,3 +1064,58 @@ def attrition_stream(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def compact_ledger_batches(
+    spark, ledger_path: str, upto_batch_id: int
+) -> dict:
+    """Fold committed attrition-ledger batch partitions into the
+    ``__batch_id=-1`` base — the metadata-scale twin of
+    ``ann_ingest.compact_index_batches``, same safety design:
+
+    * only fold batches at/below the stream checkpoint's committed
+      horizon (foreachBatch never replays a committed id, so folded
+      rows can never be re-appended; the in-flight batch's partition
+      is never touched);
+    * rows keep their ``__src_batch_id``, and the fold deduplicates on
+      ``(stage, __src_batch_id)`` — unique in the ledger by
+      construction — so a crash anywhere in the delete phase is
+      repaired by re-running (base + leftover partitions collapse back
+      to one row per funnel entry, never double-counting a stage sum);
+    * rewrite lands the new base before old partitions are removed.
+
+    Dashboard reads (groupBy stage, sum) are unchanged by the fold;
+    only the partition/file count drops to one base file + the
+    unfolded tail.
+    """
+    df = (
+        spark.read.parquet(ledger_path)
+        .filter(F.col("__batch_id") <= upto_batch_id)
+        .dropDuplicates(["stage", "__src_batch_id"])
+        .withColumn("__batch_id", F.lit(-1).cast("long"))
+    )
+    before = df.count()
+    (
+        df.coalesce(1)
+        .write.partitionBy("__batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(ledger_path)
+    )
+    import pyarrow.fs as pafs
+
+    fs, root = pafs.FileSystem.from_uri(ledger_path)
+    removed = 0
+    for binfo in fs.get_file_info(pafs.FileSelector(root)):
+        if binfo.type != pafs.FileType.Directory or not (
+            binfo.base_name.startswith("__batch_id=")
+        ):
+            continue
+        try:
+            bid = int(binfo.base_name.split("=", 1)[1])
+        except ValueError:
+            continue  # stray/null partition dir: skip, don't abort
+        if bid != -1 and bid <= upto_batch_id:
+            fs.delete_dir(binfo.path)
+            removed += 1
+    return {"rows_folded": before, "batch_dirs_removed": removed}

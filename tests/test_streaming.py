@@ -1094,6 +1094,92 @@ def test_attrition_stream_ledger_sums_to_batch_report(spark, tmp_path):
     assert got2 == want
 
 
+def test_attrition_ledger_auto_fold_preserves_sums(spark, tmp_path):
+    """r11 ledger rung follow-through: the dashboard read grows with
+    batch-partition count (200→436 ms across 25→100 batches measured),
+    so attrition_stream(compact_every=N) folds committed partitions
+    into the __batch_id=-1 base mid-stream. Stage sums must be
+    identical to the unfolded twin, partitions bounded, and a
+    crash-rerun of the fold must not double-count."""
+    import os
+
+    from pyspark.sql import functions as SF
+
+    from tajo_spark.operators.attrition import first_drop_attrition
+    from tajo_spark.streaming import pipeline as SP
+
+    rows = [
+        (i, ("the good doc " * 5) if i % 3 else "tiny", i)
+        for i in range(60)
+    ]
+    ddl = "doc_id INT, text STRING, n_toks INT"
+    docs = spark.createDataFrame(rows, ddl)
+    stages = [("tiny", SF.length("text") < 10)]
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for lo in range(0, 60, 10):  # 6 single-file micro-batches
+        docs.filter(
+            (SF.col("doc_id") >= lo) & (SF.col("doc_id") < lo + 10)
+        ).coalesce(1).write.mode("append").parquet(src)
+    ledger = str(tmp_path / "ledger")
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = SP.attrition_stream(
+        stream, stages, ledger, str(tmp_path / "ck"),
+        token_col="n_toks", compact_every=2,
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    # folds fired at batch ids 2 and 4: partitions are base + {4, 5}
+    parts = {
+        r[0]
+        for r in spark.read.parquet(ledger)
+        .select("__batch_id").distinct().collect()
+    }
+    assert parts == {-1, 4, 5}
+    got = {
+        r.stage: (r.n, r.t)
+        for r in spark.read.parquet(ledger)
+        .groupBy("stage")
+        .agg(SF.sum("n_docs").alias("n"), SF.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    want = {
+        r.stage: (r.n_docs, r.n_tokens)
+        for r in first_drop_attrition(
+            docs, stages, token_col="n_toks"
+        ).collect()
+    }
+    assert got == want
+
+    # crash-rerun: fold everything, then simulate leftover partitions
+    # reappearing (the crash-mid-delete window) and re-fold — the
+    # (stage, __src_batch_id) dedup must collapse them, sums unchanged
+    SP.compact_ledger_batches(spark, ledger, upto_batch_id=5)
+    base = spark.read.parquet(ledger)
+    leftover = base.filter(SF.col("__src_batch_id") == 5).withColumn(
+        "__batch_id", SF.lit(5).cast("long")
+    )
+    leftover.write.partitionBy("__batch_id").option(
+        "partitionOverwriteMode", "dynamic"
+    ).mode("overwrite").parquet(ledger)
+    stats = SP.compact_ledger_batches(spark, ledger, upto_batch_id=5)
+    assert stats["batch_dirs_removed"] == 1
+    got2 = {
+        r.stage: (r.n, r.t)
+        for r in spark.read.parquet(ledger)
+        .groupBy("stage")
+        .agg(SF.sum("n_docs").alias("n"), SF.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    assert got2 == want
+
+
 def test_compact_folds_and_deletes_legacy_negative_generations(
     spark, tmp_path
 ):
