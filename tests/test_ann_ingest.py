@@ -367,18 +367,32 @@ def test_maybe_compact_never_folds_the_inflight_batch(spark, tmp_path):
     model = AI.ivf_ingest_init(
         emb.filter(F.col("vec_id") < 300), index, n_centroids=4
     )
-    late = emb.filter(F.col("vec_id") >= 300)
-    AI.ivf_append_batch(late, model, index, batch_id=3)
+    b3 = emb.filter(F.col("vec_id").between(300, 399))
+    b4 = emb.filter(F.col("vec_id") >= 400)
+    AI.ivf_append_batch(b3, model, index, batch_id=3)
     # batch 4 arrives; the cadence arm fires and folds upto batch 3
     stats = AI.maybe_compact(spark, index, 4, compact_every=4)
     assert stats is not None and stats["trigger"] == "every"
-    AI.ivf_append_batch(late, model, index, batch_id=4)
+    AI.ivf_append_batch(b4, model, index, batch_id=4)
+    # the fold left exactly base + batch-4 partitions: batch 3 is in
+    # the base, batch 4 (in-flight at fold time) kept its own dirs
+    import os as _os
+
+    bids = {
+        b
+        for c in _os.listdir(index)
+        if c.startswith("centroid_id=")
+        for b in _os.listdir(_os.path.join(index, c))
+        if b.startswith("__batch_id=")
+    }
+    assert bids == {"__batch_id=-1", "__batch_id=4"}
     n1 = spark.read.parquet(index).count()
+    assert n1 == emb.count()
     # crash-replay of batch 4: compaction fires AGAIN on the replay
-    # (same batch id, same horizon) then the append overwrites its own
-    # partitions — still no duplicates
+    # (same batch id, same horizon — batch 4 still never folded) then
+    # the append overwrites its own partitions — still no duplicates
     AI.maybe_compact(spark, index, 4, compact_every=4)
-    AI.ivf_append_batch(late, model, index, batch_id=4)
+    AI.ivf_append_batch(b4, model, index, batch_id=4)
     assert spark.read.parquet(index).count() == n1
     assert (
         spark.read.parquet(index)
