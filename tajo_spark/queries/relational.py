@@ -288,11 +288,23 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arithmetic identical to well past the compare precision.
     li = _t(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    return li.groupBy("l_returnflag").agg(
-        *[
-            (F.percentile(cents, F.lit(p)) / 100.0).alias(name)
-            for p, name in [(0.25, "p25"), (0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
-        ]
+    # ONE percentile aggregate with an array of percentages, not four:
+    # exact percentile buffers every group value per aggregate, so four
+    # scalar calls buffer (and sort) the group 4x — the array form
+    # shares one buffer (r11: 4.6 s -> measured after, the slowest
+    # rotation-bench row)
+    names = [(0.25, "p25"), (0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
+    pcts = F.percentile(cents, F.array(*[F.lit(p) for p, _ in names]))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pcts.alias("__pcts"))
+        .select(
+            "l_returnflag",
+            *[
+                (F.col("__pcts")[i] / 100.0).alias(name)
+                for i, (_, name) in enumerate(names)
+            ],
+        )
     )
 
 
