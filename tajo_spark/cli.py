@@ -233,11 +233,14 @@ def main(argv: list[str] | None = None) -> int:
 
         from tajo_spark.engine import Engine
 
-        Engine().serve_jdbc(port=a.serve_jdbc)
+        server = Engine().serve_jdbc(port=a.serve_jdbc)
         print(f"JDBC (HiveServer2 protocol) on jdbc:hive2://127.0.0.1:{a.serve_jdbc}")
-        while True:  # foreground like --serve; Ctrl-C stops
-            _time.sleep(3600)
-        return 0
+        try:
+            while True:  # foreground like --serve
+                _time.sleep(3600)
+        except KeyboardInterrupt:  # Ctrl-C: clean stop, no traceback
+            server.stop()
+            return 0
 
     cli = Cli()
     if a.command:

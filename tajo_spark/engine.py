@@ -453,39 +453,52 @@ class Engine:
             except Exception:
                 mstart = None
         if mstart is not None:
-            # WITH statement: handle the main body and each CTE body
-            # STRUCTURALLY, each probed with the prefix that binds
-            # exactly the CTE names visible in its scope — the main
-            # body sees the whole WITH clause, CTE body k sees CTEs
-            # 1..k-1 (ADVICE r10 medium: a standalone probe of a scope
+            # WITH statement: handle each CTE body and then the main
+            # body STRUCTURALLY, each probed with the prefix that binds
+            # exactly the CTE names visible in its scope — CTE body k
+            # sees CTEs 1..k-1, the main body sees the whole WITH
+            # clause (ADVICE r10 medium: a standalone probe of a scope
             # that references a CTE name could bind a same-named
             # catalog table and type the division from the wrong
             # schema). This replaces the flat subquery-spans pass for
             # WITH statements, which both probed main-body subqueries
             # twice (ADVICE r10 low) and probed CTE bodies prefix-less.
-            if "/" in out[mstart:]:
+            # Order matters (r11 review): FORWARD over the CTE chain,
+            # reparsing spans after each rewrite, so a successor that
+            # divides by a predecessor's REWRITTEN division column is
+            # probed against the post-rewrite (integral) typing — a
+            # stale prefix could only MISS rewrites (div is never less
+            # integral than /), but the miss diverges from the
+            # reference on chained integer division. Main body LAST,
+            # with the fully-rewritten WITH clause as its prefix.
+            k = 0
+            while depth < 4:
+                try:
+                    ctes = dialect.cte_body_spans(out)
+                except Exception:
+                    ctes = []
+                if k >= len(ctes):
+                    break
+                bstart, bend, _def_end = ctes[k]
+                inner = out[bstart:bend]
+                if "/" in inner:
+                    pfx = (out[: ctes[k - 1][2]] + " ") if k else ""
+                    new_inner = self._tajo_typed_division(
+                        inner, depth + 1, prefix=pfx
+                    )
+                    if new_inner != inner:
+                        out = out[:bstart] + new_inner + out[bend:]
+                k += 1
+            try:
+                mstart = dialect.with_main_start(out)
+            except Exception:
+                mstart = None
+            if mstart is not None and "/" in out[mstart:]:
                 seg = out[mstart:]
                 new_seg = self._tajo_typed_division(
                     seg, depth + 1, prefix=out[:mstart]
                 )
                 out = out[:mstart] + new_seg
-            try:
-                ctes = dialect.cte_body_spans(out)
-            except Exception:
-                ctes = []
-            # reversed: rewrites only touch text at/after each body, so
-            # earlier offsets (and the prefix text) stay valid
-            for k in range(len(ctes) - 1, -1, -1):
-                bstart, bend, _def_end = ctes[k]
-                inner = out[bstart:bend]
-                if "/" not in inner:
-                    continue
-                pfx = (out[: ctes[k - 1][2]] + " ") if k else ""
-                new_inner = self._tajo_typed_division(
-                    inner, depth + 1, prefix=pfx
-                )
-                if new_inner != inner:
-                    out = out[:bstart] + new_inner + out[bend:]
             return out
         if depth < 4:
             try:

@@ -134,12 +134,16 @@ def ivf_ingest_stream(
     steady state measured in SCALE.md)."""
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
+        # compaction BEFORE the empty-batch return: an empty cadence
+        # batch must still fire its fold (the horizon proof only needs
+        # the batch id to have been invoked — r11 review: skipping let
+        # partitions accumulate past the intended bound)
         maybe_compact(
             batch.sparkSession, index_path, batch_id,
             compact_every=compact_every, max_batch_dirs=max_batch_dirs,
         )
+        if batch.isEmpty():
+            return
         ivf_append_batch(batch, model, index_path, batch_id)
 
     return (
@@ -354,12 +358,12 @@ def gated_ingest_stream(
     unaffected (pinned in tests/test_ann_ingest.py)."""
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        maybe_compact(
+        maybe_compact(  # before the empty return — see ivf_ingest_stream
             batch.sparkSession, index_path, batch_id,
             compact_every=compact_every, max_batch_dirs=max_batch_dirs,
         )
+        if batch.isEmpty():
+            return
         gated_ingest_batch(
             batch, model, index_path, batch_id, tau=tau, nprobe=nprobe,
             coalesce=coalesce,
@@ -457,12 +461,12 @@ def pq_ingest_stream(
     contract as `ivf_ingest_stream`, same auto-compaction arming."""
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        maybe_compact(
+        maybe_compact(  # before the empty return — see ivf_ingest_stream
             batch.sparkSession, index_path, batch_id,
             compact_every=compact_every, max_batch_dirs=max_batch_dirs,
         )
+        if batch.isEmpty():
+            return
         pq_append_batch(batch, model, codebooks, index_path, batch_id)
 
     return (
@@ -567,12 +571,14 @@ def compact_index_batches(
     }
 
 
-def count_batch_dirs(index_path: str) -> int:
+def count_batch_dirs(index_path: str, exclude_base: bool = False) -> int:
     """Number of ``(centroid_id, __batch_id)`` leaf directories in the
     index — the quantity the sustained-ingest rung showed probe latency
     tracks (one small parquet file per leaf under micro-batch ingest).
     One filesystem listing, no Spark job; cheap relative to any
-    micro-batch.  Missing/empty index → 0."""
+    micro-batch.  Missing/empty index → 0.  ``exclude_base`` counts
+    only FOLDABLE dirs (``__batch_id != -1``) — what the
+    ``max_batch_dirs`` trigger arm compares against."""
     import pyarrow.fs as pafs
 
     fs, root = pafs.FileSystem.from_uri(index_path)
@@ -590,8 +596,23 @@ def count_batch_dirs(index_path: str) -> int:
             if binfo.type == pafs.FileType.Directory and (
                 binfo.base_name.startswith("__batch_id=")
             ):
+                if exclude_base and binfo.base_name == "__batch_id=-1":
+                    continue
                 n += 1
     return n
+
+
+def cadence_fires(batch_id: int, compact_every: int | None) -> bool:
+    """The shared cadence predicate for every auto-folding stream
+    (ANN index + attrition ledger): fire at the head of batch
+    ``k * compact_every``.  Lives in ONE place so the replay-horizon
+    contract (fold strictly below the in-flight batch id — committed
+    ids never replay) has a single implementation to audit."""
+    return (
+        compact_every is not None
+        and batch_id > 0
+        and batch_id % compact_every == 0
+    )
 
 
 def maybe_compact(
@@ -609,10 +630,15 @@ def maybe_compact(
     * ``compact_every=N`` — every N committed batches
       (``batch_id % N == 0``; batch ids are monotone across restarts,
       so the cadence survives stream restarts without extra state);
-    * ``max_batch_dirs=M`` — when the index's ``(centroid, batch)``
-      leaf-directory count exceeds M (the SLO-breach arm: directory
-      count is the probe-latency proxy the rung measured, and one
-      listing is far cheaper than a degraded probe).
+    * ``max_batch_dirs=M`` — when the index's FOLDABLE
+      ``(centroid, batch)`` leaf-directory count (base ``-1`` dirs
+      excluded) exceeds M (the SLO-breach arm: directory count is the
+      probe-latency proxy the rung measured, and one listing is far
+      cheaper than a degraded probe).  Counting only foldable dirs
+      keeps a threshold below ``n_centroids`` from firing a full-index
+      rewrite on every batch forever — post-fold the foldable count is
+      0, so the arm re-arms only as new batches accumulate (r11
+      review).
 
     Replay-safety contract: when foreachBatch runs batch ``N``, every
     batch id ``< N`` is committed in the checkpoint (Structured
@@ -626,10 +652,10 @@ def maybe_compact(
     if batch_id <= 0:
         return None  # nothing committed below batch 0 but the base
     trigger = None
-    if compact_every is not None and batch_id % compact_every == 0:
+    if cadence_fires(batch_id, compact_every):
         trigger = "every"
     elif max_batch_dirs is not None and (
-        count_batch_dirs(index_path) > max_batch_dirs
+        count_batch_dirs(index_path, exclude_base=True) > max_batch_dirs
     ):
         trigger = "dirs"
     if trigger is None:

@@ -1033,19 +1033,19 @@ def attrition_stream(
     from tajo_spark.operators.attrition import first_drop_attrition
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        if (
-            compact_every is not None
-            and batch_id > 0
-            and batch_id % compact_every == 0
-        ):
-            # same horizon contract as ann_ingest.maybe_compact: when
-            # foreachBatch runs batch N, every id < N is committed and
-            # can never replay, so folding N-1 is always safe
+        # fold BEFORE the empty-batch return (an empty cadence batch
+        # must still fire — r11 review), sharing the cadence predicate
+        # and horizon contract with ann_ingest.maybe_compact: when
+        # foreachBatch runs batch N, every id < N is committed and can
+        # never replay, so folding N-1 is always safe
+        from tajo_spark.streaming.ann_ingest import cadence_fires
+
+        if cadence_fires(batch_id, compact_every):
             compact_ledger_batches(
                 batch.sparkSession, ledger_path, batch_id - 1
             )
+        if batch.isEmpty():
+            return
         (
             first_drop_attrition(
                 batch, stages, id_col=id_col, token_col=token_col
@@ -1088,9 +1088,29 @@ def compact_ledger_batches(
     only the partition/file count drops to one base file + the
     unfolded tail.
     """
+    # mergeSchema: a ledger written before __src_batch_id existed (or
+    # one with mixed generations) must not let a single old footer win
+    # schema inference — without it the dedup key either resolves to
+    # nothing (UNRESOLVED_COLUMN mid-stream) or reads null on every old
+    # row, collapsing all old batches to one row per stage (r11 review)
+    try:
+        df = spark.read.option("mergeSchema", "true").parquet(ledger_path)
+    except Exception:
+        # a fold can fire before any batch has written (every batch so
+        # far empty): nothing to do, not an error
+        return {"rows_folded": 0, "batch_dirs_removed": 0}
+    if "__src_batch_id" not in df.columns:
+        df = df.withColumn("__src_batch_id", F.col("__batch_id"))
+    else:
+        # pre-upgrade rows read null after the merge; their partition
+        # value IS their producing batch (those ledgers predate any
+        # fold, so no -1 ambiguity exists among them)
+        df = df.withColumn(
+            "__src_batch_id",
+            F.coalesce(F.col("__src_batch_id"), F.col("__batch_id")),
+        )
     df = (
-        spark.read.parquet(ledger_path)
-        .filter(F.col("__batch_id") <= upto_batch_id)
+        df.filter(F.col("__batch_id") <= upto_batch_id)
         .dropDuplicates(["stage", "__src_batch_id"])
         .withColumn("__batch_id", F.lit(-1).cast("long"))
     )

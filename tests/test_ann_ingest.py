@@ -347,8 +347,8 @@ def test_auto_compaction_dir_threshold_arm(spark, tmp_path):
             emb.filter(F.col("vec_id").between(200 + 100 * b, 299 + 100 * b)),
             model, index, batch_id=b,
         )
-    dirs = AI.count_batch_dirs(index)
-    assert dirs > 8  # base + 3 batches x 4 centroids
+    dirs = AI.count_batch_dirs(index, exclude_base=True)
+    assert dirs > 8  # 3 batches x 4 centroids, base excluded
     # under threshold: no fire
     assert AI.maybe_compact(spark, index, 3, max_batch_dirs=dirs) is None
     stats = AI.maybe_compact(spark, index, 3, max_batch_dirs=8)
@@ -356,6 +356,11 @@ def test_auto_compaction_dir_threshold_arm(spark, tmp_path):
     # folded upto batch 2; base only (4 centroid dirs) remains
     assert AI.count_batch_dirs(index) == 4
     assert spark.read.parquet(index).count() == emb.count()
+    # r11 review: the arm compares FOLDABLE dirs (base excluded), so a
+    # threshold below n_centroids cannot fire a full-index rewrite on
+    # every batch forever — post-fold there is nothing foldable
+    assert AI.count_batch_dirs(index, exclude_base=True) == 0
+    assert AI.maybe_compact(spark, index, 4, max_batch_dirs=0) is None
 
 
 def test_maybe_compact_never_folds_the_inflight_batch(spark, tmp_path):

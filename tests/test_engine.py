@@ -271,6 +271,24 @@ def test_typed_division_cte_scope_binding(spark, engine):
         "SELECT q FROM c4"
     ).collect()
     assert got[0].q == 3
+    # r11 review: a successor dividing by a predecessor's REWRITTEN
+    # division column must probe against the post-rewrite (integral)
+    # typing — the forward CTE pass reparses after each rewrite, so
+    # q (= 7 div 2 = 3, INT) divides integrally again: 3 div 2 = 1.
+    # A stale pre-rewrite prefix typed q DOUBLE and left r at 1.5.
+    got = engine.execute_sql(
+        "WITH d1 AS (SELECT a / b AS q FROM divt3 WHERE a = 7), "
+        "d2 AS (SELECT q / 2 AS r FROM d1) "
+        "SELECT r FROM d2"
+    ).collect()
+    assert got[0].r == 1
+    # same chain with the second division in the MAIN body (probed
+    # last, with the fully-rewritten WITH clause as its prefix)
+    got = engine.execute_sql(
+        "WITH d1 AS (SELECT a / b AS q FROM divt3 WHERE a = 7) "
+        "SELECT q / 2 AS r FROM d1"
+    ).collect()
+    assert got[0].r == 1
 
 
 def test_typed_division_correlated_residual_is_unreachable_in_reference(

@@ -1180,6 +1180,57 @@ def test_attrition_ledger_auto_fold_preserves_sums(spark, tmp_path):
     assert got2 == want
 
 
+def test_ledger_fold_upgrades_pre_src_batch_id_partitions(spark, tmp_path):
+    """r11 review: a ledger written BEFORE __src_batch_id existed must
+    fold without collapsing old batches (schema-merge + per-partition
+    backfill from __batch_id), mixed with new-format partitions."""
+    from pyspark.sql import functions as SF
+
+    from tajo_spark.streaming import pipeline as SP
+
+    ledger = str(tmp_path / "ledger")
+    # two legacy partitions: no __src_batch_id column at all
+    for bid, n in ((0, 10), (1, 20)):
+        spark.createDataFrame(
+            [("tiny", n, n * 3), ("kept", 100 - n, (100 - n) * 3)],
+            "stage STRING, n_docs BIGINT, n_tokens BIGINT",
+        ).withColumn("__batch_id", SF.lit(bid).cast("long")).coalesce(
+            1
+        ).write.partitionBy("__batch_id").mode("append").parquet(ledger)
+    # one new-format partition
+    spark.createDataFrame(
+        [("tiny", 5, 15), ("kept", 95, 285)],
+        "stage STRING, n_docs BIGINT, n_tokens BIGINT",
+    ).withColumn("__src_batch_id", SF.lit(2).cast("long")).withColumn(
+        "__batch_id", SF.lit(2).cast("long")
+    ).coalesce(1).write.partitionBy("__batch_id").mode("append").parquet(
+        ledger
+    )
+
+    def sums():
+        return {
+            r.stage: (r.n, r.t)
+            for r in spark.read.option("mergeSchema", "true")
+            .parquet(ledger)
+            .groupBy("stage")
+            .agg(SF.sum("n_docs").alias("n"), SF.sum("n_tokens").alias("t"))
+            .collect()
+        }
+
+    want = sums()
+    assert want == {"tiny": (35, 105), "kept": (265, 795)}
+    stats = SP.compact_ledger_batches(spark, ledger, upto_batch_id=2)
+    # every (stage, batch) funnel row survives the fold distinctly —
+    # the legacy rows must NOT collapse to one null-keyed row per stage
+    assert stats["rows_folded"] == 6
+    assert sums() == want
+    # fold on a never-written ledger is a no-op, not an error
+    empty = SP.compact_ledger_batches(
+        spark, str(tmp_path / "nothing"), upto_batch_id=5
+    )
+    assert empty == {"rows_folded": 0, "batch_dirs_removed": 0}
+
+
 def test_compact_folds_and_deletes_legacy_negative_generations(
     spark, tmp_path
 ):

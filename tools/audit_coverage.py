@@ -98,7 +98,7 @@ def audit() -> list[str]:
             )
         elif rnd - ent.get("round", 0) > 2:
             problems.append(
-                f"query {n!r} rotation wall is {rnd - ent['round']} "
+                f"query {n!r} rotation wall is {rnd - ent.get('round', 0)} "
                 "rounds stale — run tools/bench_rotation.py"
             )
     for n in sorted(set(rotation) - set(REGISTRY)):
