@@ -75,6 +75,22 @@ def stages(sql: str):
     yield "div_subq", lambda: dialect.outer_select_spans(sql)
     yield "div_setop", lambda: dialect.setop_branch_spans(sql)
     yield "div_with", lambda: dialect.with_main_start(sql)
+    yield "div_cte", lambda: _cte_spans_invariant(sql)
+
+
+def _cte_spans_invariant(sql: str):
+    """cte_body_spans plus the properties the engine's forward rewrite
+    loop depends on: spans in-bounds, body within def, strictly ordered
+    and non-overlapping. A violated invariant corrupts a rewrite
+    silently, so it counts as a breach (AssertionError is not in
+    OK_ERRORS)."""
+    spans = dialect.cte_body_spans(sql)
+    prev_end = -1
+    for bs, be, de in spans:
+        assert 0 <= bs <= be <= de <= len(sql), (bs, be, de, len(sql))
+        assert bs > prev_end, (bs, prev_end)
+        prev_end = de
+    return spans
 
 
 def main() -> int:
