@@ -101,6 +101,37 @@ def test_jdbc_shares_session_state_and_udfs(jdbc, spark):
     assert [r.x for r in got] == [42]
 
 
+def test_jdbc_runs_aggregation_over_real_tables(jdbc, spark):
+    # the switch-over claim: a BI tool pointed at the JDBC endpoint can
+    # run the reference's query shapes against the engine's tables —
+    # here a TPC-H q1-style aggregate over lineitem, checked against
+    # the same aggregate computed in-process
+    from tajo_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    engine, port = jdbc
+    load_table(spark, SF_DIR, "lineitem").createOrReplaceTempView(
+        "jdbc_lineitem"
+    )
+    sql = (
+        "SELECT l_returnflag, count(*) AS n, "
+        "round(sum(l_quantity), 2) AS qty "
+        "FROM jdbc_lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    )
+    out = _beeline(port, sql)
+    assert out.returncode == 0, out.stderr[-2000:]
+    got = [
+        ln.strip().split("> ")[-1]
+        for ln in out.stdout.splitlines()
+        if "," in ln
+    ]
+    want = ["l_returnflag,n,qty"] + [
+        f"{r.l_returnflag},{r.n},{r.qty}"
+        for r in engine.execute_sql(sql).collect()
+    ]
+    assert got == want
+
+
 def test_jdbc_classpath_gate_message():
     # the gate raises an actionable deployment message when the
     # thriftserver class is absent; here the jar ships, so assert the
