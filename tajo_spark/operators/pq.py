@@ -190,29 +190,14 @@ def ivf_pq_persist_index(
     Train-sample collect is bounded by ``train_sample`` rows
     (annotated driver-side: codebook k-means needs O(ksub·100)
     points per subspace, independent of corpus size)."""
-    from tajo_spark.operators.similarity import ivf_assign, l2_normalize
+    from tajo_spark.operators.similarity import ivf_assign
 
     assigned, model = ivf_assign(emb, n_centroids=n_centroids, seed=seed)
     centers = [np.asarray(c, dtype="float64") for c in model.clusterCenters()]
-    sample = (
-        assigned.select(
-            "vec_id",
-            l2_normalize(F.col("embedding")).alias("vn"),
-            "centroid_id",
-        )
-        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        # deterministic AND unbiased: hash order decorrelates the
-        # sample from ingest/shard order (a vec_id-prefix sample would
-        # train codebooks on one region of a sharded corpus); bare
-        # limit() would be partition-order-dependent. TakeOrdered,
-        # one-time build cost.
-        .limit(train_sample)
-        .collect()
-    )  # bounded: train_sample rows — PQ training set, not the corpus
-    res = np.stack(
-        [np.asarray(r.vn) - centers[r.centroid_id] for r in sample]
+    codebooks = pq_train_residuals(
+        assigned, centers, m=m, ksub=ksub, seed=seed,
+        train_sample=train_sample,
     )
-    codebooks = pq_train(res, m=m, ksub=ksub, seed=seed)
     (
         pq_encode_codes(assigned, centers, codebooks)
         .write.mode("overwrite")
@@ -220,6 +205,44 @@ def ivf_pq_persist_index(
         .parquet(path)
     )
     return model, codebooks
+
+
+def pq_train_residuals(
+    assigned,
+    centers,
+    m: int = DEFAULT_M,
+    ksub: int = DEFAULT_KSUB,
+    seed: int = 42,
+    train_sample: int = DEFAULT_TRAIN_SAMPLE,
+):
+    """Residual-sample + codebook training shared by
+    :func:`ivf_pq_persist_index` and the streaming ingest bootstrap
+    (streaming/ann_ingest.pq_ingest_init) — ONE copy of the
+    deterministic sampling rule (r11 review: the ingest bootstrap had
+    a verbatim duplicate with a hard-coded sample size).
+
+    Sample order is md5(vec_id): deterministic AND unbiased — hash
+    order decorrelates the sample from ingest/shard order (a
+    vec_id-prefix sample would train codebooks on one region of a
+    sharded corpus); bare limit() would be partition-order-dependent.
+    TakeOrdered, one-time build cost; the collect is bounded by
+    ``train_sample`` rows, independent of corpus size."""
+    from tajo_spark.operators.similarity import l2_normalize
+
+    sample = (
+        assigned.select(
+            "vec_id",
+            l2_normalize(F.col("embedding")).alias("vn"),
+            "centroid_id",
+        )
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(train_sample)
+        .collect()
+    )  # bounded: train_sample rows — PQ training set, not the corpus
+    res = np.stack(
+        [np.asarray(r.vn) - centers[r.centroid_id] for r in sample]
+    )
+    return pq_train(res, m=m, ksub=ksub, seed=seed)
 
 
 def _adc_score(codes: Column, luts: Column, coarse: Column) -> Column:

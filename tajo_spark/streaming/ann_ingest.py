@@ -80,7 +80,24 @@ def ivf_append_batch(
     micro-batches; leave None for bulk loads where parallel writers
     matter more than file count — `compact_index_batches` folds the
     residue either way."""
-    assigned = assign_with_frozen_centroids(batch, model)
+    _write_q8_batch(
+        assign_with_frozen_centroids(batch, model),
+        index_path,
+        batch_id,
+        coalesce=coalesce,
+    )
+
+
+def _write_q8_batch(
+    assigned: DataFrame,
+    index_path: str,
+    batch_id: int,
+    coalesce: int | None = None,
+) -> None:
+    """The write half of the int8 append, taking an ALREADY-assigned
+    frame — shared by `ivf_append_batch` and `ivf_ingest_init` (which
+    reuses `ivf_assign`'s materialized assignment instead of running a
+    second full-corpus model.transform pass — r11 review)."""
     if coalesce is not None:
         assigned = assigned.coalesce(coalesce)
     (
@@ -106,8 +123,11 @@ def ivf_ingest_init(
     ``(centroid_id, __batch_id)`` layout every later append uses
     (`ivf_persist_index_q8`'s flat layout can't be mixed with batch
     partitions in one directory tree).  Returns the frozen model."""
-    _, model = ivf_assign(emb, n_centroids=n_centroids, seed=seed)
-    ivf_append_batch(emb, model, index_path, batch_id=-1)
+    assigned, model = ivf_assign(emb, n_centroids=n_centroids, seed=seed)
+    # reuse the assignment ivf_assign already materialized (its feature
+    # projection is localCheckpoint'd) instead of re-running a second
+    # full-corpus model.transform pass through ivf_append_batch
+    _write_q8_batch(assigned, index_path, batch_id=-1)
     return model
 
 
@@ -193,8 +213,6 @@ def neardup_gate_batch(
     centroid escapes the gate — the standard IVF recall trade
     (operators/similarity.py nprobe docs), dialed by ``nprobe``.
     """
-    import numpy as np
-
     from tajo_spark.operators.similarity import _as_double, dot
 
     spark = batch.sparkSession
@@ -327,7 +345,13 @@ def gated_ingest_batch(
     gates everything)."""
     survivors = neardup_gate_batch(
         batch, model, index_path, batch_id, tau=tau, nprobe=nprobe
-    )
+    ).localCheckpoint()
+    # checkpoint before isEmpty: otherwise the gate's full plan (index
+    # probe + both dup joins + anti-join) runs TWICE — once for the
+    # emptiness check, once inside the append — and the append action
+    # would re-read index_path in the same job that overwrites it (the
+    # hazard streaming/pipeline.py's incremental-dedup stream pins;
+    # r11 review)
     if survivors.isEmpty():
         return
     ivf_append_batch(
@@ -358,8 +382,12 @@ def gated_ingest_stream(
     unaffected (pinned in tests/test_ann_ingest.py)."""
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        persisted_before = set(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet()
+        )
         maybe_compact(  # before the empty return — see ivf_ingest_stream
-            batch.sparkSession, index_path, batch_id,
+            spark, index_path, batch_id,
             compact_every=compact_every, max_batch_dirs=max_batch_dirs,
         )
         if batch.isEmpty():
@@ -368,6 +396,15 @@ def gated_ingest_stream(
             batch, model, index_path, batch_id, tau=tau, nprobe=nprobe,
             coalesce=coalesce,
         )
+        # drop this batch's localCheckpoint blocks (gate probes +
+        # survivors): an always-on stream would otherwise accumulate
+        # storage memory per micro-batch until the executors GC-thrash
+        # — same cleanup contract as incremental_dedup_stream
+        # (streaming/pipeline.py; r11 review)
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet()):
+            if rid not in persisted_before:
+                jmap.get(rid).unpersist()
 
     return (
         stream_df.writeStream.foreachBatch(process_batch)
@@ -385,17 +422,43 @@ def gated_ingest_stream(
 
 
 def pq_append_batch(
-    batch: DataFrame, model, codebooks, index_path: str, batch_id: int
+    batch: DataFrame,
+    model,
+    codebooks,
+    index_path: str,
+    batch_id: int,
+    coalesce: int | None = None,
 ) -> None:
     """Append one micro-batch of (vec_id, embedding) rows to the
     persisted IVF-PQ index: map-only frozen-centroid assignment, then
     the Arrow-vectorized residual encode (operators/pq.py), written
     ``partitionBy(centroid_id, __batch_id)`` with dynamic overwrite —
-    replayed batch ids rewrite exactly their own directories."""
+    replayed batch ids rewrite exactly their own directories.
+    ``coalesce`` bounds write parallelism exactly like
+    `ivf_append_batch` (pass 1 for micro-batches — r11 review: the PQ
+    path was missing the file-count knob its docstring sibling
+    prescribes)."""
+    _write_pq_batch(
+        assign_with_frozen_centroids(batch, model),
+        model, codebooks, index_path, batch_id, coalesce=coalesce,
+    )
+
+
+def _write_pq_batch(
+    assigned: DataFrame,
+    model,
+    codebooks,
+    index_path: str,
+    batch_id: int,
+    coalesce: int | None = None,
+) -> None:
+    """Encode-and-write half of the PQ append, taking an
+    already-assigned frame (shared with `pq_ingest_init`)."""
     from tajo_spark.operators.pq import pq_encode_codes
 
     centers = [list(c) for c in model.clusterCenters()]
-    assigned = assign_with_frozen_centroids(batch, model)
+    if coalesce is not None:
+        assigned = assigned.coalesce(coalesce)
     (
         pq_encode_codes(assigned, centers, codebooks)
         .withColumn("__batch_id", F.lit(batch_id).cast("long"))
@@ -416,34 +479,24 @@ def pq_ingest_init(
 ):
     """Bootstrap the ingestable IVF-PQ index: fit coarse centroids AND
     PQ codebooks once on the initial corpus (driver-bounded residual
-    sample, operators/pq.py::pq_train), write the corpus as batch
+    sample — the SHARED deterministic sampling rule,
+    operators/pq.py::pq_train_residuals), write the corpus as batch
     ``-1``.  Returns (model, codebooks) — the frozen state every later
     append and probe shares."""
     import numpy as np
 
-    from tajo_spark.operators.pq import pq_train
+    from tajo_spark.operators.pq import pq_train_residuals
 
     assigned, model = ivf_assign(emb, n_centroids=n_centroids, seed=seed)
     centers = [
         np.asarray(c, dtype="float64") for c in model.clusterCenters()
     ]
-    sample = (
-        assigned.select(
-            "vec_id",
-            l2_normalize(F.col("embedding")).alias("vn"),
-            "centroid_id",
-        )
-        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        # deterministic + shard-order-unbiased sample (see
-        # operators/pq.py::ivf_pq_persist_index), TakeOrdered
-        .limit(4096)
-        .collect()
-    )  # bounded: PQ training sample, independent of corpus size
-    res = np.stack(
-        [np.asarray(r.vn) - centers[r.centroid_id] for r in sample]
+    codebooks = pq_train_residuals(
+        assigned, centers, m=m, ksub=ksub, seed=seed
     )
-    codebooks = pq_train(res, m=m, ksub=ksub, seed=seed)
-    pq_append_batch(emb, model, codebooks, index_path, batch_id=-1)
+    # reuse ivf_assign's materialized assignment for the bootstrap
+    # write instead of a second full-corpus model.transform pass
+    _write_pq_batch(assigned, model, codebooks, index_path, batch_id=-1)
     return model, codebooks
 
 
@@ -477,7 +530,7 @@ def pq_ingest_stream(
 
 
 def compact_index_batches(
-    spark, index_path: str, upto_batch_id: int
+    spark, index_path: str, upto_batch_id: int, verify_counts: bool = True
 ) -> dict:
     """Fold committed ingest batches into the base partition — the
     maintenance pass that keeps the ``(centroid_id, __batch_id)`` tree
@@ -507,13 +560,24 @@ def compact_index_batches(
     the crash-rerun would bake every leftover batch's rows into the
     base twice, permanently.
     """
+    try:
+        full = spark.read.parquet(index_path)
+    except Exception:
+        # a cadence fold can fire before anything was written (stream
+        # armed without a bootstrap, every batch so far empty): nothing
+        # to fold, not an error (r11 review — an unguarded read killed
+        # the stream)
+        return {"rows_folded": 0, "rows_after": 0, "batch_dirs_removed": 0}
     df = (
-        spark.read.parquet(index_path)
+        full
         .filter(F.col("__batch_id") <= upto_batch_id)
         .dropDuplicates(["vec_id"])
         .withColumn("__batch_id", F.lit(-1).cast("long"))
     )
-    before = df.count()
+    # the two verification counts are full scans of the folded row set
+    # — useful for the maintenance CLI / tests, pure overhead inside
+    # the auto-compaction hot path (maybe_compact passes False)
+    before = df.count() if verify_counts else -1
     (
         # repartition(centroid_id) so the fold leaves ONE file per
         # centroid directory (r10 sustained-ingest rung: probe latency
@@ -561,9 +625,13 @@ def compact_index_batches(
             if bid != -1 and bid <= upto_batch_id:
                 fs.delete_dir(binfo.path)
                 removed += 1
-    after = spark.read.parquet(index_path).filter(
-        F.col("__batch_id") <= upto_batch_id
-    ).count()
+    after = (
+        spark.read.parquet(index_path)
+        .filter(F.col("__batch_id") <= upto_batch_id)
+        .count()
+        if verify_counts
+        else -1
+    )
     return {
         "rows_folded": before,
         "rows_after": after,
@@ -584,7 +652,10 @@ def count_batch_dirs(index_path: str, exclude_base: bool = False) -> int:
     fs, root = pafs.FileSystem.from_uri(index_path)
     try:
         children = fs.get_file_info(pafs.FileSelector(root))
-    except (FileNotFoundError, OSError):
+    except FileNotFoundError:
+        # ONLY not-found maps to "empty index": a transient listing
+        # error (throttling, permissions) must propagate, not silently
+        # disarm the max_batch_dirs trigger by reporting 0 (r11 review)
         return 0
     n = 0
     for cinfo in children:
@@ -660,7 +731,9 @@ def maybe_compact(
         trigger = "dirs"
     if trigger is None:
         return None
-    stats = compact_index_batches(spark, index_path, batch_id - 1)
+    stats = compact_index_batches(
+        spark, index_path, batch_id - 1, verify_counts=False
+    )
     stats["trigger"] = trigger
     stats["fired_at_batch"] = batch_id
     return stats
