@@ -231,6 +231,14 @@ def spark_to_avro_schema(schema: T.StructType, name: str = "topLevelRecord"):
                 ],
             }
         elif isinstance(dt, T.MapType):
+            if not isinstance(dt.keyType, T.StringType):
+                # Avro maps require string keys (spec §Maps) — fail at
+                # schema-conversion time on the driver, not as an
+                # executor-side AttributeError mid-write after the
+                # overwrite already wiped the target (r11 review)
+                raise NotImplementedError(
+                    f"Avro maps require string keys, got {dt.keyType}"
+                )
             core = {
                 "type": "map",
                 "values": conv(dt.valueType, dt.valueContainsNull, path + "_v"),
@@ -293,9 +301,14 @@ def _decode_value(schema, dec: _Decoder):
     if logical == "date":
         import datetime
 
-        return datetime.date(1970, 1, 1) + datetime.timedelta(
-            days=dec.read_long()
-        )
+        try:
+            return datetime.date(1970, 1, 1) + datetime.timedelta(
+                days=dec.read_long()
+            )
+        except OverflowError as exc:
+            # corrupt varint → absurd day offset; keep the module's
+            # fuzz contract (decode errors are ValueError, r11 review)
+            raise ValueError(f"Avro date out of range: {exc}") from exc
     if logical in (
         "timestamp-micros", "timestamp-millis",
         "local-timestamp-micros", "local-timestamp-millis",
@@ -304,9 +317,14 @@ def _decode_value(schema, dec: _Decoder):
 
         n = dec.read_long()
         us = n if logical.endswith("micros") else n * 1000
-        return datetime.datetime(1970, 1, 1) + datetime.timedelta(
-            microseconds=us
-        )
+        try:
+            return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                microseconds=us
+            )
+        except OverflowError as exc:
+            raise ValueError(
+                f"Avro timestamp out of range: {exc}"
+            ) from exc
     if t == "record":
         # dicts, not tuples: Arrow converts dict cells to struct columns
         # for nested records; the top level is unpacked by the caller
@@ -531,11 +549,26 @@ def _validate_schema(schema, depth: int = 0) -> None:
         _validate_schema(t, depth + 1)
 
 
-def decode_container(buf: bytes):
-    """Yield decoded row tuples from a full container file's bytes."""
+def decode_container(buf: bytes, expect_names: list[str] | None = None):
+    """Yield decoded row tuples from a full container file's bytes.
+
+    ``expect_names``: the column order the caller will zip positionally
+    (read_avro passes the driver-peeked schema's fields). Each file is
+    decoded with its OWN header schema; without this check a directory
+    whose files drifted (same fields, different order — or different
+    fields entirely) would silently misalign columns (r11 review).
+    Same-set/different-order files are reordered to match; a different
+    field set raises."""
     schema, codec, sync, pos = parse_header(buf)
     if not isinstance(schema, dict) or schema.get("type") != "record":
         raise NotImplementedError("top-level Avro schema must be a record")
+    file_names = [f["name"] for f in schema["fields"]]
+    if expect_names is not None and list(expect_names) != file_names:
+        if sorted(expect_names) != sorted(file_names):
+            raise ValueError(
+                f"Avro file fields {file_names} do not match the "
+                f"directory schema {list(expect_names)}"
+            )
     dec = _Decoder(buf, pos)
     n = len(buf)
     while dec.pos < n:
@@ -557,7 +590,7 @@ def decode_container(buf: bytes):
             raise ValueError("sync marker mismatch (corrupt block)")
         bdec = _Decoder(block)
         _check_count(rows, bdec)
-        names = [f["name"] for f in schema["fields"]]
+        names = list(expect_names) if expect_names is not None else file_names
         for _ in range(rows):
             rec = _decode_value(schema, bdec)
             yield tuple(rec[n] for n in names)
@@ -840,23 +873,42 @@ def read_avro(
         else:
             split_bytes = limit
 
+    col_names = [f.name for f in spark_schema.fields]
+
     if split_bytes is None:
+        # load the EXPLICIT file list (r11 review: a hard-coded
+        # pathGlobFilter='*.avro' silently returned 0 rows for a
+        # non-.avro single file or custom glob that _peek_schema and
+        # the split path both read fine — results depended on file
+        # size). _list_avro_files handles dir/file/glob uniformly.
+        if files is None:
+            files = _list_avro_files(path)
+        if not files:
+            raise FileNotFoundError(f"no Avro files at {path!r}")
         bf = (
             spark.read.format("binaryFile")
-            .option("pathGlobFilter", "*.avro")
-            .load(path)
+            .load([f for f, _ in files])
             .select("content")
         )
 
         def decode(batches):
             for batch in batches:
                 for blob in batch.column(0).to_pylist():
-                    rows = list(decode_container(bytes(blob)))
+                    rows = list(
+                        decode_container(
+                            bytes(blob), expect_names=col_names
+                        )
+                    )
                     yield _rows_to_batch(rows, spark_schema)
 
         return bf.mapInArrow(decode, schema=spark_schema)
 
     # --- split planning: metadata only, no data reads ----------------
+    split_bytes = int(split_bytes)
+    if split_bytes <= 0:
+        raise ValueError(
+            f"split_bytes must be positive, got {split_bytes}"
+        )  # r11 review: <= 0 looped the planner forever
     fs, _p = _fs_for(path)
     if files is None:
         files = _list_avro_files(path)
@@ -875,7 +927,8 @@ def read_avro(
             for split in batch.to_pylist():
                 rows = list(
                     _decode_range(
-                        fs, split["fpath"], int(split["start"]), int(split["end"])
+                        fs, split["fpath"], int(split["start"]),
+                        int(split["end"]), expect_names=col_names,
                     )
                 )
                 if rows:
@@ -884,7 +937,13 @@ def read_avro(
     return plan.mapInArrow(decode_split, schema=spark_schema)
 
 
-def _decode_range(fs, fpath: str, start: int, end: int):
+def _decode_range(
+    fs,
+    fpath: str,
+    start: int,
+    end: int,
+    expect_names: list[str] | None = None,
+):
     """Rows of the blocks ANCHORED in [start, end).
 
     A block's anchor is its first byte (the row-count varint): the
@@ -897,6 +956,14 @@ def _decode_range(fs, fpath: str, start: int, end: int):
         head = f.read(1 << 20)
         schema, codec, sync, header_end = parse_header(head)
         names = [fld["name"] for fld in schema["fields"]]
+        if expect_names is not None and list(expect_names) != names:
+            # same drift guard as decode_container (r11 review)
+            if sorted(expect_names) != sorted(names):
+                raise ValueError(
+                    f"Avro file fields {names} do not match the "
+                    f"directory schema {list(expect_names)}"
+                )
+            names = list(expect_names)
         size = f.size()
 
         class _Ranged:
@@ -999,30 +1066,54 @@ def write_avro(
         import os
 
         fname = None
+        tmp = None
         stream = None
         sync = uuid.uuid4().bytes
         n_total = 0
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            if stream is None:
-                fname = f"part-{uuid.uuid4().hex}.avro"
-                stream = fs.open_output_stream(
-                    os.path.join(dirpath, fname)
-                )
-                head = io.BytesIO()
-                _encode_header(head, avro_schema, codec, sync)
-                stream.write(head.getvalue())
-            # to_pylist() preserves null-vs-NaN and yields native
-            # Python values (bytes, date, datetime) the encoder expects
-            cols = [c.to_pylist() for c in batch.columns]
-            body = io.BytesIO()
-            _write_blocks(body, zip(*cols), avro_schema, codec, sync,
-                          _DEFAULT_BLOCK_ROWS)
-            stream.write(body.getvalue())
-            n_total += batch.num_rows
+        try:
+            for batch in batches:
+                if batch.num_rows == 0:
+                    continue
+                if stream is None:
+                    # task-commit protocol (r11 review): stream into a
+                    # '.tmp' name the readers exclude, rename to the
+                    # final '.avro' only when the task completes — a
+                    # failed attempt leaves at worst an ignored temp
+                    # file, never a partial part a later read counts
+                    # as data. The FINAL name is the partition id, so
+                    # a retried/speculative attempt renames onto the
+                    # same target (last-wins replace), never a
+                    # duplicate; the uuid keeps concurrent attempts'
+                    # TEMP streams from colliding.
+                    from pyspark import TaskContext
+
+                    ctx = TaskContext.get()
+                    pid = ctx.partitionId() if ctx else 0
+                    fname = f"part-{pid:05d}.avro"
+                    tmp = os.path.join(
+                        dirpath, f".{fname}.{uuid.uuid4().hex}.tmp"
+                    )
+                    stream = fs.open_output_stream(tmp)
+                    head = io.BytesIO()
+                    _encode_header(head, avro_schema, codec, sync)
+                    stream.write(head.getvalue())
+                # to_pylist() preserves null-vs-NaN and yields native
+                # Python values (bytes, date, datetime) the encoder
+                # expects
+                cols = [c.to_pylist() for c in batch.columns]
+                body = io.BytesIO()
+                _write_blocks(body, zip(*cols), avro_schema, codec, sync,
+                              _DEFAULT_BLOCK_ROWS)
+                stream.write(body.getvalue())
+                n_total += batch.num_rows
+        except BaseException:
+            if stream is not None:
+                stream.close()
+                fs.delete_file(tmp)
+            raise
         if stream is not None:
             stream.close()
+            fs.move(tmp, os.path.join(dirpath, fname))
             yield pa.RecordBatch.from_pydict(
                 {"file": [fname], "rows": [n_total]}
             )

@@ -185,6 +185,84 @@ def test_auto_split_engages_past_max_partition_bytes(spark, tmp_path):
         spark.conf.set(key, saved)
 
 
+def test_write_commits_deterministic_parts_no_temps(spark, tmp_path):
+    # r11 review: the write now streams into '.tmp' names and renames
+    # to partition-id-deterministic finals on task completion — a
+    # retried/speculative attempt lands on the SAME target instead of
+    # duplicating. Assert the commit protocol's observable surface.
+    import os
+
+    df = spark.range(100).select(F.col("id").alias("x")).repartition(4)
+    path = str(tmp_path / "commit_avro")
+    manifest = avro_py.write_avro(df, path)
+    names = sorted(os.listdir(path))
+    assert names == sorted(f for f, _ in manifest)
+    assert all(n.startswith("part-") and n.endswith(".avro") for n in names)
+    assert not any(".tmp" in n for n in names)
+    back = avro_py.read_avro(spark, path)
+    assert sorted(r.x for r in back.collect()) == list(range(100))
+
+
+def test_read_non_avro_extension_and_bad_inputs(spark, tmp_path):
+    # r11 review: a valid container under a non-.avro name silently
+    # returned 0 rows on the binaryFile path (pathGlobFilter) while the
+    # split path read it — results depended on file size. Now the
+    # explicit listing reads it either way.
+    import glob as glob_mod
+    import shutil
+
+    df = spark.range(9).select(F.col("id").alias("x")).coalesce(1)
+    path = str(tmp_path / "ext_avro")
+    avro_py.write_avro(df, path)
+    part = glob_mod.glob(path + "/*.avro")[0]
+    renamed = str(tmp_path / "events.bin")
+    shutil.copy(part, renamed)
+    back = avro_py.read_avro(spark, renamed)  # auto → binaryFile path
+    assert sorted(r.x for r in back.collect()) == list(range(9))
+    # split_bytes <= 0 is a planner error, not an infinite loop
+    with pytest.raises(ValueError, match="split_bytes"):
+        avro_py.read_avro(spark, renamed, split_bytes=0)
+    # Avro maps require string keys: driver-time error, not a
+    # mid-write executor AttributeError
+    import pyspark.sql.types as T
+
+    with pytest.raises(NotImplementedError, match="string keys"):
+        avro_py.spark_to_avro_schema(
+            T.StructType(
+                [T.StructField("m", T.MapType(T.IntegerType(), T.StringType()))]
+            )
+        )
+
+
+def test_read_rejects_cross_file_schema_drift(spark, tmp_path):
+    # r11 review: files decoded with their own header schema but zipped
+    # positionally against the directory schema silently misaligned
+    # columns. Same-set/different-order now realigns by name; disjoint
+    # fields raise.
+    import glob as glob_mod
+    import os
+    import shutil
+
+    path = str(tmp_path / "drift")
+    os.makedirs(path)
+    a = spark.createDataFrame([(1, "x")], "id LONG, name STRING")
+    b = spark.createDataFrame([("y", 2)], "name STRING, id LONG")
+    avro_py.write_avro(a.coalesce(1), str(tmp_path / "wa"))
+    avro_py.write_avro(b.coalesce(1), str(tmp_path / "wb"))
+    shutil.copy(glob_mod.glob(str(tmp_path / "wa/*.avro"))[0], path + "/a.avro")
+    shutil.copy(glob_mod.glob(str(tmp_path / "wb/*.avro"))[0], path + "/b.avro")
+    got = {
+        (r.id, r.name) for r in avro_py.read_avro(spark, path).collect()
+    }
+    assert got == {(1, "x"), (2, "y")}  # realigned by name, not position
+    # disjoint fields: loud error instead of silent misalignment
+    c = spark.createDataFrame([(3.5,)], "other DOUBLE")
+    avro_py.write_avro(c.coalesce(1), str(tmp_path / "wc"))
+    shutil.copy(glob_mod.glob(str(tmp_path / "wc/*.avro"))[0], path + "/c.avro")
+    with pytest.raises(Exception, match="do not match"):
+        avro_py.read_avro(spark, path).collect()
+
+
 def test_glob_path_reads_under_auto_default(spark, tmp_path):
     import glob as glob_mod
     import os
