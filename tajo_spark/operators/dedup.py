@@ -26,7 +26,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from tajo_spark.operators.text import normalize_for_fingerprint, fingerprint
+from tajo_spark.operators.text import (
+    fingerprint,
+    normalize_for_fingerprint,
+    tokens,
+)
 
 SHINGLE_K = 3          # words per shingle
 NUM_HASHES = 8         # minhash signature length
@@ -61,28 +65,43 @@ def spread_by(df: DataFrame, *keys: str) -> DataFrame:
     return df
 
 
-def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Exact-duplicate groups keyed by md5(text): (fp, canonical doc_id,
-    dup_count). Survivor = min doc_id, the usual deterministic policy."""
-    return (
-        docs.groupBy(F.md5(F.col(text_col).cast("binary")).alias("fp"))
+def _fp_dedup_groups(docs: DataFrame, fp: "Column") -> DataFrame:
+    """Hash-groupBy dedup with the NULL invariant the shingle family
+    already enforces (shingles_from_tokens docstring): a NULL
+    fingerprint means the text is UNKNOWN, not equal — SQL GROUP BY
+    would collapse every null-text doc into one 'duplicate' group and
+    silently drop all but one from any keep_doc_id semi-join (r11
+    review: at corpus scale a failed extract stage yields millions of
+    null texts). Null-fp docs come back as their own single-member
+    groups instead."""
+    grouped = (
+        docs.filter(fp.isNotNull())
+        .groupBy(fp.alias("fp"))
         .agg(
             F.min("doc_id").alias("keep_doc_id"),
             F.count(F.lit(1)).alias("dup_count"),
         )
     )
+    nulls = docs.filter(fp.isNull()).select(
+        F.lit(None).cast("string").alias("fp"),
+        F.col("doc_id").alias("keep_doc_id"),
+        F.lit(1).cast("long").alias("dup_count"),
+    )
+    return grouped.unionByName(nulls)
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-duplicate groups keyed by md5(text): (fp, canonical doc_id,
+    dup_count). Survivor = min doc_id, the usual deterministic policy;
+    null-text docs are never duplicates of each other (each keeps
+    itself, fp NULL)."""
+    return _fp_dedup_groups(docs, F.md5(F.col(text_col).cast("binary")))
 
 
 def fingerprint_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Near-identical dedup on normalized-text fingerprint."""
-    return (
-        docs.select("doc_id", fingerprint(F.col(text_col)).alias("fp"))
-        .groupBy("fp")
-        .agg(
-            F.min("doc_id").alias("keep_doc_id"),
-            F.count(F.lit(1)).alias("dup_count"),
-        )
-    )
+    """Near-identical dedup on normalized-text fingerprint; same NULL
+    invariant as `exact_dedup_groups`."""
+    return _fp_dedup_groups(docs, fingerprint(F.col(text_col)))
 
 
 def shingles_from_tokens(toks: Column, k: int = SHINGLE_K) -> Column:
@@ -113,7 +132,14 @@ def shingles_from_tokens(toks: Column, k: int = SHINGLE_K) -> Column:
 
 
 def shingles(text: Column, k: int = SHINGLE_K) -> Column:
-    """Array of k-word shingles over normalized text (0-based slices)."""
+    """Array of k-word shingles over normalized text (0-based slices).
+
+    Convenience wrapper for ad-hoc use ONLY — every pipeline operator
+    in this package calls `shingles_from_tokens` over a materialized
+    token column instead, because passing the inline split through
+    this wrapper re-inlines the normalization per shingle element
+    under Catalyst's CollapseProject (the trap documented at
+    `shingles_from_tokens` and measured in `weighted_containment_pairs`)."""
     return shingles_from_tokens(F.split(normalize_for_fingerprint(text), " "), k)
 
 
@@ -175,6 +201,16 @@ def minhash_signatures(
 
 def minhash_band_keys(num_hashes: int = NUM_HASHES, num_bands: int = NUM_BANDS):
     """Band hash columns over an already-computed signature h0..h{n-1}."""
+    if num_bands <= 0 or num_hashes % num_bands != 0:
+        # r11 review: num_hashes // num_bands == 0 makes EVERY band key
+        # md5('') — the whole corpus collides in one bucket per band
+        # and pair generation goes O(n^2), the exact blowup LSH exists
+        # to avoid; a non-dividing band count silently discards the
+        # trailing hashes the signature stage paid to compute
+        raise ValueError(
+            f"num_bands ({num_bands}) must evenly divide "
+            f"num_hashes ({num_hashes})"
+        )
     rows_per_band = num_hashes // num_bands
     keys = []
     for b in range(num_bands):
@@ -764,6 +800,13 @@ def exact_substring_dedup(
 
     Output: (doc_id, n_tokens, n_removed, dedup_text).  Documents
     shorter than one window carry no windows and survive intact.
+    NULL-text docs are EXCLUDED from the output (r11 review: this was
+    silent; it is now the documented contract of the whole reassembly
+    family — `paragraph_dedup`, `boilerplate_strip`,
+    `cdc_chunk_dedup` — there is no text to reassemble, and a caller
+    rebuilding a corpus must carry null-text rows around the operator;
+    `dup_span_stats` is the row-preserving alternative when
+    per-document accounting matters).
 
     Scale shape (100 TB): cost is ~1 md5 per corpus token plus one
     uniform-key shuffle; span merge is a linear fold over each doc's
@@ -772,7 +815,7 @@ def exact_substring_dedup(
     W = int(window_tokens)
     toked = docs.filter(F.col(text_col).isNotNull()).select(
         id_col,
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__w"),
+        tokens(F.col(text_col)).alias("__w"),
     )
     wins = toked.select(
         id_col,
@@ -950,12 +993,10 @@ def boilerplate_strip(
     groupBy(doc) of surviving chunks.  Nothing pairwise, cost tracks
     corpus token count.
     """
-    from pyspark.sql import functions as F
-
     toks = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.col(source_col).alias("__src"),
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__w"),
+        tokens(F.col(text_col)).alias("__w"),
     )
     chunks = toks.select(
         id_col,

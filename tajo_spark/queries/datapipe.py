@@ -33,11 +33,16 @@ _STOPS = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
 @query(
     "dedup_exact",
     "datapipe",
-    doc="Exact dedup groups via md5 hash-groupBy; survivor = min doc_id.",
+    doc="Exact dedup groups via md5 hash-groupBy; survivor = min doc_id. "
+    "Null-text docs are UNKNOWN, not equal: each keeps itself (fp NULL) "
+    "instead of SQL GROUP BY's all-nulls-one-group collapse.",
     oracle="""
         SELECT md5(text) AS fp, min(doc_id) AS keep_doc_id,
                count(*) AS dup_count
-        FROM documents GROUP BY md5(text)
+        FROM documents WHERE text IS NOT NULL GROUP BY md5(text)
+        UNION ALL
+        SELECT NULL AS fp, doc_id AS keep_doc_id, 1 AS dup_count
+        FROM documents WHERE text IS NULL
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,11 +54,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_fingerprint",
     "datapipe",
     doc="Near-identical dedup on normalized-text md5 fingerprint "
-    "(document fingerprinting operator).",
+    "(document fingerprinting operator). Same null-text invariant as "
+    "dedup_exact: unknown text never groups.",
     oracle=f"""
         SELECT md5({_NORM}) AS fp, min(doc_id) AS keep_doc_id,
                count(*) AS dup_count
-        FROM documents GROUP BY md5({_NORM})
+        FROM documents WHERE text IS NOT NULL GROUP BY md5({_NORM})
+        UNION ALL
+        SELECT NULL AS fp, doc_id AS keep_doc_id, 1 AS dup_count
+        FROM documents WHERE text IS NULL
     """,
 )
 def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3449,11 +3458,15 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ORDER BY n_chars DESC, doc_id) AS rn
                 FROM documents) WHERE rn <= 15),
         keep AS (
+            -- null-text docs are never duplicates (operator invariant):
+            -- CASE forces rn=1 so each survives individually
             SELECT doc_id, text FROM (
                 SELECT doc_id, text,
-                       row_number() OVER (
-                           PARTITION BY md5(text)
-                           ORDER BY doc_id) AS rn
+                       CASE WHEN text IS NULL THEN 1 ELSE
+                         row_number() OVER (
+                             PARTITION BY md5(text)
+                             ORDER BY doc_id)
+                       END AS rn
                 FROM capped) WHERE rn = 1),
         k AS (
             SELECT doc_id,

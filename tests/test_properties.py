@@ -382,3 +382,35 @@ def test_jpeg_roundtrip_property(h, w, seed, channels, subsample, dri):
     b = img.reshape(h, w, channels).astype(int)
     assert np.abs(a - b).mean() < (8.0 if subsample else 4.0)
     assert np.abs(a - b).max() <= (64 if subsample else 32)
+
+
+def test_exact_dedup_null_text_never_groups(spark):
+    """r11 review: SQL GROUP BY collapses every null-text doc into ONE
+    'duplicate' group (md5(NULL) = NULL is a single key), so a
+    keep_doc_id semi-join silently dropped all-but-one of them — but
+    null text is UNKNOWN, not equal. Null docs now survive as their
+    own single-member groups in both exact and fingerprint dedup;
+    degenerate LSH banding parameters raise instead of collapsing the
+    corpus into one bucket."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tajo_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None), (5, None)],
+        "doc_id LONG, text STRING",
+    )
+    for fn in (dedup.exact_dedup_groups, dedup.fingerprint_dedup_groups):
+        groups = fn(docs).collect()
+        keeps = sorted(r.keep_doc_id for r in groups)
+        assert keeps == [1, 3, 4, 5], fn.__name__
+        assert all(
+            r.dup_count == 1 and r.fp is None
+            for r in groups
+            if r.keep_doc_id >= 3
+        ), fn.__name__
+    with pytest.raises(ValueError, match="evenly divide"):
+        dedup.minhash_band_keys(num_hashes=2, num_bands=4)
+    with pytest.raises(ValueError, match="evenly divide"):
+        dedup.minhash_band_keys(num_hashes=10, num_bands=4)
