@@ -73,21 +73,21 @@ def _fp_dedup_groups(docs: DataFrame, fp: "Column") -> DataFrame:
     silently drop all but one from any keep_doc_id semi-join (r11
     review: at corpus scale a failed extract stage yields millions of
     null texts). Null-fp docs come back as their own single-member
-    groups instead."""
-    grouped = (
-        docs.filter(fp.isNotNull())
-        .groupBy(fp.alias("fp"))
+    groups instead — via a second grouping key that is the doc_id for
+    null fingerprints and NULL otherwise, so the whole thing stays ONE
+    corpus scan + ONE hash shuffle (a filter+union formulation would
+    read the corpus twice)."""
+    return (
+        docs.groupBy(
+            fp.alias("fp"),
+            F.when(fp.isNull(), F.col("doc_id")).alias("__nullkey"),
+        )
         .agg(
             F.min("doc_id").alias("keep_doc_id"),
             F.count(F.lit(1)).alias("dup_count"),
         )
+        .drop("__nullkey")
     )
-    nulls = docs.filter(fp.isNull()).select(
-        F.lit(None).cast("string").alias("fp"),
-        F.col("doc_id").alias("keep_doc_id"),
-        F.lit(1).cast("long").alias("dup_count"),
-    )
-    return grouped.unionByName(nulls)
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
