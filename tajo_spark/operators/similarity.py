@@ -17,6 +17,8 @@ Beyond-reference capability (BASELINE.json north star):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -120,6 +122,11 @@ def pairwise_similar(
         _as_double(F.col("embedding")).alias("embedding"),
         sign_bucket(F.col("embedding")).alias("bucket"),
     ).withColumn("__n", F.sqrt(dot(F.col("embedding"), F.col("embedding"))))
+    # materialize before the self-join: exchanges are not reused across
+    # join branches, so without this the scan + cast/bucket/norm
+    # pipeline runs TWICE (the same lesson semantic_dedup pins below;
+    # r11 review)
+    with_bucket = with_bucket.localCheckpoint()
     a = with_bucket.alias("a")
     b = with_bucket.alias("b")
     denom = F.col("a.__n") * F.col("b.__n")
@@ -150,10 +157,18 @@ def pairwise_similar(
 def l2_normalize(vec: Column) -> Column:
     """Unit-normalize (zero vectors guarded): after normalization,
     Euclidean nearest-centroid ordering agrees with cosine ordering —
-    required for a cosine-consistent IVF index."""
+    required for a cosine-consistent IVF index.
+
+    Shape matters (r11 review): ``transform(v, x / norm)`` re-evaluates
+    the norm's O(d) aggregate fold PER ELEMENT — O(d²) per row, and a
+    two-step select doesn't help because CollapseProject re-inlines the
+    alias into the lambda (verified on the optimized plan). zip_with
+    against ``array_repeat(norm, d)`` evaluates the norm ONCE per row
+    (array_repeat materializes its argument), then divides element-wise
+    — same doubles bit-for-bit, O(d)."""
     v = _as_double(vec)
     norm = F.greatest(F.sqrt(dot(v, v)), F.lit(1e-12))
-    return F.transform(v, lambda x: x / norm)
+    return F.zip_with(v, F.array_repeat(norm, F.size(v)), lambda x, n: x / n)
 
 
 def ivf_assign(emb: DataFrame, n_centroids: int = 16, seed: int = 42,
@@ -209,17 +224,21 @@ def ivf_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
     """
     import numpy as np
 
-    assigned, model = index if index is not None else ivf_assign(
-        emb, n_centroids=n_centroids
-    )
     qrow = (
         emb.filter(F.col("vec_id") == query_vec_id).select("embedding").first()
     )
     if qrow is None:  # unknown query id → empty result, like cosine_topk
-        return assigned.select(
-            "vec_id", "centroid_id",
+        # check BEFORE touching the index: with index=None the old
+        # order trained a full KMeans fit just to return an empty
+        # frame (r11 review); the empty branch only needs a schema
+        return emb.select(
+            "vec_id",
+            F.lit(0).cast("int").alias("centroid_id"),
             F.lit(0.0).alias("cos_sim"),
         ).limit(0)
+    assigned, model = index if index is not None else ivf_assign(
+        emb, n_centroids=n_centroids
+    )
     qv = np.asarray(qrow.embedding, dtype="float64")
     qn = qv / max(float(np.linalg.norm(qv)), 1e-12)
     centers = model.clusterCenters()
@@ -330,7 +349,20 @@ def seeded_cluster_assign(
 
     Ties (equal rounded cosine) go to the lowest seed_id, matching the
     oracle's ``ORDER BY round(cos,6) DESC, seed_id``.
+
+    Precondition: ids dense from 0 — the seed rule is ``id < n_seeds``
+    (deterministic AND reproducible by a plain SQL WHERE, which a
+    lowest-n TakeOrdered would not be without window functions).  A
+    corpus whose ids don't start at 0 raises here instead of silently
+    assigning every row a NULL cluster (r11 review: the NULL cluster_id
+    then made semantic_dedup keep EVERYTHING with no error).
     """
+    if emb.filter(F.col(id_col) < n_seeds).isEmpty():
+        raise ValueError(
+            f"no vectors with {id_col} < n_seeds={n_seeds}: the "
+            "deterministic seed rule requires ids dense from 0 — "
+            "renumber upstream (row_number) or pass a smaller corpus"
+        )
     seeds_row = (
         emb.filter(F.col(id_col) < n_seeds)
         .select(
@@ -442,9 +474,14 @@ def seeded_cluster_assign_two_level(
     per-pair score is one dot fold, arithmetically identical to
     ``cosine`` (same sqrt(dot)*sqrt(dot) denominator values).
     """
-    import math
-
     c = n_coarse if n_coarse is not None else math.isqrt(max(n_seeds - 1, 0)) + 1
+    if emb.filter(F.col(id_col) < c).isEmpty():
+        # dense-id precondition, loud (r11 review): empty coarse seeds
+        # would inner-join to an EMPTY assignment with no error
+        raise ValueError(
+            f"no vectors with {id_col} < n_coarse={c}: deterministic "
+            "seeds require ids dense from 0"
+        )
     seeds = emb.filter(F.col(id_col) < n_seeds).select(
         F.col(id_col).alias("seed_id"),
         _as_double(F.col("embedding")).alias("sv"),
@@ -754,7 +791,16 @@ def ann_join_ivf(
     standard IVF nprobe dial (nprobe=n_centroids degrades to exact).
 
     Output: (q_id, rank, <id_col>, cos).
+
+    Same dense-id precondition as `seeded_cluster_assign` (centroids
+    are the ``id < n_centroids`` vectors); raises rather than silently
+    producing an empty candidate set.
     """
+    if corpus.filter(F.col(id_col) < n_centroids).isEmpty():
+        raise ValueError(
+            f"no vectors with {id_col} < n_centroids={n_centroids}: "
+            "deterministic centroids require ids dense from 0"
+        )
     cents_row = (
         corpus.filter(F.col(id_col) < n_centroids)
         .select(
@@ -901,7 +947,13 @@ def semantic_contamination(
         .select(
             id_col,
             F.round(F.col("__mx"), round_to).alias("bench_cos"),
-            (F.col("__mx") >= threshold).alias("is_contaminated"),
+            # empty benchmark → array_max([]) is NULL → flag must be
+            # FALSE, not a tri-state NULL leaking into boolean
+            # consumers (r11 review); bench_cos stays NULL, honestly
+            # "no benchmark to score against"
+            F.coalesce(
+                F.col("__mx") >= threshold, F.lit(False)
+            ).alias("is_contaminated"),
         )
     )
 
@@ -995,7 +1047,14 @@ def ivf_q8_shortlist(
     order = np.argsort([float(np.linalg.norm(c - qn)) for c in centers])
     probe = [int(i) for i in order[:nprobe]]
     scale = max(float(np.max(np.abs(qv))), 1e-300) / 127.0
-    qq8 = [float(round(x / scale)) for x in qv]
+    # HALF_UP (round half away from zero) to match quantize_int8's
+    # Spark-side F.round — Python's builtin round() is HALF_EVEN, so
+    # e.g. 62.5 quantized differently here vs ann_join_q8_persisted's
+    # batch path for the identical query (r11 review)
+    qq8 = [
+        float(math.floor(abs(x / scale) + 0.5)) * (1.0 if x >= 0 else -1.0)
+        for x in qv
+    ]
     # sequential sum matches the Spark-side fold order bit-for-bit
     # (numpy's pairwise summation can differ in the last ulp)
     acc = 0.0
@@ -1205,8 +1264,6 @@ def ivf_probe_persisted_q8(
     table fetch becomes an IN-filter that parquet row-group stats can
     skip on (pair with the key-clustered CREATE INDEX layout for
     point-lookup behavior at 100 TB)."""
-    import numpy as np
-
     shortlist = ivf_q8_shortlist(
         spark, path, model, query_vec, k=k, nprobe=nprobe, expand=expand
     )
@@ -1489,10 +1546,19 @@ def centroid_cosines_from_sums(s: DataFrame) -> DataFrame:
         .select(
             "label_a",
             "label_b",
+            # zero-norm guard (r11 review): an all-zero component-sum
+            # label would make this 0/0 → NaN on Spark doubles where
+            # the oracle yields NULL — the exact hazard cosine()'s
+            # docstring pins; NULL is the contract
             F.round(
-                F.col("num").cast("double")
-                / F.sqrt(
+                F.when(
                     F.col("da").cast("double") * F.col("db").cast("double")
+                    != 0,
+                    F.col("num").cast("double")
+                    / F.sqrt(
+                        F.col("da").cast("double")
+                        * F.col("db").cast("double")
+                    ),
                 ),
                 6,
             ).alias("cosine"),
