@@ -51,7 +51,12 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from tajo_spark.operators.similarity import _as_double, cosine, dot
+from tajo_spark.operators.similarity import (
+    _as_double,
+    cosine,
+    dot,
+    l2_normalize,
+)
 
 # PQ geometry defaults for the dim=64 corpus: 16 subvectors of 4 dims,
 # 64 centroids each → 16 bytes/vector (6-bit codes stored as bytes).
@@ -356,16 +361,7 @@ def ann_join_pq_persisted(
             F.col(query_id_col).alias("q_id"),
             _as_double(F.col("embedding")).alias("qv"),
         )
-        .withColumn(
-            "__qn",
-            F.transform(
-                F.col("qv"),
-                lambda x: x
-                / F.greatest(
-                    F.sqrt(dot(F.col("qv"), F.col("qv"))), F.lit(1e-12)
-                ),
-            ),
-        )
+        .withColumn("__qn", l2_normalize(F.col("qv")))
         .join(F.broadcast(cents))
         .select(
             "q_id",

@@ -969,7 +969,15 @@ def quantize_int8(vec: Column) -> Column:
     v = _as_double(vec)
     mx = F.array_max(F.transform(v, F.abs))
     s = F.when(mx > 0, mx / F.lit(127.0)).otherwise(F.lit(1.0))
-    return F.transform(v, lambda x: F.round(x / s).cast("int"))
+    # zip_with + array_repeat so the max-abs fold evaluates ONCE per
+    # row, not per element — the l2_normalize O(d²) lambda-fold rule
+    # (SCALE.md r11); identical ints, this is the hot expression of
+    # every q8 index build and ingest append
+    return F.zip_with(
+        v,
+        F.array_repeat(s, F.size(v)),
+        lambda x, sc: F.round(x / sc).cast("int"),
+    )
 
 
 def quantized_scores(
@@ -1162,12 +1170,7 @@ def ann_join_q8_persisted(
             F.col(query_id_col).alias("q_id"),
             _as_double(F.col("embedding")).alias("qv"),
         )
-        .withColumn("__qn", F.transform(
-            F.col("qv"),
-            lambda x: x / F.greatest(
-                F.sqrt(dot(F.col("qv"), F.col("qv"))), F.lit(1e-12)
-            ),
-        ))
+        .withColumn("__qn", l2_normalize(F.col("qv")))
         .join(F.broadcast(cents))
         .select(
             "q_id", "qv",

@@ -245,16 +245,7 @@ def neardup_gate_batch(
         batch.select(
             "vec_id", _as_double(F.col("embedding")).alias("qv")
         )
-        .withColumn(
-            "__qn",
-            F.transform(
-                F.col("qv"),
-                lambda x: x
-                / F.greatest(
-                    F.sqrt(dot(F.col("qv"), F.col("qv"))), F.lit(1e-12)
-                ),
-            ),
-        )
+        .withColumn("__qn", l2_normalize(F.col("qv")))
         .join(F.broadcast(cents))
         .select("vec_id", F.explode(probes_arr).alias("__p"))
         .select(
