@@ -203,6 +203,18 @@ def stateful_sessionize(events: DataFrame,
     event-time timeout once the watermark passes last_event + gap. State
     volume is O(|active users|) regardless of stream length — the
     100 TB-safe shape.
+
+    Late (within-watermark) events arriving in a LATER micro-batch than
+    the open session they belong to merge correctly (r11 review — the
+    first cut moved ``last`` backward and could emit end < start):
+    an event inside the open ``[start, last]`` interval just joins it;
+    one in ``[start - gap, start)`` extends the session backward; one
+    predating ``start - gap`` is emitted immediately as its own
+    single-event session (documented approximation: with one open
+    session per user in state, two adjacent sub-gap late events cannot
+    merge with each other — the native ``session_windows`` twin is the
+    exact-merge path). NULL-ts rows are dropped, matching the batch
+    twin (a session window is undefined without a timestamp).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -229,29 +241,58 @@ def stateful_sessionize(events: DataFrame,
             state.remove()
             yield _emit(pd, [(user_id, start_us, last_us, n, v)])
             return
-        rows = pd.concat(list(pdf_iter)).sort_values("ts")
+        rows = pd.concat(list(pdf_iter))
+        # NULL ts carries no session position: drop, like the batch
+        # twin (astype('int64') on NaT would otherwise poison last_us
+        # with iNaT and crash setTimeoutTimestamp — r11 review)
+        rows = rows[rows["ts"].notna()].sort_values("ts")
+        if len(rows) == 0:
+            if state.exists:
+                # keep the open session armed for its timeout
+                _s, last_us, _n, _v = state.get
+                state.setTimeoutTimestamp((int(last_us) + gap_us) // 1000)
+            return
         us = (rows["ts"].astype("int64") // 1_000).to_numpy()
         vals = rows["value"].to_numpy()
         if state.exists:
             start_us, last_us, n, v = state.get
         else:
             start_us, last_us, n, v = int(us[0]), int(us[0]), 0, 0
+
+        def _r(val) -> int:
+            # exact integer units matching the batch operator's
+            # sum(round(value*10000)): NULLs are skipped (F.sum skips
+            # them; the row still counts), and rounding is HALF_UP
+            # away from zero (Spark's F.round), not banker's round
+            if pd.isna(val):
+                return 0
+            x = float(val) * 10000
+            return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
         out = []
         for t, val in zip(us, vals):
             t = int(t)
+            if n > 0 and t < start_us - gap_us:
+                # late event predating the open session by > gap: its
+                # own immediately-closed session (see docstring)
+                out.append((user_id, t, t, 1, _r(val)))
+                continue
+            if n > 0 and t < start_us:
+                start_us = t  # backward extension within the gap
+                n += 1
+                v += _r(val)
+                continue
+            if n > 0 and t <= last_us:
+                n += 1  # inside the open interval: merge, last stays
+                v += _r(val)
+                continue
             if n > 0 and t - last_us > gap_us:
                 out.append((user_id, start_us, last_us, n, v))
                 n, v = 0, 0
             if n == 0:
                 start_us = t
             n += 1
-            # exact integer units matching the batch operator's
-            # sum(round(value*10000)): NULLs are skipped (F.sum skips
-            # them; the row still counts), and rounding is HALF_UP away
-            # from zero (Spark's F.round), not Python's banker's round
-            if not pd.isna(val):
-                x = float(val) * 10000
-                v += int(math.copysign(math.floor(abs(x) + 0.5), x))
+            v += _r(val)
             last_us = t
         state.update((int(start_us), int(last_us), int(n), int(v)))
         state.setTimeoutTimestamp((int(last_us) + gap_us) // 1000)
@@ -406,9 +447,10 @@ def incremental_dedup_stream(
         persisted_before = set(
             spark.sparkContext._jsc.getPersistentRDDs().keySet()
         )
-        if _os.path.isdir(store_path) and any(
-            f.endswith(".parquet") or f.startswith("band_id=")
-            for f in _os.listdir(store_path)
+        if any(
+            f.base_name.endswith(".parquet")
+            or f.base_name.startswith("band_id=")
+            for f in _list_state_dir(store_path)
         ):
             store = _dedup.read_signature_store(spark, store_path)
         else:
@@ -548,6 +590,43 @@ def shard_export_stream(
     )
 
 
+def _list_state_dir(path: str):
+    """Children of a state directory through pyarrow.fs — the seam
+    that makes every probe below work on hdfs://, s3a://, etc., not
+    just the local FS (r11 review: driver-local os.listdir silently
+    reported 'no state' on object stores, which resets sketches,
+    re-admits duplicates through a fresh Bloom filter, and re-dedups
+    against an empty store with no error — the exact ADVICE-r03 bug
+    class already fixed for the shard-export ledger). Missing path →
+    []."""
+    import pyarrow.fs as pafs
+
+    from tajo_spark.sources.avro_py import _fs_for
+
+    fs, p = _fs_for(path)
+    try:
+        return [
+            f
+            for f in fs.get_file_info(pafs.FileSelector(p))
+            if f.type != pafs.FileType.NotFound
+        ]
+    except (FileNotFoundError, OSError):
+        return []
+
+
+def _rm_state_dir(path: str) -> None:
+    """Remove one state subdirectory through pyarrow.fs (the
+    ``shutil.rmtree(..., ignore_errors=True)`` twin that also works on
+    object stores). Missing path is a no-op."""
+    from tajo_spark.sources.avro_py import _fs_for
+
+    fs, p = _fs_for(path)
+    try:
+        fs.delete_dir(p)
+    except (FileNotFoundError, OSError):
+        pass
+
+
 def _committed_versions(path: str, below: int | None = None) -> list[int]:
     """Committed versions of a versioned-parquet state directory:
     ``path/v=N`` subdirs carrying a ``_SUCCESS`` marker, sorted;
@@ -555,15 +634,24 @@ def _committed_versions(path: str, below: int | None = None) -> list[int]:
     (the non-idempotent-merge replay rule, see cms_ingest_stream).
     Shared by every versioned-commit foreachBatch handler so the
     commit protocol cannot drift between them."""
-    import os as _os
     import re as _re
 
-    if not _os.path.isdir(path):
-        return []
+    import pyarrow.fs as pafs
+
+    from tajo_spark.sources.avro_py import _fs_for
+
+    fs, _p = _fs_for(path)
     out = []
-    for d in _os.listdir(path):
-        m = _re.fullmatch(r"v=(\d+)", d)
-        if not m or not _os.path.exists(_os.path.join(path, d, "_SUCCESS")):
+    for d in _list_state_dir(path):
+        if d.type != pafs.FileType.Directory:
+            continue
+        m = _re.fullmatch(r"v=(\d+)", d.base_name)
+        if not m:
+            continue
+        if (
+            fs.get_file_info(d.path + "/_SUCCESS").type
+            != pafs.FileType.File
+        ):
             continue
         v = int(m.group(1))
         if below is None or v < below:
@@ -618,7 +706,6 @@ def bloom_gate_stream(
     versions below the latest are pruned after a successful write.
     """
     import os as _os
-    import shutil as _shutil
 
     from tajo_spark.operators import dedup as _dedup
 
@@ -641,8 +728,9 @@ def bloom_gate_stream(
         probed = _dedup.bloom_probe(
             batch_df, words, m_bits=bits
         ).localCheckpoint()
-        if _os.path.isdir(fps_path) and any(
-            f.startswith("__batch_id=") for f in _os.listdir(fps_path)
+        if any(
+            f.base_name.startswith("__batch_id=")
+            for f in _list_state_dir(fps_path)
         ):
             store_fps = spark.read.parquet(fps_path).filter(
                 F.col("__batch_id") != batch_id
@@ -701,12 +789,15 @@ def bloom_gate_stream(
         merged.write.mode("overwrite").parquet(
             _os.path.join(filter_path, f"v={batch_id}")
         )
+        # prune BOTH stale lower versions and orphaned HIGHER ones
+        # (r11 review, matching the cms/hist/centroid siblings): a
+        # leftover high version from an abandoned run whose checkpoint
+        # was wiped would stay versions[-1] forever — a filter missing
+        # every bit this run admits, so redelivered fingerprints probe
+        # 'definitely new' and duplicates flow in permanently
         for v in _committed_versions(filter_path):
-            if v < batch_id:
-                _shutil.rmtree(
-                    _os.path.join(filter_path, f"v={v}"),
-                    ignore_errors=True,
-                )
+            if v != batch_id:
+                _rm_state_dir(_os.path.join(filter_path, f"v={v}"))
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         for rid in list(jmap.keySet()):
             if rid not in persisted_before:
@@ -738,7 +829,6 @@ def compact_gate_store(spark, fps_path: str, upto_batch_id: int) -> dict:
     rewriting, so nothing bakes in twice.
     """
     import os as _os
-    import shutil as _shutil
 
     df = (
         spark.read.parquet(fps_path)
@@ -754,12 +844,15 @@ def compact_gate_store(spark, fps_path: str, upto_batch_id: int) -> dict:
         .parquet(fps_path)
     )
     removed = 0
-    for batch_dir in _os.listdir(fps_path):
-        if not batch_dir.startswith("__batch_id="):
+    for info in _list_state_dir(fps_path):
+        if not info.base_name.startswith("__batch_id="):
             continue
-        bid = int(batch_dir.split("=", 1)[1])
+        try:
+            bid = int(info.base_name.split("=", 1)[1])
+        except ValueError:
+            continue  # stray/null partition dir: skip, don't abort
         if -1 < bid <= upto_batch_id:
-            _shutil.rmtree(_os.path.join(fps_path, batch_dir))
+            _rm_state_dir(_os.path.join(fps_path, info.base_name))
             removed += 1
     after = spark.read.parquet(fps_path).filter(
         F.col("__batch_id") <= upto_batch_id
@@ -799,7 +892,6 @@ def cms_ingest_stream(
     double-count the batch.
     """
     import os as _os
-    import shutil as _shutil
 
     from tajo_spark.operators import sketch as _sketch
     from tajo_spark.operators import text as _text
@@ -826,10 +918,7 @@ def cms_ingest_stream(
         )
         for v in prior:
             if v < batch_id - 1:
-                _shutil.rmtree(
-                    _os.path.join(sketch_path, f"v={v}"),
-                    ignore_errors=True,
-                )
+                _rm_state_dir(_os.path.join(sketch_path, f"v={v}"))
         # versions ABOVE this batch can only be leftovers from an
         # abandoned run whose checkpoint was wiped but whose sketch dir
         # was not (the current run's batching differs, so batch_id
@@ -838,10 +927,7 @@ def cms_ingest_stream(
         # write of v=batch_id they are safe to drop
         for v in _committed_versions(sketch_path):
             if v > batch_id:
-                _shutil.rmtree(
-                    _os.path.join(sketch_path, f"v={v}"),
-                    ignore_errors=True,
-                )
+                _rm_state_dir(_os.path.join(sketch_path, f"v={v}"))
         # drop this batch's localCheckpoint blocks (the prior-version
         # read): an always-on stream otherwise accumulates one
         # checkpointed RDD per micro-batch in executor storage — the
@@ -883,7 +969,6 @@ def hist_ingest_stream(
     rewriting its own v=batch_id.
     """
     import os as _os
-    import shutil as _shutil
 
     from tajo_spark.operators import sketch as _sketch
 
@@ -908,14 +993,10 @@ def hist_ingest_stream(
         )
         for v in prior:
             if v < batch_id - 1:
-                _shutil.rmtree(
-                    _os.path.join(hist_path, f"v={v}"), ignore_errors=True
-                )
+                _rm_state_dir(_os.path.join(hist_path, f"v={v}"))
         for v in _committed_versions(hist_path):
             if v > batch_id:
-                _shutil.rmtree(
-                    _os.path.join(hist_path, f"v={v}"), ignore_errors=True
-                )
+                _rm_state_dir(_os.path.join(hist_path, f"v={v}"))
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         for rid in list(jmap.keySet()):
             if rid not in persisted_before:
@@ -953,12 +1034,14 @@ def centroid_ingest_stream(
     after success — replay-safe despite the non-idempotent addition.
     """
     import os as _os
-    import shutil as _shutil
 
     from tajo_spark.operators.similarity import centroid_component_sums
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        persisted_before = set(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet()
+        )
         batch_sums = centroid_component_sums(
             batch_df, label_col, vec_col
         )
@@ -979,16 +1062,18 @@ def centroid_ingest_stream(
         )
         for v in prior:
             if v < batch_id - 1:
-                _shutil.rmtree(
-                    _os.path.join(sums_path, f"v={v}"),
-                    ignore_errors=True,
-                )
+                _rm_state_dir(_os.path.join(sums_path, f"v={v}"))
         for v in _committed_versions(sums_path):
             if v > batch_id:
-                _shutil.rmtree(
-                    _os.path.join(sums_path, f"v={v}"),
-                    ignore_errors=True,
-                )
+                _rm_state_dir(_os.path.join(sums_path, f"v={v}"))
+        # drop this batch's localCheckpoint blocks (the prior-version
+        # read) — the only handler in the file that was missing the
+        # cleanup every sibling carries (r11 review): an always-on
+        # stream leaked one |labels| x dims RDD per micro-batch
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet()):
+            if rid not in persisted_before:
+                jmap.get(rid).unpersist()
 
     return (
         emb_stream.writeStream.foreachBatch(process_batch)
@@ -1093,9 +1178,16 @@ def compact_ledger_batches(
     # schema inference — without it the dedup key either resolves to
     # nothing (UNRESOLVED_COLUMN mid-stream) or reads null on every old
     # row, collapsing all old batches to one row per stage (r11 review)
+    from pyspark.errors import AnalysisException
+
     try:
         df = spark.read.option("mergeSchema", "true").parquet(ledger_path)
-    except Exception:
+    except AnalysisException as exc:
+        ec = exc.getErrorClass() if hasattr(exc, "getErrorClass") else None
+        if "PATH_NOT_FOUND" not in (ec or str(exc)):
+            # corrupt footer / permissions must surface, not silently
+            # disable compaction forever (r11 review)
+            raise
         # a fold can fire before any batch has written (every batch so
         # far empty): nothing to do, not an error
         return {"rows_folded": 0, "batch_dirs_removed": 0}

@@ -113,6 +113,70 @@ def test_file_sink_checkpoint_exactly_once(spark, batch_events, tmp_path):
     assert spark.read.parquet(out).count() == total
 
 
+def test_stateful_sessionize_late_events_merge_not_corrupt(spark, tmp_path):
+    """r11 review: a late (within-watermark) event arriving in a LATER
+    micro-batch than its open session used to move ``last`` backward
+    and could emit end < start. Pin the merge rules: inside-interval
+    events join without moving last; sub-gap-earlier events extend
+    start backward; pre-gap events become their own session. NULL ts
+    must be dropped, not crash the query."""
+    import os
+
+    from pyspark.sql import functions as SF
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ddl = P.events_schema_ddl("TIMESTAMP_NTZ")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, ddl).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    import datetime as dt
+
+    T = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    # batch 1: open session [10:00, 10:10] for user 1
+    write_batch(
+        [
+            (1, T(10, 0), 1, "view", 1.0, "{}"),
+            (2, T(10, 10), 1, "view", 1.0, "{}"),
+        ]
+    )
+    # batch 2: late events — 10:05 inside the interval, 9:50 extends
+    # start backward (gap 30min), 8:00 predates by > gap (own session),
+    # one NULL ts (dropped), then 11:30 closes the open session
+    write_batch(
+        [
+            (3, T(10, 5), 1, "view", 1.0, "{}"),
+            (4, T(9, 50), 1, "view", 1.0, "{}"),
+            (5, T(8, 0), 1, "view", 1.0, "{}"),
+            (6, None, 1, "view", 1.0, "{}"),
+            (7, T(11, 30), 1, "view", 1.0, "{}"),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", SF.col("ts").cast("timestamp"))
+    )
+    got = P.run_to_memory(
+        P.stateful_sessionize(stream), "t_late_sessions",
+        output_mode="append",
+    )
+    rows = {
+        (r.session_start, r.session_end, r.n_events)
+        for r in got.collect()
+    }
+    # the 8:00 orphan emitted alone; the merged session [9:50, 10:10]
+    # with 4 events closed by the 11:30 event — never end < start
+    assert (T(8, 0), T(8, 0), 1) in rows
+    assert (T(9, 50), T(10, 10), 4) in rows
+    for start, end, _n in rows:
+        assert end >= start
+
+
 def test_stateful_sessionize_null_values(spark, tmp_path):
     # NULL event values must be skipped (like F.sum), not crash the worker
     src = str(tmp_path / "null_events")
