@@ -627,6 +627,29 @@ def _rm_state_dir(path: str) -> None:
         pass
 
 
+def _versioned_commit(merged: DataFrame, path: str, batch_id: int,
+                      keep_prev: bool = True) -> None:
+    """The shared versioned-commit tail: write ``v=batch_id``, then
+    prune stale lower versions and orphaned HIGHER ones (leftovers of
+    an abandoned run whose checkpoint was wiped — left in place they
+    stay the 'latest committed' readers pick forever).  ``keep_prev``
+    keeps ``v=batch_id-1`` for handlers whose replay re-merges from
+    the version strictly below the batch (cms/hist/centroid); the
+    Bloom gate reads the highest version including its own, so it
+    keeps only ``v=batch_id``.  Centralized after two handlers drifted
+    from the copy-pasted block (r11 review: bloom missed the orphan
+    prune, centroid missed the unpersist cleanup)."""
+    import os as _os
+
+    merged.write.mode("overwrite").parquet(
+        _os.path.join(path, f"v={batch_id}")
+    )
+    floor = batch_id - 1 if keep_prev else batch_id
+    for v in _committed_versions(path):
+        if v < floor or v > batch_id:
+            _rm_state_dir(_os.path.join(path, f"v={v}"))
+
+
 def _committed_versions(path: str, below: int | None = None) -> list[int]:
     """Committed versions of a versioned-parquet state directory:
     ``path/v=N`` subdirs carrying a ``_SUCCESS`` marker, sorted;
@@ -786,18 +809,11 @@ def bloom_gate_stream(
         # versioned commit: the old filter stays intact until v=N has
         # its _SUCCESS marker; overwrite only ever targets THIS batch's
         # own (possibly half-written, uncommitted) version directory
-        merged.write.mode("overwrite").parquet(
-            _os.path.join(filter_path, f"v={batch_id}")
-        )
-        # prune BOTH stale lower versions and orphaned HIGHER ones
-        # (r11 review, matching the cms/hist/centroid siblings): a
-        # leftover high version from an abandoned run whose checkpoint
-        # was wiped would stay versions[-1] forever — a filter missing
-        # every bit this run admits, so redelivered fingerprints probe
-        # 'definitely new' and duplicates flow in permanently
-        for v in _committed_versions(filter_path):
-            if v != batch_id:
-                _rm_state_dir(_os.path.join(filter_path, f"v={v}"))
+        # keep_prev=False: the gate reads the HIGHEST committed
+        # version (its own on replay, safe per the docstring), so only
+        # v=batch_id survives — a leftover orphan staying versions[-1]
+        # was a filter missing every admitted bit (r11 review)
+        _versioned_commit(merged, filter_path, batch_id, keep_prev=False)
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         for rid in list(jmap.keySet()):
             if rid not in persisted_before:
@@ -913,21 +929,7 @@ def cms_ingest_stream(
             merged = _sketch.cms_merge(old, batch_sketch)
         else:
             merged = batch_sketch
-        merged.write.mode("overwrite").parquet(
-            _os.path.join(sketch_path, f"v={batch_id}")
-        )
-        for v in prior:
-            if v < batch_id - 1:
-                _rm_state_dir(_os.path.join(sketch_path, f"v={v}"))
-        # versions ABOVE this batch can only be leftovers from an
-        # abandoned run whose checkpoint was wiped but whose sketch dir
-        # was not (the current run's batching differs, so batch_id
-        # restarted lower) — left in place they'd stay the "latest
-        # committed" version readers pick forever; after a successful
-        # write of v=batch_id they are safe to drop
-        for v in _committed_versions(sketch_path):
-            if v > batch_id:
-                _rm_state_dir(_os.path.join(sketch_path, f"v={v}"))
+        _versioned_commit(merged, sketch_path, batch_id)
         # drop this batch's localCheckpoint blocks (the prior-version
         # read): an always-on stream otherwise accumulates one
         # checkpointed RDD per micro-batch in executor storage — the
@@ -988,15 +990,7 @@ def hist_ingest_stream(
             merged = _sketch.hist_merge(old, batch_hist)
         else:
             merged = batch_hist
-        merged.write.mode("overwrite").parquet(
-            _os.path.join(hist_path, f"v={batch_id}")
-        )
-        for v in prior:
-            if v < batch_id - 1:
-                _rm_state_dir(_os.path.join(hist_path, f"v={v}"))
-        for v in _committed_versions(hist_path):
-            if v > batch_id:
-                _rm_state_dir(_os.path.join(hist_path, f"v={v}"))
+        _versioned_commit(merged, hist_path, batch_id)
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         for rid in list(jmap.keySet()):
             if rid not in persisted_before:
@@ -1057,15 +1051,7 @@ def centroid_ingest_stream(
             )
         else:
             merged = batch_sums
-        merged.write.mode("overwrite").parquet(
-            _os.path.join(sums_path, f"v={batch_id}")
-        )
-        for v in prior:
-            if v < batch_id - 1:
-                _rm_state_dir(_os.path.join(sums_path, f"v={v}"))
-        for v in _committed_versions(sums_path):
-            if v > batch_id:
-                _rm_state_dir(_os.path.join(sums_path, f"v={v}"))
+        _versioned_commit(merged, sums_path, batch_id)
         # drop this batch's localCheckpoint blocks (the prior-version
         # read) — the only handler in the file that was missing the
         # cleanup every sibling carries (r11 review): an always-on
