@@ -32,9 +32,16 @@ Beyond-reference capability. Scale design:
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
+
+# ONE copy of the shard filename rule shared by writer, cleaner, and
+# verifier (r11 review: the regex literal was duplicated at two call
+# sites in verify alone)
+_SHARD_NAME_RE = _re.compile(r"shard-(\d+)\.tar$")
 
 
 def shard_assign(
@@ -52,7 +59,13 @@ def shard_assign(
     ``base_bytes`` offsets the cumulative counter — the continuation
     point for incremental export (streaming micro-batches keep filling
     the last partial shard instead of opening a fresh one per batch;
-    see streaming/pipeline.py::shard_export_stream)."""
+    see streaming/pipeline.py::shard_export_stream).
+
+    The bucketed-prefix-cumsum scaffolding (md5 key, 'zzz' NULL
+    sentinel, per-bucket window, broadcast offsets) mirrors
+    operators/sampling.py::global_shuffle_position, where the NULL-key
+    and sentinel-ordering rationale is documented — keep the two in
+    lockstep when touching either."""
     key = F.md5(
         F.concat(
             F.lit(f"{seed}:"), F.col(id_col).cast("string")
@@ -226,9 +239,26 @@ def export_tar_shards(
     from tajo_spark.operators import fsio
 
     fsio.makedirs(path)
+    # clear stale shards from a previous export to the same path (r11
+    # review): the manifest was overwritten but leftover
+    # shard-NNNNNN.tar files beyond the new corpus's count survived —
+    # a WebDataset loader globbing shard-*.tar then trains on the old
+    # corpus's tail, and verify reports them failed forever. Mirrors
+    # the parquet path's mode('overwrite') semantics.
+    for name in fsio.listdir(path):
+        if _SHARD_NAME_RE.fullmatch(name):
+            fsio.delete_file(fsio.join(path, name))
     meta_cols = [
         c for c in df.columns if c not in (id_col, content_col)
     ]
+    # integral metadata columns, so the pandas NULL-promotion to
+    # float64 can be undone before JSON (42 stays 42, not 42.0)
+    int_meta = {
+        f.name
+        for f in df.schema.fields
+        if f.name in meta_cols
+        and f.dataType.simpleString() in ("tinyint", "smallint", "int", "bigint")
+    }
     nb = (
         F.octet_length(F.col(content_col)).cast("long").alias("__nb")
     )
@@ -253,15 +283,34 @@ def export_tar_shards(
         buf = io.BytesIO()
         with tarfile.open(fileobj=buf, mode="w") as tar:
             for i, id_v in enumerate(ids):
-                sid = str(int(id_v))
-                payload = bytes(payloads[i])
+                # any id type (r11 review: int() crashed on string ids
+                # that shard_assign itself accepts, and truncated
+                # floats into colliding entry names); NULL ids — the
+                # sentinel bucket rows — get a per-shard ordinal name,
+                # and '/' is sanitized out of entry names (URL ids)
+                sid = (
+                    f"__null_{i}"
+                    if id_v is None or (isinstance(id_v, float) and pd.isna(id_v))
+                    else str(id_v).replace("/", "_")
+                )
+                payload = b"" if payloads[i] is None else bytes(payloads[i])
+
+                def _jval(c, v):
+                    if v is None or (
+                        isinstance(v, float) and pd.isna(v)
+                    ):
+                        return None  # JSON null, never bare NaN
+                    if c in int_meta:
+                        return int(v)  # undo pandas float promotion
+                    return v
+
                 for name, data in (
                     (f"{sid}.bin", payload),
                     (
                         f"{sid}.json",
                         json.dumps(
                             {
-                                c: vals[i]
+                                c: _jval(c, vals[i])
                                 for c, vals in zip(meta_cols, meta_lists)
                             },
                             sort_keys=True,
@@ -302,7 +351,12 @@ def export_tar_shards(
     manifest = sharded.groupBy("shard_id").applyInPandas(
         write_shard, schema=TAR_MANIFEST_DDL
     )
-    manifest.coalesce(1).write.mode("overwrite").parquet(
+    # repartition(1), NOT coalesce(1) (r11 review): coalesce has no
+    # shuffle barrier, so it collapsed the applyInPandas stage itself
+    # to ONE task — every tar build, sha256, and upload serialized
+    # through a single core. The exchange keeps shard writes at full
+    # parallelism; only the metadata-sized manifest funnels to one file.
+    manifest.repartition(1).write.mode("overwrite").parquet(
         f"{path}/_manifest"
     )
     return df.sparkSession.read.parquet(f"{path}/_manifest")
@@ -316,7 +370,7 @@ def verify_tar_shards(spark, path: str) -> DataFrame:
     loader trains on it.  The file list is parallelized into one Arrow
     pass; each task reads whole shards, nothing row-wise."""
     import hashlib
-    import re
+    import io
     import tarfile
 
     import pandas as pd
@@ -327,7 +381,7 @@ def verify_tar_shards(spark, path: str) -> DataFrame:
     # %06d and a [6:12] slice would truncate them, mis-joining rows.
     files = sorted(
         f for f in fsio.listdir(path)
-        if re.match(r"shard-(\d+)\.tar$", f)
+        if _SHARD_NAME_RE.match(f)
     )
     listing = spark.createDataFrame(
         [(fsio.join(path, f),) for f in files], "file STRING"
@@ -340,14 +394,12 @@ def verify_tar_shards(spark, path: str) -> DataFrame:
                 blob = fsio.read_bytes(fpath)
                 n_items = 0
                 content_bytes = 0
-                with tarfile.open(fileobj=__import__("io").BytesIO(blob)) as tar:
+                with tarfile.open(fileobj=io.BytesIO(blob)) as tar:
                     for m in tar.getmembers():
                         if m.name.endswith(".bin"):
                             n_items += 1
                             content_bytes += m.size
-                m_id = re.match(
-                    r"shard-(\d+)\.tar$", fpath.rsplit("/", 1)[-1]
-                )
+                m_id = _SHARD_NAME_RE.match(fpath.rsplit("/", 1)[-1])
                 rows.append(
                     (
                         int(m_id.group(1)),
@@ -395,5 +447,8 @@ def verify_tar_shards(spark, path: str) -> DataFrame:
         "ok",
         (F.col("manifest_items") == F.col("actual_items"))
         & (F.col("manifest_content") == F.col("actual_content"))
-        & (F.col("manifest_sha") == F.col("actual_sha")),
+        # null-SAFE (r11 review): a zero-entry alien tar with no
+        # manifest row has 0==0 counts and a NULL manifest_sha — a
+        # plain == made ok NULL, invisible to boolean gates
+        & F.col("manifest_sha").eqNullSafe(F.col("actual_sha")),
     )

@@ -36,9 +36,16 @@ def _resolve(path: str):
 
     Scheme-less paths use the POSIX local backend; URIs dispatch via
     ``pyarrow.fs.FileSystem.from_uri`` (s3/hdfs/gs/file/...).
+    Hadoop's ``s3a://``/``s3n://`` spellings map to pyarrow's ``s3``
+    backend (r11 review: an export path had to satisfy BOTH halves —
+    the JVM parquet manifest write wants s3a://, pyarrow rejected it —
+    so no single S3 URI worked end-to-end on OSS Spark; now pass
+    s3a:// everywhere and both sides resolve).
     """
     from pyarrow import fs as pafs
 
+    if path.startswith(("s3a://", "s3n://")):
+        path = "s3://" + path.split("://", 1)[1]
     if "://" in path:
         return pafs.FileSystem.from_uri(path)
     return pafs.LocalFileSystem(), path
@@ -90,12 +97,34 @@ def write_bytes_atomic(path: str, blob: bytes) -> None:
     """
     from pyarrow import fs as pafs
 
+    import uuid
+
     fsys, p = _resolve(path)
     if isinstance(fsys, pafs.LocalFileSystem):
-        tmp = f"{p}.tmp.{os.getpid()}"
-        with fsys.open_output_stream(tmp) as fh:
-            fh.write(blob)
-        os.replace(tmp, p)
+        # uuid in the temp name, not just pid (r11 review): two
+        # speculative attempts on DIFFERENT hosts of a shared mount
+        # can share a pid — the loser's O_TRUNC then races the
+        # winner's rename and a truncated shard lands as "success"
+        tmp = f"{p}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        try:
+            with fsys.open_output_stream(tmp) as fh:
+                fh.write(blob)
+            os.replace(tmp, p)
+        except BaseException:
+            try:
+                os.remove(tmp)  # don't leak orphaned temps on failure
+            except OSError:
+                pass
+            raise
     else:
         with fsys.open_output_stream(p) as fh:
             fh.write(blob)
+
+
+def delete_file(path: str) -> None:
+    """Remove one file; missing path is a no-op (cleanup semantics)."""
+    fsys, p = _resolve(path)
+    try:
+        fsys.delete_file(p)
+    except (FileNotFoundError, OSError):
+        pass

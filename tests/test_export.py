@@ -234,3 +234,78 @@ def test_verify_tar_parses_wide_shard_ids(spark, tmp_path):
     ids = {r.shard_id for r in verify_tar_shards(spark, path).collect()}
     assert 1000000 in ids  # full id, not a [6:12]-sliced 100000
     assert 100000 not in ids
+
+
+def test_tar_reexport_clears_stale_shards(spark, tmp_path):
+    """r11 review: re-exporting a smaller corpus to the same path left
+    the previous run's surplus shard-*.tar files mixed in — a loader
+    globbing shard-*.tar trained on the stale tail. Overwrite now
+    clears them, matching the parquet path's mode('overwrite')."""
+    import os
+
+    from tajo_spark.operators.export import (
+        export_tar_shards,
+        verify_tar_shards,
+    )
+
+    path = str(tmp_path / "tars")
+    big = spark.createDataFrame(
+        [(i, bytearray(b"x" * 4000), "a") for i in range(40)],
+        "doc_id LONG, content BINARY, src STRING",
+    )
+    export_tar_shards(big, path, shard_bytes=16000)
+    n_big = len([f for f in os.listdir(path) if f.endswith(".tar")])
+    assert n_big > 1
+    small = spark.createDataFrame(
+        [(0, bytearray(b"y" * 100), "a")],
+        "doc_id LONG, content BINARY, src STRING",
+    )
+    export_tar_shards(small, path, shard_bytes=16000)
+    tars = [f for f in os.listdir(path) if f.endswith(".tar")]
+    assert tars == ["shard-000000.tar"]  # stale shards gone
+    v = verify_tar_shards(spark, path)
+    assert all(r.ok for r in v.collect())
+
+
+def test_tar_export_string_ids_and_null_content(spark, tmp_path):
+    """r11 review: string ids (URLs) crashed int(); NULL content
+    crashed bytes(None); and an alien zero-entry tar made verify's ok
+    NULL instead of False (null-unsafe sha compare)."""
+    import os
+    import tarfile
+
+    from tajo_spark.operators.export import (
+        export_tar_shards,
+        verify_tar_shards,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("http://a/x", bytearray(b"abc"), 7),
+            ("doc-2", None, None),
+            ("doc-3", bytearray(b"def"), 9),
+        ],
+        "doc_id STRING, content BINARY, score LONG",
+    )
+    path = str(tmp_path / "tars")
+    export_tar_shards(df, path, shard_bytes=1 << 20)
+    with tarfile.open(os.path.join(path, "shard-000000.tar")) as tar:
+        names = set(tar.getnames())
+        # '/' sanitized out of entry names; integral metadata stays
+        # integral in JSON (42 not 42.0), NULL becomes JSON null
+        assert "http:__a_x.bin" in names
+        meta = tar.extractfile("doc-3.json").read()
+        assert meta == b'{"score":9}'
+        meta2 = tar.extractfile("doc-2.json").read()
+        assert meta2 == b'{"score":null}'
+    v = {r.shard_id: r.ok for r in verify_tar_shards(spark, path).collect()}
+    assert all(v.values())
+    # alien zero-entry tar: ok must be FALSE, not NULL
+    import io as _io
+
+    empty = _io.BytesIO()
+    tarfile.open(fileobj=empty, mode="w").close()
+    with open(os.path.join(path, "shard-000099.tar"), "wb") as fh:
+        fh.write(empty.getvalue())
+    rows = {r.shard_id: r.ok for r in verify_tar_shards(spark, path).collect()}
+    assert rows[99] is False
