@@ -29,6 +29,31 @@ def id_md5(id_col: Column) -> Column:
     return F.md5(id_col.cast("string").cast("binary"))
 
 
+def seeded_md5(id_col: Column, seed: int) -> Column:
+    """md5 hex of ``'{seed}:' || CAST(id AS VARCHAR)`` — the seeded
+    variant of :func:`id_md5`, THE cross-engine-critical recipe for
+    every seeded sampler and shuffler (oracles embed the identical
+    ``md5('{seed}:' || ...)``). One copy (r11 review: four verbatim
+    clones meant a fix to one could silently desynchronize the
+    others)."""
+    return F.md5(
+        F.concat(F.lit(f"{seed}:"), id_col.cast("string")).cast("binary")
+    )
+
+
+def _es_key(id_col: str, weight_col: str, seed: int) -> Column:
+    """Efraimidis-Spirakis weighted-sampling key: seeded md5 →
+    52-bit-uniform u in (0,1] → round(-ln(u)/w, 9). Smallest-k keys =
+    a weighted sample without replacement; the round-9 matches the
+    oracle's literal so last-ulp log/div differences can't flip
+    membership."""
+    key = seeded_md5(F.col(id_col), seed)
+    u = (
+        F.conv(F.substring(key, 1, 13), 16, 10).cast("double") + 1.0
+    ) / F.lit(float(16**13))
+    return F.round(-F.log(u) / F.col(weight_col).cast("double"), 9)
+
+
 def _bucket2(id_col: Column) -> Column:
     """First 2 hex chars of md5(id) — a uniform value in 256 buckets,
     compared lexicographically (hex strings are fixed-width lowercase,
@@ -46,7 +71,24 @@ def split_column(
     ``cuts`` are (label, exclusive-upper-bound) pairs over the 2-hex-char
     md5 prefix, checked in order; rows above every bound get ``default``.
     The default boundaries ('cc'=204, 'e6'=230) give ≈79.7 / 10.2 / 10.1 %.
+    NULL ids get ``default`` (SQL CASE semantics: every NULL comparison
+    falls through to the otherwise branch — same on both engines; if
+    null-id rows must not pool in the default split, filter or
+    backfill ids upstream).
     """
+    if not cuts:
+        raise ValueError("cuts must contain at least one (label, bound)")
+    for _label, bound in cuts:
+        # fixed-width lowercase hex, or the lexicographic compare is
+        # silently wrong (uppercase sorts before lowercase letters:
+        # 'CC' ≈ 62% where 'cc' = 79.7% — r11 review); mirrors
+        # sample_threshold_hex's validation of the same recipe
+        if len(bound) != 2 or bound.lower() != bound or any(
+            c not in "0123456789abcdefg" for c in bound
+        ):
+            raise ValueError(
+                f"cut bound {bound!r} must be 2 lowercase hex chars"
+            )
     b = _bucket2(id_col)
     expr = None
     for label, bound in cuts:
@@ -152,11 +194,7 @@ def global_shuffle_position(
     # F.concat (not concat_ws): NULL ids must yield a NULL key exactly
     # like the oracle's `md5('seed:' || NULL)` — concat_ws silently
     # drops NULLs and would collapse every NULL-id row onto md5(seed)
-    key = F.md5(
-        F.concat(
-            F.lit(f"{seed}:"), F.col(id_col).cast("string")
-        ).cast("binary")
-    )
+    key = seeded_md5(F.col(id_col), seed)
     from pyspark.sql import Window as W
 
     # NULL keys ride a sentinel bucket that sorts AFTER every hex
@@ -226,19 +264,15 @@ def weighted_reservoir_sample(
     TakeOrderedAndProject (per-partition top-k, k rows to the driver
     stage) — no global sort, no window.
     """
-    key = F.md5(
-        F.concat(
-            F.lit(f"{seed}:"), F.col(id_col).cast("string")
-        ).cast("binary")
-    )
-    u = (F.conv(F.substring(key, 1, 13), 16, 10).cast("double") + 1.0) / F.lit(
-        float(16**13)
-    )
-    r = F.round(-F.log(u) / F.col(weight_col).cast("double"), 9)
+    r = _es_key(id_col, weight_col, seed)
     return (
         df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
         .withColumn("__es", r)
-        .orderBy("__es", id_col)
+        # NULLS LAST: a NULL-id row has a NULL E-S key; Spark's ASC
+        # default is nulls-FIRST (it would displace k real sample
+        # members) while the oracle's ORDER BY default is nulls-last
+        # (r11 review)
+        .orderBy(F.col("__es").asc_nulls_last(), id_col)
         .limit(k)
         .select(
             id_col,
@@ -270,16 +304,11 @@ def weighted_reservoir_by(
     """
     from pyspark.sql import Window as W
 
-    key = F.md5(
-        F.concat(
-            F.lit(f"{seed}:"), F.col(id_col).cast("string")
-        ).cast("binary")
+    r = _es_key(id_col, weight_col, seed)
+    # nulls-last for the same reason as weighted_reservoir_sample
+    w = W.partitionBy(group_col).orderBy(
+        F.col("__es").asc_nulls_last(), id_col
     )
-    u = (F.conv(F.substring(key, 1, 13), 16, 10).cast("double") + 1.0) / F.lit(
-        float(16**13)
-    )
-    r = F.round(-F.log(u) / F.col(weight_col).cast("double"), 9)
-    w = W.partitionBy(group_col).orderBy("__es", id_col)
     return (
         df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
         .withColumn("__es", r)
@@ -321,7 +350,16 @@ def temperature_mixture_sample(
     """
     if temperature <= 0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
-    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__c"))
+    # NULL strata are excluded from the histogram AND the output (the
+    # null-unsafe join below drops their rows on both engines anyway —
+    # r11 review: counted in the histogram, a tiny NULL stratum could
+    # claim the max boost and silently downsample the rarest REAL
+    # stratum, breaking the kept-in-full guarantee)
+    counts = (
+        df.filter(F.col(stratum_col).isNotNull())
+        .groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
     tot = counts.agg(F.sum("__c").alias("__tot"))
     exp = 1.0 / temperature - 1.0
     boosted = counts.join(F.broadcast(tot)).withColumn(
@@ -519,21 +557,17 @@ def materialize_epochs(
     frac = F.round(F.col("epochs") - n_full, 4)
     u = (
         F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(f"{seed}:"), F.col(id_col).cast("string")
-                    ).cast("binary")
-                ),
-                1,
-                6,
-            ),
-            16,
-            10,
+            F.substring(seeded_md5(F.col(id_col), seed), 1, 6), 16, 10
         ).cast("double")
         + 0.5
     ) / F.lit(float(16**6))
-    copies = (n_full + (u < frac).cast("int")).alias("copies")
+    # coalesce: a NULL-id doc has a NULL coin flip — it must still get
+    # its floor(epochs) deterministic full copies (the oracle's CASE
+    # ... ELSE 0 END), not a NULL copies that explodes to zero rows
+    # (r11 review: silent token-volume loss vs the plan)
+    copies = (
+        n_full + F.coalesce((u < frac).cast("int"), F.lit(0))
+    ).alias("copies")
     return (
         docs.join(F.broadcast(plan.select(lang_col, "epochs")), lang_col)
         .select(id_col, lang_col, copies)

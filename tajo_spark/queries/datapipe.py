@@ -2318,7 +2318,7 @@ def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rate computation are metadata-sized; the filter is per-row.",
     oracle="""
         WITH c AS (SELECT lang, count(*) AS n FROM documents
-                   GROUP BY lang),
+                   WHERE lang IS NOT NULL GROUP BY lang),
         b AS (SELECT lang, n,
                      pow(n * 1.0 / (SELECT sum(n) FROM c), 1.0/2 - 1)
                          AS boost
