@@ -76,12 +76,28 @@ def _fp_dedup_groups(docs: DataFrame, fp: "Column") -> DataFrame:
     groups instead — via a second grouping key that is the doc_id for
     null fingerprints and NULL otherwise, so the whole thing stays ONE
     corpus scan + ONE hash shuffle (a filter+union formulation would
-    read the corpus twice)."""
+    read the corpus twice).
+
+    Rows where BOTH fp and doc_id are NULL fall back to a per-row
+    unique key (ADVICE r11: keying them on doc_id alone made every
+    (NULL, NULL) row share one group, collapsing n unknown-text,
+    unknown-id docs into a single 'duplicate' group — the opposite of
+    the stated contract). The \\x00 prefix keeps the synthetic key
+    disjoint from any real doc_id string; for corpora without
+    NULL-NULL rows the grouping is unchanged (long→string cast is
+    injective)."""
+    nullkey = F.when(
+        fp.isNull(),
+        F.coalesce(
+            F.col("doc_id").cast("string"),
+            F.concat(
+                F.lit("\x00mono:"),
+                F.monotonically_increasing_id().cast("string"),
+            ),
+        ),
+    )
     return (
-        docs.groupBy(
-            fp.alias("fp"),
-            F.when(fp.isNull(), F.col("doc_id")).alias("__nullkey"),
-        )
+        docs.groupBy(fp.alias("fp"), nullkey.alias("__nullkey"))
         .agg(
             F.min("doc_id").alias("keep_doc_id"),
             F.count(F.lit(1)).alias("dup_count"),

@@ -288,10 +288,15 @@ def export_tar_shards(
                 # floats into colliding entry names); NULL ids — the
                 # sentinel bucket rows — get a per-shard ordinal name,
                 # and '/' is sanitized out of entry names (URL ids)
+                # collision-free escape: '%'→'%25' then '/'→'%2F'
+                # (a lossy replace('/', '_') collided 'a/b' with 'a_b'
+                # into the same entry names — ADVICE r11; identity for
+                # ids containing neither char, so existing exports are
+                # byte-stable)
                 sid = (
                     f"__null_{i}"
                     if id_v is None or (isinstance(id_v, float) and pd.isna(id_v))
-                    else str(id_v).replace("/", "_")
+                    else str(id_v).replace("%", "%25").replace("/", "%2F")
                 )
                 payload = b"" if payloads[i] is None else bytes(payloads[i])
 

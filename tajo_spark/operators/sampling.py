@@ -84,7 +84,7 @@ def split_column(
         # 'CC' ≈ 62% where 'cc' = 79.7% — r11 review); mirrors
         # sample_threshold_hex's validation of the same recipe
         if len(bound) != 2 or bound.lower() != bound or any(
-            c not in "0123456789abcdefg" for c in bound
+            c not in "0123456789abcdef" for c in bound
         ):
             raise ValueError(
                 f"cut bound {bound!r} must be 2 lowercase hex chars"

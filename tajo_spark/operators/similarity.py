@@ -29,6 +29,22 @@ def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+def _nonempty_or_raise(arr: str, msg: str) -> Column:
+    """In-plan guard for the collected seed/centroid arrays: pass the
+    array through when non-empty, raise inside the job otherwise.
+
+    Replaces the r11 driver-side ``corpus.filter(id < n).isEmpty()``
+    preconditions, each of which cost a whole extra Spark job on the
+    corpus per call (the only real movers in BENCH_r11: sim_ann_join_ivf
+    1.38x, dedup_semantic* — VERDICT r11 #3).  The emptiness signal is
+    already present for free in the one-row collect_list aggregate every
+    caller materializes; an empty seed set now fails the job with the
+    same actionable message instead of a pre-job ValueError."""
+    return F.when(F.size(F.col(arr)) > 0, F.col(arr)).otherwise(
+        F.raise_error(F.lit(msg))
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Vector dot product as a zip_with+aggregate fold.
 
@@ -356,13 +372,12 @@ def seeded_cluster_assign(
     corpus whose ids don't start at 0 raises here instead of silently
     assigning every row a NULL cluster (r11 review: the NULL cluster_id
     then made semantic_dedup keep EVERYTHING with no error).
+    The guard is folded into the one-row seed aggregate the assignment
+    already pays for — an empty collected seed list raises inside the
+    plan — instead of a separate ``isEmpty`` pre-job scanning the
+    corpus (r12: the pre-job was a whole extra Spark job per call and
+    the r11 bench's only real mover).
     """
-    if emb.filter(F.col(id_col) < n_seeds).isEmpty():
-        raise ValueError(
-            f"no vectors with {id_col} < n_seeds={n_seeds}: the "
-            "deterministic seed rule requires ids dense from 0 — "
-            "renumber upstream (row_number) or pass a smaller corpus"
-        )
     seeds_row = (
         emb.filter(F.col(id_col) < n_seeds)
         .select(
@@ -373,6 +388,14 @@ def seeded_cluster_assign(
         .agg(
             F.sort_array(
                 F.collect_list(F.struct("seed_id", "sv", "sn"))
+            ).alias("__seeds")
+        )
+        .select(
+            _nonempty_or_raise(
+                "__seeds",
+                f"no vectors with {id_col} < n_seeds={n_seeds}: the "
+                "deterministic seed rule requires ids dense from 0 - "
+                "renumber upstream (row_number) or pass a smaller corpus",
             ).alias("__seeds")
         )
     )
@@ -475,13 +498,6 @@ def seeded_cluster_assign_two_level(
     ``cosine`` (same sqrt(dot)*sqrt(dot) denominator values).
     """
     c = n_coarse if n_coarse is not None else math.isqrt(max(n_seeds - 1, 0)) + 1
-    if emb.filter(F.col(id_col) < c).isEmpty():
-        # dense-id precondition, loud (r11 review): empty coarse seeds
-        # would inner-join to an EMPTY assignment with no error
-        raise ValueError(
-            f"no vectors with {id_col} < n_coarse={c}: deterministic "
-            "seeds require ids dense from 0"
-        )
     seeds = emb.filter(F.col(id_col) < n_seeds).select(
         F.col(id_col).alias("seed_id"),
         _as_double(F.col("embedding")).alias("sv"),
@@ -496,6 +512,17 @@ def seeded_cluster_assign_two_level(
         .agg(
             F.sort_array(
                 F.collect_list(F.struct("coarse_id", "cv", "cn"))
+            ).alias("__coarse")
+        )
+        # dense-id precondition, loud (r11 review: empty coarse seeds
+        # would inner-join to an EMPTY assignment with no error) —
+        # folded into this one-row aggregate instead of a separate
+        # isEmpty pre-job on the corpus (r12)
+        .select(
+            _nonempty_or_raise(
+                "__coarse",
+                f"no vectors with {id_col} < n_coarse={c}: deterministic "
+                "seeds require ids dense from 0",
             ).alias("__coarse")
         )
     )
@@ -794,13 +821,10 @@ def ann_join_ivf(
 
     Same dense-id precondition as `seeded_cluster_assign` (centroids
     are the ``id < n_centroids`` vectors); raises rather than silently
-    producing an empty candidate set.
+    producing an empty candidate set — in-plan, folded into the one-row
+    centroid aggregate (r12: the r11 isEmpty pre-job was a whole extra
+    corpus job and this query's 1.38x bench mover).
     """
-    if corpus.filter(F.col(id_col) < n_centroids).isEmpty():
-        raise ValueError(
-            f"no vectors with {id_col} < n_centroids={n_centroids}: "
-            "deterministic centroids require ids dense from 0"
-        )
     cents_row = (
         corpus.filter(F.col(id_col) < n_centroids)
         .select(
@@ -811,6 +835,13 @@ def ann_join_ivf(
         .agg(
             F.sort_array(
                 F.collect_list(F.struct("centroid_id", "cv", "cn"))
+            ).alias("__cents")
+        )
+        .select(
+            _nonempty_or_raise(
+                "__cents",
+                f"no vectors with {id_col} < n_centroids={n_centroids}: "
+                "deterministic centroids require ids dense from 0",
             ).alias("__cents")
         )
     )

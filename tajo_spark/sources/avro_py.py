@@ -647,9 +647,15 @@ def _write_blocks(out, rows, schema, codec, sync, block_rows) -> None:
 
 
 def _fs_for(path: str):
-    import pyarrow.fs as pafs
+    # route through fsio._resolve so Hadoop's s3a://ₛ3n:// spellings
+    # (the ones Spark's JVM writers in the same handlers REQUIRE) map
+    # to pyarrow's s3 backend instead of raising ArrowInvalid — a
+    # ValueError the FileNotFoundError/OSError probes upstream never
+    # catch, so on S3 the state probe would kill the stream (ADVICE
+    # r11 medium)
+    from tajo_spark.operators.fsio import _resolve
 
-    return pafs.FileSystem.from_uri(path)
+    return _resolve(path)
 
 
 def _expand_glob(fs, p: str) -> list[tuple[str, int]]:

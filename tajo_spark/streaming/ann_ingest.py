@@ -551,9 +551,18 @@ def compact_index_batches(
     the crash-rerun would bake every leftover batch's rows into the
     base twice, permanently.
     """
+    from pyspark.errors import AnalysisException
+
     try:
         full = spark.read.parquet(index_path)
-    except Exception:
+    except AnalysisException as exc:
+        ec = exc.getErrorClass() if hasattr(exc, "getErrorClass") else None
+        if "PATH_NOT_FOUND" not in (ec or str(exc)):
+            # corrupt footer / permissions / throttling must surface —
+            # a blanket catch here silently disables auto-compaction
+            # forever and small-file buildup degrades probes ~5x
+            # (ADVICE r11; mirrors compact_ledger_batches)
+            raise
         # a cadence fold can fire before anything was written (stream
         # armed without a bootstrap, every batch so far empty): nothing
         # to fold, not an error (r11 review — an unguarded read killed
@@ -587,7 +596,9 @@ def compact_index_batches(
     # same seam as operators/fsio.py)
     import pyarrow.fs as pafs
 
-    fs, root = pafs.FileSystem.from_uri(index_path)
+    from tajo_spark.sources.avro_py import _fs_for
+
+    fs, root = _fs_for(index_path)  # s3a/s3n scheme bridging
     removed = 0
     for cinfo in fs.get_file_info(pafs.FileSelector(root)):
         if cinfo.type != pafs.FileType.Directory or not (
@@ -640,7 +651,9 @@ def count_batch_dirs(index_path: str, exclude_base: bool = False) -> int:
     ``max_batch_dirs`` trigger arm compares against."""
     import pyarrow.fs as pafs
 
-    fs, root = pafs.FileSystem.from_uri(index_path)
+    from tajo_spark.sources.avro_py import _fs_for
+
+    fs, root = _fs_for(index_path)  # s3a/s3n scheme bridging
     try:
         children = fs.get_file_info(pafs.FileSelector(root))
     except FileNotFoundError:

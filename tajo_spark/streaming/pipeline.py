@@ -1202,7 +1202,9 @@ def compact_ledger_batches(
     )
     import pyarrow.fs as pafs
 
-    fs, root = pafs.FileSystem.from_uri(ledger_path)
+    from tajo_spark.sources.avro_py import _fs_for
+
+    fs, root = _fs_for(ledger_path)  # s3a/s3n scheme bridging
     removed = 0
     for binfo in fs.get_file_info(pafs.FileSelector(root)):
         if binfo.type != pafs.FileType.Directory or not (

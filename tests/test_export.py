@@ -291,13 +291,16 @@ def test_tar_export_string_ids_and_null_content(spark, tmp_path):
     export_tar_shards(df, path, shard_bytes=1 << 20)
     with tarfile.open(os.path.join(path, "shard-000000.tar")) as tar:
         names = set(tar.getnames())
-        # '/' sanitized out of entry names; integral metadata stays
-        # integral in JSON (42 not 42.0), NULL becomes JSON null
-        assert "http:__a_x.bin" in names
+        # '/' percent-escaped out of entry names (collision-free:
+        # 'a/b' and 'a_b' must not share a name — ADVICE r11);
+        # integral metadata stays integral in JSON (42 not 42.0),
+        # NULL becomes JSON null
+        assert "http:%2F%2Fa%2Fx.bin" in names
         meta = tar.extractfile("doc-3.json").read()
         assert meta == b'{"score":9}'
         meta2 = tar.extractfile("doc-2.json").read()
         assert meta2 == b'{"score":null}'
+
     v = {r.shard_id: r.ok for r in verify_tar_shards(spark, path).collect()}
     assert all(v.values())
     # alien zero-entry tar: ok must be FALSE, not NULL
@@ -309,3 +312,28 @@ def test_tar_export_string_ids_and_null_content(spark, tmp_path):
         fh.write(empty.getvalue())
     rows = {r.shard_id: r.ok for r in verify_tar_shards(spark, path).collect()}
     assert rows[99] is False
+
+
+def test_tar_export_slash_ids_do_not_collide(spark, tmp_path):
+    """ADVICE r11: lossy replace('/', '_') collided 'a/b' with 'a_b'
+    into the same tar entry names (WebDataset loaders then dedupe
+    arbitrarily); the percent-escape keeps them distinct."""
+    import os
+    import tarfile
+
+    from tajo_spark.operators.export import export_tar_shards
+
+    df = spark.createDataFrame(
+        [("a/b", bytearray(b"x"), 1), ("a_b", bytearray(b"y"), 2)],
+        "doc_id STRING, content BINARY, score LONG",
+    )
+    path = str(tmp_path / "tars")
+    export_tar_shards(df, path, shard_bytes=1 << 20)
+    names = []
+    for shard in sorted(os.listdir(path)):
+        if shard.endswith(".tar"):
+            with tarfile.open(os.path.join(path, shard)) as tar:
+                names.extend(tar.getnames())
+    bins = sorted(n for n in names if n.endswith(".bin"))
+    assert bins == ["a%2Fb.bin", "a_b.bin"]
+    assert len(set(names)) == len(names)

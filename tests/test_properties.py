@@ -414,3 +414,27 @@ def test_exact_dedup_null_text_never_groups(spark):
         dedup.minhash_band_keys(num_hashes=2, num_bands=4)
     with pytest.raises(ValueError, match="evenly divide"):
         dedup.minhash_band_keys(num_hashes=10, num_bands=4)
+
+
+def test_exact_dedup_null_text_null_id_never_groups(spark):
+    """ADVICE r11: rows with NULL text AND NULL doc_id shared the
+    (NULL, NULL) group key and collapsed into one group — each must
+    stay its own single-member group like every other null-text doc."""
+    from tajo_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (None, None), (None, None), (None, None)],
+        "doc_id LONG, text STRING",
+    )
+    groups = dedup.exact_dedup_groups(docs).collect()
+    # one "same" group + three singleton null-null groups
+    assert len(groups) == 4
+    null_rows = [r for r in groups if r.fp is None]
+    assert len(null_rows) == 3
+    assert all(r.dup_count == 1 and r.keep_doc_id is None for r in null_rows)
+    # a null-id row must not pool with a REAL doc whose id stringifies
+    # to the synthetic key's suffix (the \x00 prefix keeps them apart)
+    docs2 = spark.createDataFrame(
+        [(0, None), (None, None)], "doc_id LONG, text STRING"
+    )
+    assert dedup.exact_dedup_groups(docs2).count() == 2

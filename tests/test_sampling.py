@@ -21,6 +21,20 @@ def test_sample_stable_under_repartition(spark):
     assert abs(len(a) / 5000 - 0.2) < 0.03
 
 
+def test_split_column_rejects_non_hex_bounds():
+    import pytest
+
+    # 'g0' sorts above 'ff', so if accepted it silently swallows every
+    # row into that cut — the exact misconfiguration class the guard
+    # exists to reject (r11 verdict: the class contained a stray 'g')
+    for bad in ("g0", "gg", "CC", "c", "ccc"):
+        with pytest.raises(ValueError, match="lowercase hex"):
+            sampling.split_column(F.col("id"), cuts=(("train", bad),))
+    # accepted boundary values still pass validation
+    sampling.split_column(F.col("id"), cuts=(("train", "ff"),))
+    sampling.split_column(F.col("id"), cuts=(("train", "00"),))
+
+
 def test_split_column_partitions_everything(spark):
     df = spark.range(0, 4000).select(
         sampling.split_column(F.col("id")).alias("s")

@@ -710,3 +710,30 @@ def test_label_centroid_cosines_hand_computed(spark):
     assert got[(0, 1)] == 0.0
     assert got[(0, 2)] == 1.0
     assert got[(1, 2)] == 0.0
+
+
+def test_dense_id_precondition_raises_in_plan(spark):
+    """r12: the dense-id guards fold into the one-row seed/centroid
+    aggregate each function already materializes (no separate isEmpty
+    pre-job — that extra corpus scan per call was BENCH_r11's only real
+    mover). An id-space not starting at 0 must still fail loudly, now
+    from inside the job, with the same actionable message."""
+    emb = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0]), (102, [1.0, 1.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    q = emb.select(F.col("vec_id").alias("q_id"), "embedding")
+    with pytest.raises(Exception, match="dense from 0"):
+        sim.ann_join_ivf(q, emb, k=1, n_centroids=4).collect()
+    with pytest.raises(Exception, match="dense from 0"):
+        sim.seeded_cluster_assign(emb, n_seeds=4).collect()
+    with pytest.raises(Exception, match="dense from 0"):
+        sim.seeded_cluster_assign_two_level(emb, n_seeds=4).collect()
+    # and the happy path is unchanged: dense ids assign every row
+    ok = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    rows = sim.seeded_cluster_assign(ok, n_seeds=2).collect()
+    assert len(rows) == 3
+    assert all(r.cluster_id is not None for r in rows)
