@@ -147,6 +147,52 @@ def shingles_from_tokens(toks: Column, k: int = SHINGLE_K) -> Column:
     )
 
 
+def shingle_sets(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+    materialize: bool = True,
+) -> DataFrame:
+    """(doc_id, s) — per-document DISTINCT k-gram shingle arrays,
+    materialized once (``localCheckpoint``) so every multi-consumer
+    pipeline (posting lists, df counts, both verify sides of a pair
+    join) reads one computed copy instead of re-scanning and
+    re-shingling the corpus per consumer.
+
+    Catalyst re-evaluates a shared subtree once PER JOIN BRANCH
+    (exchanges are not reused across branches — the same lesson as the
+    minhash one-scan pin): before r12, ``containment_pairs_asym``'s
+    physical plan scanned the corpus 5x and ran the full
+    explode+dedup posting pipeline 3x.  One checkpoint is the guide
+    §2.4 fix — remove recomputation outright; the materialized frame
+    is the banding-stage intermediate a production pipeline persists
+    between stages anyway.
+
+    A second structural win rides along: exploding the CHECKPOINTED
+    distinct array gives the posting list as a zero-shuffle projection
+    — the raw-explode + dropDuplicates shuffle existed only to dodge
+    the CollapseProject re-evaluation trap (see
+    ``shingles_from_tokens``), which a checkpoint sidesteps entirely
+    because the generator input is a plain column reference.
+    """
+    tok = spread_by(docs, "doc_id").select(
+        "doc_id",
+        F.split(normalize_for_fingerprint(F.col(text_col)), " ").alias("w"),
+    )
+    sh = tok.select(
+        "doc_id",
+        F.array_distinct(shingles_from_tokens(F.col("w"), k)).alias("s"),
+    )
+    return sh.localCheckpoint() if materialize else sh
+
+
+def postings_of(sh: DataFrame) -> DataFrame:
+    """(doc_id, sh) posting rows from a :func:`shingle_sets` frame —
+    pure projection (arrays are already distinct per doc; NULL arrays
+    drop their doc, matching the raw-explode path)."""
+    return sh.select("doc_id", F.explode("s").alias("sh"))
+
+
 def shingles(text: Column, k: int = SHINGLE_K) -> Column:
     """Array of k-word shingles over normalized text (0-based slices).
 
@@ -163,6 +209,7 @@ def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
     num_hashes: int = NUM_HASHES,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, h0..h{n-1}) MinHash signatures.
 
@@ -186,13 +233,21 @@ def minhash_signatures(
     in one projection — re-inlines the whole shingle expression per seed
     (Catalyst CollapseProject) and serializes on one core.
     """
-    tok = spread_by(docs, "doc_id").select(
-        "doc_id",
-        F.split(normalize_for_fingerprint(F.col(text_col)), " ").alias("w"),
-    )
-    sh = tok.select(
-        "doc_id", F.explode(shingles_from_tokens(F.col("w"))).alias("sh")
-    )
+    if postings is not None:
+        # precomputed (doc_id, sh) posting rows (a shingle_sets
+        # checkpoint): min over the distinct set equals min over the
+        # raw multiset, so signatures are identical — and a caller
+        # that needs BOTH postings and signatures scans the corpus
+        # once instead of twice (r12)
+        sh = postings
+    else:
+        tok = spread_by(docs, "doc_id").select(
+            "doc_id",
+            F.split(normalize_for_fingerprint(F.col(text_col)), " ").alias("w"),
+        )
+        sh = tok.select(
+            "doc_id", F.explode(shingles_from_tokens(F.col("w"))).alias("sh")
+        )
     n_seeds = (num_hashes + 3) // 4
     digests = sh.select(
         "doc_id",
@@ -235,7 +290,11 @@ def minhash_band_keys(num_hashes: int = NUM_HASHES, num_bands: int = NUM_BANDS):
     return keys
 
 
-def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    postings: DataFrame | None = None,
+) -> DataFrame:
     """LSH candidate near-duplicate pairs (doc_a < doc_b), deduped.
 
     Plan shape: signatures → explode bands (×NUM_BANDS rows) → ONE
@@ -253,13 +312,17 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFram
     boilerplate duplicates) should be capped upstream via exact-dedup
     first — the standard web-scale pipeline order.
     """
-    return _bucket_pairs(banded_long(docs, text_col))
+    return _bucket_pairs(banded_long(docs, text_col, postings=postings))
 
 
-def banded_long(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def banded_long(
+    docs: DataFrame,
+    text_col: str = "text",
+    postings: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, band_id, bh) — one row per LSH band key; THE probe/store
     representation of a document for near-dup purposes."""
-    sig = minhash_signatures(docs, text_col)
+    sig = minhash_signatures(docs, text_col, postings=postings)
     banded = sig.select("doc_id", *minhash_band_keys())
     return banded.select(
         "doc_id",
@@ -504,16 +567,15 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     the verify stage of the two-stage near-dup pipeline (cheap banding
     proposes, exact set similarity disposes). The set intersection runs
     on |candidates| pairs only, never all-pairs.
+
+    One corpus scan total (r12): the shingle sets are computed once
+    (:func:`shingle_sets` checkpoint) and feed the signature pipeline
+    (as postings) AND both verify sides — before, the corpus was
+    scanned and re-shingled three times (signature leg + each join
+    branch of the verify).
     Output: (doc_a, doc_b, jaccard)."""
-    pairs = minhash_candidate_pairs(docs, text_col)
-    tok = spread_by(docs, "doc_id").select(
-        "doc_id",
-        F.split(normalize_for_fingerprint(F.col(text_col)), " ").alias("w"),
-    )
-    sh = tok.select(
-        "doc_id",
-        F.array_distinct(shingles_from_tokens(F.col("w"), 3)).alias("s"),
-    )
+    sh = shingle_sets(docs, text_col)
+    pairs = minhash_candidate_pairs(docs, text_col, postings=postings_of(sh))
     a = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("a_s"))
     b = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("b_s"))
     return (
@@ -552,17 +614,12 @@ def containment_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     both proposal stages.
 
     Output: (doc_a, doc_b, jaccard, cont_a_in_b, cont_b_in_a),
-    rounded to 4.
+    rounded to 4.  One corpus scan total (r12): shared
+    :func:`shingle_sets` checkpoint feeds the signature leg (as
+    postings) and both verify sides.
     """
-    pairs = minhash_candidate_pairs(docs, text_col)
-    tok = spread_by(docs, "doc_id").select(
-        "doc_id",
-        F.split(normalize_for_fingerprint(F.col(text_col)), " ").alias("w"),
-    )
-    sh = tok.select(
-        "doc_id",
-        F.array_distinct(shingles_from_tokens(F.col("w"), 3)).alias("s"),
-    )
+    sh = shingle_sets(docs, text_col)
+    pairs = minhash_candidate_pairs(docs, text_col, postings=postings_of(sh))
     a = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("a_s"))
     b = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("b_s"))
     inter = F.size(F.array_intersect("a_s", "b_s")).cast("double")
@@ -594,6 +651,7 @@ def containment_candidate_pairs(
     text_col: str = "text",
     k: int = RARE_K,
     max_df: int = RARE_MAX_DF,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric candidate proposal for CONTAINMENT dedup: band each
     document by its ``k`` RAREST shingles (smallest corpus document
@@ -617,19 +675,15 @@ def containment_candidate_pairs(
     """
     from pyspark.sql import Window as W
 
-    tok = spread_by(docs, "doc_id").select(
-        "doc_id",
-        F.split(normalize_for_fingerprint(F.col(text_col)), " ").alias("w"),
-    )
-    # explode the RAW shingles then row-dedup: exploding
-    # array_distinct(shingles(...)) lets CollapseProject inline the
-    # whole shingle-construction chain into the Generate, which
-    # re-evaluates it per output element — measured 28 s vs 0.5 s on
-    # 5k docs; dropDuplicates is one shuffle that co-partitions with
-    # the df groupBy right after it
-    postings = tok.select(
-        "doc_id", F.explode(shingles_from_tokens(F.col("w"), 3)).alias("sh")
-    ).dropDuplicates(["doc_id", "sh"])
+    # postings derive from the materialized shingle-set checkpoint
+    # (r12): the checkpoint makes the explode input a plain column
+    # reference, so the CollapseProject re-evaluation trap (and the
+    # dropDuplicates shuffle that dodged it) both disappear, and the
+    # three posting consumers below (df count, rarest-k, probe side)
+    # read ONE computed copy instead of re-scanning the corpus each
+    if sh is None:
+        sh = shingle_sets(docs, text_col)
+    postings = postings_of(sh)
     dfc = (
         postings.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -675,16 +729,14 @@ def containment_pairs_asym(
     both proposal stages and union the candidates).
 
     Output: (doc_a, doc_b, jaccard, cont_a_in_b, cont_b_in_a), 4 dp.
+
+    One corpus scan total (r12): the proposal stage and both verify
+    sides share one :func:`shingle_sets` checkpoint — the previous
+    physical plan scanned the corpus 5x and ran the posting pipeline
+    3x (plans/r12/dedup_containment_asym_before.txt).
     """
-    pairs = containment_candidate_pairs(docs, text_col, k, max_df)
-    tok = spread_by(docs, "doc_id").select(
-        "doc_id",
-        F.split(normalize_for_fingerprint(F.col(text_col)), " ").alias("w"),
-    )
-    sh = tok.select(
-        "doc_id",
-        F.array_distinct(shingles_from_tokens(F.col("w"), 3)).alias("s"),
-    )
+    sh = shingle_sets(docs, text_col)
+    pairs = containment_candidate_pairs(docs, text_col, k, max_df, sh=sh)
     a = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("a_s"))
     b = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("b_s"))
     inter = F.size(F.array_intersect("a_s", "b_s")).cast("double")
@@ -1482,19 +1534,17 @@ def weighted_containment_pairs(
     banding-bounded, never all-pairs; N rides as a broadcast 1-row
     aggregate.  Output: (doc_a, doc_b, wcont_a_in_b, wcont_b_in_a).
     """
-    # the candidate set is consumed three times (two payload
-    # semi-joins + the final pair join) — materialize once so the
-    # banding pipeline never re-executes per consumer
-    pairs = minhash_candidate_pairs(docs, text_col).localCheckpoint()
-    tok = spread_by(docs, "doc_id").select(
-        "doc_id",
-        F.split(normalize_for_fingerprint(F.col(text_col)), " ").alias("w"),
-    )
-    # raw explode + row-dedup, NOT explode(array_distinct(...)) — see
-    # containment_candidate_pairs for the CollapseProject trap
-    postings = tok.select(
-        "doc_id", F.explode(shingles_from_tokens(F.col("w"), 3)).alias("sh")
-    ).dropDuplicates(["doc_id", "sh"])
+    # ONE shingle-set checkpoint feeds the signature pipeline (as
+    # postings), the df count, and the per-doc payload leg (r12: the
+    # r11 plan ran the scan+explode+dedup posting pipeline 4x — once
+    # per consumer per wpay copy); the candidate set is still consumed
+    # three times (two payload semi-joins + the final pair join) so it
+    # stays materialized too
+    shs = shingle_sets(docs, text_col)
+    postings = postings_of(shs)
+    pairs = minhash_candidate_pairs(
+        docs, text_col, postings=postings
+    ).localCheckpoint()
     nn = docs.where(F.col(text_col).isNotNull()).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -1527,6 +1577,9 @@ def weighted_containment_pairs(
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    # wpay is candidate-bounded (tiny) but consumed by BOTH pair-join
+    # sides — checkpoint so the posting-weight pipeline above executes
+    # once, not once per side (r12: halves the remaining plan)
     wpay = (
         weighted.join(cand, "doc_id", "left_semi")
         .groupBy("doc_id")
@@ -1536,6 +1589,7 @@ def weighted_containment_pairs(
             ).alias("entries"),
             F.sum("idf").alias("w"),
         )
+        .localCheckpoint()
     )
     a = wpay.select(
         F.col("doc_id").alias("doc_a"),

@@ -66,6 +66,7 @@ def connected_components(
     max_iter: int = 25,
     assume_distinct: bool = False,
     star_fallback_after: int | None = 6,
+    prebidirected: DataFrame | None = None,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; ``component`` is
     the minimum node id reachable from it (a canonical, deterministic
@@ -89,13 +90,25 @@ def connected_components(
     union has exactly the original components while collapsing the
     distance already propagated.  ``None`` disables the fallback and
     restores the raise-on-nonconvergence behavior.
+
+    ``prebidirected``: the caller already holds the MATERIALIZED
+    mirrored edge list (both directions, distinct) — e.g. it also
+    feeds :func:`pagerank` over the same graph.  Passing it avoids a
+    second materialization of the identical frame (r12:
+    ``dedup_best_by_centrality`` checkpointed the same bidirected
+    edges twice, once per consumer).
     """
-    both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    )
-    if not assume_distinct:
-        both = both.distinct()
-    both = both.localCheckpoint()
+    if prebidirected is not None:
+        both = prebidirected.select(
+            F.col(src).alias("a"), F.col(dst).alias("b")
+        )
+    else:
+        both = edges.select(
+            F.col(src).alias("a"), F.col(dst).alias("b")
+        ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        if not assume_distinct:
+            both = both.distinct()
+        both = both.localCheckpoint()
     # Fused round 1: with identity labels the first propagation round's
     # join degenerates to the edge list itself, so seed each node with
     # min(self, min(neighbors)) in ONE aggregation — same result as the
@@ -248,6 +261,7 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
+    prebidirected: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over an undirected pair graph — centrality-weighted
     curation: in a near-dup/similarity graph, high-rank documents sit
@@ -259,36 +273,46 @@ def pagerank(
     distributed-summation ulps never compound across iterations.
 
     Per iteration: ONE shuffle-join of ranks against the bidirected
-    edge list + one sum-aggregate (map-side combined) + a broadcast of
-    the 1-row node count — the same O(1)-plan-depth loop as
-    connected_components (localCheckpoint per round).  No driver
-    collects; node count rides as a broadcast single-row frame.
+    edge list + one sum-aggregate (map-side combined) — the same
+    O(1)-plan-depth loop as connected_components (localCheckpoint per
+    round).  The node count is read ONCE from the materialized degree
+    frame and embedded as a literal (metadata-sized driver read — one
+    long — the documented acceptable class; r12: the r11 broadcast-
+    1-row-frame formulation rebuilt the broadcast and paid an extra
+    join inside every per-iteration checkpoint job, ~n_iter extra
+    jobs per call for a value that never changes).
+
+    ``prebidirected``: pass the already-materialized mirrored edge
+    list to share it with a connected-components pass over the same
+    graph (see :func:`connected_components`).
 
     Returns (node, pagerank) for every node incident to an edge,
     pagerank rounded to 6.  Dangling nodes cannot exist (the
     bidirected edge set gives every node out-degree >= 1), so rank
     mass is conserved up to rounding.
     """
-    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-    # the bidirected edge list is re-joined EVERY iteration (and the
-    # init + each round is its own action via localCheckpoint), so
-    # whatever lineage produced `edges` — typically the whole LSH
-    # banding pipeline — would re-execute n_iter+1 times without this
-    # materialization; 2|E| rows, far smaller than the corpus
-    bi = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
-    deg = bi.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
-    n1 = deg.agg(F.count(F.lit(1)).alias("n"))  # 1 row, broadcast below
-    pr = (
-        deg.join(F.broadcast(n1))
-        .select(
-            F.col("a").alias("id"),
-            "deg",
-            F.round(1.0 / F.col("n"), 9).alias("pr"),
+    if prebidirected is not None:
+        bi = prebidirected.select(
+            F.col(src_col).alias("a"), F.col(dst_col).alias("b")
         )
+    else:
+        e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        # the bidirected edge list is re-joined EVERY iteration (and the
+        # init + each round is its own action via localCheckpoint), so
+        # whatever lineage produced `edges` — typically the whole LSH
+        # banding pipeline — would re-execute n_iter+1 times without this
+        # materialization; 2|E| rows, far smaller than the corpus
+        bi = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).localCheckpoint()
+    deg = (
+        bi.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("a").alias("id"), "deg")
         .localCheckpoint()
     )
+    n = deg.count()  # metadata-sized: ONE long off the materialized frame
+    pr = deg.select("id", "deg", F.round(F.lit(1.0) / n, 9).alias("pr"))
     for _ in range(n_iter):
         contrib = (
             bi.join(pr, bi["a"] == pr["id"])
@@ -302,12 +326,11 @@ def pagerank(
         pr = (
             pr.drop("pr")
             .join(contrib, "id", "left")
-            .join(F.broadcast(n1))
             .select(
                 "id",
                 "deg",
                 F.round(
-                    (1.0 - damping) / F.col("n")
+                    F.lit((1.0 - damping) / n)
                     + damping * F.coalesce(F.col("s"), F.lit(0.0)),
                     9,
                 ).alias("pr"),

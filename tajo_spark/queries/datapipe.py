@@ -2028,10 +2028,21 @@ def dedup_best_by_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     # one banding pipeline feeds BOTH iterative consumers (components
-    # and pagerank): checkpoint so it executes once
-    pairs = dedup.minhash_candidate_pairs(docs).localCheckpoint()
-    comp = connected_components(pairs, assume_distinct=True)
-    pr = pagerank(pairs, n_iter=3)
+    # and pagerank), and both consume the SAME mirrored edge list —
+    # materialize the bidirected frame once and pass it to both (r12:
+    # the r11 shape checkpointed pairs, then each consumer built and
+    # checkpointed its own identical bidirected copy — 3
+    # materializations of one ~2|E|-row graph)
+    pairs = dedup.minhash_candidate_pairs(docs)
+    bi = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .localCheckpoint()
+    )
+    comp = connected_components(pairs, prebidirected=bi, src="a", dst="b")
+    pr = pagerank(pairs, n_iter=3, prebidirected=bi, src_col="a", dst_col="b")
     joined = comp.join(pr, "node")
     return (
         joined.groupBy("component")
