@@ -35,7 +35,29 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Plan memo: (applicationId, realpath(sf_dir), table) → DataFrame.
+# A DataFrame is an UNEXECUTED logical plan — caching it caches
+# metadata (schema probe + parquet footer/file-listing round trips,
+# measured 96 ms per spark.read.parquet call), never data or results:
+# every action on the memoized frame still scans parquet.  A
+# 100+-query bench process re-derived the identical plan hundreds of
+# times (~10s of seconds of pure py4j/listing overhead per pass).
+# Keyed by applicationId so frames from a stopped session are never
+# served; entries from older sessions are pruned on first miss.
+# Caveat (static test data holds this by construction): the cached
+# frame pins its file listing at creation — call sites that rewrite a
+# table's files in place must bypass the memo via spark.read directly.
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    app = spark.sparkContext.applicationId
+    key = (app, os.path.realpath(sf_dir), name)
+    memo = _TABLE_MEMO.get(key)
+    if memo is not None:
+        return memo
+    for k in [k for k in _TABLE_MEMO if k[0] != app]:
+        del _TABLE_MEMO[k]  # frames of stopped sessions are invalid
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong (session.py)
     # it arrives as a long of epoch-nanos — rebuild the µs timestamp
@@ -50,6 +72,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the session timezone pinned to UTC (session.py) the cast to
         # session-TZ timestamp is value-identical.
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _TABLE_MEMO[key] = df
     return df
 
 

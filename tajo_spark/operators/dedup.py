@@ -23,6 +23,8 @@ shape is identical.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -35,6 +37,9 @@ from tajo_spark.operators.text import (
 SHINGLE_K = 3          # words per shingle
 NUM_HASHES = 8         # minhash signature length
 NUM_BANDS = 4          # LSH bands (2 hashes per band)
+
+
+_SPREAD_PROBE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def spread_by(df: DataFrame, *keys: str) -> DataFrame:
@@ -55,11 +60,22 @@ def spread_by(df: DataFrame, *keys: str) -> DataFrame:
     # converting the frame to an RDD just to count partitions costs
     # ~1s of plan translation per call — far more than the exchange it
     # might save on a frame small enough to be in memory, and at real
-    # scale every input is file-backed anyway.
-    try:
-        n_inputs = len(df.inputFiles())
-    except Exception:
-        n_inputs = 0
+    # scale every input is file-backed anyway.  The probe result is
+    # cached per DataFrame object (r12: inputFiles() is a ~40 ms py4j
+    # round trip, and the memoized load_table frames are probed by
+    # every shingle/minhash consumer in a 100+-query bench process).
+    cached = _SPREAD_PROBE.get(df)
+    if cached is not None:
+        n_inputs = cached
+    else:
+        try:
+            n_inputs = len(df.inputFiles())
+        except Exception:
+            n_inputs = 0
+        try:
+            _SPREAD_PROBE[df] = n_inputs
+        except TypeError:
+            pass  # un-weakref-able frame: skip caching
     if n_inputs == 0 or n_inputs < target:
         return df.repartition(target, *[F.col(k) for k in keys])
     return df
