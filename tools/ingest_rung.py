@@ -48,6 +48,16 @@ def main() -> None:
         "probes are sampled either side of each fold to show the "
         "sawtooth steady state",
     )
+    ap.add_argument(
+        "--auto-max-dirs",
+        type=int,
+        default=None,
+        help="arm maybe_compact(max_batch_dirs=M) — the SLO arm a "
+        "production stream would actually use (r11 VERDICT task 6): "
+        "the fold fires when the FOLDABLE (centroid, batch) leaf-dir "
+        "count crosses M, and must re-arm only as new batches "
+        "accumulate (foldable count resets to 0 post-fold)",
+    )
     args = ap.parse_args()
 
     import numpy as np
@@ -103,18 +113,35 @@ def main() -> None:
         marks = {args.batches}
         for k in range(1, args.batches // args.auto_every + 1):
             marks |= {k * args.auto_every, k * args.auto_every + 1}
+    elif args.auto_max_dirs:
+        # fold timing is data-dependent (listing threshold), so sample
+        # on a fixed cadence and additionally right after each fold
+        # (handled in the loop below via dynamic marks)
+        marks = set(range(10, args.batches + 1, 10)) | {args.batches}
     else:
         marks = {10, 50, args.batches}
     rows = []
     folds = []
     t_ingest0 = time.perf_counter()
+    dirs_trace = []
     for b in range(args.batches):
-        if args.auto_every:
+        if args.auto_every or args.auto_max_dirs:
+            if args.auto_max_dirs:
+                # record the foldable-dir count the arm compares
+                # against, so the re-arm behavior (reset to ~0 after a
+                # fold, regrowth until the threshold) is in evidence
+                dirs_trace.append(
+                    (b, AI.count_batch_dirs(index, exclude_base=True))
+                )
             st = AI.maybe_compact(
-                spark, index, b, compact_every=args.auto_every
+                spark, index, b,
+                compact_every=args.auto_every,
+                max_batch_dirs=args.auto_max_dirs,
             )
             if st:
                 folds.append(st)
+                if args.auto_max_dirs:
+                    marks.add(b + 1)  # post-fold trough sample
         AI.ivf_append_batch(
             df(args.batch_rows, 1_000_000 + b * args.batch_rows),
             model,
@@ -147,7 +174,25 @@ def main() -> None:
         f"{stats['rows_folded']} rows; "
         f"probe results bit-identical across compaction: {identical}"
     )
-    if folds:
+    if folds and args.auto_max_dirs:
+        print(
+            f"auto-compaction (dirs arm, max_batch_dirs="
+            f"{args.auto_max_dirs}) fired {len(folds)}x: "
+            + "; ".join(
+                f"batch {s['fired_at_batch']}: {s['batch_dirs_removed']} "
+                f"dirs folded"
+                for s in folds
+            )
+        )
+        # foldable-count trace around each fold: threshold crossing and
+        # post-fold reset
+        fired = {s["fired_at_batch"] for s in folds}
+        around = [
+            f"b{b}={n}" for b, n in dirs_trace
+            if any(abs(b - f) <= 1 for f in fired)
+        ]
+        print("foldable-dir counts around folds: " + ", ".join(around))
+    elif folds:
         print(
             f"auto-compaction fired {len(folds)}x "
             f"(every {args.auto_every} batches): "
