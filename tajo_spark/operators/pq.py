@@ -263,6 +263,52 @@ def _adc_score(codes: Column, luts: Column, coarse: Column) -> Column:
     )
 
 
+_PQ_CENTS_MEMO: dict = {}
+
+
+def _pq_cents_frame(spark, model, codebooks: np.ndarray):
+    """One-row (centroids, codebooks) frame for the ADC probe.
+
+    Centroids AND codebooks ride as DATA in one broadcast single-row
+    frame, not as expression-tree literals: an F.lit of the M x KSUB
+    x dsub codebook builds a CreateArray AST with thousands of leaf
+    nodes that Catalyst re-analyzes on EVERY probe — measured 5-6.5 s
+    of driver-side plan time per probe at M=16/KSUB=64 vs <1 s of
+    actual execution (the r06 bench split exposed it).  As a row the
+    codebook is just bytes in a broadcast, analysis is O(1).
+
+    Memoized per (session, model object): the frame is pure model
+    metadata, and rebuilding it cost a py4j createDataFrame of the
+    full codebook (~16k floats) on EVERY probe call (r12).  The memo
+    holds a strong reference to the model so the id key can never be
+    recycled; a retrained model is a new object → new entry.
+    """
+    key = (spark.sparkContext.applicationId, id(model), id(codebooks))
+    hit = _PQ_CENTS_MEMO.get(key)
+    if hit is not None and hit[0] is model and hit[1] is codebooks:
+        return hit[2]
+    centers = model.clusterCenters()
+    m = codebooks.shape[0]
+    df = spark.createDataFrame(
+        [
+            (
+                [
+                    (i, [float(x) for x in c])
+                    for i, c in enumerate(centers)
+                ],
+                [
+                    [[float(x) for x in cent] for cent in codebooks[mi]]
+                    for mi in range(m)
+                ],
+            )
+        ],
+        "__cents ARRAY<STRUCT<centroid_id: INT, cv: ARRAY<DOUBLE>>>, "
+        "__cb ARRAY<ARRAY<ARRAY<DOUBLE>>>",
+    )
+    _PQ_CENTS_MEMO[key] = (model, codebooks, df)
+    return df
+
+
 def ann_join_pq_persisted(
     spark,
     path: str,
@@ -297,31 +343,8 @@ def ann_join_pq_persisted(
     ``similarity.ann_join`` / ``ann_join_q8_persisted``; returned
     ``cos`` is EXACT (the PQ stage only selects candidates).
     """
-    centers = model.clusterCenters()
     m, ksub, dsub = codebooks.shape
-    # Centroids AND codebooks ride as DATA in one broadcast single-row
-    # frame, not as expression-tree literals: an F.lit of the M x KSUB
-    # x dsub codebook builds a CreateArray AST with thousands of leaf
-    # nodes that Catalyst re-analyzes on EVERY probe — measured 5-6.5 s
-    # of driver-side plan time per probe at M=16/KSUB=64 vs <1 s of
-    # actual execution (the r06 bench split exposed it).  As a row the
-    # codebook is just bytes in a broadcast, analysis is O(1).
-    cents = spark.createDataFrame(
-        [
-            (
-                [
-                    (i, [float(x) for x in c])
-                    for i, c in enumerate(centers)
-                ],
-                [
-                    [[float(x) for x in cent] for cent in codebooks[mi]]
-                    for mi in range(m)
-                ],
-            )
-        ],
-        "__cents ARRAY<STRUCT<centroid_id: INT, cv: ARRAY<DOUBLE>>>, "
-        "__cb ARRAY<ARRAY<ARRAY<DOUBLE>>>",
-    )
+    cents = _pq_cents_frame(spark, model, codebooks)
 
     # rank centers by L2 distance to the normalized query (centers live
     # on the unit sphere → L2 order == cosine order), keep nprobe,

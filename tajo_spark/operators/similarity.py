@@ -1126,6 +1126,27 @@ def ivf_q8_shortlist(
     )
 
 
+_Q8_CENTS_MEMO: dict = {}
+
+
+def _q8_cents_frame(spark, model):
+    """One-row collected-centroids frame for the persisted-q8 probe —
+    pure model metadata, memoized per (session, model object) so a
+    probe call doesn't rebuild the py4j createDataFrame + aggregate
+    plan every time (r12). Strong model reference pins the id key."""
+    key = (spark.sparkContext.applicationId, id(model))
+    hit = _Q8_CENTS_MEMO.get(key)
+    if hit is not None and hit[0] is model:
+        return hit[1]
+    centers = model.clusterCenters()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "centroid_id INT, cv ARRAY<DOUBLE>",
+    ).agg(F.collect_list(F.struct("centroid_id", "cv")).alias("__cents"))
+    _Q8_CENTS_MEMO[key] = (model, df)
+    return df
+
+
 def ann_join_q8_persisted(
     spark,
     path: str,
@@ -1163,15 +1184,9 @@ def ann_join_q8_persisted(
     Output: (q_id, rank, vec_id, cos) — same contract as
     :func:`ann_join`, with recall following the nprobe/expand dials.
     """
-    import numpy as np
-
     from pyspark.sql import Window
 
-    centers = model.clusterCenters()
-    cents = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
-        "centroid_id INT, cv ARRAY<DOUBLE>",
-    ).agg(F.collect_list(F.struct("centroid_id", "cv")).alias("__cents"))
+    cents = _q8_cents_frame(spark, model)
 
     # rank centers by L2 distance to the NORMALIZED query — the same
     # rule the single-query probes use (centers live on the unit
