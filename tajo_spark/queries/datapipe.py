@@ -6086,7 +6086,12 @@ def pipeline_corpus_prep_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(drops), "doc_id", "left_anti")
         .where(F.col("n_chars").isNotNull() & (F.col("n_chars") > 0))
         # stage boundary #2: survivors feed BOTH the fertility agg and
-        # the sampler's key projection
+        # the sampler's key projection. Project to the columns those
+        # two consumers actually read before materializing (r12 —
+        # checkpoints store rows as-is; an opaque RDD scan gets no
+        # column pruning, so `source` would be stored and shipped for
+        # nothing)
+        .select("doc_id", "text", "lang", "n_chars")
         .localCheckpoint()
     )
     t = F.col("text")
