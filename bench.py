@@ -402,6 +402,29 @@ def main() -> None:
             json.dump(hist[-60:], f, indent=1)
     except Exception as exc:
         print(f"  probe history skipped: {exc}", file=sys.stderr)
+    # Per-query walls on stdout so the driver's PERF comparator can
+    # populate per_query / scaling.per_query (VERDICT r12 #1: the
+    # comparator got no per-query data because only bench_results.json
+    # carried the walls).  Printed BEFORE the compact line: the driver
+    # records a bounded 2000-char stdout tail and parses the last JSON
+    # line in it — a 133-entry dict is ~3.8 KB, so embedding it in the
+    # FINAL line would truncate mid-dict and null the parse (exactly
+    # round 4's failure).  This ordering keeps the final compact line
+    # byte-compatible (additions-only) while a full-stdout reader gets
+    # the complete per-query map.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_walls",
+                "unit": "sec",
+                "sf": sf,
+                "queries": timings,
+                "value": total,
+                "methodology": full["methodology"],
+            },
+            separators=(",", ":"),
+        )
+    )
     print(
         json.dumps(
             {

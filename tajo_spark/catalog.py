@@ -76,6 +76,45 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Same plan-metadata memo for non-table parquet paths (persisted ANN
+# indexes): the probe functions re-derived the identical index plan —
+# one directory listing + partition-schema inference JOB — on every
+# probe call (r13; visible as a dedicated 'parquet at
+# NativeMethodAccessorImpl' job per probe).  Unexecuted plans only,
+# same appId keying/pruning as _TABLE_MEMO.
+_PATH_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def load_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Memoized ``spark.read.parquet(path)`` for paths whose files are
+    immutable once written (built-once persisted indexes).  Call sites
+    that rewrite files under ``path`` in place MUST call
+    :func:`invalidate` first — the memo pins the file listing at first
+    load (the enforced path ADVICE r12 asked for, instead of a
+    comment-level contract)."""
+    app = spark.sparkContext.applicationId
+    key = (app, os.path.realpath(path))
+    memo = _PATH_MEMO.get(key)
+    if memo is not None:
+        return memo
+    for k in [k for k in _PATH_MEMO if k[0] != app]:
+        del _PATH_MEMO[k]  # frames of stopped sessions are invalid
+    df = spark.read.parquet(path)
+    _PATH_MEMO[key] = df
+    return df
+
+
+def invalidate(path: str) -> None:
+    """Drop every memoized plan under ``path`` (any session): the
+    enforced invalidation hook for writers that replace parquet files
+    in place before re-reading them."""
+    rp = os.path.realpath(path)
+    for k in [k for k in _PATH_MEMO if k[1].startswith(rp)]:
+        del _PATH_MEMO[k]
+    for k in [k for k in _TABLE_MEMO if k[1].startswith(rp)]:
+        del _TABLE_MEMO[k]
+
+
 def register_tables(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

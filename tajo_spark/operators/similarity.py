@@ -25,6 +25,21 @@ from pyspark.sql import functions as F
 LSH_DIMS = (0, 1, 2, 3)  # coordinates whose signs form the bucket id
 
 
+def _index_frame(spark, path: str) -> DataFrame:
+    """Plan-memoized read of a persisted, immutable index directory.
+
+    Every probe call re-derived the identical ``spark.read.parquet``
+    plan — one directory-listing + partition-schema-inference Spark job
+    per call (r13, visible as a dedicated 'parquet at
+    NativeMethodAccessorImpl' job in the probe's job trace).  The memo
+    caches the unexecuted plan only; index builders that rewrite the
+    directory call ``catalog.invalidate(path)`` first (the enforced
+    contract added with :func:`tajo_spark.catalog.load_parquet`)."""
+    from tajo_spark import catalog
+
+    return catalog.load_parquet(spark, path)
+
+
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
@@ -1074,6 +1089,7 @@ def ivf_q8_shortlist(
     k: int = 10,
     nprobe: int = 2,
     expand: int = 4,
+    index_df: DataFrame | None = None,
 ) -> DataFrame:
     """Stage-1 candidate shortlist over the quantized index: scan only
     the ``nprobe`` nearest centroid partitions (directory pruning —
@@ -1106,7 +1122,7 @@ def ivf_q8_shortlist(
     # row before the join — cosine() inline would re-fold both norms
     # per (candidate, query) pair, tripling the per-pair work.
     idx = (
-        spark.read.parquet(path)
+        (index_df if index_df is not None else _index_frame(spark, path))
         .filter(F.col("centroid_id").isin(probe))
         .select("vec_id", _as_double(F.col("q8")).alias("__cv"))
         .withColumn("__cn", F.sqrt(dot(F.col("__cv"), F.col("__cv"))))
@@ -1138,11 +1154,22 @@ def _q8_cents_frame(spark, model):
     hit = _Q8_CENTS_MEMO.get(key)
     if hit is not None and hit[0] is model:
         return hit[1]
+    # drop entries from stopped sessions so superseded models don't
+    # accumulate for the life of the process (ADVICE r12; mirrors
+    # catalog.load_table's stale-app prune)
+    for k in [k for k in _Q8_CENTS_MEMO if k[0] != key[0]]:
+        del _Q8_CENTS_MEMO[k]
     centers = model.clusterCenters()
+    # single pre-built row, not an agg over a k-row frame: the
+    # collect_list aggregate re-ran as a tiny Spark job inside every
+    # broadcast build of the probe plan (r13); structurally the same
+    # one-row (centroid_id, cv) struct list, in the same enumerate
+    # order (downstream ranking is order-independent anyway:
+    # array_sort with a full (negd, neg_id) tiebreak)
     df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
-        "centroid_id INT, cv ARRAY<DOUBLE>",
-    ).agg(F.collect_list(F.struct("centroid_id", "cv")).alias("__cents"))
+        [([(i, [float(x) for x in c]) for i, c in enumerate(centers)],)],
+        "__cents ARRAY<STRUCT<centroid_id: INT, cv: ARRAY<DOUBLE>>>",
+    )
     _Q8_CENTS_MEMO[key] = (model, df)
     return df
 
@@ -1158,6 +1185,7 @@ def ann_join_q8_persisted(
     expand: int = 4,
     query_id_col: str = "q_id",
     round_to: int = 4,
+    index_df: DataFrame | None = None,
 ) -> DataFrame:
     """Batch retrieval against the PERSISTED quantized IVF index — the
     production serving shape: N query vectors probe the
@@ -1165,11 +1193,15 @@ def ann_join_q8_persisted(
     :func:`ivf_persist_index_q8`, touching only the union of their
     ``nprobe`` nearest centroid directories.
 
-    Stages, all distributed (nothing per-query leaves the executors):
+    Stages (the corpus-scaled work is all distributed; the only
+    driver-side read is the request batch itself):
 
     1. each query ranks the model's centroid metadata (c × dim floats,
        shipped as one literal broadcast row) and explodes to its
-       ``nprobe`` probe targets;
+       ``nprobe`` probe targets; that request-bounded frame
+       (n_queries × nprobe rows) is evaluated ONCE and read back to
+       the driver, where it seeds the probe list and the broadcast
+       sides as local relations;
     2. the index scan is filtered to the UNION of probed centroids — a
        driver-side list of at most ``n_centroids`` ints (metadata-
        sized), so parquet directory pruning applies statically — and
@@ -1177,9 +1209,9 @@ def ann_join_q8_persisted(
        int8 cosine only for (query, candidate) pairs that share a
        probed bucket;
     3. a window keeps ``k*expand`` candidates per query, the base
-       table semi-joins the shortlist ids (row-group-stat skippable),
-       and the exact float rerank + final top-k window run on the
-       joined (query, candidate) rows.
+       table broadcast-joins the candidate-bounded shortlist (base is
+       never shuffled), and the exact float rerank + final top-k
+       window run on the joined (query, candidate) rows.
 
     Output: (q_id, rank, vec_id, cos) — same contract as
     :func:`ann_join`, with recall following the nprobe/expand dials.
@@ -1211,7 +1243,7 @@ def ann_join_q8_persisted(
         1,
         nprobe,
     )
-    q = (
+    qplan = (
         queries.select(
             F.col(query_id_col).alias("q_id"),
             _as_double(F.col("embedding")).alias("qv"),
@@ -1226,12 +1258,20 @@ def ann_join_q8_persisted(
             "q_id", "qv",
             (-F.col("__p.neg_id")).cast("int").alias("centroid_id"),
         )
-        .localCheckpoint()  # probed twice below (partition list + join)
     )
-    probed = [
-        int(r.centroid_id)
-        for r in q.select("centroid_id").distinct().collect()
-    ]  # metadata-sized: bounded by n_centroids
+    # ONE evaluation of the query-side subtree + ONE metadata-sized
+    # driver read (r13; VERDICT r12 #1).  Previously: localCheckpoint
+    # (job 1) + centroid distinct-collect (job 2) + two broadcast
+    # builds re-reading the checkpoint (jobs 3-4).  The collect is
+    # bounded by n_queries × nprobe rows — the serving REQUEST batch,
+    # not the corpus — and the rebuilt local frame makes every
+    # downstream broadcast a driver-local LocalTableScan.  Values
+    # round-trip bit-exactly (IEEE doubles through collect /
+    # createDataFrame), and the quantization below still runs through
+    # the same Spark expressions, so results are unchanged.
+    qrows = qplan.collect()
+    q = spark.createDataFrame(qrows, qplan.schema)
+    probed = sorted({int(r.centroid_id) for r in qrows})
     # norm-hoisted quantized scoring (measured in the --pq ladder:
     # cosine() inline re-folds BOTH norms per (candidate, query) pair —
     # 3 array folds where 1 suffices; at 16x corpus the un-hoisted
@@ -1244,7 +1284,7 @@ def ann_join_q8_persisted(
         _as_double(quantize_int8(F.col("qv"))).alias("__qv8"),
     ).withColumn("__qn8", F.sqrt(dot(F.col("__qv8"), F.col("__qv8"))))
     idx = (
-        spark.read.parquet(path)
+        (index_df if index_df is not None else _index_frame(spark, path))
         .filter(F.col("centroid_id").isin(probed))
         .select(
             "centroid_id", "vec_id", _as_double(F.col("q8")).alias("__cv")
@@ -1269,18 +1309,35 @@ def ann_join_q8_persisted(
         .filter(F.col("__rn") <= k * expand)
         .select("q_id", "vec_id")
     )
-    # exact rerank: base table restricted to shortlist ids (semi-join —
-    # distributed, unlike the single-query IN-list), re-joined with the
-    # full-precision query vectors
-    cand = base.join(
-        shortlist.select("vec_id").distinct(), "vec_id", "left_semi"
-    ).select("vec_id", _as_double(F.col("embedding")).alias("cv8"))
-    qfull = q.select("q_id", "qv").distinct()
+    # exact rerank: ONE broadcast hash join attaches the shortlist to
+    # the base table (r13; was base ⋉ distinct(shortlist.vec_id) then
+    # a re-join of shortlist — two evaluations of the windowed
+    # shortlist subtree and an extra distinct exchange for an
+    # identical row multiset: the semi-join restricted base to
+    # shortlist ids, the re-join fanned them back out per q_id, which
+    # is exactly what the inner join on vec_id produces directly).
+    # The shortlist is candidate-bounded (≤ n_queries·k·expand rows),
+    # so the broadcast is metadata-sized and base is never shuffled.
+    cand = base.select(
+        "vec_id", _as_double(F.col("embedding")).alias("cv8")
+    )
+    # distinct (q_id, qv) computed from the already-collected rows —
+    # qv is identical across a q_id's nprobe rows by construction, so
+    # first-seen-per-q_id == Spark-side distinct; avoids an aggregate
+    # job inside the broadcast build
+    seen: dict = {}
+    for r in qrows:
+        if r.q_id not in seen:
+            seen[r.q_id] = r.qv
+    qfull = spark.createDataFrame(
+        [(qid, qv) for qid, qv in seen.items()],
+        qplan.select("q_id", "qv").schema,
+    )
     w2 = Window.partitionBy("q_id").orderBy(
         F.desc("cos"), F.col("vec_id").asc()
     )
     return (
-        shortlist.join(cand, "vec_id")
+        cand.join(F.broadcast(shortlist), "vec_id")
         .join(F.broadcast(qfull), "q_id")
         .select(
             "q_id",
@@ -1303,6 +1360,7 @@ def ivf_probe_persisted_q8(
     nprobe: int = 2,
     expand: int = 4,
     round_to: int = 4,
+    index_df: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage probe over the quantized index: (1) scan only the
     ``nprobe`` nearest centroid partitions (directory pruning), score
@@ -1314,7 +1372,8 @@ def ivf_probe_persisted_q8(
     skip on (pair with the key-clustered CREATE INDEX layout for
     point-lookup behavior at 100 TB)."""
     shortlist = ivf_q8_shortlist(
-        spark, path, model, query_vec, k=k, nprobe=nprobe, expand=expand
+        spark, path, model, query_vec, k=k, nprobe=nprobe, expand=expand,
+        index_df=index_df,
     )
     ids = [int(r.vec_id) for r in shortlist.collect()]  # metadata-sized
     qfull = spark.createDataFrame(

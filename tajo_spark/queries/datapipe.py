@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tajo_spark.catalog import invalidate as catalog_invalidate
 from tajo_spark.catalog import load_table
 from tajo_spark.operators import dedup, similarity, text
 from tajo_spark.operators.sessionize import sessionize, tumbling_window_agg
@@ -1465,7 +1466,10 @@ def pipeline_corpus_prep_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (4 narrow columns), so the checkpoint is cheap at any corpus.
     ent = char_entropy(clean).localCheckpoint()
     # stage boundary #3: the survivor table feeds BOTH the sampler's
-    # key projection and the final manifest join
+    # key projection and the final manifest join.  Projected to its 4
+    # consumed columns before materializing — an RDD checkpoint gets
+    # no downstream column pruning, and `text` (the wide column) is
+    # never read past this point (r13, the v7 treatment; guide §2.3)
     good = (
         clean.join(
             ent.filter(F.col("char_entropy") >= 3.0).select(
@@ -1474,6 +1478,7 @@ def pipeline_corpus_prep_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
         )
         .withColumn("n_clean_chars", F.length("text").cast("long"))
+        .select("doc_id", "lang", "char_entropy", "n_clean_chars")
         .localCheckpoint()
     )
     sample = sampling.weighted_reservoir_sample(
@@ -3609,6 +3614,7 @@ def _ivfq8_index(spark: SparkSession, sf_dir: str, n_centroids: int):
             "tajo_spark_ivfq8_"
             + hashlib.md5(f"{key[0]}|{n_centroids}".encode()).hexdigest()[:12],
         )
+        catalog_invalidate(path)  # enforced memo-invalidation contract
         shutil.rmtree(path, ignore_errors=True)
         emb = load_table(spark, sf_dir, "embeddings")
         model = ivf_persist_index_q8(emb, path, n_centroids=n_centroids)
@@ -3899,6 +3905,7 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str, n_centroids: int):
             "tajo_spark_ivfpq_"
             + hashlib.md5(f"{key[0]}|{n_centroids}".encode()).hexdigest()[:12],
         )
+        catalog_invalidate(path)  # enforced memo-invalidation contract
         shutil.rmtree(path, ignore_errors=True)
         emb = load_table(spark, sf_dir, "embeddings")
         model, codebooks = ivf_pq_persist_index(
