@@ -86,6 +86,10 @@ def shard_assign(
         ),
         F.lit(0),
     )
+    # unpartitioned window is BOUNDED by construction: it runs over the
+    # per-bucket aggregate (≤ 16^bucket_chars + 1 sentinel rows at any
+    # corpus size), never the input — the single-partition WindowExec
+    # warning is benign here (r13 Window audit)
     offsets = (
         keyed.groupBy("__bk")
         .agg(F.sum(bytes_col).alias("__n"))

@@ -212,6 +212,10 @@ def global_shuffle_position(
     in_bucket = F.row_number().over(
         W.partitionBy("__bk").orderBy("__sk", id_col)
     )
+    # unpartitioned window is BOUNDED by construction: it runs over the
+    # per-bucket aggregate (≤ 16^bucket_chars + 1 sentinel rows at any
+    # corpus size), never the input — the single-partition WindowExec
+    # warning is benign here (r13 Window audit)
     offsets = (
         keyed.groupBy("__bk")
         .agg(F.count(F.lit(1)).alias("__n"))

@@ -231,6 +231,10 @@ def hist_quantiles(
     if bad:
         raise ValueError(f"quantile probes must be in [0, 1]: {bad}")
     w = (hi - lo) / bins
+    # unpartitioned window is BOUNDED by construction: it runs over the
+    # histogram aggregate (≤ ``bins`` rows at any corpus size), never
+    # the input — the single-partition WindowExec warning is benign
+    # here (r13 Window audit)
     cum = hist.select(
         "bin",
         "n",

@@ -2491,7 +2491,13 @@ def pipeline_corpus_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # second stage boundary: the mixture reads its input twice (stratum
     # histogram + the filtered side), which would re-run the span
-    # verification per read
+    # verification per read.  (r13 measured-and-rejected: projecting
+    # this checkpoint to (doc_id, lang, token_count(text)) — the v6/v7
+    # narrow-checkpoint treatment — is ~0.3 s WORSE here: unlike
+    # v6/v7, `text` IS consumed downstream, so the prune trades a
+    # local byte copy of text for a full tokenize of every survivor,
+    # while the old shape tokenizes only the sampled subset at the
+    # final agg.  Keep the wide checkpoint.)
     good = kept.join(trim, "doc_id", "left_semi").localCheckpoint()
     mixed = temperature_mixture_sample(good, "doc_id", "lang", 2.0)
     return mixed.groupBy("lang").agg(
@@ -4572,19 +4578,33 @@ def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pipeline_corpus_prep_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    flags = text.gopher_quality(docs)
-    keep = flags.filter(
-        F.col("rule_word_count")
-        & F.col("rule_mean_len")
-        & F.col("rule_alpha")
-        & F.col("rule_symbol")
-    ).select("doc_id")
-    filtered = docs.join(keep, "doc_id", "left_semi")
+    # Gopher rules applied as a direct per-row FILTER on the same scan
+    # the LM stage reads (r13; guide §2.4): the old shape computed the
+    # rule projection on one docs scan, semi-joined the surviving ids
+    # against a SECOND docs scan, then re-ran scan+rules+semi-join a
+    # THIRD time just to attach lang.  The rule expressions are pure
+    # per-row projections (text.gopher_flags), so docs ⋉ keep(ids) ≡
+    # docs.filter(rules) row-for-row.  The lang join below reads the
+    # plain (doc_id, lang) docs projection — equivalent to joining the
+    # FILTERED projection because lp's ids are already a subset of the
+    # filtered ids — so the rules are evaluated exactly once.
+    # (Measured and rejected alternative: riding lang THROUGH the LM
+    # aggregation as an extra group key — it widens the corpus-sized
+    # (doc,term) shuffle to save only this metadata-cheap join;
+    # ppl_buckets with that shape regressed 0.83→1.10 s.)
+    flags = text.gopher_flags(F.col("text"))
+    filtered = docs.filter(
+        F.col("text").isNotNull()
+        & flags["rule_word_count"]
+        & flags["rule_mean_len"]
+        & flags["rule_alpha"]
+        & flags["rule_symbol"]
+    )
     lp = text.unigram_logprob(filtered)
     # lpl feeds the threshold sample AND the bucket join — checkpoint
     # so the filtered LM lineage executes once (operator-level note in
     # text.unigram_logprob)
-    lpl = lp.join(filtered.select("doc_id", "lang"), "doc_id").localCheckpoint()
+    lpl = lp.join(docs.select("doc_id", "lang"), "doc_id").localCheckpoint()
     sample = lpl.filter(
         F.substring(
             F.md5(

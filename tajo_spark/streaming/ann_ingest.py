@@ -557,16 +557,19 @@ def compact_index_batches(
         full = spark.read.parquet(index_path)
     except AnalysisException as exc:
         ec = exc.getErrorClass() if hasattr(exc, "getErrorClass") else None
-        if "PATH_NOT_FOUND" not in (ec or str(exc)):
+        benign = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+        if not any(b in (ec or str(exc)) for b in benign):
             # corrupt footer / permissions / throttling must surface —
             # a blanket catch here silently disables auto-compaction
             # forever and small-file buildup degrades probes ~5x
             # (ADVICE r11; mirrors compact_ledger_batches)
             raise
-        # a cadence fold can fire before anything was written (stream
-        # armed without a bootstrap, every batch so far empty): nothing
-        # to fold, not an error (r11 review — an unguarded read killed
-        # the stream)
+        # a cadence fold can fire before anything was written: path
+        # absent (stream armed without a bootstrap) OR present but
+        # empty/schemaless (pre-created dir, zero-row bootstrap —
+        # UNABLE_TO_INFER_SCHEMA; ADVICE r12 — that arm raised and
+        # killed the stream, the exact failure the r11 guard targeted).
+        # Nothing to fold, not an error.
         return {"rows_folded": 0, "rows_after": 0, "batch_dirs_removed": 0}
     df = (
         full

@@ -451,3 +451,25 @@ def test_compact_rerun_after_simulated_crash_does_not_duplicate(spark, tmp_path)
         .groupBy("vec_id").count().filter(F.col("count") > 1).count()
         == 0
     )
+
+
+def test_compact_on_empty_precreated_dir_is_benign(spark, tmp_path):
+    # ADVICE r12: an index dir that EXISTS but holds no readable parquet
+    # (pre-created dir / zero-row bootstrap) raises
+    # UNABLE_TO_INFER_SCHEMA, not PATH_NOT_FOUND — the guard must treat
+    # both as "nothing written yet" instead of killing the stream.
+    import os as _os
+
+    index = str(tmp_path / "empty_idx")
+    _os.makedirs(index)
+    stats = AI.compact_index_batches(spark, index, upto_batch_id=5)
+    assert stats == {
+        "rows_folded": 0,
+        "rows_after": 0,
+        "batch_dirs_removed": 0,
+    }
+    # absent path stays benign too (the r11 arm)
+    stats2 = AI.compact_index_batches(
+        spark, str(tmp_path / "never_created"), upto_batch_id=5
+    )
+    assert stats2["rows_folded"] == 0
