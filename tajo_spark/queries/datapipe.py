@@ -2038,7 +2038,14 @@ def dedup_best_by_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the r11 shape checkpointed pairs, then each consumer built and
     # checkpointed its own identical bidirected copy — 3
     # materializations of one ~2|E|-row graph)
-    pairs = dedup.minhash_candidate_pairs(docs)
+    # pairs is candidate-bounded (tiny) — checkpoint it BEFORE the
+    # mirror union: the union's two branches canonicalize differently,
+    # so Catalyst does NOT reuse the banding exchange and the un-
+    # materialized shape ran the whole LSH pipeline twice per bi build
+    # (ADVICE r12 #4, verified: executed bi plan had 2 parquet scans /
+    # 6 exchanges / 0 ReusedExchange; with the checkpoint it has 0
+    # scans — both branches read the pairs RDD)
+    pairs = dedup.minhash_candidate_pairs(docs).localCheckpoint()
     bi = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .union(
