@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tajo_spark import catalog
 from tajo_spark.operators.similarity import (
     ivf_assign,
     l2_normalize,
@@ -113,6 +114,9 @@ def _write_q8_batch(
         .mode("overwrite")
         .parquet(index_path)
     )
+    # the probe-side plan memo pins the file listing at first load; an
+    # append adds directories a memoized plan would never see
+    catalog.invalidate(index_path)
 
 
 def ivf_ingest_init(
@@ -458,6 +462,8 @@ def _write_pq_batch(
         .mode("overwrite")
         .parquet(index_path)
     )
+    # same listing-staleness contract as _write_q8_batch
+    catalog.invalidate(index_path)
 
 
 def pq_ingest_init(
@@ -630,6 +636,10 @@ def compact_index_batches(
             if bid != -1 and bid <= upto_batch_id:
                 fs.delete_dir(binfo.path)
                 removed += 1
+    # the fold rewrote the base and deleted batch directories: any
+    # memoized probe plan now points at vanished files
+    # (FAILED_READ_FILE.FILE_NOT_EXIST on the next probe) — drop it
+    catalog.invalidate(index_path)
     after = (
         spark.read.parquet(index_path)
         .filter(F.col("__batch_id") <= upto_batch_id)
