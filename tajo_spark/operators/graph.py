@@ -28,6 +28,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _mirror(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Both orientations of every edge in ONE pass over the input.
+
+    A union of two opposite selects references the edge lineage twice,
+    and Catalyst does NOT reuse the exchange across the two
+    differently-canonicalized branches — so when the input is an
+    unmaterialized candidate-pair pipeline (the normal case: LSH
+    banding feeding components/pagerank), the materializing checkpoint
+    job executed the whole banding pipeline TWICE (verified on
+    ``dedup_best_by_centrality``: 2 parquet scans / 6 exchanges / 0
+    ReusedExchange in the executed bi plan).  Exploding a 2-element
+    array of (a,b)/(b,a) structs emits the same multiset of rows from
+    a single evaluation.
+    """
+    return edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+
+
 def _propagate_round(both: DataFrame, labels: DataFrame) -> DataFrame:
     """One min-label propagation round, materialized.
 
@@ -103,9 +127,10 @@ def connected_components(
             F.col(src).alias("a"), F.col(dst).alias("b")
         )
     else:
-        both = edges.select(
-            F.col(src).alias("a"), F.col(dst).alias("b")
-        ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        # explode-mirror, not union-of-selects: one evaluation of the
+        # (typically expensive, unmaterialized) edge pipeline inside
+        # the checkpoint job instead of two (see _mirror)
+        both = _mirror(edges, src, dst)
         if not assume_distinct:
             both = both.distinct()
         both = both.localCheckpoint()
@@ -273,9 +298,12 @@ def pagerank(
     distributed-summation ulps never compound across iterations.
 
     Per iteration: ONE shuffle-join of ranks against the bidirected
-    edge list + one sum-aggregate (map-side combined) — the same
-    O(1)-plan-depth loop as connected_components (localCheckpoint per
-    round).  The node count is read ONCE from the materialized degree
+    edge list + one sum-aggregate (map-side combined), then the rank
+    frame is rebuilt off the materialized degree frame — the previous
+    rank frame is referenced exactly once per round, so the lineage
+    grows LINEARLY and short loops run as one job with zero per-round
+    materializations (long loops truncate via localCheckpoint every 4
+    rounds to bound plan depth).  The node count is read ONCE from the materialized degree
     frame and embedded as a literal (metadata-sized driver read — one
     long — the documented acceptable class; r12: the r11 broadcast-
     1-row-frame formulation rebuilt the broadcast and paid an extra
@@ -296,15 +324,13 @@ def pagerank(
             F.col(src_col).alias("a"), F.col(dst_col).alias("b")
         )
     else:
-        e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        # the bidirected edge list is re-joined EVERY iteration (and the
-        # init + each round is its own action via localCheckpoint), so
+        # the bidirected edge list is re-joined EVERY iteration, so
         # whatever lineage produced `edges` — typically the whole LSH
-        # banding pipeline — would re-execute n_iter+1 times without this
-        # materialization; 2|E| rows, far smaller than the corpus
-        bi = e.unionByName(
-            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        ).localCheckpoint()
+        # banding pipeline — would re-execute per iteration without
+        # this materialization; 2|E| rows, far smaller than the corpus.
+        # explode-mirror so the checkpoint job evaluates that pipeline
+        # once, not twice (see _mirror)
+        bi = _mirror(edges, src_col, dst_col).localCheckpoint()
     deg = (
         bi.groupBy("a")
         .agg(F.count(F.lit(1)).alias("deg"))
@@ -313,7 +339,7 @@ def pagerank(
     )
     n = deg.count()  # metadata-sized: ONE long off the materialized frame
     pr = deg.select("id", "deg", F.round(F.lit(1.0) / n, 9).alias("pr"))
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contrib = (
             bi.join(pr, bi["a"] == pr["id"])
             .select(
@@ -323,20 +349,25 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("s"))
         )
-        pr = (
-            pr.drop("pr")
-            .join(contrib, "id", "left")
-            .select(
-                "id",
-                "deg",
-                F.round(
-                    F.lit((1.0 - damping) / n)
-                    + damping * F.coalesce(F.col("s"), F.lit(0.0)),
-                    9,
-                ).alias("pr"),
-            )
-            .localCheckpoint()
+        # rebuild the rank frame FROM THE CHECKPOINTED deg (row-set
+        # identical to pr: both carry every distinct `a` of bi), not by
+        # re-joining pr — so pr is referenced exactly once per round,
+        # the lineage stays LINEAR in n_iter, and short loops need no
+        # per-round materialization at all (r13; the r12 shape paid one
+        # localCheckpoint job + a full rank-frame materialization per
+        # iteration).  Long loops still truncate on a cadence so plan
+        # depth/analysis cost stays bounded.
+        pr = deg.join(contrib, "id", "left").select(
+            "id",
+            "deg",
+            F.round(
+                F.lit((1.0 - damping) / n)
+                + damping * F.coalesce(F.col("s"), F.lit(0.0)),
+                9,
+            ).alias("pr"),
         )
+        if (i + 1) % 4 == 0 and (i + 1) < n_iter:
+            pr = pr.localCheckpoint()
     return pr.select(
         F.col("id").alias("node"), F.round("pr", 6).alias("pagerank")
     )

@@ -2029,7 +2029,11 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_best_by_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tajo_spark.operators.graph import connected_components, pagerank
+    from tajo_spark.operators.graph import (
+        _mirror,
+        connected_components,
+        pagerank,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     # one banding pipeline feeds BOTH iterative consumers (components
@@ -2037,22 +2041,16 @@ def dedup_best_by_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the bidirected frame once and pass it to both (r12:
     # the r11 shape checkpointed pairs, then each consumer built and
     # checkpointed its own identical bidirected copy — 3
-    # materializations of one ~2|E|-row graph)
-    # pairs is candidate-bounded (tiny) — checkpoint it BEFORE the
-    # mirror union: the union's two branches canonicalize differently,
-    # so Catalyst does NOT reuse the banding exchange and the un-
-    # materialized shape ran the whole LSH pipeline twice per bi build
-    # (ADVICE r12 #4, verified: executed bi plan had 2 parquet scans /
-    # 6 exchanges / 0 ReusedExchange; with the checkpoint it has 0
-    # scans — both branches read the pairs RDD)
-    pairs = dedup.minhash_candidate_pairs(docs).localCheckpoint()
-    bi = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .union(
-            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
-        )
-        .localCheckpoint()
-    )
+    # materializations of one ~2|E|-row graph).
+    # explode-mirror (graph._mirror): ONE evaluation of the banding
+    # pipeline inside the bi checkpoint job.  The r12 union-of-selects
+    # shape referenced pairs twice and Catalyst does NOT reuse the
+    # banding exchange across the differently-canonicalized branches
+    # (ADVICE r12 #4, verified: 2 parquet scans / 6 exchanges / 0
+    # ReusedExchange); the r13 interim fix checkpointed pairs first —
+    # the explode mirror gets one-evaluation without that extra job.
+    pairs = dedup.minhash_candidate_pairs(docs)
+    bi = _mirror(pairs, "doc_a", "doc_b").localCheckpoint()
     comp = connected_components(pairs, prebidirected=bi, src="a", dst="b")
     pr = pagerank(pairs, n_iter=3, prebidirected=bi, src_col="a", dst_col="b")
     joined = comp.join(pr, "node")

@@ -148,17 +148,107 @@ def test_pagerank_star_center_dominates_and_mass_conserved(spark):
     assert abs(sum(out.values()) - 1.0) < 1e-4  # undirected: no dangling loss
 
 
-def test_pagerank_truncates_lineage(spark):
+def test_pagerank_short_loop_runs_no_per_round_jobs(spark):
+    # r13 pin: the rank update rebuilds from the CHECKPOINTED deg frame,
+    # so pr is referenced once per round, lineage is linear, and a short
+    # loop (n_iter < cadence 4) runs exactly 3 construction jobs — bi
+    # checkpoint, deg checkpoint, deg.count — with the rounds deferred
+    # to the consumer's single action (r12 paid one localCheckpoint job
+    # + a rank-frame materialization per iteration)
     from tajo_spark.operators.graph import pagerank
 
     edges = spark.createDataFrame(
         [(1, 2), (2, 3)], "doc_a LONG, doc_b LONG"
     )
-    plan = (
-        pagerank(edges, n_iter=3)
-        ._jdf.queryExecution().executedPlan().toString()
+    sc = spark.sparkContext
+
+    def construction_jobs(n_iter: int, tag: str) -> int:
+        sc.setJobGroup(tag, f"pagerank n_iter={n_iter} construction")
+        df = pagerank(edges, n_iter=n_iter)
+        sc.setJobGroup(None, None)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the unrolled rounds read the bi/deg checkpoints (ExistingRDD
+        # scans), keeping the consumer plan bounded
+        assert "ExistingRDD" in plan
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    # construction cost must NOT grow with n_iter below the cadence —
+    # the bi/deg checkpoints and the count are the only jobs
+    j1 = construction_jobs(1, "pr_short_1")
+    j3 = construction_jobs(3, "pr_short_3")
+    assert j1 == j3, f"per-round jobs leaked back in: {j1} vs {j3}"
+
+
+def test_pagerank_long_loop_checkpoints_on_cadence(spark):
+    # n_iter=5 crosses the every-4-rounds cadence: construction runs
+    # MORE jobs than the short loop (the one truncation checkpoint),
+    # bounding plan depth for long loops
+    from tajo_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a LONG, doc_b LONG"
     )
-    assert "ExistingRDD" in plan  # final round checkpointed: O(1) depth
+    sc = spark.sparkContext
+
+    def construction_jobs(n_iter: int, tag: str) -> int:
+        sc.setJobGroup(tag, f"pagerank n_iter={n_iter} construction")
+        pagerank(edges, n_iter=n_iter)
+        sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    j3 = construction_jobs(3, "pr_cad_3")
+    j5 = construction_jobs(5, "pr_cad_5")
+    assert j5 > j3, f"cadence checkpoint missing: {j3} vs {j5}"
+
+
+def test_pagerank_matches_serial_reference(spark):
+    # trajectory pin across the cadence boundary: the distributed loop
+    # (deg-join update, no per-round checkpoint) must reproduce a
+    # serial NumPy-free simulation with the same 9-decimal per-round
+    # rounding, on an asymmetric graph where every iteration moves mass
+    from tajo_spark.operators.graph import pagerank
+
+    pairs = [(1, 2), (2, 3), (3, 4), (1, 3)]
+    n_iter, damping = 5, 0.85
+    bi = pairs + [(b, a) for a, b in pairs]
+    nodes = sorted({x for e in bi for x in e})
+    deg = {u: sum(1 for a, _ in bi if a == u) for u in nodes}
+    n = len(nodes)
+    pr = {u: round(1.0 / n, 9) for u in nodes}
+    for _ in range(n_iter):
+        s = {u: 0.0 for u in nodes}
+        for a, b in bi:
+            s[b] += pr[a] / deg[a]
+        pr = {
+            u: round((1.0 - damping) / n + damping * s[u], 9)
+            for u in nodes
+        }
+    expected = {u: round(v, 6) for u, v in pr.items()}
+
+    edges = spark.createDataFrame(pairs, "doc_a LONG, doc_b LONG")
+    got = {
+        r.node: r.pagerank
+        for r in pagerank(edges, n_iter=n_iter, damping=damping).collect()
+    }
+    assert got.keys() == expected.keys()
+    for u in expected:
+        assert abs(got[u] - expected[u]) < 1e-9, (u, got[u], expected[u])
+
+
+def test_mirror_emits_both_orientations_once_per_input_row(spark):
+    # r13 pin: the explode-mirror must emit the exact multiset the old
+    # union-of-selects emitted (duplicates preserved — pagerank's deg
+    # counts depend on multiplicity), from ONE reference to the input
+    from tajo_spark.operators.graph import _mirror
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 3), (4, 4)], "doc_a LONG, doc_b LONG"
+    )
+    got = sorted((r.a, r.b) for r in _mirror(edges, "doc_a", "doc_b").collect())
+    want = sorted(
+        [(1, 2), (2, 1), (1, 2), (2, 1), (2, 3), (3, 2), (4, 4), (4, 4)]
+    )
+    assert got == want
 
 
 def test_auto_fallback_to_star_on_deep_chain(spark):
