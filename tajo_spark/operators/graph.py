@@ -217,14 +217,16 @@ def connected_components_star(
         .localCheckpoint()
     )
     all_nodes = (
-        e.select(F.col("a").alias("node"))
-        .union(e.select(F.col("b").alias("node")))
+        e.select(F.explode(F.array("a", "b")).alias("node"))
         .distinct()
         .localCheckpoint()
     )
     for _ in range(max_iter):
         # -- large-star: for every neighbor v > u, link (v, m) --------
-        nbrs = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).select(
+        # explode-mirror: ONE scan of the checkpointed edge blocks per
+        # round instead of two (see _mirror; same multiset as the
+        # union-of-selects this replaces)
+        nbrs = _mirror(e, "a", "b").select(
             F.col("a").alias("u"), F.col("b").alias("v")
         )
         mins = _star_min(nbrs)
