@@ -105,13 +105,29 @@ def load_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def invalidate(path: str) -> None:
-    """Drop every memoized plan under ``path`` (any session): the
+    """Drop every memoized plan related to ``path`` (any session): the
     enforced invalidation hook for writers that replace parquet files
-    in place before re-reading them."""
+    in place before re-reading them.
+
+    "Related" is path-separator-aware containment in EITHER direction:
+    invalidating a directory drops memos of everything inside it, and
+    invalidating one file inside a memoized directory drops that
+    directory's pinned listing too — while ``/idx`` never matches the
+    sibling ``/idx_v2``.  Table memos key on (sf_dir, name); they are
+    matched via the table's actual file path, so
+    ``invalidate('/sf/documents.parquet')`` works as documented."""
     rp = os.path.realpath(path)
-    for k in [k for k in _PATH_MEMO if k[1].startswith(rp)]:
+
+    def _related(a: str, b: str) -> bool:
+        return a == b or a.startswith(b + os.sep) or b.startswith(a + os.sep)
+
+    for k in [k for k in _PATH_MEMO if _related(rp, k[1])]:
         del _PATH_MEMO[k]
-    for k in [k for k in _TABLE_MEMO if k[1].startswith(rp)]:
+    for k in [
+        k
+        for k in _TABLE_MEMO
+        if _related(rp, os.path.join(k[1], f"{k[2]}.parquet"))
+    ]:
         del _TABLE_MEMO[k]
 
 

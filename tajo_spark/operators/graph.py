@@ -340,6 +340,13 @@ def pagerank(
         .localCheckpoint()
     )
     n = deg.count()  # metadata-sized: ONE long off the materialized frame
+    if n == 0:
+        # empty edge frame → no nodes: return the (empty) result frame
+        # instead of letting the 1/n init literal divide by zero while
+        # the plan is still being BUILT (r13 review)
+        return deg.select(
+            F.col("id").alias("node"), F.lit(0.0).alias("pagerank")
+        )
     pr = deg.select("id", "deg", F.round(F.lit(1.0) / n, 9).alias("pr"))
     for i in range(n_iter):
         contrib = (

@@ -210,6 +210,11 @@ def ivf_pq_persist_index(
         .partitionBy("centroid_id")
         .parquet(path)
     )
+    # writer-owned invalidation (see similarity.ivf_persist_index): a
+    # rebuild at a previously probed path drops the memoized listing
+    from tajo_spark import catalog
+
+    catalog.invalidate(path)
     return model, codebooks
 
 
@@ -265,6 +270,7 @@ def _adc_score(codes: Column, luts: Column, coarse: Column) -> Column:
 
 
 _PQ_CENTS_MEMO: dict = {}
+_CENTS_MEMO_MAX = 8  # distinct live models per session; oldest evicted
 
 
 def _pq_cents_frame(spark, model, codebooks: np.ndarray):
@@ -312,6 +318,11 @@ def _pq_cents_frame(spark, model, codebooks: np.ndarray):
         "__cb ARRAY<ARRAY<ARRAY<DOUBLE>>>",
     )
     _PQ_CENTS_MEMO[key] = (model, codebooks, df)
+    # same-session bound: one strong (model, codebooks, frame) entry
+    # per retrain would otherwise accumulate for the session's life
+    # (r13 review) — evict oldest-inserted first
+    while len(_PQ_CENTS_MEMO) > _CENTS_MEMO_MAX:
+        del _PQ_CENTS_MEMO[next(iter(_PQ_CENTS_MEMO))]
     return df
 
 

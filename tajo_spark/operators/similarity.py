@@ -313,8 +313,14 @@ def ivf_persist_index(
     of the files. Returns the fitted model (centroids are the only
     state a prober needs besides the path).
     """
+    from tajo_spark import catalog
+
     assigned, model = ivf_assign(emb, n_centroids=n_centroids, seed=seed)
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    # the writer owns invalidation (a rebuild at a previously probed
+    # path must drop the memoized pre-rebuild file listing) — call
+    # sites no longer need to remember the contract
+    catalog.invalidate(path)
     return model
 
 
@@ -342,7 +348,7 @@ def ivf_probe_persisted(
         [([float(x) for x in query_vec],)], "qv ARRAY<DOUBLE>"
     )
     return (
-        spark.read.parquet(path)
+        _index_frame(spark, path)
         .filter(F.col("centroid_id").isin(probe))
         .join(F.broadcast(q))
         .select(
@@ -1067,6 +1073,8 @@ def ivf_persist_index_q8(
     precision vectors stay in the base table; the probe reranks its
     shortlist there (the IVF+refine layout).  Returns the fitted
     KMeans model."""
+    from tajo_spark import catalog
+
     assigned, model = ivf_assign(emb, n_centroids=n_centroids, seed=seed)
     (
         assigned.select(
@@ -1078,6 +1086,8 @@ def ivf_persist_index_q8(
         .partitionBy("centroid_id")
         .parquet(path)
     )
+    # writer-owned invalidation (see ivf_persist_index)
+    catalog.invalidate(path)
     return model
 
 
@@ -1143,6 +1153,7 @@ def ivf_q8_shortlist(
 
 
 _Q8_CENTS_MEMO: dict = {}
+_CENTS_MEMO_MAX = 8  # distinct live models per session; oldest evicted
 
 
 def _q8_cents_frame(spark, model):
@@ -1171,6 +1182,12 @@ def _q8_cents_frame(spark, model):
         "__cents ARRAY<STRUCT<centroid_id: INT, cv: ARRAY<DOUBLE>>>",
     )
     _Q8_CENTS_MEMO[key] = (model, df)
+    # same-session bound: retrained models are new objects → new keys,
+    # so a long serving session would otherwise accumulate one strong
+    # (model, frame) pair per retrain (r13 review; the app-id prune
+    # above only helps across sessions).  Evict oldest-inserted first.
+    while len(_Q8_CENTS_MEMO) > _CENTS_MEMO_MAX:
+        del _Q8_CENTS_MEMO[next(iter(_Q8_CENTS_MEMO))]
     return df
 
 

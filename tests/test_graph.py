@@ -311,3 +311,24 @@ def test_fallback_disabled_still_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=8, star_fallback_after=None)
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    # r13 review: an empty edge frame made the 1/n init literal divide
+    # by zero while the plan was being built; now it returns the empty
+    # (node, pagerank) frame
+    from tajo_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([], "doc_a LONG, doc_b LONG")
+    out = pagerank(edges, n_iter=3)
+    assert out.columns == ["node", "pagerank"]
+    assert out.count() == 0
+
+
+def test_connected_components_empty_edges_returns_empty(spark):
+    from tajo_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([], "doc_a LONG, doc_b LONG")
+    out = connected_components(edges)
+    assert out.columns == ["node", "component"]
+    assert out.count() == 0

@@ -164,3 +164,31 @@ def test_pq_train_rejects_int8_overflowing_ksub():
     rng = np.random.default_rng(1)
     with pytest.raises(ValueError, match="ksub"):
         P.pq_train(rng.normal(size=(64, 64)), m=8, ksub=256)
+
+
+def test_cents_memo_bounds_same_session_models(spark):
+    # r13 review: retrained models are new objects -> new memo keys;
+    # the memo must evict oldest entries instead of holding one strong
+    # (model, codebooks, frame) tuple per retrain for the session
+    class _StubModel:
+        def clusterCenters(self):
+            return [np.asarray([1.0, 0.0])]
+
+    saved = dict(P._PQ_CENTS_MEMO)
+    P._PQ_CENTS_MEMO.clear()
+    try:
+        cb = np.zeros((1, 2, 2))
+        kept = []
+        for _ in range(P._CENTS_MEMO_MAX + 3):
+            m = _StubModel()
+            P._pq_cents_frame(spark, m, cb)
+            kept.append(m)  # keep models alive so ids stay distinct
+        assert len(P._PQ_CENTS_MEMO) == P._CENTS_MEMO_MAX
+        # the newest model is still memoized (hit returns same frame)
+        newest_key = (
+            spark.sparkContext.applicationId, id(kept[-1]), id(cb)
+        )
+        assert newest_key in P._PQ_CENTS_MEMO
+    finally:
+        P._PQ_CENTS_MEMO.clear()
+        P._PQ_CENTS_MEMO.update(saved)

@@ -2,7 +2,11 @@
 """Count Spark jobs + wall per registry query (guide §1: measure first).
 
 Usage: python tools/job_count.py q1,q2,...   → one JSON line
-{"name": {"jobs": N, "wall": sec}, ...}
+{"name": {"jobs_cold": N, "wall_cold": s, "jobs_warm": N,
+          "wall_warm": s}, ...}
+(cold = first measured run, includes any one-time per-process builds
+like persisted-index creation; warm = second run, the steady state the
+bench's min-of-2 reports)
 
 Jobs are counted by tagging each query's execution with a job group
 and asking the status tracker for that group's job ids — deterministic
@@ -23,6 +27,9 @@ from tajo_spark.session import build_spark  # noqa: E402
 
 
 def main() -> None:
+    if len(sys.argv) < 2 or not sys.argv[1].strip():
+        print(__doc__, file=sys.stderr)
+        raise SystemExit(2)
     names = sys.argv[1].split(",")
     warm_dir = os.environ.get("ISO_WARM_DIR", "/root/testdata/sf0.001")
     sf_dir = os.environ.get("ISO_SF_DIR", "/root/testdata/sf0.1")
